@@ -1,38 +1,577 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship pipeline on /root/testdata/sf0.001 (phash-derived anchors
+                 -> grid-cell encode -> PIP join -> per-polygon rollup).
+queries()     -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  -> DuckDB-runnable ANSI-SQL twins for the driver's correctness gate.
+
+Cross-engine determinism rules used throughout (so value-hashes match exactly):
+- all synthetic keys/phashes derive from integer Column math with an ANSI-SQL twin
+  (engine.cells.synth_phash / synth_phash_sql);
+- aggregate sums over floats are computed as int64 sums of per-row FLOOR-scaled
+  values (per-row double ops are IEEE-identical across engines; float SUM order
+  is not);
+- timestamps are emitted as epoch microseconds (int64).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine import cells, joins, synth
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _epoch_us(col):
+    """Epoch microseconds from TIMESTAMP or TIMESTAMP_NTZ (session tz is UTC, so
+    NTZ -> TZ cast is identity on the wall-clock value)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, phash, lon, lat, x, y) via the deterministic pseudo-phash
+    (graft: every image is geotagged via its phash-derived anchor point)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.col("doc_id").cast("long")
+    ph = cells.synth_phash(key)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ph.alias("phash"),
+        cells.anchor_lon(ph).alias("lon"),
+        cells.anchor_lat(ph).alias("lat"),
+        cells.phash_x(ph).alias("x"),
+        cells.phash_y(ph).alias("y"),
+    )
+
+
+_DOCS_POINTS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cells.synth_phash_sql('doc_id')} AS phash
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents -> anchors -> res-9 cells -> PIP join against the
+    deterministic polygon fixture -> per-polygon counts + bbox union."""
+    pts = _docs_points(spark, "/root/testdata/sf0.001")
+    polys = synth.polygons_df(spark, p=48, hot_frac=0.0, radius_scale=3.0)
+    joined = joins.pip_join(pts, polys, res_min=4, res_max=9)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns a DataFrame; names/aliases match oracle_sql exactly
+# ---------------------------------------------------------------------------
+def q_pack_feature_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — packed 63-bit type+id (OSMDataUtils.scala:5-15) + range recovery."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    typ = (
+        F.when(F.col("o_orderkey") % 3 == 0, "node")
+        .when(F.col("o_orderkey") % 3 == 1, "way")
+        .otherwise("relation")
+    )
+    packed = cells.pack_feature_id(F.col("o_orderkey").cast("long"), typ)
+    return (
+        o.select(
+            packed.alias("packed"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        )
+        .withColumn("is_way", cells.is_way(F.col("packed")))
+        .withColumn("raw_id", cells.unpack_raw_id(F.col("packed")))
+    )
+
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell encode at res 9 (pure int Column math) + per-cell counts — the
+    scan->encode->agg core of the flagship (SURVEY.md §2.2 P4 graft analog)."""
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.select(cells.grid_encode_phash(F.col("phash"), 9).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup res 11 -> res 7 (the propagation analog, SparkJobs.scala:48-70):
+    encode fine, roll up via pure parent arithmetic, aggregate per ancestor."""
+    pts = _docs_points(spark, sf_dir)
+    fine = pts.select(cells.grid_encode_phash(F.col("phash"), 11).alias("cell11"))
+    return (
+        fine.select(cells.grid_parent(F.col("cell11"), 4).alias("cell7"))
+        .groupBy("cell7")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_anchor_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — bbox-union aggregate (Bbox.scala:5-8) as 4 min/max aggs per group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.col("doc_id").cast("long")
+    ph = cells.synth_phash(key)
+    return (
+        docs.select(
+            F.col("lang"),
+            cells.anchor_lon(ph).alias("lon"),
+            cells.anchor_lat(ph).alias("lat"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-style partial+final hash aggregation (TPC-H Q1 shape). Money sums as int64
+    cents (cross-engine exact)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("sum_disc_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — top-k per group via window row_number (deterministic tie-break)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "l_returnflag",
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_consecutive_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — consecutive-version diff via lag() (RefUtils.scala:11-42 rebuilt as a
+    window): per user, emit transition rows where event_type changed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return d.filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        "prev_type",
+        "event_type",
+    )
+
+
+def q_change_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — the 10-type change classifier shape: per consecutive event pair,
+    classify into create/delete/value-up/value-down/retype (Column-only CASE over
+    lagged columns; analog of ChangeUtils.scala:21-55)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+    )
+    change_type = (
+        F.when(F.col("prev_type").isNull(), 0)  # CREATE
+        .when(F.col("prev_type") != F.col("event_type"), 4)  # RETYPE (tag-change analog)
+        .when(F.col("value") > F.col("prev_value"), 2)  # VALUE_UP (add analog)
+        .when(F.col("value") < F.col("prev_value"), 3)  # VALUE_DOWN (delete analog)
+        .otherwise(9)
+    )
+    return (
+        d.withColumn("change_type", change_type.cast("long"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_coalesce_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — coalesce fact rows per (entity, kind) with count/sum/extent — the rebuild
+    of coalesceChanges (ChangeUtils.scala:93-104) keyed on the real pair (Q3 fix)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        _epoch_us(F.min("ts")).alias("min_ts_us"),
+        _epoch_us(F.max("ts")).alias("max_ts_us"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — as-of assignment via union+window (engine.joins.asof_join): each 'click'
+    event gets the latest 'login' event timestamp <= its own, per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+    )
+    right = ev.filter(F.col("event_type") == "login").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("login_event_id"),
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["login_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", _epoch_us(F.col("ts")).alias("ts_us"), "login_event_id"
+    )
+
+
+def q_multiway_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — multi-way union of per-depth frames (SparkJobs.scala:73-76 analog)."""
+    from functools import reduce
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    frames = [
+        li.filter(F.col("l_returnflag") == flag)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .withColumn("depth", F.lit(i).cast("long"))
+        for i, flag in enumerate(["A", "N", "R"])
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def q_dim_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — broadcast decode join against a literal dim table (README.md:101-124)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [("click", "Click"), ("view", "View"), ("login", "Login"),
+         ("purchase", "Purchase"), ("error", "Error")],
+        ["event_type", "label"],
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 graft — PIP join against rectangular regions (broadcast dim + containment);
+    rectangle variant is the SQL-expressible twin of the ray-cast PIP."""
+    pts = _docs_points(spark, sf_dir)
+    rects = spark.createDataFrame(
+        [(i, -180.0 + i * 45.0, -90.0 + i * 20.0, -180.0 + i * 45.0 + 60.0,
+          -90.0 + i * 20.0 + 50.0) for i in range(8)],
+        ["rect_id", "lon0", "lat0", "lon1", "lat1"],
+    )
+    cond = (
+        (F.col("lon") >= F.col("lon0")) & (F.col("lon") < F.col("lon1"))
+        & (F.col("lat") >= F.col("lat0")) & (F.col("lat") < F.col("lat1"))
+    )
+    return (
+        pts.join(F.broadcast(rects), cond, "inner")
+        .groupBy(F.col("rect_id").cast("long").alias("rect_id"))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile assignment at z=8 via pure integer math from phash (no floats)."""
+    pts = _docs_points(spark, sf_dir)
+    # integer-exact: tx = x div 2^(32-8), ty = y div 2^(31-8)
+    tx = (F.col("x") / F.lit(2**24)).cast("long")
+    ty = (F.col("y") / F.lit(2**23)).cast("long")
+    return (
+        pts.select((F.lit(8 * 2**50) + tx * F.lit(2**25) + ty).alias("tile_id"))
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join (ring expansion, exact; engine.joins.knn_join): queries are every
+    100th document, k=3 nearest document anchors (planar integer space)."""
+    pts = _docs_points(spark, sf_dir)
+    points = pts.select(F.col("doc_id").alias("point_id"), "x", "y")
+    queries = pts.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "x", "y"
+    )
+    out = joins.knn_join(queries, points, k=3, res=6, max_radius=16)
+    return out.select(
+        "query_id", "point_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on content: keep min doc_id per text, report
+    duplicate multiplicity (md5 is standard — identical across engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.min(F.col("doc_id").cast("long")).alias("keep_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: whitespace tokens, chars/token (scaled int)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ntok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.floor(F.length("text") * 1000.0 / ntok).cast("long").alias("chars_per_tok_e3"),
+    )
+
+
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID-style heuristic: stopword occurrence counts per doc via
+    length-difference counting, aggregated per lang."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    def occurrences(word: str):
+        pat = f" {word} "
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat), F.lit("")))) / len(pat)
+    n_stop = sum(occurrences(w) for w in ["the", "and", "of"])
+    return (
+        docs.select("lang", n_stop.cast("long").alias("n_stop"))
+        .groupBy("lang")
+        .agg(F.sum("n_stop").alias("stop_total"), F.count("*").alias("n_docs"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pack_feature_id": q_pack_feature_id,
+        "cell_encode": q_cell_encode,
+        "cell_rollup": q_cell_rollup,
+        "anchor_bbox": q_anchor_bbox,
+        "pricing_summary": q_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "consecutive_diff": q_consecutive_diff,
+        "change_taxonomy": q_change_taxonomy,
+        "coalesce_changes": q_coalesce_changes,
+        "asof_join": q_asof_join,
+        "multiway_union": q_multiway_union,
+        "dim_decode_join": q_dim_decode_join,
+        "pip_rect": q_pip_rect,
+        "tile_assign": q_tile_assign,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "stopword_ratio": q_stopword_ratio,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    phash = cells.synth_phash_sql("doc_id")
+    cell9 = cells.grid_encode_phash_sql(phash, 9)
+    cell11 = cells.grid_encode_phash_sql(phash, 11)
+    lon = f"(({phash}) % 4294967296) / 4294967296.0 * 360.0 - 180.0"
+    lat = f"((({phash}) // 4294967296) % 2147483648) / 2147483648.0 * 180.0 - 90.0"
+    xi = f"(({phash}) % 4294967296)"
+    yi = f"((({phash}) // 4294967296) % 2147483648)"
+    return {
+        "pack_feature_id": """
+            SELECT CASE CAST(o_orderkey AS BIGINT) % 3
+                     WHEN 0 THEN CAST(o_orderkey AS BIGINT)
+                     WHEN 1 THEN CAST(o_orderkey AS BIGINT) + 2305843009213693952
+                     ELSE CAST(o_orderkey AS BIGINT) + 4611686018427387904
+                   END AS packed,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   (CAST(o_orderkey AS BIGINT) % 3 = 1) AS is_way,
+                   CAST(o_orderkey AS BIGINT) AS raw_id
+            FROM orders
+        """,
+        "cell_encode": f"""
+            SELECT {cell9} AS cell, COUNT(*) AS n_points
+            FROM documents GROUP BY 1
+        """,
+        "cell_rollup": f"""
+            SELECT {cells.grid_parent_sql(cell11, 4)} AS cell7, COUNT(*) AS n_points
+            FROM documents GROUP BY 1
+        """,
+        "anchor_bbox": f"""
+            SELECT lang,
+                   MIN({lon}) AS min_lon, MAX({lon}) AS max_lon,
+                   MIN({lat}) AS min_lat, MAX({lat}) AS max_lat,
+                   COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                       AS sum_disc_e4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+            SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+              FROM lineitem
+            ) t WHERE rnk <= 5
+        """,
+        "consecutive_diff": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, prev_type, event_type
+            FROM (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events
+            ) t
+            WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        """,
+        "change_taxonomy": """
+            SELECT CAST(CASE
+                     WHEN prev_type IS NULL THEN 0
+                     WHEN prev_type <> event_type THEN 4
+                     WHEN value > prev_value THEN 2
+                     WHEN value < prev_value THEN 3
+                     ELSE 9
+                   END AS BIGINT) AS change_type,
+                   COUNT(*) AS n
+            FROM (
+              SELECT event_type, value,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                     LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+              FROM events
+            ) t GROUP BY 1
+        """,
+        "coalesce_changes": """
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+                   CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+            FROM events GROUP BY user_id, event_type
+        """,
+        "asof_join": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(login_event_id AS BIGINT) AS login_event_id
+            FROM (
+              SELECT user_id, ts, side, event_id,
+                     LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, side, CASE WHEN side = 0 THEN event_id ELSE 0 END
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS login_event_id
+              FROM (
+                SELECT user_id, ts, 0 AS side, event_id FROM events WHERE event_type = 'login'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, event_id FROM events WHERE event_type = 'click'
+              ) u
+            ) t WHERE side = 1
+        """,
+        "multiway_union": """
+            SELECT l_linestatus, COUNT(*) AS n, CAST(0 AS BIGINT) AS depth
+            FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus
+            UNION ALL
+            SELECT l_linestatus, COUNT(*) AS n, CAST(1 AS BIGINT) AS depth
+            FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_linestatus
+            UNION ALL
+            SELECT l_linestatus, COUNT(*) AS n, CAST(2 AS BIGINT) AS depth
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+        """,
+        "dim_decode_join": """
+            SELECT d.label AS label, COUNT(*) AS n
+            FROM events e
+            LEFT JOIN (VALUES ('click','Click'),('view','View'),('login','Login'),
+                              ('purchase','Purchase'),('error','Error')) AS d(event_type, label)
+              ON e.event_type = d.event_type
+            GROUP BY d.label
+        """,
+        "pip_rect": f"""
+            SELECT CAST(r.rect_id AS BIGINT) AS rect_id, COUNT(*) AS n_points
+            FROM (SELECT {lon} AS lon, {lat} AS lat FROM documents) p
+            JOIN (SELECT i AS rect_id, -180.0 + i * 45.0 AS lon0, -90.0 + i * 20.0 AS lat0,
+                         -180.0 + i * 45.0 + 60.0 AS lon1, -90.0 + i * 20.0 + 50.0 AS lat1
+                  FROM (SELECT unnest(range(8)) AS i)) r
+              ON p.lon >= r.lon0 AND p.lon < r.lon1 AND p.lat >= r.lat0 AND p.lat < r.lat1
+            GROUP BY 1
+        """,
+        "tile_assign": f"""
+            SELECT (8 * 1125899906842624 + ({xi} // 16777216) * 33554432
+                    + ({yi} // 8388608)) AS tile_id,
+                   COUNT(*) AS n_points
+            FROM documents GROUP BY 1
+        """,
+        "knn": f"""
+            SELECT query_id, point_id, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.doc_id AS query_id, p.doc_id AS point_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY (CAST(q.x AS DOUBLE) - p.x) * (CAST(q.x AS DOUBLE) - p.x)
+                              + (CAST(q.y AS DOUBLE) - p.y) * (CAST(q.y AS DOUBLE) - p.y),
+                              p.doc_id) AS rank
+              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {xi} AS x, {yi} AS y
+                    FROM documents WHERE doc_id % 100 = 0) q
+              CROSS JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, {xi} AS x, {yi} AS y
+                          FROM documents) p
+            ) t WHERE rank <= 3
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, MIN(CAST(doc_id AS BIGINT)) AS keep_doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(FLOOR(length(text) * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
+                     AS chars_per_tok_e3
+            FROM documents
+        """,
+        "stopword_ratio": """
+            SELECT lang,
+                   SUM(CAST(
+                     (length(text) - length(replace(text, ' the ', ''))) / 5
+                   + (length(text) - length(replace(text, ' and ', ''))) / 5
+                   + (length(text) - length(replace(text, ' of ', ''))) / 4
+                   AS BIGINT)) AS stop_total,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+    }

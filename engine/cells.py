@@ -1,0 +1,488 @@
+"""Cell-index kernel: grid (Column-only), hex and S2-style (vectorized numpy).
+
+This is the graft analog of the reference's packed 63-bit global-ID discipline
+(/root/reference/src/main/scala/com/michaelsteffen/osm/osmdata/OSMDataUtils.scala:5-21):
+identity + hierarchy packed into one int64, type/level recoverable by arithmetic.
+
+Three index families (all from scratch — no external geo libs, per SURVEY.md §7.0):
+
+1. **Grid** (primary; used by PIP/kNN/tiles): equirectangular quadtree.
+   res r in [0, 28]; the world is a 2^r x 2^r grid over lon [-180,180) x lat [-90,90).
+   cell_id = r * 2^58 + ix * 2^29 + iy   (ix, iy < 2^28 < 2^29).
+   Pure integer Column math end-to-end — Catalyst folds it into whole-stage codegen;
+   the identical arithmetic is expressible in ANSI SQL for the DuckDB oracle.
+   Aperture 4: parent(r-1) = (ix//2, iy//2) — exact containment.
+
+2. **Hex** (H3-style, aperture 4, pointy-top axial coords on the equirect plane):
+   approximate parent containment like real H3; numpy pandas_udf.
+
+3. **S2-style**: cube-face quadtree on the sphere, Morton-interleaved; levels 0..26;
+   numpy pandas_udf.
+
+Anchor points (BASELINE.json north_star: "every image is geotagged via its
+phash-derived anchor point"), bit-exact spec from FIXTURES.md §1:
+    x = phash mod 2^32          lon = x / 2^32 * 360 - 180
+    y = phash div 2^32 (31-bit) lat = y / 2^31 * 180 - 90
+Grid encode from phash needs **no floats at all**: ix = x div 2^(32-r),
+iy = y div 2^(31-r) — identical integer arithmetic in Spark and any SQL engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GRID_MAX_RES = 28
+_RES_SHIFT = 2**58
+_IX_SHIFT = 2**29
+
+# ---------------------------------------------------------------------------
+# Packed feature IDs — faithful rebuild of OSMDataUtils.createID/isNode/isWay/
+# isRelation (/root/reference/.../osmdata/OSMDataUtils.scala:5-21).
+# ---------------------------------------------------------------------------
+WAY_OFFSET = 2**61
+RELATION_OFFSET = 2**62
+
+
+def pack_feature_id(id_col: Column, type_col: Column) -> Column:
+    """node -> id; way -> 2^61 + id; relation -> 2^62 + id; ids >= 2^61 rejected."""
+    guarded = F.when(
+        id_col >= F.lit(WAY_OFFSET),
+        F.raise_error(F.lit("id out of range for packed feature id (>= 2^61)")),
+    ).otherwise(id_col)
+    return (
+        F.when(type_col == "node", guarded)
+        .when(type_col == "way", guarded + F.lit(WAY_OFFSET))
+        .when(type_col == "relation", guarded + F.lit(RELATION_OFFSET))
+        .otherwise(F.raise_error(F.concat(F.lit("unknown feature type: "), type_col)))
+    )
+
+
+def is_node(packed: Column) -> Column:
+    return packed < F.lit(WAY_OFFSET)
+
+
+def is_way(packed: Column) -> Column:
+    return (packed >= F.lit(WAY_OFFSET)) & (packed < F.lit(RELATION_OFFSET))
+
+
+def is_relation(packed: Column) -> Column:
+    return packed >= F.lit(RELATION_OFFSET)
+
+
+def unpack_raw_id(packed: Column) -> Column:
+    return packed % F.lit(WAY_OFFSET)
+
+
+# ---------------------------------------------------------------------------
+# phash-derived anchor points (FIXTURES.md §1 bit-exact spec)
+# ---------------------------------------------------------------------------
+def phash_x(phash: Column) -> Column:
+    """Low 32 bits of phash (phash is non-negative by construction)."""
+    return phash % F.lit(2**32)
+
+
+def phash_y(phash: Column) -> Column:
+    """Bits 32..62 of phash (31-bit)."""
+    return (phash / F.lit(2**32)).cast("long") % F.lit(2**31)
+
+
+def anchor_lon(phash: Column) -> Column:
+    return phash_x(phash).cast("double") / F.lit(float(2**32)) * 360.0 - 180.0
+
+
+def anchor_lat(phash: Column) -> Column:
+    return phash_y(phash).cast("double") / F.lit(float(2**31)) * 180.0 - 90.0
+
+
+def synth_phash(key: Column) -> Column:
+    """Deterministic 63-bit pseudo-phash from an integer key (two LCGs; overflow-free
+    in int64 for keys < ~8e9, so the identical expression runs in ANSI SQL).
+
+        x = (key * 1103515245 + 12345) mod 2^32
+        y = (key * 134775813  +     1) mod 2^31
+        phash = y * 2^32 + x
+    """
+    x = (key * F.lit(1103515245) + F.lit(12345)) % F.lit(2**32)
+    y = (key * F.lit(134775813) + F.lit(1)) % F.lit(2**31)
+    return y * F.lit(2**32) + x
+
+
+def synth_phash_sql(key_expr: str) -> str:
+    """The ANSI-SQL twin of synth_phash, for DuckDB oracles."""
+    k = f"CAST({key_expr} AS BIGINT)"
+    return (
+        f"(({k} * 134775813 + 1) % 2147483648) * 4294967296"
+        f" + (({k} * 1103515245 + 12345) % 4294967296)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid cells — Column-only integer math
+# ---------------------------------------------------------------------------
+def _check_res(res: int) -> None:
+    if not (0 <= res <= GRID_MAX_RES):
+        raise ValueError(f"grid res must be in [0, {GRID_MAX_RES}], got {res}")
+
+
+def grid_pack(res: int, ix: Column, iy: Column) -> Column:
+    _check_res(res)
+    return F.lit(res * _RES_SHIFT) + ix * F.lit(_IX_SHIFT) + iy
+
+
+def grid_encode_phash(phash: Column, res: int) -> Column:
+    """Grid cell of the phash anchor point — pure integer arithmetic (no floats).
+
+    ix = x div 2^(32-res), iy = y div 2^(31-res); exact because anchor lon/lat are
+    affine in x/y.
+    """
+    _check_res(res)
+    ix = (phash_x(phash) / F.lit(2 ** (32 - res))).cast("long")
+    iy = (phash_y(phash) / F.lit(2 ** (31 - res))).cast("long")
+    return grid_pack(res, ix, iy)
+
+
+def grid_encode_phash_sql(phash_expr: str, res: int) -> str:
+    """ANSI-SQL twin of grid_encode_phash (DuckDB oracle)."""
+    _check_res(res)
+    x = f"(({phash_expr}) % 4294967296)"
+    y = f"((({phash_expr}) // 4294967296) % 2147483648)"
+    ix = f"({x} // {2 ** (32 - res)})"
+    iy = f"({y} // {2 ** (31 - res)})"
+    return f"({res} * {_RES_SHIFT} + {ix} * {_IX_SHIFT} + {iy})"
+
+
+def grid_encode_lonlat(lon: Column, lat: Column, res: int) -> Column:
+    """Grid cell from float lon/lat (clamped to the valid range)."""
+    _check_res(res)
+    n = 2**res
+    ix = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((lon + 180.0) / 360.0 * n)),
+    ).cast("long")
+    iy = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((lat + 90.0) / 180.0 * n)),
+    ).cast("long")
+    return grid_pack(res, ix, iy)
+
+
+def grid_res(cell: Column) -> Column:
+    return (cell / F.lit(_RES_SHIFT)).cast("long")
+
+
+def grid_ix(cell: Column) -> Column:
+    return ((cell % F.lit(_RES_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
+
+
+def grid_iy(cell: Column) -> Column:
+    return cell % F.lit(_IX_SHIFT)
+
+
+def grid_parent(cell: Column, steps: int = 1) -> Column:
+    """Ancestor `steps` levels up — exact containment (aperture 4).
+
+    Graft analog of the reference's change-propagation parent hop
+    (/root/reference/.../SparkJobs.scala:48-70).
+    """
+    if steps < 0:
+        raise ValueError("steps must be >= 0")
+    if steps == 0:
+        return cell
+    d = 2**steps
+    return (
+        (grid_res(cell) - F.lit(steps)) * F.lit(_RES_SHIFT)
+        + (grid_ix(cell) / F.lit(d)).cast("long") * F.lit(_IX_SHIFT)
+        + (grid_iy(cell) / F.lit(d)).cast("long")
+    )
+
+
+def grid_parent_sql(cell_expr: str, steps: int = 1) -> str:
+    """ANSI-SQL twin of grid_parent."""
+    d = 2**steps
+    res = f"(({cell_expr}) // {_RES_SHIFT})"
+    ix = f"((({cell_expr}) % {_RES_SHIFT}) // {_IX_SHIFT})"
+    iy = f"(({cell_expr}) % {_IX_SHIFT})"
+    return f"(({res} - {steps}) * {_RES_SHIFT} + ({ix} // {d}) * {_IX_SHIFT} + ({iy} // {d}))"
+
+
+def grid_children(cell: Column) -> Column:
+    """Array of the 4 child cells one level down."""
+    res = grid_res(cell) + F.lit(1)
+    ix2 = grid_ix(cell) * F.lit(2)
+    iy2 = grid_iy(cell) * F.lit(2)
+    base = res * F.lit(_RES_SHIFT)
+    return F.array(
+        *[
+            base + (ix2 + F.lit(dx)) * F.lit(_IX_SHIFT) + iy2 + F.lit(dy)
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+    )
+
+
+def grid_center_lon(cell: Column, res: int) -> Column:
+    _check_res(res)
+    return (grid_ix(cell).cast("double") + 0.5) / float(2**res) * 360.0 - 180.0
+
+
+def grid_center_lat(cell: Column, res: int) -> Column:
+    _check_res(res)
+    return (grid_iy(cell).cast("double") + 0.5) / float(2**res) * 180.0 - 90.0
+
+
+def grid_bounds(cell: Column, res: int) -> Column:
+    """struct<min:struct<lon,lat>, max:struct<lon,lat>> bounds of the cell."""
+    _check_res(res)
+    n = float(2**res)
+    ix = grid_ix(cell).cast("double")
+    iy = grid_iy(cell).cast("double")
+    return F.struct(
+        F.struct(
+            (ix / n * 360.0 - 180.0).alias("lon"),
+            (iy / n * 180.0 - 90.0).alias("lat"),
+        ).alias("min"),
+        F.struct(
+            ((ix + 1.0) / n * 360.0 - 180.0).alias("lon"),
+            ((iy + 1.0) / n * 180.0 - 90.0).alias("lat"),
+        ).alias("max"),
+    )
+
+
+def grid_disk(cell: Column, k: int, res: int) -> Column:
+    """Array of all cells within Chebyshev distance k (the (2k+1)^2 block).
+
+    Longitude wraps mod 2^res; latitude out-of-range neighbors are dropped.
+    Used by kNN ring expansion (SURVEY.md §2.4 additions).
+    """
+    _check_res(res)
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    n = 2**res
+    ix, iy = grid_ix(cell), grid_iy(cell)
+    span = F.sequence(F.lit(-k), F.lit(k))
+    cells = F.flatten(
+        F.transform(
+            span,
+            lambda dx: F.transform(
+                span,
+                lambda dy: F.when(
+                    ((iy + dy) >= 0) & ((iy + dy) < n),
+                    F.lit(res * _RES_SHIFT)
+                    + ((ix + dx + n) % F.lit(n)) * F.lit(_IX_SHIFT)
+                    + (iy + dy),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.filter(cells, lambda c: c.isNotNull()))
+
+
+def grid_ring(cell: Column, k: int, res: int) -> Column:
+    """Array of cells at Chebyshev distance exactly k (hollow ring)."""
+    if k == 0:
+        return F.array(cell)
+    return F.array_except(grid_disk(cell, k, res), grid_disk(cell, k - 1, res))
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors (oracles for tests + inputs for vectorized kernels)
+# ---------------------------------------------------------------------------
+def np_anchor(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ph = phash.astype(np.uint64)
+    x = (ph & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    y = ((ph >> np.uint64(32)) & np.uint64(0x7FFFFFFF)).astype(np.float64)
+    return x / 2**32 * 360.0 - 180.0, y / 2**31 * 180.0 - 90.0
+
+
+def np_grid_encode_phash(phash: np.ndarray, res: int) -> np.ndarray:
+    ph = phash.astype(np.uint64)
+    x = ph & np.uint64(0xFFFFFFFF)
+    y = (ph >> np.uint64(32)) & np.uint64(0x7FFFFFFF)
+    ix = (x >> np.uint64(32 - res)).astype(np.int64)
+    iy = (y >> np.uint64(31 - res)).astype(np.int64)
+    return res * _RES_SHIFT + ix * _IX_SHIFT + iy
+
+
+def np_grid_encode_lonlat(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    n = 2**res
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return res * _RES_SHIFT + ix * _IX_SHIFT + iy
+
+
+# ---------------------------------------------------------------------------
+# Hex cells (H3-style, aperture 4, pointy-top axial on the equirect plane)
+# ---------------------------------------------------------------------------
+HEX_MAX_RES = 15
+_HEX_RES_SHIFT = 2**57
+_HEX_Q_SHIFT = 2**28
+_HEX_OFF = 2**27
+_HEX_BASE_R = 45.0  # circumradius (degrees) at res 0
+_SQRT3 = np.sqrt(3.0)
+
+
+def hex_size(res: int) -> float:
+    if not (0 <= res <= HEX_MAX_RES):
+        raise ValueError(f"hex res must be in [0, {HEX_MAX_RES}], got {res}")
+    return _HEX_BASE_R / (2.0**res)
+
+
+def np_hex_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized lon/lat -> packed hex cell id (axial q,r with cube rounding)."""
+    size = hex_size(res)
+    q = (_SQRT3 / 3.0 * lon - 1.0 / 3.0 * lat) / size
+    r = (2.0 / 3.0 * lat) / size
+    # cube rounding
+    x, z = q, r
+    y = -x - z
+    rx, ry, rz = np.round(x), np.round(y), np.round(z)
+    dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    qi = rx.astype(np.int64) + _HEX_OFF
+    ri = rz.astype(np.int64) + _HEX_OFF
+    return res * _HEX_RES_SHIFT + qi * _HEX_Q_SHIFT + ri
+
+
+def np_hex_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (res, q, r) axial coords (offsets removed)."""
+    res = cell // _HEX_RES_SHIFT
+    q = (cell % _HEX_RES_SHIFT) // _HEX_Q_SHIFT - _HEX_OFF
+    r = cell % _HEX_Q_SHIFT - _HEX_OFF
+    return res, q, r
+
+
+def np_hex_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    res, q, r = np_hex_decode(cell)
+    size = _HEX_BASE_R / (2.0 ** res.astype(np.float64))
+    lon = size * _SQRT3 * (q + r / 2.0)
+    lat = size * 1.5 * r
+    return lon, lat
+
+
+def np_hex_parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    """Approximate-containment parent (like H3): re-encode the center at res-steps."""
+    res, _, _ = np_hex_decode(cell)
+    lon, lat = np_hex_center(cell)
+    out = np.empty_like(cell)
+    for rr in np.unique(res):
+        m = res == rr
+        out[m] = np_hex_encode(lon[m], lat[m], int(rr) - steps)
+    return out
+
+
+_HEX_DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64)
+
+
+def np_hex_ring(cell: int, k: int) -> np.ndarray:
+    """All hex cells at hex-distance exactly k from `cell` (6k cells; k=0 -> itself)."""
+    res, q, r = np_hex_decode(np.array([cell], dtype=np.int64))
+    res, q, r = int(res[0]), int(q[0]), int(r[0])
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    out = []
+    cq, cr = q + int(_HEX_DIRS[4][0]) * k, r + int(_HEX_DIRS[4][1]) * k
+    for d in range(6):
+        for _ in range(k):
+            out.append(res * _HEX_RES_SHIFT + (cq + _HEX_OFF) * _HEX_Q_SHIFT + (cr + _HEX_OFF))
+            cq += int(_HEX_DIRS[d][0])
+            cr += int(_HEX_DIRS[d][1])
+    return np.array(out, dtype=np.int64)
+
+
+def hex_encode_udf(res: int):
+    """pandas_udf: (lon, lat) -> hex cell id at `res` (Arrow-batched numpy)."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(np_hex_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res))
+
+    return _enc
+
+
+# ---------------------------------------------------------------------------
+# S2-style cells: cube-face quadtree, Morton-interleaved (levels 0..26)
+# ---------------------------------------------------------------------------
+S2_MAX_LEVEL = 26
+_S2_FACE_SHIFT = 2**58
+_S2_LEVEL_SHIFT = 2**52
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 26 bits of v (uint64)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _unspread_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def np_s2_encode(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized lon/lat -> S2-style cell id (engine-defined, not Google-S2 bit-exact)."""
+    if not (0 <= level <= S2_MAX_LEVEL):
+        raise ValueError(f"s2 level must be in [0, {S2_MAX_LEVEL}], got {level}")
+    lam, phi = np.radians(lon), np.radians(lat)
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # face 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    major = np.choose(face, [x, y, z, x, y, z])
+    u = np.choose(face, [y, z, x, y, z, x]) / np.abs(major)
+    v = np.choose(face, [z, x, y, z, x, y]) / np.abs(major)
+    n = 1 << level
+    si = np.clip(np.floor((u + 1.0) / 2.0 * n), 0, n - 1).astype(np.uint64)
+    ti = np.clip(np.floor((v + 1.0) / 2.0 * n), 0, n - 1).astype(np.uint64)
+    morton = (_spread_bits(si) | (_spread_bits(ti) << np.uint64(1))).astype(np.int64)
+    return face * _S2_FACE_SHIFT + level * _S2_LEVEL_SHIFT + morton
+
+
+def np_s2_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (face, level, si, ti)."""
+    face = cell // _S2_FACE_SHIFT
+    level = (cell % _S2_FACE_SHIFT) // _S2_LEVEL_SHIFT
+    morton = (cell % _S2_LEVEL_SHIFT).astype(np.uint64)
+    si = _unspread_bits(morton).astype(np.int64)
+    ti = _unspread_bits(morton >> np.uint64(1)).astype(np.int64)
+    return face, level, si, ti
+
+
+def np_s2_parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    """Exact-containment parent: drop 2*steps Morton bits."""
+    face = cell // _S2_FACE_SHIFT
+    level = (cell % _S2_FACE_SHIFT) // _S2_LEVEL_SHIFT
+    morton = (cell % _S2_LEVEL_SHIFT).astype(np.uint64) >> np.uint64(2 * steps)
+    return face * _S2_FACE_SHIFT + (level - steps) * _S2_LEVEL_SHIFT + morton.astype(np.int64)
+
+
+def s2_encode_udf(level: int):
+    """pandas_udf: (lon, lat) -> S2-style cell id at `level`."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(np_s2_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level))
+
+    return _enc

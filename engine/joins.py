@@ -1,0 +1,420 @@
+"""Spatial + temporal join operators.
+
+- pip_join: point-in-polygon as cell-cover equi-join + vectorized ray-cast refine —
+  the graft analog of the reference's parent-propagation equi-join
+  (/root/reference/.../SparkJobs.scala:55-62, SURVEY.md §2.4 J1). The rewrite into
+  (broadcastable equi-join + refine filter) happens at plan-construction time; no
+  custom Catalyst rule needed (SURVEY.md §4).
+- knn_join: exact k-nearest-neighbors via grid-cell disk expansion with a distance
+  guarantee, brute-force fallback for stragglers (SURVEY.md §2.4 additions).
+- asof_join: as-of/interval assignment via union + window (the reference's temporal
+  assignment, ChangeUtils.scala:57-91 / SURVEY.md §2.4 J3), plus a range-join variant.
+- tile_assign: raster-tile <-> vector-cell assignment via pure Column math.
+
+Distances are planar in the integer anchor space (x: 32-bit lon fraction, y: 31-bit
+lat fraction; see engine.cells) — exact, deterministic, and reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells
+
+
+# ---------------------------------------------------------------------------
+# Exact point-in-polygon (vectorized even-odd ray cast) — numpy oracle + refine UDF
+# ---------------------------------------------------------------------------
+def np_point_in_polygon(
+    px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray cast: True where (px, py) is strictly inside / on-edge-ish of the
+    polygon (xs, ys). Vectorized over points; loops over the <=12 edges."""
+    inside = np.zeros(px.shape, dtype=bool)
+    nv = len(xs)
+    j = nv - 1
+    for i in range(nv):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        crosses = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= crosses & (px < x_int)
+        j = i
+    return inside
+
+
+def polygon_cover(
+    polygons: DataFrame,
+    res_min: int = 7,
+    res_max: int = 11,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """(poly_id, res, cell) cover: for each polygon pick the finest res in
+    [res_min, res_max] whose bbox cover stays under max_cells, then emit every grid
+    cell overlapping the bbox. Runs distributed (mapInPandas over the polygon table),
+    so it scales past broadcastable polygon sets. Analog of the reference's
+    bbox-union discipline (Bbox.scala:5-8) used as a join-pruning cover."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_poly, out_res, out_cell = [], [], []
+            for row in pdf.itertuples(index=False):
+                b = row.bbox
+                lon0, lat0 = b["min"]["lon"], b["min"]["lat"]
+                lon1, lat1 = b["max"]["lon"], b["max"]["lat"]
+                res = res_min
+                for r in range(res_max, res_min - 1, -1):
+                    n = 2**r
+                    nx = int((lon1 + 180) / 360 * n) - int((lon0 + 180) / 360 * n) + 1
+                    ny = int((lat1 + 90) / 180 * n) - int((lat0 + 90) / 180 * n) + 1
+                    if nx * ny <= max_cells:
+                        res = r
+                        break
+                n = 2**res
+                x0 = max(0, min(n - 1, int((lon0 + 180) / 360 * n)))
+                x1 = max(0, min(n - 1, int((lon1 + 180) / 360 * n)))
+                y0 = max(0, min(n - 1, int((lat0 + 90) / 180 * n)))
+                y1 = max(0, min(n - 1, int((lat1 + 90) / 180 * n)))
+                xs = np.arange(x0, x1 + 1, dtype=np.int64)
+                ys = np.arange(y0, y1 + 1, dtype=np.int64)
+                cc = (
+                    res * cells._RES_SHIFT
+                    + (xs[:, None] * cells._IX_SHIFT + ys[None, :]).reshape(-1)
+                )
+                out_poly.extend([row.poly_id] * len(cc))
+                out_res.extend([res] * len(cc))
+                out_cell.extend(cc.tolist())
+            yield pd.DataFrame({"poly_id": out_poly, "res": out_res, "cell": out_cell})
+
+    return polygons.select("poly_id", "bbox").mapInPandas(
+        gen, schema="poly_id long, res int, cell long"
+    )
+
+
+def pip_refine_udf(poly_rings: dict[int, tuple[np.ndarray, np.ndarray]]):
+    """pandas_udf (poly_id, lon, lat) -> bool exact inside-test. `poly_rings` is a
+    driver-side dict broadcast into the closure (polygon side is a dim table)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(poly_id), dtype=bool)
+        pid = poly_id.to_numpy(np.int64)
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        for p in np.unique(pid):
+            ring = poly_rings.get(int(p))
+            if ring is None:
+                continue
+            m = pid == p
+            out[m] = np_point_in_polygon(px[m], py[m], ring[0], ring[1])
+        return pd.Series(out)
+
+    return _refine
+
+
+def collect_poly_rings(polygons: DataFrame) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    rows = polygons.select("poly_id", "ring").collect()
+    return {
+        int(r["poly_id"]): (
+            np.array([v["lon"] for v in r["ring"]], dtype=np.float64),
+            np.array([v["lat"] for v in r["ring"]], dtype=np.float64),
+        )
+        for r in rows
+    }
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_min: int = 7,
+    res_max: int = 11,
+    broadcast_cover: bool = True,
+    exact: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join: returns `points` columns + poly_id for every
+    (point, polygon) containment pair.
+
+    Plan shape (scale rationale): the huge point side is touched exactly once — a
+    per-res cell encode (pure Column int math, codegen'd) + an equi-join against the
+    broadcast cover. No point-side shuffle at all when the cover broadcasts; with
+    broadcast_cover=False it degrades to a shuffled equi-join on `cell` (still an
+    equi-join — AQE skew handling applies; pair with engine.skew salting for hot
+    cells). The exact ray-cast refine is a vectorized Arrow-batched filter on the
+    (much smaller) candidate set only.
+    """
+    cover = polygon_cover(polygons, res_min, res_max)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    pieces = []
+    for r in range(res_min, res_max + 1):
+        cov_r = cover.filter(F.col("res") == r).select("poly_id", "cell")
+        pts_r = points.withColumn(
+            "cell", cells.grid_encode_lonlat(F.col(lon_col), F.col(lat_col), r)
+        )
+        pieces.append(pts_r.join(cov_r, "cell", "inner").drop("cell"))
+    from functools import reduce
+
+    cand = reduce(DataFrame.unionByName, pieces)
+    if not exact:
+        return cand
+    rings = collect_poly_rings(polygons)
+    refine = pip_refine_udf(rings)
+    return cand.filter(refine(F.col("poly_id"), F.col(lon_col), F.col(lat_col)))
+
+
+# ---------------------------------------------------------------------------
+# kNN join — disk expansion with exact guarantee + brute-force fallback
+# ---------------------------------------------------------------------------
+def _sq_dist(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+    dx = (ax - bx).cast("double")
+    dy = (ay - by).cast("double")
+    return dx * dx + dy * dy
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 3,
+    res: int = 7,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    max_radius: int = 8,
+) -> DataFrame:
+    """Exact kNN: for each query row, the k nearest point rows by planar squared
+    distance in the integer anchor space, rank ties broken by point id.
+
+    Both inputs need integer coords (x, y) (engine.cells.phash_x/phash_y of a phash,
+    or any integer planar coords). Expansion: join queries x points on grid-cell
+    membership of growing Chebyshev disks (r = 0, 1, 2, 4, ... max_radius cells at
+    `res`); a query settles once its k-th candidate distance is <= the guaranteed
+    uncovered distance of the current disk. Unsettled stragglers (sparse regions)
+    fall back to a brute-force cross join — bounded, because they are the residue.
+
+    Returns (query_id, point_id, rank, sq_dist).
+    """
+    n = 2**res
+    cellw_x = float(2**32) / n  # anchor x-units per cell
+    cellw_y = float(2**31) / n
+    q = queries.select(
+        query_id, F.col("x").alias("qx"), F.col("y").alias("qy")
+    ).withColumn("qcell", cells.grid_pack(res, (F.col("qx") / F.lit(2**32 // n)).cast("long"),
+                                          (F.col("qy") / F.lit(2**31 // n)).cast("long")))
+    p = points.select(
+        point_id, F.col("x").alias("px"), F.col("y").alias("py")
+    ).withColumn("pcell", cells.grid_pack(res, (F.col("px") / F.lit(2**32 // n)).cast("long"),
+                                          (F.col("py") / F.lit(2**31 // n)).cast("long")))
+    p = p.persist()
+    results = None
+    remaining = q
+    radius = 0
+    while True:
+        # candidate cells: non-wrapping Chebyshev disk of `radius` around qcell
+        qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
+        span = F.sequence(F.lit(-radius), F.lit(radius))
+        disk = F.array_distinct(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        span,
+                        lambda dx: F.transform(
+                            span,
+                            lambda dy: F.when(
+                                ((qix + dx) >= 0)
+                                & ((qix + dx) < n)
+                                & ((qiy + dy) >= 0)
+                                & ((qiy + dy) < n),
+                                F.lit(res * cells._RES_SHIFT)
+                                + (qix + dx) * F.lit(cells._IX_SHIFT)
+                                + (qiy + dy),
+                            ),
+                        ),
+                    )
+                ),
+                lambda c: c.isNotNull(),
+            )
+        )
+        cand_cells = remaining.withColumn("ccell", F.explode(disk))
+        cand = cand_cells.join(p, cand_cells.ccell == p.pcell, "inner")
+        scored = cand.withColumn(
+            "sq_dist", _sq_dist(F.col("qx"), F.col("qy"), F.col("px"), F.col("py"))
+        )
+        w = Window.partitionBy(query_id).orderBy("sq_dist", point_id)
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, point_id, "rank", "sq_dist", "qx", "qy", "qcell")
+        )
+        # guarantee: distance from query point to the uncovered region boundary
+        qix_l = cells.grid_ix(F.col("qcell"))
+        qiy_l = cells.grid_iy(F.col("qcell"))
+        dist_bound = F.least(
+            F.col("qx") - (qix_l - radius) * F.lit(cellw_x),
+            (qix_l + radius + 1) * F.lit(cellw_x) - F.col("qx"),
+            F.col("qy") - (qiy_l - radius) * F.lit(cellw_y),
+            (qiy_l + radius + 1) * F.lit(cellw_y) - F.col("qy"),
+        ).cast("double")
+        settled_q = (
+            topk.groupBy(query_id, "qcell", "qx", "qy")
+            .agg(F.count("*").alias("cnt"), F.max("sq_dist").alias("kth"))
+            .filter(
+                (F.col("cnt") >= k) & (F.sqrt(F.col("kth")) <= dist_bound)
+            )
+            .select(query_id)
+        )
+        settled_rows = topk.join(settled_q, query_id, "left_semi").select(
+            query_id, point_id, "rank", "sq_dist"
+        )
+        results = settled_rows if results is None else results.unionByName(settled_rows)
+        remaining = remaining.join(settled_q, query_id, "left_anti")
+        results = results.persist()
+        remaining = remaining.persist()
+        if remaining.isEmpty():
+            break
+        if radius >= max_radius:
+            # brute force the stragglers (exact; bounded residue)
+            bf = remaining.crossJoin(p).withColumn(
+                "sq_dist", _sq_dist(F.col("qx"), F.col("qy"), F.col("px"), F.col("py"))
+            )
+            w = Window.partitionBy(query_id).orderBy("sq_dist", point_id)
+            bf_topk = (
+                bf.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, point_id, "rank", "sq_dist")
+            )
+            results = results.unionByName(bf_topk)
+            break
+        radius = 1 if radius == 0 else radius * 2
+    return results
+
+
+def knn_brute_force(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 3,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Reference implementation (and the right plan when queries is tiny: broadcast
+    cross join + per-query top-k window)."""
+    q = queries.select(query_id, F.col("x").alias("qx"), F.col("y").alias("qy"))
+    p = points.select(point_id, F.col("x").alias("px"), F.col("y").alias("py"))
+    scored = F.broadcast(q).crossJoin(p).withColumn(
+        "sq_dist", _sq_dist(F.col("qx"), F.col("qy"), F.col("px"), F.col("py"))
+    )
+    w = Window.partitionBy(query_id).orderBy("sq_dist", point_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "rank", "sq_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (temporal assignment) — union + window, the J3 rebuild
+# ---------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    right_ts <= left_ts for the same key (backward as-of; ties include the
+    boundary — the *intended* semantics of the reference's version assignment,
+    SURVEY.md §2.9 Q1).
+
+    Implemented as union-of-streams + `last(..., ignorenulls=True)` running window —
+    one shuffle on (key), no theta join. This is the scalable form of
+    ChangeUtils.generateSecondOrderChanges's takeWhile walk (ChangeUtils.scala:57-91).
+    """
+    right_payload = right_payload or [c for c in right.columns if c not in (on, right_ts)]
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # deterministic ordering among same-timestamp right rows: the row with the
+    # largest tiebreak value wins (defaults to the first payload column)
+    tb_col = right_tiebreak or right_payload[0]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tb_col).cast("long").alias("_tb"),
+        payload_struct.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols += [F.col("_m").getField(c).alias(c) for c in right_payload]
+    return filled.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_from: str,
+    right_to: str,
+) -> DataFrame:
+    """Range/interval join: left rows matched to right rows whose
+    [right_from, right_to) contains left_ts, same key. Broadcast the right side when
+    it is a dim; otherwise rely on the equi-key shuffle + AQE."""
+    cond = (
+        (left[on] == right[on])
+        & (left[left_ts] >= right[right_from])
+        & (left[left_ts] < right[right_to])
+    )
+    return left.join(right.drop(on), cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Raster tile assignment — pure Column math
+# ---------------------------------------------------------------------------
+def tile_assign(points: DataFrame, z: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Assign each point to its (z, x, y) equirect tile; tile_id = z*2^50 + x*2^25 + y.
+    Same lattice as grid res z, so vector cells map onto raster tiles by parent
+    arithmetic alone (no join needed for cell->tile: it is grid_parent + repack)."""
+    n = 2**z
+    x = F.least(
+        F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(lon_col) + 180.0) / 360.0 * n))
+    ).cast("long")
+    y = F.least(
+        F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(lat_col) + 90.0) / 180.0 * n))
+    ).cast("long")
+    return points.withColumn("z", F.lit(z)).withColumn(
+        "tile_id", F.lit(z * 2**50) + x * F.lit(2**25) + y
+    )
+
+
+def cell_to_tile(cell: Column, cell_res: int, z: int) -> Column:
+    """Map a grid cell to the containing tile at zoom z (z <= cell_res): pure
+    integer arithmetic, no join."""
+    if z > cell_res:
+        raise ValueError("tile zoom must be <= cell res")
+    d = 2 ** (cell_res - z)
+    tx = (cells.grid_ix(cell) / F.lit(d)).cast("long")
+    ty = (cells.grid_iy(cell) / F.lit(d)).cast("long")
+    return F.lit(z * 2**50) + tx * F.lit(2**25) + ty

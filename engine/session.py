@@ -1,0 +1,52 @@
+"""SparkSession builders.
+
+The reference sizes parallelism with a driver-side pre-pass
+(/root/reference/src/main/scala/com/michaelsteffen/osm/historyanalysis/App.scala:52-72).
+Here AQE replaces that heuristic; we still pin shuffle partitions to the core count in
+local mode (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-graft-engine",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str = "48g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this engine.
+
+    - AQE on (coalesce + skew join) — runtime re-plan replaces the reference's
+      manual partition-count heuristic (App.scala:52-72).
+    - Arrow on — all custom kernels are pandas/Arrow UDFs (no per-row Python).
+    - UTC session timezone — required for DuckDB-oracle comparison.
+    - Small Arrow batches — image rows carry MB-scale binary columns.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

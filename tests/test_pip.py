@@ -1,0 +1,100 @@
+"""PIP join vs the numpy brute-force oracle (FIXTURES.md §2: the oracle is ray-cast
+in NumPy, never the engine itself)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine import cells, joins, synth
+
+
+def _brute_force_pairs(points_pdf, rings):
+    got = set()
+    for pid, (xs, ys) in rings.items():
+        inside = joins.np_point_in_polygon(
+            points_pdf["lon"].to_numpy(), points_pdf["lat"].to_numpy(), xs, ys
+        )
+        for img in points_pdf.loc[inside, "image_id"]:
+            got.add((img, pid))
+    return got
+
+
+def test_pip_join_matches_brute_force(spark):
+    images = synth.images_df(spark, 3000, hot_frac=0.3).select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    polys = synth.polygons_df(spark, p=25, hot_frac=0.3)
+    out = joins.pip_join(images, polys)
+    got = {(r["image_id"], r["poly_id"]) for r in out.collect()}
+    rings = joins.collect_poly_rings(polys)
+    want = _brute_force_pairs(images.toPandas(), rings)
+    assert got == want
+    assert len(want) > 0  # fixture must actually exercise containment
+
+
+def test_pip_join_shuffle_path_same_result(spark):
+    images = synth.images_df(spark, 1500, hot_frac=0.5).select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    polys = synth.polygons_df(spark, p=12, hot_frac=0.4)
+    a = {
+        (r["image_id"], r["poly_id"])
+        for r in joins.pip_join(images, polys, broadcast_cover=True).collect()
+    }
+    b = {
+        (r["image_id"], r["poly_id"])
+        for r in joins.pip_join(images, polys, broadcast_cover=False).collect()
+    }
+    assert a == b
+
+
+def test_polygon_cover_contains_all_inside_points(spark):
+    """Cover must be a superset: every inside point's cell appears in the cover."""
+    polys = synth.polygons_df(spark, p=10)
+    cover = joins.polygon_cover(polys).toPandas()
+    rings = joins.collect_poly_rings(polys)
+    rng = np.random.default_rng(7)
+    for pid, (xs, ys) in rings.items():
+        sub = cover[cover["poly_id"] == pid]
+        assert len(sub) > 0
+        res = int(sub["res"].iloc[0])
+        lon = rng.uniform(xs.min(), xs.max(), 200)
+        lat = rng.uniform(ys.min(), ys.max(), 200)
+        inside = joins.np_point_in_polygon(lon, lat, xs, ys)
+        cc = cells.np_grid_encode_lonlat(lon[inside], lat[inside], res)
+        assert set(cc.tolist()) <= set(sub["cell"].tolist())
+
+
+def test_tile_assign_matches_bounds(spark):
+    images = synth.images_df(spark, 500).select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    out = joins.tile_assign(images, 9).toPandas()
+    n = 2**9
+    want_x = np.clip(np.floor((out["lon"] + 180) / 360 * n), 0, n - 1).astype(np.int64)
+    want_y = np.clip(np.floor((out["lat"] + 90) / 180 * n), 0, n - 1).astype(np.int64)
+    assert (out["tile_id"] == 9 * 2**50 + want_x * 2**25 + want_y).all()
+
+
+def test_cell_to_tile_consistent_with_tile_assign(spark):
+    images = synth.images_df(spark, 500).select(
+        "image_id",
+        F.col("phash"),
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    via_point = joins.tile_assign(images, 8).select("image_id", "tile_id")
+    via_cell = images.select(
+        "image_id",
+        joins.cell_to_tile(
+            cells.grid_encode_phash(F.col("phash"), 11), 11, 8
+        ).alias("tile_id2"),
+    )
+    j = via_point.join(via_cell, "image_id")
+    assert j.filter(F.col("tile_id") != F.col("tile_id2")).count() == 0

@@ -1,0 +1,107 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+For each entry in __spark_entry__.queries(): run the Spark query at sf0.01 and the
+matching oracle_sql() in DuckDB over the same parquet, canonicalize (columns sorted
+by name, rows sorted by all columns, values stringified), and compare row count +
+schema + value hash.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canonicalize(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].copy()
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    rows = ["\x1f".join(cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort()
+    h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+    return len(pdf), cols, h
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from engine.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8, driver_mem="16g")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.names or list(qs.keys())
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows-only: {len(sdf)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sn, scols, sh = canonicalize(sdf)
+        on_, ocols, oh = canonicalize(odf)
+        ok = (sn == on_) and (scols == ocols) and (sh == oh)
+        status = "OK  " if ok else "FAIL"
+        print(f"{status}  {name}: spark={sn} oracle={on_} cols={'=' if scols==ocols else f'{scols} vs {ocols}'} "
+              f"hash={'=' if sh==oh else 'MISMATCH'} ({time.time()-t0:.1f}s)")
+        if not ok:
+            failures.append(name)
+            if sn and on_ and scols == ocols:
+                a = sdf[sorted(sdf.columns)].astype(str).apply("|".join, axis=1)
+                b = odf[sorted(odf.columns)].astype(str).apply("|".join, axis=1)
+                only_a = sorted(set(a) - set(b))[:3]
+                only_b = sorted(set(b) - set(a))[:3]
+                for r in only_a:
+                    print(f"        spark-only: {r}")
+                for r in only_b:
+                    print(f"        oracle-only: {r}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
