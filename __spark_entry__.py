@@ -326,7 +326,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = pts.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), "x", "y"
     )
-    out = joins.knn_join(queries, points, k=3, res=6, max_radius=16)
+    out = joins.knn_join(queries, points, k=3, max_radius=16)
     return out.select(
         "query_id", "point_id", F.col("rank").cast("long").alias("rank")
     )
@@ -369,6 +369,164 @@ def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level hierarchy rollup res 11 -> 9 (engine.propagate.rollup_cells):
+    each level aggregates the previous level's 4x-smaller output — the graft analog
+    of the reference's bounded propagation loop (SparkJobs.scala:43-76)."""
+    from engine import propagate
+
+    pts = _docs_points(spark, sf_dir)
+    fine = pts.select(cells.grid_encode_phash(F.col("phash"), 11).alias("cell"))
+    return propagate.rollup_cells(fine, 11, 9).select(
+        "cell", F.col("n").alias("n"), F.col("res").cast("long").alias("res")
+    )
+
+
+def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change pipeline (first-order diff -> temporal parent tree -> bounded
+    propagation -> coalesce) on the deterministic versioned-history fixture —
+    the end-to-end rebuild of SparkJobs.generateChanges (SparkJobs.scala:10-82).
+    Iterative + map-typed output: no SQL oracle (driver rows-only check); exact
+    semantics are pinned by tests/test_diff.py + tests/test_temporal.py goldens."""
+    from engine import propagate
+
+    ovs = synth.object_versions_df(spark, n_entities=120)
+    out = propagate.propagate_changes(ovs, do_coalesce=True, depth=6)
+    return out.select(
+        "featureID",
+        F.col("changeType").cast("long").alias("changeType"),
+        F.col("count").cast("long").alias("count"),
+        _epoch_us(F.col("timestamp")).alias("ts_us"),
+        "changeset",
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics (engine.textops.quality_score): scaled-int fields."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textops.quality_score(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        q.getField("n_tokens").alias("n_tokens"),
+        q.getField("mean_token_len_e3").alias("mean_token_len_e3"),
+        q.getField("stop_ratio_e3").alias("stop_ratio_e3"),
+        q.getField("digit_ratio_e3").alias("digit_ratio_e3"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (engine.textops.lang_id), counts per guess."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(textops.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (engine.textops.token_count mode='bpe')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from engine.textops import _BPE_PATTERN
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table
+    (engine.embedops.cosine_topk): queries = vec_id < 10, k = 5."""
+    from engine import embedops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = embedops.cosine_topk(queries, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (engine.embedops.lsh_ann_topk) — approximate by
+    design: no SQL oracle (driver rows-only); recall vs the exact path is asserted
+    in tests/test_embedops.py."""
+    from engine import embedops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = embedops.lsh_ann_topk(queries, emb, k=5, dim=64, n_planes=8,
+                                multiprobe_bits=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (engine.textops.minhash_lsh_pairs). xxhash64-based
+    signatures have no DuckDB twin: rows-only; exactness vs the brute-force Jaccard
+    oracle is asserted in tests/test_textops.py."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_e3"),
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (engine.textops.simhash_near_dups) — rows-only."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.simhash_near_dups(docs, "doc_id", "text", max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style spherical cells (engine.cells.s2_encode_udf, numpy pandas_udf) —
+    engine-defined ids, no SQL twin: rows-only; round-trip/hierarchy asserted in
+    tests/test_cells.py."""
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.select(cells.s2_encode_udf(12)(F.col("lon"), F.col("lat")).alias("s2_cell"))
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex cells (engine.cells.hex_encode_udf, numpy pandas_udf) — rows-only."""
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.select(cells.hex_encode_udf(6)(F.col("lon"), F.col("lat")).alias("hex_cell"))
+        .groupBy("hex_cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pack_feature_id": q_pack_feature_id,
@@ -389,6 +547,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
+        "rollup_chain": q_rollup_chain,
+        "change_pipeline": q_change_pipeline,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_bpe": q_token_bpe,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "s2_cells": q_s2_cells,
+        "hex_cells": q_hex_cells,
     }
 
 
@@ -563,6 +732,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(length(text) * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
                      AS chars_per_tok_e3
             FROM documents
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN len(toks) > 0
+                        THEN FLOOR(length(text) * 1000.0 / len(toks)) ELSE 0 END AS BIGINT)
+                     AS mean_token_len_e3,
+                   CAST(CASE WHEN len(toks) > 0
+                        THEN FLOOR(len(list_filter(toks, x -> x IN (
+                             'the','and','of','to','is','der','und','die','das','ist',
+                             'le','la','et','les','est','el','los','que','es'))) * 1000.0
+                             / len(toks)) ELSE 0 END AS BIGINT) AS stop_ratio_e3,
+                   CAST(CASE WHEN length(text) > 0
+                        THEN FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                             * 1000.0 / length(text)) ELSE 0 END AS BIGINT) AS digit_ratio_e3
+            FROM t
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), scored AS (
+              SELECT len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS c_de,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS c_en,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS c_es,
+                     len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr
+              FROM t
+            )
+            -- argmax with ties going to the lexicographically largest lang,
+            -- mirroring the engine's struct-max comparison
+            SELECT CASE
+                     WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                     WHEN c_fr = greatest(c_de, c_en, c_es, c_fr) THEN 'fr'
+                     WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                     WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                     ELSE 'de'
+                   END AS lang_guess,
+                   COUNT(*) AS n
+            FROM scored GROUP BY 1
+        """,
+        "token_bpe": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "cosine_topk": """
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id) AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+              CROSS JOIN embeddings c
+            ) t WHERE rank <= 5
+        """,
+        "rollup_chain": f"""
+            WITH c11 AS (
+              SELECT {cells.grid_encode_phash_sql(cells.synth_phash_sql('doc_id'), 11)} AS cell,
+                     COUNT(*) AS n
+              FROM documents GROUP BY 1
+            ), c10 AS (
+              SELECT {cells.grid_parent_sql('cell', 1)} AS cell, SUM(n) AS n
+              FROM c11 GROUP BY 1
+            ), c9 AS (
+              SELECT {cells.grid_parent_sql('cell', 1)} AS cell, SUM(n) AS n
+              FROM c10 GROUP BY 1
+            )
+            SELECT cell, n, CAST(11 AS BIGINT) AS res FROM c11
+            UNION ALL SELECT cell, n, CAST(10 AS BIGINT) AS res FROM c10
+            UNION ALL SELECT cell, n, CAST(9 AS BIGINT) AS res FROM c9
         """,
         "stopword_ratio": """
             SELECT lang,

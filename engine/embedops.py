@@ -1,0 +1,157 @@
+"""Embedding similarity operators: brute-force cosine top-k (baseline) and
+LSH-bucketed approximate nearest neighbors (scale path).
+
+All vector math is JVM Column expressions (zip_with + aggregate over fixed-width
+float arrays) — adequate for top-k over broadcastable query sets. The LSH variant
+replaces the cross join with an equi-join on hyperplane sign buckets, which is the
+plan that survives a 100x corpus scale-up (candidates ~ corpus/2^n_planes per
+bucket instead of |corpus| per query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set, cross join, window
+    top-k (ties broken by corpus id). Right plan when |queries| is small; the
+    corpus is scanned exactly once with no shuffle of the vectors themselves —
+    only the (query, id, sim) triples move.
+
+    Returns (query_id, corpus_id, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+        )
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit bucket: int64 with one bit per hyperplane."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i))
+        .otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int | None = None,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH buckets + multiprobe.
+
+    Corpus rows are bucketed once (one pass, one shuffle on bucket); each query
+    probes its own bucket plus every bucket within `multiprobe_bits` bit flips.
+    Exact cosine reranks the candidates. Recall grows with multiprobe_bits;
+    n_planes trades bucket size vs recall. n_planes=None auto-sizes to keep
+    expected bucket occupancy ~64 rows (n_planes = log2(corpus/64), clamped to
+    [4, 20]) — at 10^9 rows that is 24 -> 20 planes, candidates per query ~
+    64 * (1 + 20 + 190) ~ 13k regardless of corpus size. Returns
+    (query_id, corpus_id, rank) — same shape as cosine_topk so the two are
+    swappable."""
+    if n_planes is None:
+        import math
+
+        n_corpus = corpus.count()
+        n_planes = max(4, min(20, int(math.log2(max(2, n_corpus / 64)))))
+    planes = _planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
+    base = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).withColumn("_b0", lsh_bucket(F.col("_qv"), planes))
+    # multiprobe: own bucket + single-bit flips (and their pairs when bits=2)
+    probes = [F.col("_b0")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probes += [
+            F.col("_b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q = base.withColumn("_bucket", F.explode(F.array(*probes)))
+    scored = q.join(c, "_bucket").withColumn(
+        "_sim", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        scored.dropDuplicates(["_qid", "_cid"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+        )
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, query_id: str = "query_id",
+               corpus_id: str = "vec_id") -> float:
+    """Fraction of exact top-k pairs recovered by the approximate variant."""
+    e = exact.select(query_id, corpus_id)
+    hits = e.join(approx.select(query_id, corpus_id), [query_id, corpus_id]).count()
+    total = e.count()
+    return hits / total if total else 1.0

@@ -1,0 +1,137 @@
+"""Multimodal column operators: images/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched mapInPandas kernels.
+
+The Spark-side plumbing (schemas, batch iteration, partitioning behavior) is real
+and tested; decoders beyond the built-in raw-RGB24/PNG codecs are STUBBED behind
+clearly-marked NotImplementedError (no image/audio libs in this container —
+SURVEY.md §7.0). Rows whose format has no decoder surface a per-row `error`
+column instead of failing the batch, so a mixed-format 100 TB table degrades
+gracefully.
+
+Batch sizing: rows carry MB-scale payloads, so sessions built by engine.session
+pin spark.sql.execution.arrow.maxRecordsPerBatch low; kernels iterate batches and
+never hold more than one batch of pixels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import image_codec
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, brightness double, "
+    "contrast double, edge_energy double, error string"
+)
+
+
+def _decode_or_error(row) -> tuple[np.ndarray | None, str | None]:
+    try:
+        return image_codec.decode_image(row.bytes, row.fmt, row.w, row.h), None
+    except NotImplementedError as e:
+        return None, f"unsupported format: {e}"
+    except Exception as e:  # corrupt payloads must not kill the batch
+        return None, f"decode error: {e}"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Per-image features (mean channel, brightness, contrast, edge energy) via a
+    mapInPandas kernel. Input needs (image_id, bytes, w, h, fmt)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, row.w, row.h, row.fmt,
+                                None, None, None, None, None, None, err))
+                    continue
+                f = px.astype(np.float64)
+                mean = f.mean(axis=(0, 1))
+                gray = f.mean(axis=2)
+                edge = float(
+                    np.abs(np.diff(gray, axis=0)).mean()
+                    + np.abs(np.diff(gray, axis=1)).mean()
+                ) if min(gray.shape) > 1 else 0.0
+                out.append(
+                    (row.image_id, row.w, row.h, row.fmt,
+                     float(mean[0]), float(mean[1]), float(mean[2]),
+                     float(gray.mean()), float(gray.std()), edge, None)
+                )
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+                "brightness", "contrast", "edge_energy", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, error string"
+
+
+def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (numpy index sampling); re-encodes in the row's own
+    format. Real for raw/png; other formats surface `error`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, out_w, out_h, row.fmt, err))
+                    continue
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                rs = px[yi][:, xi]
+                enc = (
+                    image_codec.encode_png(rs)
+                    if row.fmt == "png"
+                    else image_codec.encode_raw(rs)
+                )
+                out.append((row.image_id, enc, out_w, out_h, row.fmt, None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, frame_idx int, frame_bytes binary, w int, h int, error string"
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: input (media_id, bytes, fmt); output one row
+    per sampled frame. STUB: no video codec exists in this container, so every row
+    surfaces a NotImplementedError marker — the batch shape, output schema and
+    fan-out contract are the real, tested interface a codec plugs into."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                # Plug a real decoder here: yield (media_id, i, frame, w, h, None)
+                # for every every_n-th frame.
+                err = (
+                    "NotImplementedError: video decode requires an external codec "
+                    f"(fmt={row.fmt!r}); plumbing is real, decoder is stubbed"
+                )
+                out.append((row.media_id, 0, None, None, None, err))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "frame_idx", "frame_bytes", "w", "h", "error"])
+
+    return df.select("media_id", "bytes", "fmt").mapInPandas(
+        kernel, schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -1,0 +1,109 @@
+"""spark-submit entry point for the full spatial pipeline with resumable
+per-partition lineage (BASELINE.json north_rule: run via `spark-submit
+--py-files`, checkpoint cell-range -> snapshot -> output manifest so any
+executor/driver loss resumes without recompute).
+
+Usage:
+    zip -r engine.zip engine/
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --images <parquet-or-iceberg_lite-table> --out <table-dir> \
+        [--n-synth 1000000] [--res 9] [--polygons 200] [--run-id my-run] \
+        [--cell-splits 16]
+
+The job partitions work into cell-range units (prefix ranges of the res-`res`
+grid), processes each unit independently (encode -> PIP join -> per-cell/polygon
+aggregates), commits each unit's output as an iceberg_lite snapshot append, and
+records unit -> snapshot lineage in the run checkpoint. A rerun with the same
+--run-id skips completed units.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import cells, iceberg_lite, joins, metrics, synth  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", default=None, help="input parquet path (default: synthesize)")
+    ap.add_argument("--out", required=True, help="output iceberg_lite table dir")
+    ap.add_argument("--n-synth", type=int, default=1_000_000)
+    ap.add_argument("--res", type=int, default=9)
+    ap.add_argument("--polygons", type=int, default=200)
+    ap.add_argument("--run-id", default="run")
+    ap.add_argument("--cell-splits", type=int, default=16,
+                    help="number of cell-range work units (longitude stripes)")
+    ap.add_argument("--hot-frac", type=float, default=0.2)
+    args = ap.parse_args()
+
+    spark = get_spark("run-pipeline")
+    out = iceberg_lite.Table(args.out)
+
+    if args.images:
+        images = spark.read.parquet(args.images)
+    else:
+        images = synth.images_df(spark, args.n_synth, hot_frac=args.hot_frac)
+
+    pts = images.select(
+        "image_id",
+        F.col("phash"),
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+        cells.grid_encode_phash(F.col("phash"), args.res).alias("cell"),
+    )
+    polys = synth.polygons_df(spark, p=args.polygons, hot_frac=0.1, radius_scale=2.0)
+
+    # work units: longitude stripes of the res-grid (prefix ranges of ix)
+    n = 2**args.res
+    stripes = [
+        (i * n // args.cell_splits, (i + 1) * n // args.cell_splits)
+        for i in range(args.cell_splits)
+    ]
+    units = [f"ix:{lo}-{hi}" for lo, hi in stripes]
+    pending = out.pending_units(args.run_id, units)
+    print(f"units: {len(units)} total, {len(pending)} pending", file=sys.stderr)
+
+    for unit, (lo, hi) in zip(units, stripes):
+        if unit not in pending:
+            continue
+        t0 = time.time()
+        part = pts.filter(
+            (cells.grid_ix(F.col("cell")) >= lo) & (cells.grid_ix(F.col("cell")) < hi)
+        )
+        joined = joins.pip_join(part, polys)
+        result = joined.groupBy("cell", "poly_id").agg(
+            F.count("*").alias("n_images"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        )
+        sid = out.append(result, range_cols=["cell"])
+        m = metrics.partition_metrics(result, "cell")
+        out.checkpoint_unit_done(
+            args.run_id, unit, sid,
+            metrics={"elapsed_sec": round(time.time() - t0, 2), **m},
+        )
+        print(f"unit {unit} -> snapshot {sid} ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    print(json.dumps({
+        "run_id": args.run_id,
+        "snapshot": out.current_snapshot_id(),
+        "output_rows": out.row_count(),
+        "units_done": len(units) - len(out.pending_units(args.run_id, units)),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

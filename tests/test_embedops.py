@@ -1,0 +1,71 @@
+"""Embedding top-k: exact path vs numpy oracle; LSH path recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import embedops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = (
+        embedops.cosine_topk(queries, emb, k=4)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    for qid in range(5):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = (M @ M[qi]) / (norms * norms[qi])
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:4]
+        want = [int(ids[i]) for i in order]
+        have = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert have == want, f"query {qid}"
+
+
+def test_cosine_topk_self_is_rank1(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = (
+        embedops.cosine_topk(queries, emb, k=1)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, emb, k=3)
+    approx = embedops.lsh_ann_topk(queries, emb, k=3, dim=64, multiprobe_bits=2)
+    rec = embedops.ann_recall(exact, approx)
+    assert rec >= 0.7, f"recall {rec}"
+    # self always lands in its own bucket -> rank 1 guaranteed
+    top1 = approx.filter(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    planes = embedops._planes(64, 8, seed=42)
+    a = emb.select("vec_id", embedops.lsh_bucket(F.col("embedding"), planes).alias("b"))
+    b = emb.repartition(5).select(
+        "vec_id", embedops.lsh_bucket(F.col("embedding"), planes).alias("b")
+    )
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

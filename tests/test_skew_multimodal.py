@@ -1,0 +1,114 @@
+"""Skew handling (hot-cell salting, adaptive split) + multimodal kernel plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import cells, metrics, multimodal, skew, synth
+
+
+def _hot_points(spark, n=20000):
+    return synth.images_df(spark, n, hot_frac=0.8).select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+        cells.grid_encode_phash(F.col("phash"), 7).alias("cell"),
+    )
+
+
+def test_detect_hot_keys(spark):
+    pts = _hot_points(spark)
+    hot = skew.detect_hot_keys(pts, "cell", threshold=1000).collect()
+    assert len(hot) >= 1
+    assert max(r["n"] for r in hot) > 10000  # the megacity cell
+
+
+def test_salted_agg_matches_plain(spark):
+    pts = _hot_points(spark, 5000)
+    plain = {
+        r["cell"]: r["n"]
+        for r in pts.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["cell"]: r["n"]
+        for r in skew.salted_agg(
+            pts, "cell", {"n": F.count("*")}, n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    pts = _hot_points(spark, 5000)
+    dim = spark.createDataFrame(
+        [(r["cell"],) for r in pts.select("cell").distinct().collect()], ["cell"]
+    ).withColumn("label", F.col("cell") % 7)
+    plain = pts.join(dim, "cell").count()
+    salted = skew.salted_join(pts, dim, ["cell"], n_salts=8, salt_from="image_id").count()
+    assert plain == salted
+
+
+def test_split_hot_cells_bounds_key_size(spark):
+    pts = _hot_points(spark)
+    before_max = (
+        pts.groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+    out = skew.split_hot_cells(pts, "cell", res=7, hot_threshold=2000, split_steps=3)
+    after_max = out.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert out.count() == pts.count()  # no rows lost
+    assert after_max < before_max / 4  # hot cell actually split
+
+
+def test_partition_metrics(spark):
+    pts = _hot_points(spark, 5000).repartition(4, "cell")
+    m = metrics.partition_metrics(pts, "cell")
+    assert m["rows"] == 5000 and m["partitions"] >= 1
+    assert m["max_partition_rows"] >= m["median_partition_rows"]
+    assert "distinct_keys" in m
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def images(spark):
+    return synth.images_df(spark, 40, with_bytes=True).persist()
+
+
+def test_extract_features(spark, images):
+    out = multimodal.extract_features(images).collect()
+    assert len(out) == 40
+    ok = [r for r in out if r["error"] is None]
+    assert len(ok) == 40  # raw + png both decodable
+    for r in ok:
+        assert 0 <= r["brightness"] <= 255
+        assert r["mean_r"] is not None and r["edge_energy"] >= 0
+
+
+def test_extract_features_unsupported_format(spark):
+    df = spark.createDataFrame(
+        [("x1", bytearray(b"\x00\x01"), 4, 4, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = multimodal.extract_features(df).first()
+    assert r["error"] is not None and "unsupported" in r["error"]
+    assert r["brightness"] is None
+
+
+def test_resize_roundtrip(spark, images):
+    from engine import image_codec
+
+    out = multimodal.resize(images, 8, 8).collect()
+    assert all(r["error"] is None for r in out)
+    for r in out[:5]:
+        px = image_codec.decode_image(bytes(r["bytes"]), r["fmt"], 8, 8)
+        assert px.shape == (8, 8, 3)
+
+
+def test_frame_sample_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"\x00"), "mp4")],
+        "media_id string, bytes binary, fmt string",
+    )
+    r = multimodal.frame_sample(df).first()
+    assert "NotImplementedError" in r["error"]
+    assert r["media_id"] == "v1"
