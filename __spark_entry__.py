@@ -402,6 +402,51 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 interval variant (engine.joins.interval_join): assign each lineitem to
+    the year bucket containing its shipdate (literal broadcast dim + range
+    predicate)."""
+    import datetime as dt
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_shipdate"),
+        F.lit(0).alias("k"),
+    )
+    years = spark.createDataFrame(
+        [(0, y, dt.datetime(y, 1, 1), dt.datetime(y + 1, 1, 1)) for y in
+         range(1992, 2000)],
+        ["k", "year", "t_from", "t_to"],
+    )
+    out = joins.interval_join(li, F.broadcast(years), on="k",
+                              left_ts="l_shipdate", right_from="t_from",
+                              right_to="t_to")
+    return out.groupBy(F.col("year").cast("long").alias("year")).agg(
+        F.count("*").alias("n_items")
+    )
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — the external SQL query surface (README.md:85-124 analog): registered
+    views + spark.sql multi-join aggregation (customer->orders->lineitem->nation)."""
+    for t in ["customer", "orders", "lineitem", "nation"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                   AS BIGINT)) AS revenue_e4,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics (engine.textops.quality_score): scaled-int fields."""
     from engine import textops
@@ -549,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "rollup_chain": q_rollup_chain,
         "change_pipeline": q_change_pipeline,
+        "interval_join": q_interval_join,
+        "sql_surface": q_sql_surface,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_bpe": q_token_bpe,
@@ -732,6 +779,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(length(text) * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
                      AS chars_per_tok_e3
             FROM documents
+        """,
+        "interval_join": """
+            SELECT CAST(y.year AS BIGINT) AS year, COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN (SELECT y AS year,
+                         make_timestamp(y, 1, 1, 0, 0, 0.0) AS t_from,
+                         make_timestamp(y + 1, 1, 1, 0, 0, 0.0) AS t_to
+                  FROM (SELECT unnest(range(1992, 2000)) AS y)) y
+              ON l.l_shipdate >= y.t_from AND l.l_shipdate < y.t_to
+            GROUP BY 1
+        """,
+        "sql_surface": """
+            SELECT n.n_name AS nation,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "quality_score": """
             WITH t AS (

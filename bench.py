@@ -75,7 +75,7 @@ def _flagship_elapsed(cores: int, n_images: int, shuffle_parts: int) -> tuple[fl
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "8000000"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
@@ -115,10 +115,21 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from engine.session import get_spark
 
+    # representative subset by default (keeps the whole bench under ~5 min);
+    # SPARK_GRAFT_BENCH_ALL_QUERIES=1 times every registered query
+    fast_subset = [
+        "cell_encode", "cell_rollup", "rollup_chain", "pip_rect", "tile_assign",
+        "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
+        "asof_join", "dedup_exact", "token_stats", "cosine_topk", "knn",
+    ]
+    all_queries = entry_mod.queries()
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL_QUERIES", "0") != "1":
+        all_queries = {k: v for k, v in all_queries.items() if k in fast_subset}
+
     spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=max(cpus, 8))
     queries = {}
     try:
-        for name, fn in entry_mod.queries().items():
+        for name, fn in all_queries.items():
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -126,6 +137,8 @@ def main() -> None:
             except Exception as e:  # keep the bench line intact on one bad query
                 queries[name] = -1.0
                 print(f"bench query {name} failed: {e}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()  # queries may persist intermediates
     finally:
         spark.stop()
     result["queries"] = queries

@@ -54,6 +54,7 @@ def polygon_cover(
     max_cells: int = 1024,
     driver_side_limit: int = 5000,
     classify_interior: bool = True,
+    attach_rings: bool = False,
 ) -> DataFrame:
     """(poly_id, res, cell) cover: for each polygon pick the finest res in
     [res_min, res_max] whose bbox cover stays under max_cells, then emit every grid
@@ -69,14 +70,17 @@ def polygon_cover(
     except Exception:
         n_polys = driver_side_limit + 1
     if n_polys <= driver_side_limit:
-        import pandas as pd_local
-
         rows = polygons.select("poly_id", "bbox", "ring").collect()
-        out_poly, out_res, out_cell, out_full = [], [], [], []
+        out = []
         for row in rows:
             b = row["bbox"]
             rx = np.array([v["lon"] for v in row["ring"]], dtype=np.float64)
             ry = np.array([v["lat"] for v in row["ring"]], dtype=np.float64)
+            ring = (
+                [{"lon": float(a), "lat": float(bb)} for a, bb in zip(rx, ry)]
+                if attach_rings
+                else None
+            )
             pid, res, cc, full = _cover_one(
                 row["poly_id"],
                 b["min"]["lon"], b["min"]["lat"], b["max"]["lon"], b["max"]["lat"],
@@ -84,17 +88,16 @@ def polygon_cover(
                 ring_xs=rx if classify_interior else None,
                 ring_ys=ry if classify_interior else None,
             )
-            out_poly.extend([pid] * len(cc))
-            out_res.extend([res] * len(cc))
-            out_cell.extend(cc.tolist())
-            out_full.extend(full.tolist())
-        pdf = pd_local.DataFrame(
-            {"poly_id": out_poly, "res": out_res, "cell": out_cell,
-             "full_inside": out_full}
-        )
-        return polygons.sparkSession.createDataFrame(
-            pdf, schema="poly_id long, res int, cell long, full_inside boolean"
-        )
+            for c, f in zip(cc.tolist(), full.tolist()):
+                rec = {"poly_id": int(pid), "res": int(res), "cell": int(c),
+                       "full_inside": bool(f)}
+                if attach_rings:
+                    rec["ring"] = ring
+                out.append(rec)
+        schema = "poly_id long, res int, cell long, full_inside boolean"
+        if attach_rings:
+            schema += ", ring array<struct<lon:double,lat:double>>"
+        return polygons.sparkSession.createDataFrame(out, schema=schema)
 
     def gen(batches):
         for pdf in batches:
@@ -245,7 +248,9 @@ def pip_join(
       for polygon sets too large to carry rings through the join).
     """
     cover = polygon_cover(
-        polygons, res_min, res_max, classify_interior=assume_convex and exact
+        polygons, res_min, res_max,
+        classify_interior=assume_convex and exact,
+        attach_rings=exact and refine_impl == "native",
     )
     # Single scan of the point side: explode each point's (res, cell) only for the
     # resolutions the cover actually uses (usually 1-3 of the res_min..res_max
@@ -266,31 +271,38 @@ def pip_join(
             for r in used_res
         ]
     )
+    # internal join keys use _pip_-prefixed names so caller columns (e.g. an
+    # existing `cell`) are never clobbered or dropped
     pts_exp = points.select("*", F.explode(enc).alias("_rc")).select(
-        "*", F.col("_rc.res").alias("res"), F.col("_rc.cell").alias("cell")
+        "*", F.col("_rc.res").alias("_pip_res"), F.col("_rc.cell").alias("_pip_cell")
     ).drop("_rc")
+    cover = cover.withColumnRenamed("res", "_pip_res").withColumnRenamed(
+        "cell", "_pip_cell"
+    )
     if broadcast_cover:
         cover = F.broadcast(cover)
     if not exact:
         return (
-            pts_exp.join(cover, ["res", "cell"], "inner")
-            .drop("res", "cell", "full_inside")
+            pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner")
+            .drop("_pip_res", "_pip_cell", "full_inside")
         )
     if refine_impl == "native":
-        # Attach rings INTO the broadcast cover (tiny dim inflation) so the whole
-        # join+refine is ONE broadcast hash join + one filter over a single scan.
+        # Rings ride INSIDE the broadcast cover (attached driver-side when the
+        # polygon set is small; joined in otherwise) so the whole join+refine is
+        # ONE broadcast hash join + one filter over a single scan.
         # `full_inside OR raycast` short-circuits in codegen: points in proven
         # interior cells (the vast majority at max_cells=1024) never run the ray
         # cast; only the ~4/sqrt(max_cells) boundary-cell residue pays it.
-        cover = cover.join(polygons.select("poly_id", "ring"), "poly_id")
-        if broadcast_cover:
-            cover = F.broadcast(cover)
-        cand = pts_exp.join(cover, ["res", "cell"], "inner")
+        if "ring" not in cover.columns:
+            cover = cover.join(polygons.select("poly_id", "ring"), "poly_id")
+        cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner")
         keep = F.col("full_inside") | raycast_inside_expr(
             F.col("ring"), F.col(lon_col), F.col(lat_col)
         )
-        return cand.filter(keep).drop("res", "cell", "full_inside", "ring")
-    cand = pts_exp.join(cover, ["res", "cell"], "inner").drop("res", "cell")
+        return cand.filter(keep).drop("_pip_res", "_pip_cell", "full_inside", "ring")
+    cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner").drop(
+        "_pip_res", "_pip_cell"
+    )
     rings = collect_poly_rings(polygons)
     refine = pip_refine_udf(rings)
     keep = F.col("full_inside") | refine(
@@ -528,7 +540,7 @@ def interval_join(
         & (left[left_ts] >= right[right_from])
         & (left[left_ts] < right[right_to])
     )
-    return left.join(right.drop(on), cond, "inner")
+    return left.join(right, cond, "inner").drop(right[on])
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Plan audit: dump formatted physical plans for the key operators and assert the
+plan properties the engine is designed around (SURVEY.md §4):
+
+- parquet scans show PushedFilters + pruned ReadSchema (filter/column pushdown);
+- the PIP join is a BroadcastHashJoin with NO Exchange on the point side;
+- hot expressions sit inside WholeStageCodegen spans;
+- aggregations are partial+final hash aggregates.
+
+Usage: python tools/explain_plans.py [--sf /root/testdata/sf0.01] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import cells, joins, synth  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str], must_not: list[str]) -> bool:
+    ok = True
+    for m in must:
+        if m not in plan:
+            print(f"  MISSING expected plan feature: {m}")
+            ok = False
+    for m in must_not:
+        if m in plan:
+            print(f"  UNEXPECTED plan feature: {m}")
+            ok = False
+    print(f"  -> {'PLAN OK' if ok else 'PLAN ISSUES'}")
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--full", action="store_true", help="print full plans")
+    args = ap.parse_args()
+    spark = get_spark("explain", cores=8, shuffle_partitions=8, driver_mem="8g")
+    ok = True
+
+    # 1. scan pushdown: filter + projection must reach the parquet scan
+    li = spark.read.parquet(f"{args.sf}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    p = formatted(q)
+    print("## scan pushdown (filter + projection)")
+    if args.full:
+        print(p)
+    ok &= check(
+        "pushdown", p,
+        must=["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"],
+        must_not=[],
+    )
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    print(f"  {rs[0].strip() if rs else 'ReadSchema missing!'}")
+    ok &= bool(rs) and "l_quantity" not in rs[0]  # pruned
+
+    # 2. PIP join: broadcast join, no point-side exchange before the join
+    images = synth.images_df(spark, 10000)
+    pts = images.select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    polys = synth.polygons_df(spark, p=20)
+    pip = joins.pip_join(pts, polys).groupBy("poly_id").count()
+    p = formatted(pip)
+    print("\n## PIP join (cover equi-join + refine)")
+    if args.full:
+        print(p)
+    ok &= check(
+        "pip", p,
+        must=["BroadcastHashJoin", "HashAggregate"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+    # codegen ids are hidden in formatted output while the AdaptiveSparkPlan is
+    # unexecuted; exchange count is the real structural signal:
+    # 1 BroadcastExchange (cover) + 1 shuffle Exchange (final groupBy) expected.
+    # each Exchange appears twice in formatted output (tree + detail section)
+    n_exchanges = p.count("Exchange") // 2
+    print(f"  exchanges in plan: {n_exchanges} (expect 2: broadcast + final agg)")
+    ok &= n_exchanges <= 2
+
+    # 3. agg: partial + final hash aggregate
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = formatted(agg)
+    print("\n## hash aggregation")
+    if args.full:
+        print(p)
+    ok &= check("agg", p, must=["HashAggregate"], must_not=["SortAggregate"])
+
+    print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
