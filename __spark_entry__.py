@@ -402,6 +402,25 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row image invariant (BASELINE.json input_hint): decode every image's
+    binary payload, round-trip through its own codec, assert PSNR>=40dB (inf for
+    the lossless formats here) + caption presence — Arrow-batched mapInPandas
+    kernel (engine.image_codec.verify_images_batches). Deterministic synthetic
+    images (seed 42); rows-only (binary payloads have no SQL twin)."""
+    from engine import image_codec
+
+    imgs = synth.images_df(spark, 200, with_bytes=True)
+    ver = imgs.mapInPandas(
+        image_codec.verify_images_batches(), schema=image_codec.VERIFY_SCHEMA
+    )
+    return ver.groupBy().agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),
+        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 interval variant (engine.joins.interval_join): assign each lineitem to
     the year bucket containing its shipdate (literal broadcast dim + range
@@ -594,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "rollup_chain": q_rollup_chain,
         "change_pipeline": q_change_pipeline,
+        "image_verify": q_image_verify,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
         "quality_score": q_quality_score,
