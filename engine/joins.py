@@ -152,17 +152,33 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     cc = res * cells._RES_SHIFT + (xs[:, None] * cells._IX_SHIFT + ys[None, :]).reshape(-1)
     if ring_xs is None:
         return poly_id, res, cc, np.zeros(cc.shape, dtype=bool)
-    # corner grids in degrees
-    cx0 = xs / n * 360.0 - 180.0
-    cx1 = (xs + 1) / n * 360.0 - 180.0
-    cy0 = ys / n * 180.0 - 90.0
-    cy1 = (ys + 1) / n * 180.0 - 90.0
-    def inside(px_grid, py_grid):
-        px = np.repeat(px_grid, len(ys))
-        py = np.tile(py_grid, len(xs))
-        return np_point_in_polygon(px, py, ring_xs, ring_ys)
-    full = inside(cx0, cy0) & inside(cx0, cy1) & inside(cx1, cy0) & inside(cx1, cy1)
-    return poly_id, res, cc, full
+    # corner coordinates in degrees, flattened to match cc's (xs-major) layout
+    gx0 = np.repeat(xs / n * 360.0 - 180.0, len(ys))
+    gx1 = np.repeat((xs + 1) / n * 360.0 - 180.0, len(ys))
+    gy0 = np.tile(ys / n * 180.0 - 90.0, len(xs))
+    gy1 = np.tile((ys + 1) / n * 180.0 - 90.0, len(xs))
+    full = (
+        np_point_in_polygon(gx0, gy0, ring_xs, ring_ys)
+        & np_point_in_polygon(gx0, gy1, ring_xs, ring_ys)
+        & np_point_in_polygon(gx1, gy0, ring_xs, ring_ys)
+        & np_point_in_polygon(gx1, gy1, ring_xs, ring_ys)
+    )
+    # SAT cull (convex polygon vs axis-aligned cell): a cell separated from the
+    # polygon along any edge-normal axis cannot contain inside points -> drop it
+    # from the cover entirely (bbox corners of an ellipse-ish polygon are ~20%
+    # of the cover; dropping them cuts candidate volume before the join).
+    keep = np.ones(cc.shape, dtype=bool)
+    nv = len(ring_xs)
+    for i in range(nv):
+        j = (i + 1) % nv
+        a = -(ring_ys[j] - ring_ys[i])
+        b = ring_xs[j] - ring_xs[i]
+        poly_proj = a * ring_xs + b * ring_ys
+        pmin, pmax = poly_proj.min(), poly_proj.max()
+        cell_min = np.minimum(a * gx0, a * gx1) + np.minimum(b * gy0, b * gy1)
+        cell_max = np.maximum(a * gx0, a * gx1) + np.maximum(b * gy0, b * gy1)
+        keep &= (cell_max >= pmin) & (cell_min <= pmax)
+    return poly_id, res, cc[keep], full[keep]
 
 
 def pip_refine_udf(poly_rings: dict[int, tuple[np.ndarray, np.ndarray]]):
@@ -344,11 +360,17 @@ def knn_join(
     res=None auto-sizes the grid to the point density: ~4k expected points per
     disk(1), so dense data settles in one or two rounds and sparse data falls
     through to brute force quickly instead of crawling an over-fine lattice.
+    When |queries| x |points| is small enough that a broadcast cross join is
+    cheaper than the iterative expansion (< ~5e7 pairs), the planner picks the
+    brute-force physical strategy outright — same exact semantics.
     """
     if res is None:
         import math
 
         n_points = points.count()
+        n_queries = queries.count()
+        if n_queries * n_points <= 5e7:
+            return knn_brute_force(queries, points, k, query_id, point_id)
         # 2^(2*res) cells; want n_points / 4^res * 9 ≈ 4k  =>  res ≈ log4(9n/4k)
         res = max(0, min(12, int(math.log2(max(2.0, 9.0 * n_points / (4.0 * k))) / 2)))
     n = 2**res
