@@ -28,9 +28,17 @@ from engine import cells, joins, synth
 # helpers
 # ---------------------------------------------------------------------------
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """The driver calls queries() with ITS OWN session; epoch-micros comparisons
+    against DuckDB (naive-UTC) are only exact when the NTZ->TZ cast happens in
+    UTC. Force it (harmless if already UTC)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _epoch_us(col):
-    """Epoch microseconds from TIMESTAMP or TIMESTAMP_NTZ (session tz is UTC, so
-    NTZ -> TZ cast is identity on the wall-clock value)."""
+    """Epoch microseconds from TIMESTAMP or TIMESTAMP_NTZ (requires session tz
+    UTC — see _ensure_utc; the NTZ -> TZ cast is then identity on the wall-clock
+    value)."""
     return F.unix_micros(col.cast("timestamp"))
 
 def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +149,7 @@ def q_anchor_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8-style partial+final hash aggregation (TPC-H Q1 shape). Money sums as int64
     cents (cross-engine exact)."""
+    _ensure_utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -181,6 +190,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_consecutive_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — consecutive-version diff via lag() (RefUtils.scala:11-42 rebuilt as a
     window): per user, emit transition rows where event_type changed."""
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -221,6 +231,7 @@ def q_change_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coalesce_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — coalesce fact rows per (entity, kind) with count/sum/extent — the rebuild
     of coalesceChanges (ChangeUtils.scala:93-104) keyed on the real pair (Q3 fix)."""
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.col("user_id").cast("long").alias("user_id"), F.col("event_type")
@@ -235,6 +246,7 @@ def q_coalesce_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — as-of assignment via union+window (engine.joins.asof_join): each 'click'
     event gets the latest 'login' event timestamp <= its own, per user."""
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     left = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").cast("long").alias("event_id"),
@@ -388,6 +400,7 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end-to-end rebuild of SparkJobs.generateChanges (SparkJobs.scala:10-82).
     Iterative + map-typed output: no SQL oracle (driver rows-only check); exact
     semantics are pinned by tests/test_diff.py + tests/test_temporal.py goldens."""
+    _ensure_utc(spark)
     from engine import propagate
 
     ovs = synth.object_versions_df(spark, n_entities=120)
@@ -399,6 +412,27 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _epoch_us(F.col("timestamp")).alias("ts_us"),
         "changeset",
         F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: CUBE over (returnflag, linestatus) — ANSI-identical
+    in both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile == ANSI
+    percentile_cont), floor-scaled to int."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 100).cast("long").alias("p50_cents"),
+        F.floor(F.expr("percentile(value, 0.9)") * 100).cast("long").alias("p90_cents"),
+        F.count("*").alias("n"),
     )
 
 
@@ -425,6 +459,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 interval variant (engine.joins.interval_join): assign each lineitem to
     the year bucket containing its shipdate (literal broadcast dim + range
     predicate)."""
+    _ensure_utc(spark)
     import datetime as dt
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -613,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "rollup_chain": q_rollup_chain,
         "change_pipeline": q_change_pipeline,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
         "image_verify": q_image_verify,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
@@ -799,6 +836,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(length(text) * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
                      AS chars_per_tok_e3
             FROM documents
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 100)
+                        AS BIGINT) AS p50_cents,
+                   CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) * 100)
+                        AS BIGINT) AS p90_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "interval_join": """
             SELECT CAST(y.year AS BIGINT) AS year, COUNT(*) AS n_items

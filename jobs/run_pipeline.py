@@ -88,6 +88,10 @@ def main() -> None:
             F.min("lat").alias("min_lat"),
             F.max("lat").alias("max_lat"),
         )
+        # range-partition the output on cell prefix (north_rule): data files carry
+        # tight non-overlapping cell ranges in their manifests, so later reads
+        # prune by cell range from metadata alone
+        result = result.repartitionByRange(8, "cell")
         sid = out.append(result, range_cols=["cell"])
         m = metrics.partition_metrics(result, "cell")
         out.checkpoint_unit_done(
