@@ -17,6 +17,13 @@ def test_bucketed_join_has_no_shuffle(spark):
     dim = pts.select("cell").distinct().withColumn("label", F.col("cell") % 10)
     spark.sql("DROP TABLE IF EXISTS pts_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")
+    # default catalog is in-memory: a previous session's managed-table dirs are
+    # invisible to DROP TABLE, so clear the locations physically
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("pts_b", "dim_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     pts.write.bucketBy(8, "cell").sortBy("cell").mode("overwrite").saveAsTable("pts_b")
     dim.write.bucketBy(8, "cell").sortBy("cell").mode("overwrite").saveAsTable("dim_b")
     # disable auto-broadcast so the join would otherwise need a shuffle
