@@ -61,7 +61,8 @@ def _flagship_elapsed(cores: int, n_images: int, shuffle_parts: int) -> tuple[fl
                 .count()
             )
 
-        run()  # warm-up: codegen, python workers, broadcast
+        # two runs, take the min: the first doubles as warm-up (codegen,
+        # broadcast); min-of-N is the robust estimator on a noisy host
         best, rows = float("inf"), 0
         for _ in range(2):
             t0 = time.time()

@@ -155,7 +155,15 @@ def propagate_changes(
     from functools import reduce
 
     all_changes = reduce(DataFrame.unionByName, save_frames)
-    return coalesce.coalesce_changes(all_changes) if do_coalesce else all_changes
+    out = coalesce.coalesce_changes(all_changes) if do_coalesce else all_changes
+    # materialize + truncate lineage, then release every intermediate cache —
+    # callers may run in long-lived sessions (the driver's harness) where leaked
+    # persists accumulate across invocations
+    out = out.localCheckpoint(eager=True)
+    queue.unpersist()
+    tree.unpersist()
+    rel_tree.unpersist()
+    return out
 
 
 def rollup_cells(
