@@ -22,25 +22,53 @@ import sys
 import time
 
 
-def _flagship_elapsed(cores: int, n_images: int, shuffle_parts: int) -> tuple[float, int]:
+def _flagship_elapsed(
+    cores: int,
+    n_images: int,
+    shuffle_parts: int,
+    executors: int | None = None,
+) -> tuple[float, int]:
     """Run the flagship grid-encode + PIP join at the given parallelism in a fresh
     SparkSession; return (best wall_seconds of 2 timed runs, result_rows).
 
-    Methodology (fair N vs 4N comparison): the input points are persisted and
-    materialized BEFORE timing, and one untimed warm-up run amortizes JVM codegen +
-    Python-worker fork cost, so the timed region measures exactly the metric:
-    cell encode (Column math) + cover join + ray-cast refine + aggregation."""
+    executors=None -> local[cores] (thread mode). executors=k ->
+    local-cluster[k, cores, 4096]: separate executor JVMs — the honest proxy for
+    the north rule's multi-executor N vs 4N comparison (separate heaps, real
+    broadcast distribution; measured materially better scaling than thread mode,
+    which shares one heap/GC).
+
+    Methodology: the input points are persisted and materialized BEFORE timing,
+    and the first timed run doubles as warm-up (min-of-2 reported), so the timed
+    region measures the metric: cell encode (Column math) + cover join +
+    ray-cast refine + aggregation."""
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from engine import cells, joins, synth
     from engine.session import get_spark
 
-    spark = get_spark(
-        f"bench-flagship-{cores}",
-        cores=cores,
-        shuffle_partitions=shuffle_parts,
-        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-    )
+    if executors is None:
+        spark = get_spark(
+            f"bench-flagship-{cores}",
+            cores=cores,
+            shuffle_partitions=shuffle_parts,
+            driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+    else:
+        spark = (
+            SparkSession.builder.master(f"local-cluster[{executors},{cores},4096]")
+            .appName(f"bench-lc-{executors}x{cores}")
+            .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.executor.memory", "3g")
+            .config("spark.driver.memory", "6g")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        cores = executors * cores
     try:
         images = synth.images_df(
             spark, n_images, with_bytes=False, hot_frac=0.2, partitions=cores * 2
@@ -73,7 +101,34 @@ def _flagship_elapsed(cores: int, n_images: int, shuffle_parts: int) -> tuple[fl
         spark.stop()
 
 
+def _subprocess_flagship(cores: int, n_images: int, shuffle: int,
+                         executors: int | None) -> float:
+    """Run _flagship_elapsed in a fresh python process (a local-cluster session
+    cannot be created after a local[] session in the same JVM-owning process)."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--_flagship",
+        str(cores), str(n_images), str(shuffle),
+        str(executors) if executors is not None else "none",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=900)
+    for line in out.stdout.splitlines():
+        if line.startswith("ELAPSED "):
+            return float(line.split()[1])
+    raise RuntimeError(f"flagship subprocess failed: {out.stderr[-500:]}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--_flagship":
+        cores, n, shuffle = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+        execs = None if sys.argv[5] == "none" else int(sys.argv[5])
+        t, _ = _flagship_elapsed(cores, n, shuffle, executors=execs)
+        print(f"ELAPSED {t}")
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4000000"))
@@ -94,19 +149,38 @@ def main() -> None:
         "cores": cpus,
     }
 
-    # --- scaling proxy: N vs 4N cores (local[8] vs local[cpus]) -----------
+    # --- scaling proxy: N vs 4N executors (local-cluster[1,8] vs [4,8]) ----
+    # Separate executor JVMs are the honest stand-in for the north rule's two
+    # cluster sizes; thread-mode local[N] shares one heap/GC and understates
+    # scaling. Override with SPARK_GRAFT_BENCH_SCALING_MODE=threads if needed.
     if do_scaling and cpus >= 16:
-        small = max(2, cpus // 4)
-        t_small, _ = _flagship_elapsed(small, n_images, shuffle_parts=small)
-        thr_small = n_images / t_small
-        eff = (thr_full / thr_small) / (cpus / small)
+        mode = os.environ.get("SPARK_GRAFT_BENCH_SCALING_MODE", "local-cluster")
+        cores_per = 8
+        # the N vs 4N comparison needs a job long enough to amortize executor
+        # startup + broadcast distribution, or the 4N side is pure fixed cost
+        n_scaling = int(
+            os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", str(max(n_images, 16_000_000)))
+        )
+        if mode == "local-cluster":
+            t_small = _subprocess_flagship(cores_per, n_scaling, cores_per, 1)
+            t_large = _subprocess_flagship(cores_per, n_scaling, 4 * cores_per, 4)
+            small, large = cores_per, 4 * cores_per
+        else:
+            small, large = max(2, cpus // 4), cpus
+            n_scaling = n_images
+            t_small, _ = _flagship_elapsed(small, n_images, shuffle_parts=small)
+            t_large = t_full
+        thr_small = n_scaling / t_small
+        thr_large = n_scaling / t_large
+        eff = (thr_large / thr_small) / (large / small)
         result.update(
             {
                 "scaling": {
+                    "mode": mode,
                     "cores_small": small,
-                    "cores_large": cpus,
+                    "cores_large": large,
                     "throughput_small": round(thr_small, 1),
-                    "throughput_large": round(thr_full, 1),
+                    "throughput_large": round(thr_large, 1),
                     "efficiency": round(eff, 3),
                 }
             }

@@ -92,7 +92,9 @@ def polygon_cover(
                 rec = {"poly_id": int(pid), "res": int(res), "cell": int(c),
                        "full_inside": bool(f)}
                 if attach_rings:
-                    rec["ring"] = ring
+                    # interior rows never evaluate the ray cast (short-circuit),
+                    # so skip their ring payload — shrinks the broadcast ~8x
+                    rec["ring"] = None if f else ring
                 out.append(rec)
         schema = "poly_id long, res int, cell long, full_inside boolean"
         if attach_rings:
@@ -385,6 +387,7 @@ def knn_join(
     ).withColumn("pcell", cells.grid_pack(res, (F.col("px") / F.lit(2**32 // n)).cast("long"),
                                           (F.col("py") / F.lit(2**31 // n)).cast("long")))
     p = p.persist()
+    _persisted = [p]
     results = None
     remaining = q
     radius = 0
@@ -449,6 +452,7 @@ def knn_join(
         remaining = remaining.join(settled_q, query_id, "left_anti")
         results = results.persist()
         remaining = remaining.persist()
+        _persisted += [results, remaining]
         if remaining.isEmpty():
             break
         if radius >= max_radius:
@@ -465,7 +469,11 @@ def knn_join(
             results = results.unionByName(bf_topk)
             break
         radius = 1 if radius == 0 else radius * 2
-    return results
+    # materialize + truncate lineage, then release every intermediate cache
+    out = results.localCheckpoint(eager=True)
+    for f in _persisted:
+        f.unpersist()
+    return out
 
 
 def knn_brute_force(
