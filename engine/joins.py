@@ -183,6 +183,33 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     return poly_id, res, cc[keep], full[keep]
 
 
+_MATERIALIZED_COVERS: dict[str, str] = {}
+
+
+def _materialize_if_large(cover: DataFrame, threshold: int = 20000) -> DataFrame:
+    """A driver-built cover is a LocalRelation: it gets re-serialized by the
+    single-threaded driver into every job that uses it (measured ~10s of serial
+    time per run for a 200k-row cover with ring payloads — the dominant Amdahl
+    term). Covers above `threshold` rows are written once to a session-scoped
+    temp parquet and read back, so the plan references a (tiny, distributed,
+    cacheable) scan instead of embedding the rows."""
+    import tempfile
+
+    plan = cover._jdf.queryExecution().logical().toString()
+    if "LocalRelation" not in plan and "LogicalRDD" not in plan:
+        return cover
+    n = cover.count()
+    if n <= threshold:
+        return cover
+    key = plan[:2000] + f"|{n}"
+    path = _MATERIALIZED_COVERS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pip_cover_") + "/cover.parquet"
+        cover.write.mode("overwrite").parquet(path)
+        _MATERIALIZED_COVERS[key] = path
+    return cover.sparkSession.read.parquet(path)
+
+
 def pip_refine_udf(poly_rings: dict[int, tuple[np.ndarray, np.ndarray]]):
     """pandas_udf (poly_id, lon, lat) -> bool exact inside-test. `poly_rings` is a
     driver-side dict broadcast into the closure (polygon side is a dim table)."""
@@ -270,6 +297,7 @@ def pip_join(
         classify_interior=assume_convex and exact,
         attach_rings=exact and refine_impl == "native",
     )
+    cover = _materialize_if_large(cover)
     # Single scan of the point side: explode each point's (res, cell) only for the
     # resolutions the cover actually uses (usually 1-3 of the res_min..res_max
     # range), one equi-join on (res, cell). (A union of per-res joins would scan

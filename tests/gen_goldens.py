@@ -1,0 +1,115 @@
+"""Regenerate the committed golden fixtures under tests/golden/ from the NUMPY
+oracles (never from the engine — FIXTURES.md §5: "the engine is never its own
+oracle").
+
+Usage: python -m tests.gen_goldens
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+GOLDEN_DIR = Path(__file__).parent / "golden"
+
+N_IMAGES = 5000
+N_POLYS = 15
+KNN_K = 3
+TILE_Z = 8
+SEED = 42
+
+
+def _phash(keys: np.ndarray) -> np.ndarray:
+    x = (keys * 1103515245 + 12345) % 2**32
+    y = (keys * 134775813 + 1) % 2**31
+    return y * 2**32 + x
+
+
+def _anchor(ph: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = ph % 2**32
+    y = ph // 2**32
+    return x / 2**32 * 360.0 - 180.0, y / 2**31 * 180.0 - 90.0
+
+
+def _polygons():
+    polys = []
+    for i in range(N_POLYS):
+        rng = np.random.default_rng([SEED, 7, i])
+        hot = rng.random() < 0.3
+        if hot:
+            clon = 2.25 + rng.random() * 0.5
+            clat = 48.75 + rng.random() * 0.5
+            rlon, rlat = 0.05 + rng.random() * 0.3, 0.05 + rng.random() * 0.3
+        else:
+            clon, clat = rng.uniform(-170, 170), rng.uniform(-80, 80)
+            rlon, rlat = 0.5 + rng.random() * 8.0, 0.5 + rng.random() * 6.0
+        nv = int(rng.integers(5, 13))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        polys.append((i, clon + rlon * np.cos(ang), clat + rlat * np.sin(ang)))
+    return polys
+
+
+def _pip_inside(px, py, xs, ys):
+    inside = np.zeros(px.shape, dtype=bool)
+    j = len(xs) - 1
+    for i in range(len(xs)):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        crosses = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= crosses & (px < x_int)
+        j = i
+    return inside
+
+
+def main() -> None:
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    keys = np.arange(N_IMAGES, dtype=np.int64)
+    ph = _phash(keys)
+    lon, lat = _anchor(ph)
+    x = ph % 2**32
+    y = ph // 2**32
+
+    # golden_pip_join: (key, poly_id) containment pairs
+    pip_pairs = []
+    for pid, xs, ys in _polygons():
+        hit = _pip_inside(lon, lat, xs, ys)
+        pip_pairs += [[int(k), pid] for k in keys[hit]]
+    (GOLDEN_DIR / "golden_pip_join.json").write_text(
+        json.dumps(sorted(pip_pairs))
+    )
+
+    # golden_knn: (query_key, neighbor_key, rank) for every 40th image, k=3
+    knn = []
+    qkeys = keys[keys % 40 == 0]
+    for q in qkeys:
+        dx = (x - x[q]).astype(np.float64)
+        dy = (y - y[q]).astype(np.float64)
+        d = dx * dx + dy * dy
+        order = sorted(range(N_IMAGES), key=lambda i: (d[i], i))[:KNN_K]
+        knn += [[int(q), int(i), r + 1] for r, i in enumerate(order)]
+    (GOLDEN_DIR / "golden_knn.json").write_text(json.dumps(sorted(knn)))
+
+    # golden_tile_assign: (key, tile_id) at z=8 via pure integer arithmetic
+    tx = (x >> (32 - TILE_Z)).astype(np.int64)
+    ty = (y >> (31 - TILE_Z)).astype(np.int64)
+    tiles = [[int(k), int(TILE_Z * 2**50 + a * 2**25 + b)]
+             for k, a, b in zip(keys, tx, ty)]
+    (GOLDEN_DIR / "golden_tile_assign.json").write_text(json.dumps(tiles))
+
+    # golden_rollup: per-cell counts at res 7 (rolled up from 11 must equal this)
+    ix7 = (x >> (32 - 7)).astype(np.int64)
+    iy7 = (y >> (31 - 7)).astype(np.int64)
+    cell7 = 7 * 2**58 + ix7 * 2**29 + iy7
+    vals, counts = np.unique(cell7, return_counts=True)
+    (GOLDEN_DIR / "golden_rollup.json").write_text(
+        json.dumps(sorted([[int(c), int(n)] for c, n in zip(vals, counts)]))
+    )
+    print(f"goldens written to {GOLDEN_DIR}: pip={len(pip_pairs)} knn={len(knn)} "
+          f"tiles={len(tiles)} rollup_cells={len(vals)}")
+
+
+if __name__ == "__main__":
+    main()
