@@ -183,30 +183,22 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     return poly_id, res, cc[keep], full[keep]
 
 
-_MATERIALIZED_COVERS: dict[str, str] = {}
-
-
 def _materialize_if_large(cover: DataFrame, threshold: int = 20000) -> DataFrame:
     """A driver-built cover is a LocalRelation: it gets re-serialized by the
     single-threaded driver into every job that uses it (measured ~10s of serial
     time per run for a 200k-row cover with ring payloads — the dominant Amdahl
-    term). Covers above `threshold` rows are written once to a session-scoped
-    temp parquet and read back, so the plan references a (tiny, distributed,
-    cacheable) scan instead of embedding the rows."""
+    term). Covers above `threshold` rows are written once per pip_join call to a
+    temp parquet and read back, so every action on the returned plan references
+    a (tiny, distributed, cacheable) scan instead of embedding the rows."""
     import tempfile
 
     plan = cover._jdf.queryExecution().logical().toString()
     if "LocalRelation" not in plan and "LogicalRDD" not in plan:
         return cover
-    n = cover.count()
-    if n <= threshold:
+    if cover.count() <= threshold:
         return cover
-    key = plan[:2000] + f"|{n}"
-    path = _MATERIALIZED_COVERS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="pip_cover_") + "/cover.parquet"
-        cover.write.mode("overwrite").parquet(path)
-        _MATERIALIZED_COVERS[key] = path
+    path = tempfile.mkdtemp(prefix="pip_cover_") + "/cover.parquet"
+    cover.write.mode("overwrite").parquet(path)
     return cover.sparkSession.read.parquet(path)
 
 

@@ -50,3 +50,21 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def optimize_parallelism(
+    spark: SparkSession, row_count: int, executors: int = 1, cores: int = 32,
+    rows_per_partition: int = 1_500_000,
+) -> int:
+    """Faithful rebuild of the reference's sizing heuristic
+    (/root/reference/.../historyanalysis/App.scala:52-72):
+    partitions = max(rows / 1.5e6, executors * cores * 4), applied to
+    spark.sql.shuffle.partitions + spark.default.parallelism.
+
+    Two rebuild differences: (a) feed `row_count` from iceberg_lite manifest
+    metadata instead of a full scan (App.scala:30 scans+counts); (b) AQE remains
+    on, so this sets the UPPER bound and AQE coalesces down at runtime.
+    """
+    partitions = max(row_count // rows_per_partition, executors * cores * 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    return partitions

@@ -56,3 +56,17 @@ def test_checkpoint_resume(spark, table):
     assert table.pending_units("r2", units) == units
     ck = table.checkpoint_load("r1")
     assert ck["units"]["u0"]["metrics"]["rows"] == 1
+
+
+def test_optimize_parallelism_from_manifest(spark, table):
+    from engine.session import optimize_parallelism
+
+    table.append(spark.range(1000))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # manifest row count feeds the reference heuristic (App.scala:52-72) — no scan
+    p = optimize_parallelism(spark, table.row_count(), executors=2, cores=4)
+    assert p == max(1000 // 1_500_000, 2 * 4 * 4) == 32
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    p2 = optimize_parallelism(spark, 3_000_000_000, executors=2, cores=4)
+    assert p2 == 2000
+    spark.conf.set("spark.sql.shuffle.partitions", before)
