@@ -577,6 +577,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (engine.embedops.ivf_ann_topk): coarse
+    quantizer + inverted-list probe + exact rerank. Approximate by design: no
+    SQL oracle (rows-only); recall vs the exact path asserted in
+    tests/test_embedops.py."""
+    from engine import embedops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = embedops.ivf_ann_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (engine.textops.minhash_lsh_pairs). xxhash64-based
     signatures have no DuckDB twin: rows-only; exactness vs the brute-force Jaccard
@@ -658,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "s2_cells": q_s2_cells,

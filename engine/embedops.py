@@ -148,6 +148,76 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer (centroids sampled from the
+    corpus, seeded) buckets every corpus vector by nearest centroid (one pass,
+    equi-join on the broadcast centroid table); each query probes its n_probe
+    nearest centroids' inverted lists and reranks by exact cosine.
+
+    Candidates per query ~ n_probe/n_centroids of the corpus — the IVF twin of
+    lsh_ann_topk with a data-adaptive partitioning instead of random hyperplanes.
+    Returns (query_id, corpus_id, rank)."""
+    # coarse quantizer: deterministic sample of corpus vectors as centroids
+    cents = [
+        (i, r[0])
+        for i, r in enumerate(
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(corpus_id).cast("string"), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        )
+    ]
+    cdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            cents, ["centroid_id", "centroid"]
+        )
+    )
+
+    def nearest(df, id_col, n):
+        scored = df.crossJoin(cdf).withColumn(
+            "_csim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n)
+            .drop("centroid", "_csim", "_crank")
+        )
+
+    c_assigned = nearest(
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col)), "_cid", 1
+    ).select("_cid", F.col(vec_col).alias("_cv"), "centroid_id")
+    q_probes = nearest(
+        queries.select(F.col(query_id).alias("_qid"), F.col(vec_col)), "_qid", n_probe
+    ).select("_qid", F.col(vec_col).alias("_qv"), "centroid_id")
+    scored = q_probes.join(c_assigned, "centroid_id").withColumn(
+        "_sim", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        scored.dropDuplicates(["_qid", "_cid"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+        )
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, query_id: str = "query_id",
                corpus_id: str = "vec_id") -> float:
     """Fraction of exact top-k pairs recovered by the approximate variant."""

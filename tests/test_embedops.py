@@ -69,3 +69,16 @@ def test_lsh_bucket_deterministic(spark, emb):
         "vec_id", embedops.lsh_bucket(F.col("embedding"), planes).alias("b")
     )
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_ivf_ann_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, emb, k=3)
+    approx = embedops.ivf_ann_topk(queries, emb, k=3, n_centroids=8, n_probe=4)
+    rec = embedops.ann_recall(exact, approx)
+    assert rec >= 0.7, f"recall {rec}"
+    # a query vector in the corpus always probes its own centroid -> rank 1 self
+    top1 = approx.filter(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
