@@ -415,6 +415,51 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface (engine.streaming): file-source incremental
+    ingest -> watermarked per-cell windowed counts, driven to completion against
+    a deterministic 3-batch directory; returns the final per-cell totals.
+    Streaming state is non-SQL-expressible: rows-only (the batch==streaming
+    equality is asserted in tests/test_streaming.py)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from engine import streaming
+
+    d = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        for batch in range(3):
+            rows = [
+                (
+                    f"img{batch:02d}_{i:04d}",
+                    (batch * 1000 + i) * 2654435761 % (2**62),
+                    f"caption {batch}/{i}",
+                    base + dt.timedelta(minutes=5 * batch),
+                )
+                for i in range(60)
+            ]
+            spark.createDataFrame(
+                rows, schema=streaming.STREAM_IMAGES_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = streaming.read_image_stream(spark, d)
+        agg = streaming.streaming_cell_counts(stream, res=5, window="10 minutes")
+        q = streaming.run_to_memory(agg, "q_streaming_cells", output_mode="complete")
+        try:
+            out = spark.sql(
+                "SELECT cell, CAST(sum(n_images) AS BIGINT) AS n_images "
+                "FROM q_streaming_cells GROUP BY cell"
+            )
+            # materialize before the temp dir disappears
+            pdf = out.toPandas()
+        finally:
+            q.stop()
+        return spark.createDataFrame(pdf, schema="cell long, n_images long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: CUBE over (returnflag, linestatus) — ANSI-identical
     in both engines."""
@@ -667,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "rollup_chain": q_rollup_chain,
         "change_pipeline": q_change_pipeline,
+        "streaming_cells": q_streaming_cells,
         "cube_agg": q_cube_agg,
         "percentiles": q_percentiles,
         "image_verify": q_image_verify,

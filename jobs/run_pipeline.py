@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--cell-splits", type=int, default=16,
                     help="number of cell-range work units (longitude stripes)")
     ap.add_argument("--hot-frac", type=float, default=0.2)
+    ap.add_argument("--split-hot", type=int, default=0, metavar="THRESHOLD",
+                    help="adaptive cell splitting: cells with more rows than "
+                         "THRESHOLD are re-encoded 2 resolutions finer "
+                         "(north_rule skew handling; 0 = off)")
     args = ap.parse_args()
 
     spark = get_spark("run-pipeline")
@@ -61,6 +65,17 @@ def main() -> None:
         cells.anchor_lat(F.col("phash")).alias("lat"),
         cells.grid_encode_phash(F.col("phash"), args.res).alias("cell"),
     )
+    # work-unit stripe key pinned to the base resolution (adaptive splitting below
+    # may re-encode hot cells finer, which must not move them between units)
+    pts = pts.withColumn(
+        "unit_ix", cells.grid_ix(cells.grid_encode_phash(F.col("phash"), args.res))
+    )
+    if args.split_hot > 0:
+        from engine import skew
+
+        pts = skew.split_hot_cells(
+            pts, "cell", res=args.res, hot_threshold=args.split_hot, split_steps=2
+        )
     polys = synth.polygons_df(spark, p=args.polygons, hot_frac=0.1, radius_scale=2.0)
 
     # work units: longitude stripes of the res-grid (prefix ranges of ix)
@@ -77,8 +92,8 @@ def main() -> None:
         if unit not in pending:
             continue
         t0 = time.time()
-        part = pts.filter(
-            (cells.grid_ix(F.col("cell")) >= lo) & (cells.grid_ix(F.col("cell")) < hi)
+        part = pts.filter((F.col("unit_ix") >= lo) & (F.col("unit_ix") < hi)).drop(
+            "unit_ix"
         )
         joined = joins.pip_join(part, polys)
         result = joined.groupBy("cell", "poly_id").agg(
