@@ -690,6 +690,125 @@ def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (engine.textops.ngram_jaccard_pairs) over a
+    bounded document subset — the brute-force oracle of the MinHash/LSH path,
+    itself oracle-checked here (jaccard = inter/union of exact int sets: double
+    division is IEEE-identical across engines)."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    out = textops.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_e3"),
+    )
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (engine.embedops.cosine_near_dups, exact
+    mode on a bounded subset). Cosine computed double-cast per element, summed in
+    array order — measured bit-identical to the DuckDB twin (44850/44850 exact),
+    so the e6-scaled sim is hash-safe."""
+    from engine import embedops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    out = embedops.cosine_near_dups(emb, "vec_id", "embedding", threshold=0.25,
+                                    mode="exact")
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (operators absent from the reference — SURVEY.md §2.4 'not
+    present' — added for engine completeness): per nation, customers WITH >=1
+    order (left_semi) and WITHOUT any (left_anti)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    w = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("has_orders", F.lit(True))
+    )
+    wo = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("has_orders", F.lit(False))
+    )
+    return w.unionByName(wo)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (engine.temporal.sessionize): 30-minute gap rule
+    over the events stream, one output row per (user, session) with bounds +
+    event count — lag + cumulative-sum window math, one shuffle on user_id."""
+    _ensure_utc(spark)
+    from engine import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = temporal.sessionize(ev, key="user_id", ts="ts", gap_minutes=30,
+                            order_tiebreak="event_id")
+    return s.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        _epoch_us(F.min("ts")).alias("start_us"),
+        _epoch_us(F.max("ts")).alias("end_us"),
+    )
+
+
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (trailing 1 hour per user): int64-cents running sum —
+    the time-windowed rollup shape (range frames, not row frames; peers at the
+    same timestamp are included identically in both engines)."""
+    _ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            us.alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("trail_cents", F.sum("cents").over(w))
+        .drop("cents")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (engine.multimodal.extract_features): decode
+    binary image payloads (raw/PNG real; exotic formats surface per-row errors
+    instead of failing the batch) -> per-image features via Arrow-batched
+    mapInPandas -> corpus aggregate. Binary inputs: rows-only check."""
+    from engine import multimodal
+
+    imgs = synth.images_df(spark, 240, with_bytes=True)
+    feats = multimodal.extract_features(imgs)
+    return feats.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_decoded"),
+        F.floor(F.avg("brightness") * 100).cast("long").alias("avg_brightness_e2"),
+        F.floor(F.avg("edge_energy") * 100).cast("long").alias("avg_edge_e2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pack_feature_id": q_pack_feature_id,
@@ -728,6 +847,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "s2_cells": q_s2_cells,
         "hex_cells": q_hex_cells,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_neardup": q_cosine_neardup,
+        "semi_anti_join": q_semi_anti_join,
+        "sessionize": q_sessionize,
+        "window_range": q_window_range,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1020,6 +1145,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, n, CAST(11 AS BIGINT) AS res FROM c11
             UNION ALL SELECT cell, n, CAST(10 AS BIGINT) AS res FROM c10
             UNION ALL SELECT cell, n, CAST(9 AS BIGINT) AS res FROM c9
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                          ELSE [] END AS g
+              FROM t
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(FLOOR(CASE WHEN uni > 0
+                        THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END * 1000)
+                        AS BIGINT) AS jaccard_e3
+            FROM p
+            WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END)
+                  >= 0.2
+        """,
+        "cosine_neardup": """
+            WITH a AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+            ), p AS (
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(x.embedding) + 1),
+                       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+                          i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+                       AS sim
+              FROM a x JOIN a y ON x.vec_id < y.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+            FROM p WHERE sim >= 0.25
+        """,
+        "semi_anti_join": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
+                   TRUE AS has_orders
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
+                   FALSE AS has_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "sessionize": """
+            WITH t AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), s AS (
+              SELECT user_id, us,
+                     SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+              FROM t
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) AS BIGINT) AS end_us
+            FROM s GROUP BY 1, 2
+        """,
+        "window_range": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS trail_cents
+            FROM events
         """,
         "stopword_ratio": """
             SELECT lang,

@@ -225,3 +225,79 @@ def ann_recall(exact: DataFrame, approx: DataFrame, query_id: str = "query_id",
     hits = e.join(approx.select(query_id, corpus_id), [query_id, corpus_id]).count()
     total = e.count()
     return hits / total if total else 1.0
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Dot product with per-element double cast BEFORE the multiply: bit-identical
+    to an oracle that promotes float32 inputs to double (float-precision products
+    differ in the last ulp, which flips FLOOR at fine scales)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_double(a: Column, b: Column) -> Column:
+    return _dot_double(a, b) / (
+        F.sqrt(_dot_double(a, a)) * F.sqrt(_dot_double(b, b))
+    )
+
+
+def cosine_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    mode: str = "exact",
+    dim: int = 64,
+    n_planes: int | None = None,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with id_a < id_b
+    and cosine >= threshold.
+
+    mode="exact": all-pairs self join (the oracle; right plan only for bounded
+    subsets — it is O(n^2) by definition).
+    mode="lsh": hyperplane-bucket blocking (same discipline as lsh_ann_topk) so
+    candidate volume is ~n * bucket_occupancy instead of n^2 — the plan that
+    survives a 100x corpus scale-up; recall < 1 by design (high for
+    threshold-tight duplicates since near-identical vectors share buckets)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if mode == "exact":
+        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        sim = cosine_double(F.col("_va"), F.col("_vb"))
+    elif mode == "lsh":
+        if n_planes is None:
+            import math
+
+            n = df.count()
+            n_planes = max(4, min(20, int(math.log2(max(2, n / 64)))))
+        planes = _planes(dim, n_planes, seed)
+        bucketed = base.withColumn("_b0", lsh_bucket(F.col("_v"), planes))
+        probes = [F.col("_b0")]
+        if multiprobe_bits >= 1:
+            probes += [F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        a = bucketed.withColumn("_bucket", F.explode(F.array(*probes))).select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+        )
+        b = bucketed.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+            F.col("_b0").alias("_bucket"),
+        )
+        pairs = (
+            a.join(b, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sim = cosine_double(F.col("_va"), F.col("_vb"))
+    else:
+        raise ValueError(f"unknown cosine_near_dups mode {mode!r}")
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

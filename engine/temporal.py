@@ -190,3 +190,35 @@ def ref_tree(refs: DataFrame, geoms: DataFrame, drop_rootless: bool = True) -> D
             F.coalesce(F.col("parents"), empty_parents).alias("parents"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    previous event for the same key exceeds `gap_minutes`. Pure window math
+    (lag + cumulative sum of session starts) — one shuffle on `key`, no state
+    store, no per-row Python; the batch twin of streaming session windows.
+
+    Returns one row per input row with (session_idx, is_session_start) attached;
+    session_idx is 1-based per key in time order. Deterministic under ties via
+    `order_tiebreak` (defaults to the first non-key/ts column if None -> ts only)."""
+    order_cols = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(ts).cast("timestamp"))).over(w)
+    is_start = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts).cast("timestamp")) - prev) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn("is_session_start", is_start).withColumn(
+        "session_idx",
+        F.sum("is_session_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
