@@ -700,7 +700,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 200
     )
-    out = textops.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+    out = textops.ngram_jaccard_pairs_indexed(
+        docs, "doc_id", "text", ngram=3, threshold=0.2
+    )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

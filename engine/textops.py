@@ -187,6 +187,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_indexed(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted shingle index — same output as
+    ngram_jaccard_pairs but with NO cross join: explode distinct shingles,
+    equi-join the index with itself on the shingle hash (candidate pairs share
+    >=1 shingle — any pair with jaccard > 0 appears), count shared shingles per
+    pair (= intersection), derive the union from per-doc set sizes.
+
+    This is the plan that survives scale-up: shuffle volume is the posting-list
+    volume (sum of pair-counts per shingle), not n^2. Pathologically hot
+    shingles behave like hot cells — AQE skew-join applies to the self-join;
+    threshold > 0 guarantees every emitted pair shares a shingle, so no
+    candidates are lost vs brute force."""
+    if threshold <= 0:
+        # jaccard == 0 pairs (disjoint sets) never co-occur in the index;
+        # brute force is the only exact plan for threshold <= 0
+        return ngram_jaccard_pairs(df, id_col, text_col, ngram, threshold)
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram)).alias("_sh"),
+    ).persist()
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    posts = sh.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", F.xxhash64("_g").alias("_gh")
+    )
+    l, r = posts.alias("l"), posts.alias("r")
+    inter = (
+        l.join(r, (F.col("l._gh") == F.col("r._gh")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # parity with the brute-force semantics: two EMPTY shingle sets have
+    # union == 0 -> jaccard defined as 1.0 (ngram_jaccard_pairs's otherwise arm)
+    empt = sizes.filter(F.col("_n") == 0).select("_id")
+    ea, eb = empt.alias("ea"), empt.alias("eb")
+    empty_pairs = (
+        ea.join(eb, F.col("ea._id") < F.col("eb._id"))
+        .select(
+            F.col("ea._id").alias("id_a"),
+            F.col("eb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return out.unionByName(empty_pairs)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

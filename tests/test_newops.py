@@ -99,3 +99,25 @@ def test_cosine_near_dups_lsh_recall(spark):
     a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
     assert a <= e  # LSH path never invents pairs (same exact verify filter)
     assert len(a) / max(1, len(e)) >= 0.9  # tight-threshold dups share buckets
+
+
+def test_ngram_jaccard_indexed_matches_brute_force(spark):
+    from engine import textops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document with other words entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short one"),          # < 3 tokens: empty shingle set
+        (6, "tiny"),               # empty shingle set
+        (7, "the quick brown fox leaps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bf = textops.ngram_jaccard_pairs(df, "doc_id", "text", ngram=3, threshold=0.3)
+    ix = textops.ngram_jaccard_pairs_indexed(df, "doc_id", "text", ngram=3,
+                                             threshold=0.3)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+    assert sorted(map(key, bf.collect())) == sorted(map(key, ix.collect()))
+    # the empty-empty pair (5, 6) must appear with jaccard 1.0 in both
+    assert (5, 6, 1.0) in set(map(key, ix.collect()))
