@@ -121,6 +121,31 @@ def _subprocess_flagship(cores: int, n_images: int, shuffle: int,
     raise RuntimeError(f"flagship subprocess failed: {out.stderr[-500:]}")
 
 
+def _host_snapshot() -> dict:
+    """CPU-accounting snapshot for noise transparency: this sandbox VM exhibits
+    ~4x run-to-run variance (noisy neighbors / steal); recording steal%/sys%
+    alongside the numbers lets a reader judge whether a bad number is the
+    engine or the host."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = list(map(int, parts[:8]))
+    return {
+        "user": vals[0], "nice": vals[1], "system": vals[2], "idle": vals[3],
+        "iowait": vals[4], "irq": vals[5], "softirq": vals[6], "steal": vals[7],
+    }
+
+
+def _host_delta(a: dict, b: dict) -> dict:
+    tot = sum(b.values()) - sum(a.values())
+    if tot <= 0:
+        return {}
+    return {
+        "steal_pct": round(100 * (b["steal"] - a["steal"]) / tot, 1),
+        "sys_pct": round(100 * (b["system"] - a["system"]) / tot, 1),
+        "idle_pct": round(100 * (b["idle"] - a["idle"]) / tot, 1),
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--_flagship":
         cores, n, shuffle = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
@@ -134,6 +159,8 @@ def main() -> None:
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    host0 = _host_snapshot()
+    load1_start = os.getloadavg()[0]
 
     # --- flagship at full parallelism -------------------------------------
     t_full, _ = _flagship_elapsed(cpus, n_images, shuffle_parts=cpus)
@@ -162,14 +189,28 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", str(max(n_images, 16_000_000)))
         )
         if mode == "local-cluster":
-            t_small = _subprocess_flagship(cores_per, n_scaling, cores_per, 1)
-            t_large = _subprocess_flagship(cores_per, n_scaling, 4 * cores_per, 4)
+            # interleaved A/B trials, min per config: interference only ADDS
+            # time, and alternating means a noisy window cannot penalize one
+            # config systematically (the failure mode of a single-shot compare)
+            trials = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIALS", "2"))
+            ts_small, ts_large = [], []
+            for _ in range(trials):
+                ts_small.append(_subprocess_flagship(cores_per, n_scaling, cores_per, 1))
+                ts_large.append(
+                    _subprocess_flagship(cores_per, n_scaling, 4 * cores_per, 4)
+                )
+            t_small, t_large = min(ts_small), min(ts_large)
             small, large = cores_per, 4 * cores_per
+            scaling_trials = {
+                "small_s": [round(t, 2) for t in ts_small],
+                "large_s": [round(t, 2) for t in ts_large],
+            }
         else:
             small, large = max(2, cpus // 4), cpus
             n_scaling = n_images
             t_small, _ = _flagship_elapsed(small, n_images, shuffle_parts=small)
             t_large = t_full
+            scaling_trials = {}
         thr_small = n_scaling / t_small
         thr_large = n_scaling / t_large
         eff = (thr_large / thr_small) / (large / small)
@@ -182,6 +223,7 @@ def main() -> None:
                     "throughput_small": round(thr_small, 1),
                     "throughput_large": round(thr_large, 1),
                     "efficiency": round(eff, 3),
+                    **({"trials": scaling_trials} if scaling_trials else {}),
                 }
             }
         )
@@ -217,6 +259,10 @@ def main() -> None:
     finally:
         spark.stop()
     result["queries"] = queries
+    result["host"] = {
+        **_host_delta(host0, _host_snapshot()),
+        "load1_at_start": round(load1_start, 2),
+    }
 
     print(json.dumps(result))
 

@@ -75,3 +75,121 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("session_start_us", T.LongType(), False),
+        T.StructField("session_end_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key: str = "image_id",
+    ts: str = "event_time",
+    gap_minutes: int = 30,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization with per-key state carried across micro-batches — the
+    streaming twin of engine.temporal.sessionize.
+
+    Emits one row per CLOSED session (a session closes when a later event for
+    the same key arrives more than `gap_minutes` after its last event); the
+    open tail session stays in the state store. State per key is three int64s —
+    bounded regardless of stream length. Arrow-batched: the kernel sees pandas
+    frames, never per-row Python."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key_t, pdfs, state: GroupState):
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                (pdf[ts].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_us:
+                closed.append((key_t[0], start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["key", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    return (
+        stream.selectExpr(f"{key} AS key", f"{ts} AS {ts}")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def write_stream_to_table(
+    stream: DataFrame,
+    location: str,
+    range_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming sink into an iceberg_lite table via foreachBatch with IDEMPOTENT
+    batch commits: each micro-batch id is recorded as a completed work unit in
+    the table's checkpoint lineage, so a batch replayed after a failure (the
+    foreachBatch at-least-once contract) is skipped instead of double-appended —
+    effectively exactly-once table contents. Returns the StreamingQuery."""
+    import tempfile
+
+    from . import iceberg_lite
+
+    table = iceberg_lite.Table(location)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch-{batch_id}"
+        if unit not in table.pending_units("__stream__", [unit]):
+            return  # replay of an already-committed batch
+        before = table.row_count() if table.current_snapshot_id() >= 0 else 0
+        sid = table.append(batch_df, range_cols=range_cols)
+        table.checkpoint_unit_done(
+            "__stream__", unit, sid,
+            metrics={"rows": table.row_count(sid) - before},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="stream_ckpt_"),
+        )
+        .start()
+    )
