@@ -266,6 +266,7 @@ def pip_join(
     exact: bool = True,
     refine_impl: str = "native",
     assume_convex: bool = True,
+    max_cells: int = 1024,
 ) -> DataFrame:
     """Point-in-polygon join: returns `points` columns + poly_id for every
     (point, polygon) containment pair.
@@ -285,7 +286,7 @@ def pip_join(
       for polygon sets too large to carry rings through the join).
     """
     cover = polygon_cover(
-        polygons, res_min, res_max,
+        polygons, res_min, res_max, max_cells=max_cells,
         classify_interior=assume_convex and exact,
         attach_rings=exact and refine_impl == "native",
     )

@@ -17,7 +17,7 @@ def get_spark(
     app_name: str = "spark-graft-engine",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_mem: str = "48g",
+    driver_mem: str = "8g",
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build a local SparkSession tuned for this engine.
@@ -27,6 +27,10 @@ def get_spark(
     - Arrow on — all custom kernels are pandas/Arrow UDFs (no per-row Python).
     - UTC session timezone — required for DuckDB-oracle comparison.
     - Small Arrow batches — image rows carry MB-scale binary columns.
+    - Modest default heap: this sandbox's hypervisor makes first-touch pages
+      expensive (measured: the SAME 8M-image job takes 5.1s with an 8g heap and
+      66s with a 48g heap at local[32] — GC region scans over a huge fresh heap
+      turn into page-fault storms). Size the heap to the job, not the box.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
