@@ -255,6 +255,28 @@ def collect_poly_rings(polygons: DataFrame) -> dict[int, tuple[np.ndarray, np.nd
     }
 
 
+def build_pip_cover(
+    polygons: DataFrame,
+    res_min: int = 7,
+    res_max: int = 11,
+    max_cells: int = 1024,
+    exact: bool = True,
+    refine_impl: str = "native",
+    assume_convex: bool = True,
+) -> DataFrame:
+    """Build (and materialize) the cover relation for pip_join once, so callers
+    that join MANY point partitions against the SAME polygons (e.g. the
+    checkpointed pipeline's per-unit loop, jobs/run_pipeline.py) pay the
+    driver-side cover build a single time and every per-unit job broadcasts a
+    cached parquet scan instead of re-deriving the cover."""
+    cover = polygon_cover(
+        polygons, res_min, res_max, max_cells=max_cells,
+        classify_interior=assume_convex and exact,
+        attach_rings=exact and refine_impl == "native",
+    )
+    return _materialize_if_large(cover)
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -267,6 +289,7 @@ def pip_join(
     refine_impl: str = "native",
     assume_convex: bool = True,
     max_cells: int = 1024,
+    cover: DataFrame | None = None,
 ) -> DataFrame:
     """Point-in-polygon join: returns `points` columns + poly_id for every
     (point, polygon) containment pair.
@@ -285,12 +308,11 @@ def pip_join(
     - refine_impl="pandas_udf": Arrow-batched numpy ray-cast (kept for parity and
       for polygon sets too large to carry rings through the join).
     """
-    cover = polygon_cover(
-        polygons, res_min, res_max, max_cells=max_cells,
-        classify_interior=assume_convex and exact,
-        attach_rings=exact and refine_impl == "native",
-    )
-    cover = _materialize_if_large(cover)
+    if cover is None:
+        cover = build_pip_cover(
+            polygons, res_min, res_max, max_cells=max_cells,
+            exact=exact, refine_impl=refine_impl, assume_convex=assume_convex,
+        )
     # Single scan of the point side: explode each point's (res, cell) only for the
     # resolutions the cover actually uses (usually 1-3 of the res_min..res_max
     # range), one equi-join on (res, cell). (A union of per-res joins would scan

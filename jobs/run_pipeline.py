@@ -77,6 +77,10 @@ def main() -> None:
             pts, "cell", res=args.res, hot_threshold=args.split_hot, split_steps=2
         )
     polys = synth.polygons_df(spark, p=args.polygons, hot_frac=0.1, radius_scale=2.0)
+    # cover built ONCE for the whole run: each per-unit job broadcasts the same
+    # materialized relation instead of re-deriving it (units x cover-build was
+    # pure serial driver cost)
+    cover = joins.build_pip_cover(polys)
 
     # work units: longitude stripes of the res-grid (prefix ranges of ix)
     n = 2**args.res
@@ -95,7 +99,7 @@ def main() -> None:
         part = pts.filter((F.col("unit_ix") >= lo) & (F.col("unit_ix") < hi)).drop(
             "unit_ix"
         )
-        joined = joins.pip_join(part, polys)
+        joined = joins.pip_join(part, polys, cover=cover)
         result = joined.groupBy("cell", "poly_id").agg(
             F.count("*").alias("n_images"),
             F.min("lon").alias("min_lon"),
