@@ -698,10 +698,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import textops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") < 200
+        F.col("doc_id") < 500
     )
     out = textops.ngram_jaccard_pairs_indexed(
-        docs, "doc_id", "text", ngram=3, threshold=0.2
+        docs, "doc_id", "text", ngram=3, threshold=0.05
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1153,7 +1153,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS toks
-              FROM documents WHERE doc_id < 200
+              FROM documents WHERE doc_id < 500
             ), sh AS (
               SELECT doc_id,
                      CASE WHEN len(toks) >= 3
@@ -1174,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS jaccard_e3
             FROM p
             WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END)
-                  >= 0.2
+                  >= 0.05
         """,
         "cosine_neardup": """
             WITH a AS (
