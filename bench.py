@@ -248,6 +248,8 @@ def main() -> None:
         "cell_encode", "cell_rollup", "rollup_chain", "pip_rect", "tile_assign",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "token_stats", "cosine_topk", "knn",
+        "sessionize", "window_range", "semi_anti_join", "cosine_neardup",
+        "ngram_jaccard",
     ]
     all_queries = entry_mod.queries()
     if os.environ.get("SPARK_GRAFT_BENCH_ALL_QUERIES", "0") != "1":
