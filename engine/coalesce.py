@@ -59,3 +59,105 @@ def coalesce_changes(changes: DataFrame) -> DataFrame:
             F.col("_first.depth").alias("depth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dateline-aware bbox union — the reference declares these cases and leaves
+# them unimplemented (Bbox.scala:3 "TODO: Handle meridian"; the three ignored
+# specs at BboxTest.scala:14-24 are empty placeholders). The engine DEFINES the
+# semantics and promotes the specs to real tests (SURVEY.md §5 item 1):
+#
+#   A bbox whose lon interval crosses the dateline is represented with
+#   min.lon > max.lon (the interval runs east from min.lon through +/-180 to
+#   max.lon). Union picks the MINIMAL-width covering interval on the lon
+#   circle; latitude unions component-wise as before. Ties between equal-width
+#   candidates resolve to the one starting at the first box's min.lon.
+# ---------------------------------------------------------------------------
+def _lon_width(lo, hi):
+    """Width of the circle interval running east from lo to hi (Column math)."""
+    return F.pmod(hi - lo, F.lit(360.0))
+
+
+def bbox_union_wrap(b1, b2):
+    """Column: dateline-aware union of two bbox structs
+    (struct<min:struct<lon,lat>, max:struct<lon,lat>>, wrapped iff
+    min.lon > max.lon). Minimal covering interval of the two lon arcs:
+    candidate A extends b1's arc east to cover b2; candidate B extends b2's arc
+    east to cover b1; the narrower wins. Width >= 360 degenerates to the full
+    [-180, 180] range."""
+    a1, h1 = b1.getField("min").getField("lon"), b1.getField("max").getField("lon")
+    a2, h2 = b2.getField("min").getField("lon"), b2.getField("max").getField("lon")
+    w1, w2 = _lon_width(a1, h1), _lon_width(a2, h2)
+    wa = F.greatest(w1, _lon_width(a1, a2) + w2)  # start a1, cover through b2
+    wb = F.greatest(w2, _lon_width(a2, a1) + w1)  # start a2, cover through b1
+    full = (wa >= 360.0) & (wb >= 360.0)
+    start = F.when(wa <= wb, a1).otherwise(a2)
+    width = F.least(wa, wb)
+    # normalize end into [-180, 180] (ending exactly at +180 stays +180)
+    end_raw = start + width
+    end = F.when(end_raw > 180.0, end_raw - 360.0).otherwise(end_raw)
+    lo_lat = F.least(
+        b1.getField("min").getField("lat"), b2.getField("min").getField("lat")
+    )
+    hi_lat = F.greatest(
+        b1.getField("max").getField("lat"), b2.getField("max").getField("lat")
+    )
+    return F.struct(
+        F.struct(
+            F.when(full, F.lit(-180.0)).otherwise(start).alias("lon"),
+            lo_lat.alias("lat"),
+        ).alias("min"),
+        F.struct(
+            F.when(full, F.lit(180.0)).otherwise(end).alias("lon"),
+            hi_lat.alias("lat"),
+        ).alias("max"),
+    )
+
+
+def wrap_bbox_agg(df: DataFrame, group_cols: list[str], lon_col: str = "lon",
+                  lat_col: str = "lat") -> DataFrame:
+    """Dateline-aware bbox aggregate over POINTS per group: the minimal covering
+    lon arc is 360 minus the largest gap between circularly-consecutive
+    longitudes — computed with sort_array + an adjacent-diff HOF, no Python.
+    Groups are per-feature (bounded), so the collect_list is bounded too.
+    Returns group_cols + bbox struct (wrapped iff min.lon > max.lon)."""
+    lons = F.sort_array(F.collect_list(lon_col))
+    agg = df.groupBy(*group_cols).agg(
+        lons.alias("_lons"),
+        F.min(lat_col).alias("_lo_lat"),
+        F.max(lat_col).alias("_hi_lat"),
+    )
+    n = F.size(F.col("_lons"))
+    # gaps between consecutive sorted lons + the wrap-around gap last->first
+    gaps = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i < n,
+            F.element_at(F.col("_lons"), i + 1) - F.element_at(F.col("_lons"), i),
+        ).otherwise(
+            F.element_at(F.col("_lons"), 1) - F.element_at(F.col("_lons"), n) + 360.0
+        ),
+    )
+    max_gap = F.array_max(gaps)
+    # the covering arc starts at the lon AFTER the max gap
+    gap_idx = F.array_position(gaps, max_gap)
+    start = F.when(gap_idx == n.cast("bigint"), F.element_at(F.col("_lons"), 1)).otherwise(
+        F.element_at(F.col("_lons"), gap_idx.cast("int") + 1)
+    )
+    end = F.when(gap_idx == n.cast("bigint"), F.element_at(F.col("_lons"), n)).otherwise(
+        F.element_at(F.col("_lons"), gap_idx.cast("int"))
+    )
+    single = n == 1
+    return agg.select(
+        *group_cols,
+        F.struct(
+            F.struct(
+                F.when(single, F.element_at(F.col("_lons"), 1)).otherwise(start).alias("lon"),
+                F.col("_lo_lat").alias("lat"),
+            ).alias("min"),
+            F.struct(
+                F.when(single, F.element_at(F.col("_lons"), 1)).otherwise(end).alias("lon"),
+                F.col("_hi_lat").alias("lat"),
+            ).alias("max"),
+        ).alias("bbox"),
+    )
