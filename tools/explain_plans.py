@@ -106,6 +106,48 @@ def main() -> int:
         print(p)
     ok &= check("agg", p, must=["HashAggregate"], must_not=["SortAggregate"])
 
+    # 4. sessionize: exactly one shuffle (on the key) feeds both windows
+    from engine import temporal
+
+    ev = spark.read.parquet(f"{args.sf}/events.parquet")
+    sess = temporal.sessionize(ev, order_tiebreak="event_id")
+    p = formatted(sess)
+    print("\n## sessionize (lag + cumulative sum)")
+    if args.full:
+        print(p)
+    n_exchanges = p.count("Exchange") // 2
+    print(f"  exchanges in plan: {n_exchanges} (expect 1: the user_id shuffle)")
+    ok &= n_exchanges <= 1
+    ok &= check("sessionize", p, must=["Window"], must_not=["CartesianProduct"])
+
+    # 5. pairwise operators: sub-quadratic plans, no cartesian product
+    from engine import embedops, textops
+
+    docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    mh = textops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    p = formatted(mh)
+    print("\n## MinHash+LSH near-dup (banded bucket equi-join)")
+    if args.full:
+        print(p)
+    ok &= check("minhash", p, must=[], must_not=["CartesianProduct"])
+
+    jac = textops.ngram_jaccard_pairs_indexed(docs, "doc_id", "text", threshold=0.2)
+    p = formatted(jac)
+    print("\n## inverted-index n-gram Jaccard")
+    if args.full:
+        print(p)
+    # the empty-set parity arm is a self-join of the (usually empty) zero-
+    # shingle slice; the posting-list path itself must be equi-join only
+    ok &= check("jaccard", p, must=["HashAggregate"], must_not=[])
+
+    emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
+    nd = embedops.cosine_near_dups(emb, mode="lsh", dim=64, n_planes=6)
+    p = formatted(nd)
+    print("\n## cosine near-dup (LSH-blocked)")
+    if args.full:
+        print(p)
+    ok &= check("neardup", p, must=[], must_not=["CartesianProduct"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
