@@ -82,3 +82,66 @@ def test_wrap_bbox_agg_single_point(spark):
     assert (b["min"]["lon"], b["max"]["lon"], b["min"]["lat"], b["max"]["lat"]) == (
         5.0, 5.0, 6.0, 6.0
     )
+
+
+def test_wrap_union_properties(spark):
+    """Property sweep (deterministic grid, no hypothesis-Spark session churn):
+    for arcs on a discretized circle, the union (a) contains both inputs and
+    (b) is minimal among covering intervals — checked against a brute-force
+    scan of all candidate covers."""
+    import itertools
+
+    def contains(lo, hi, x):
+        w = (hi - lo) % 360.0
+        return (x - lo) % 360.0 <= w + 1e-9
+
+    def width(lo, hi):
+        return (hi - lo) % 360.0
+
+    # build all test pairs first, evaluate in ONE Spark job
+    starts = [-170.0, -60.0, 0.0, 60.0, 170.0]
+    widths = [10.0, 90.0, 170.0, 250.0]
+    cases = []
+    for (a1, w1), (a2, w2) in itertools.product(
+        itertools.product(starts, widths), repeat=2
+    ):
+        h1 = ((a1 + w1 + 180.0) % 360.0) - 180.0
+        h2 = ((a2 + w2 + 180.0) % 360.0) - 180.0
+        cases.append((a1, h1, a2, h2, w1, w2))
+
+    df = spark.createDataFrame(
+        [(i, c[0], c[1], c[2], c[3]) for i, c in enumerate(cases)],
+        "i long, a1 double, h1 double, a2 double, h2 double",
+    )
+    b1 = F.struct(
+        F.struct(F.col("a1").alias("lon"), F.lit(0.0).alias("lat")).alias("min"),
+        F.struct(F.col("h1").alias("lon"), F.lit(0.0).alias("lat")).alias("max"),
+    )
+    b2 = F.struct(
+        F.struct(F.col("a2").alias("lon"), F.lit(0.0).alias("lat")).alias("min"),
+        F.struct(F.col("h2").alias("lon"), F.lit(0.0).alias("lat")).alias("max"),
+    )
+    got = {
+        r["i"]: (r["u"]["min"]["lon"], r["u"]["max"]["lon"])
+        for r in df.select("i", coalesce.bbox_union_wrap(b1, b2).alias("u")).collect()
+    }
+    for i, (a1, h1, a2, h2, w1, w2) in enumerate(cases):
+        lo, hi = got[i]
+        full = lo == -180.0 and hi == 180.0
+        # containment of both input arcs' endpoints (sufficient for arcs given
+        # the output is a single interval that also contains each start)
+        for x in (a1, h1, a2, h2):
+            assert full or contains(lo, hi, x), (i, (a1, h1), (a2, h2), (lo, hi))
+        # minimality: brute force over every integer start position — the
+        # narrowest interval covering BOTH ARCS (interval containment, not
+        # just endpoints: arc [a,h] fits in [s, s+cov] iff (a-s)%360 + w(a,h)
+        # <= cov)
+        wu = width(lo, hi) if not full else 360.0
+        best = 360.0
+        for s_deg in range(-180, 180):
+            need = max(
+                (a1 - s_deg) % 360.0 + width(a1, h1),
+                (a2 - s_deg) % 360.0 + width(a2, h2),
+            )
+            best = min(best, need)
+        assert wu <= best + 1e-9, f"case {i}: got width {wu}, minimal {best}"
