@@ -811,6 +811,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: exact dedup (keep min doc_id per
+    content) -> quality gate (>= 20 tokens, digit ratio < 30%) -> language
+    filter (en/de only) -> per-lang selection stats. The end-to-end selection
+    query a 100 TB training pipeline runs; every stage is a Column expression
+    over one scan + one dedup shuffle."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textops.quality_score(F.col("text"))
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.md5("text").alias("fp"),
+        q.getField("n_tokens").alias("n_tokens"),
+        q.getField("digit_ratio_e3").alias("digit_ratio_e3"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter((F.col("n_tokens") >= 20) & (F.col("digit_ratio_e3") < 300))
+        .filter(F.col("lang").isin("en", "de"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def q_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count surface: exact count_distinct per resolution (the
+    approx_count_distinct sketch swaps in at scale — same plan shape, one
+    pass; exactness here keeps the oracle check meaningful)."""
+    pts = _docs_points(spark, sf_dir)
+    frames = []
+    for res in (7, 9, 11):
+        frames.append(
+            pts.select(cells.grid_encode_phash(F.col("phash"), res).alias("cell"))
+            .agg(
+                F.lit(res).cast("long").alias("res"),
+                F.count_distinct("cell").alias("n_cells"),
+                F.count("*").alias("n_points"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, frames)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pack_feature_id": q_pack_feature_id,
@@ -855,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "window_range": q_window_range,
         "multimodal_features": q_multimodal_features,
+        "curation": q_curation,
+        "distinct_cells": q_distinct_cells,
     }
 
 
@@ -1238,6 +1292,36 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                      AS trail_cents
             FROM events
+        """,
+        "curation": """
+            WITH scored AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, md5(text) AS fp,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN FLOOR((length(text) -
+                               length(regexp_replace(text, '[0-9]', '', 'g')))
+                               * 1000.0 / length(text)) ELSE 0 END AS digit_ratio_e3
+              FROM documents
+            ), kept AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM scored
+              ) WHERE rn = 1 AND n_tokens >= 20 AND digit_ratio_e3 < 300
+                AND lang IN ('en', 'de')
+            )
+            SELECT lang, COUNT(*) AS n_selected,
+                   SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+            FROM kept GROUP BY lang
+        """,
+        "distinct_cells": f"""
+            SELECT CAST(7 AS BIGINT) AS res, COUNT(DISTINCT (7 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 33554432) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 16777216))) AS n_cells,
+                   COUNT(*) AS n_points FROM documents
+            UNION ALL
+            SELECT CAST(9 AS BIGINT), COUNT(DISTINCT (9 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 8388608) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 4194304))), COUNT(*) FROM documents
+            UNION ALL
+            SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
         """,
         "stopword_ratio": """
             SELECT lang,
