@@ -34,9 +34,15 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = SparkSession.builder
+    # under spark-submit the gateway JVM already carries --master (and
+    # PythonRunner exports PYSPARK_GATEWAY_PORT); setting master here would
+    # silently override the CLI — e.g. turn a local-cluster[4,4] submit back
+    # into single-JVM local[32]. Respect the launcher.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
