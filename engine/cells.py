@@ -486,3 +486,64 @@ def s2_encode_udf(level: int):
         return pd.Series(np_s2_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level))
 
     return _enc
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) keys — storage clustering for the tiling engine
+# ---------------------------------------------------------------------------
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_bits_col(v: Column) -> Column:
+    """Column twin of _spread_bits: interleave zeros between the low 28 bits."""
+    for shift, mask in _SPREAD_MASKS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def grid_morton(cell: Column) -> Column:
+    """Z-order key of a grid cell: res in the high bits (so mixed-resolution
+    tables stay grouped by level), ix/iy bit-interleaved below. Key property:
+    any quadtree-aligned block (all descendants of one coarser cell) is ONE
+    CONTIGUOUS morton range — so range-partitioned files carry tight
+    non-overlapping spatial extents in their manifests and bbox-ish queries
+    prune files from metadata alone (iceberg_lite.Table.read(prune=...))."""
+    zx = _spread_bits_col(grid_ix(cell))
+    zy = _spread_bits_col(grid_iy(cell))
+    return grid_res(cell) * F.lit(_RES_SHIFT) + zx.bitwiseOR(F.shiftleft(zy, 1))
+
+
+def np_grid_morton(cell: np.ndarray) -> np.ndarray:
+    """numpy mirror of grid_morton (test oracle)."""
+    res = (cell // _RES_SHIFT).astype(np.int64)
+    ix = ((cell % _RES_SHIFT) // _IX_SHIFT).astype(np.uint64)
+    iy = (cell % _IX_SHIFT).astype(np.uint64)
+    return (res * _RES_SHIFT + (_spread_bits(ix) | (_spread_bits(iy) << np.uint64(1))).astype(np.int64))
+
+
+def morton_block_range(block_cell: int, target_res: int) -> tuple[int, int]:
+    """[lo, hi] morton-key range (inclusive) of every target_res descendant of
+    `block_cell` (a coarser grid cell). Because descendants of one quadtree
+    block are morton-contiguous, this single range drives file pruning."""
+    res = block_cell // _RES_SHIFT
+    steps = target_res - res
+    if steps < 0:
+        raise ValueError("target_res must be >= the block cell's res")
+    ix = (block_cell % _RES_SHIFT) // _IX_SHIFT
+    iy = block_cell % _IX_SHIFT
+
+    def spread(v: int) -> int:
+        for shift, mask in _SPREAD_MASKS:
+            v = (v | (v << shift)) & mask
+        return v
+
+    base = spread(ix << steps) | (spread(iy << steps) << 1)
+    width = 1 << (2 * steps)  # 4^steps descendants, contiguous
+    off = target_res * _RES_SHIFT
+    return off + base, off + base + width - 1

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--cell-splits", type=int, default=16,
                     help="number of cell-range work units (longitude stripes)")
     ap.add_argument("--hot-frac", type=float, default=0.2)
+    ap.add_argument("--cluster", choices=["cell", "morton"], default="cell",
+                    help="output clustering: 'cell' (lexicographic ix-major "
+                         "ranges) or 'morton' (Z-order; quadtree blocks map to "
+                         "single contiguous file ranges for metadata pruning)")
     ap.add_argument("--split-hot", type=int, default=0, metavar="THRESHOLD",
                     help="adaptive cell splitting: cells with more rows than "
                          "THRESHOLD are re-encoded 2 resolutions finer "
@@ -107,11 +111,17 @@ def main() -> None:
             F.min("lat").alias("min_lat"),
             F.max("lat").alias("max_lat"),
         )
-        # range-partition the output on cell prefix (north_rule): data files carry
-        # tight non-overlapping cell ranges in their manifests, so later reads
-        # prune by cell range from metadata alone
-        result = result.repartitionByRange(8, "cell")
-        sid = out.append(result, range_cols=["cell"])
+        # range-partition the output (north_rule): data files carry tight
+        # non-overlapping key ranges in their manifests, so later reads prune
+        # from metadata alone. 'morton' keys make quadtree-aligned spatial
+        # blocks single contiguous ranges (cells.morton_block_range).
+        if args.cluster == "morton":
+            result = result.withColumn("morton", cells.grid_morton(F.col("cell")))
+            result = result.repartitionByRange(8, "morton")
+            sid = out.append(result, range_cols=["cell", "morton"])
+        else:
+            result = result.repartitionByRange(8, "cell")
+            sid = out.append(result, range_cols=["cell"])
         m = metrics.partition_metrics(result, "cell")
         out.checkpoint_unit_done(
             args.run_id, unit, sid,
