@@ -811,6 +811,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization with per-key state across micro-batches
+    (engine.streaming.streaming_sessionize). Emits CLOSED sessions; equality
+    with the batch sessionizer is asserted in tests/test_streaming.py.
+    Streaming state is non-SQL-expressible: rows-only."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from engine import streaming
+
+    d = tempfile.mkdtemp(prefix="stream_sess_q_")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        for batch in range(3):
+            rows = [
+                (
+                    f"k{i % 7}",
+                    0,
+                    None,
+                    base + dt.timedelta(minutes=40 * batch + (i % 5)),
+                )
+                for i in range(35)
+            ]
+            spark.createDataFrame(
+                rows, schema=streaming.STREAM_IMAGES_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = streaming.read_image_stream(spark, d, max_files_per_trigger=1)
+        sess = streaming.streaming_sessionize(
+            stream, key="image_id", ts="event_time", gap_minutes=30
+        )
+        q = streaming.run_to_memory(sess, "q_streaming_sessionize",
+                                    output_mode="append")
+        try:
+            pdf = spark.sql(
+                "SELECT key, session_start_us, session_end_us, n_events "
+                "FROM q_streaming_sessionize"
+            ).toPandas()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            pdf,
+            schema="key string, session_start_us long, session_end_us long, "
+                   "n_events long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: exact dedup (keep min doc_id per
     content) -> quality gate (>= 20 tokens, digit ratio < 30%) -> language
@@ -909,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "curation": q_curation,
         "distinct_cells": q_distinct_cells,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
