@@ -98,3 +98,47 @@ def test_cell_to_tile_consistent_with_tile_assign(spark):
     )
     j = via_point.join(via_cell, "image_id")
     assert j.filter(F.col("tile_id") != F.col("tile_id2")).count() == 0
+
+
+def test_pip_join_nonconvex_exact(spark):
+    """assume_convex=False must be exact for ANY simple polygon: interior
+    classification and the SAT cull are skipped, every bbox-cover candidate
+    runs the ray cast. Fixture: a star (concave) and an L-shape, with points
+    placed in the concavities (where a convex treatment would differ)."""
+    import math
+
+    star_xs, star_ys = [], []
+    for i in range(10):
+        r = 20.0 if i % 2 == 0 else 7.0
+        a = math.pi * i / 5.0
+        star_xs.append(10.0 + r * math.cos(a))
+        star_ys.append(5.0 + r * math.sin(a))
+    lshape = ([-60.0, -40.0, -40.0, -50.0, -50.0, -60.0],
+              [-30.0, -30.0, -25.0, -25.0, -10.0, -10.0])
+    rings = {0: (np.array(star_xs), np.array(star_ys)),
+             1: (np.array(lshape[0]), np.array(lshape[1]))}
+
+    rows = []
+    for pid, (xs, ys) in rings.items():
+        for r in [
+            {"poly_id": pid,
+             "bbox": {"min": {"lon": float(xs.min()), "lat": float(ys.min())},
+                      "max": {"lon": float(xs.max()), "lat": float(ys.max())}},
+             "ring": [{"lon": float(a), "lat": float(b)} for a, b in zip(xs, ys)]}
+        ]:
+            rows.append(r)
+    polys = spark.createDataFrame(
+        rows,
+        schema="poly_id long, bbox struct<min:struct<lon:double,lat:double>,"
+               "max:struct<lon:double,lat:double>>, "
+               "ring array<struct<lon:double,lat:double>>",
+    )
+    # deterministic grid of probe points incl. concavity interiors
+    pts = [(f"p{i}", -70.0 + (i % 40) * 2.7, -35.0 + (i // 40) * 2.3)
+           for i in range(800)]
+    points = spark.createDataFrame(pts, "image_id string, lon double, lat double")
+    out = joins.pip_join(points, polys, assume_convex=False)
+    got = {(r["image_id"], r["poly_id"]) for r in out.collect()}
+    want = _brute_force_pairs(points.toPandas(), rings)
+    assert got == want
+    assert len(want) > 10  # star + L interiors actually hit
