@@ -123,6 +123,12 @@ def main() -> None:
             result = result.repartitionByRange(8, "cell")
             sid = out.append(result, range_cols=["cell"])
         m = metrics.partition_metrics(result, "cell")
+        # at-rest bytes for this unit from the manifest (no scan): the files
+        # added by snapshot `sid` relative to its parent
+        prev_files = {f["path"] for f in out.snapshot(sid - 1)["files"]} if sid > 0 else set()
+        new_files = [f for f in out.snapshot(sid)["files"] if f["path"] not in prev_files]
+        m["output_bytes"] = sum(f["bytes"] for f in new_files)
+        m["output_files"] = len(new_files)
         out.checkpoint_unit_done(
             args.run_id, unit, sid,
             metrics={"elapsed_sec": round(time.time() - t0, 2), **m},

@@ -112,3 +112,17 @@ def test_frame_sample_stub_plumbing(spark):
     r = multimodal.frame_sample(df).first()
     assert "NotImplementedError" in r["error"]
     assert r["media_id"] == "v1"
+
+
+def test_partition_byte_metrics(spark):
+    from engine import metrics
+
+    df = spark.createDataFrame(
+        [(i, "x" * (10 + i % 5), bytes(20)) for i in range(200)],
+        "id long, s string, b binary",
+    ).repartition(4)
+    m = metrics.partition_byte_metrics(df)
+    # 8 (long) + 10..14 (string) + 20 (binary) per row
+    per_row_min, per_row_max = 38, 42
+    assert 200 * per_row_min <= m["approx_bytes"] <= 200 * per_row_max
+    assert m["max_partition_bytes"] >= m["median_partition_bytes"] > 0
