@@ -253,7 +253,7 @@ def main() -> None:
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "token_stats", "cosine_topk", "knn",
         "sessionize", "window_range", "semi_anti_join", "cosine_neardup",
-        "ngram_jaccard",
+        "ngram_jaccard", "curation", "distinct_cells",
     ]
     all_queries = entry_mod.queries()
     if os.environ.get("SPARK_GRAFT_BENCH_ALL_QUERIES", "0") != "1":
