@@ -1003,10 +1003,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-                       AS sum_disc_e4,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_e4,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1051,7 +1052,8 @@ def oracle_sql() -> dict[str, str]:
         "coalesce_changes": """
             SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
                    COUNT(*) AS cnt,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
                    CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
                    CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
             FROM events GROUP BY user_id, event_type
@@ -1137,7 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
@@ -1162,8 +1164,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_surface": """
             SELECT n.n_name AS nation,
-                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                       AS BIGINT)) AS revenue_e4,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1243,10 +1245,12 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n
               FROM documents GROUP BY 1
             ), c10 AS (
-              SELECT {cells.grid_parent_sql('cell', 1)} AS cell, SUM(n) AS n
+              SELECT {cells.grid_parent_sql('cell', 1)} AS cell,
+                     CAST(SUM(n) AS BIGINT) AS n
               FROM c11 GROUP BY 1
             ), c9 AS (
-              SELECT {cells.grid_parent_sql('cell', 1)} AS cell, SUM(n) AS n
+              SELECT {cells.grid_parent_sql('cell', 1)} AS cell,
+                     CAST(SUM(n) AS BIGINT) AS n
               FROM c10 GROUP BY 1
             )
             SELECT cell, n, CAST(11 AS BIGINT) AS res FROM c11
@@ -1338,10 +1342,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    CAST(event_id AS BIGINT) AS event_id,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                     AS trail_cents
+                     AS BIGINT) AS trail_cents
             FROM events
         """,
         "curation": """
@@ -1362,7 +1366,7 @@ def oracle_sql() -> dict[str, str]:
                 AND lang IN ('en', 'de')
             )
             SELECT lang, COUNT(*) AS n_selected,
-                   SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+                   CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
             FROM kept GROUP BY lang
         """,
@@ -1376,11 +1380,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stopword_ratio": """
             SELECT lang,
-                   SUM(CAST(
+                   CAST(SUM(CAST(
                      (length(text) - length(replace(text, ' the ', ''))) / 5
                    + (length(text) - length(replace(text, ' and ', ''))) / 5
                    + (length(text) - length(replace(text, ' of ', ''))) / 4
-                   AS BIGINT)) AS stop_total,
+                   AS BIGINT)) AS BIGINT) AS stop_total,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,

@@ -31,11 +31,12 @@ def canonicalize(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols].copy()
 
+    # Strict, driver-style stringification: NO integer-float coercion. The
+    # external driver hashes "123.0" != "123", so a DuckDB HUGEINT->float64
+    # column must be caught here, not papered over (VERDICT r1 lesson).
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
-        if isinstance(v, float) and v.is_integer():
-            return str(int(v))
         return str(v)
 
     rows = ["\x1f".join(cell(v) for v in row) for row in pdf.itertuples(index=False)]
