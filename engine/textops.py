@@ -34,6 +34,43 @@ from pyspark.sql import types as T
 _MERSENNE = 2147483647  # 2^31 - 1
 
 
+# ---------------------------------------------------------------------------
+# cross-engine string hash
+# ---------------------------------------------------------------------------
+# xxhash64 is the production default (fastest JVM path) but has no DuckDB twin.
+# The "md5" impl takes the top 60 bits of md5 as a non-negative int64 —
+# bit-identical in Spark (conv(substring(md5(s),1,15),16,10)) and DuckDB
+# (('0x'||substr(md5(s),1,15))::BIGINT) — so operators built on it are
+# oracle-checkable end-to-end.
+def cross_hash(s: Column, impl: str = "xxhash64") -> Column:
+    if impl == "xxhash64":
+        return F.xxhash64(s)
+    if impl == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash impl {impl!r}")
+
+
+def cross_hash_sql(expr: str) -> str:
+    """DuckDB twin of cross_hash(impl='md5')."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# DuckDB twins of engine.textops.tokens / word_ngrams (list lambdas)
+def tokens_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    )
+
+
+def word_ngrams_sql(toks_expr: str, n: int = 3) -> str:
+    return (
+        f"(CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
 def tokens(text: Column, pattern: str = r"\s+") -> Column:
     """Lower-cased whitespace tokens (empty tokens filtered)."""
     return F.filter(F.split(F.lower(text), pattern), lambda t: t != "")
@@ -73,13 +110,18 @@ def _hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+def minhash_signature(
+    shingles: Column, n_hashes: int = 64, seed: int = 42, hash_impl: str = "xxhash64"
+) -> Column:
     """array<string> shingles -> array<long> of n_hashes minhash values.
 
-    h_i(s) = (a_i * (xxhash64(s) mod M) + b_i) mod M with M = 2^31-1; all int64
-    arithmetic stays below 2^62 (ANSI-safe). Empty shingle sets map to all-M
-    sentinels (never collide with real minima)."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    h_i(s) = (a_i * (H(s) mod M) + b_i) mod M with M = 2^31-1 and H = cross_hash
+    (xxhash64 default; 'md5' for the DuckDB-oracle twin); all int64 arithmetic
+    stays below 2^62 (ANSI-safe). Empty shingle sets map to all-M sentinels
+    (never collide with real minima)."""
+    base = F.transform(
+        shingles, lambda s: F.pmod(cross_hash(s, hash_impl), F.lit(_MERSENNE))
+    )
     sig = [
         F.coalesce(
             F.array_min(
@@ -109,10 +151,17 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle -> minhash -> band -> bucket
     equi-join -> exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
+
+    hash_impl='md5' makes the whole pipeline DuckDB-reproducible (see
+    minhash_lsh_pairs_sql): the shingle hash swaps to the md5-derived int64 and
+    the band bucket key becomes the concatenated signature slice itself (exact
+    — band-hash collisions cannot add candidates), so Spark output == oracle
+    output by construction, not just with high probability.
 
     Shuffles: one per band-explode groupBy join (a single equi-join on
     (band, band_hash)) + the verify join; candidate volume is bounded by bucket
@@ -123,24 +172,26 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("_id"),
         word_ngrams(tokens(F.col(text_col)), ngram).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed))
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes, seed, hash_impl))
+
+    def band_key(b):
+        concat = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # md5 mode: the slice string IS the key (exact, oracle-reproducible);
+        # xxhash64 mode: hash it down to 8 bytes (cheaper shuffle key)
+        return concat if hash_impl == "md5" else F.xxhash64(concat)
+
     banded = sh.select(
         "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bh")),
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -205,10 +256,13 @@ def ngram_jaccard_pairs_indexed(
         # jaccard == 0 pairs (disjoint sets) never co-occur in the index;
         # brute force is the only exact plan for threshold <= 0
         return ngram_jaccard_pairs(df, id_col, text_col, ngram, threshold)
+    # no explicit persist: the shingle projection is recomputed by its consumers
+    # (cheap scan + transform); a persist here leaked a cached relation per call
+    # for the lifetime of the session (bench loops call this repeatedly)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram)).alias("_sh"),
-    ).persist()
+    )
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     posts = sh.select("_id", F.explode("_sh").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("_gh")
@@ -248,27 +302,47 @@ def ngram_jaccard_pairs_indexed(
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
+def np_simhash_fold(lists: list) -> np.ndarray:
+    """Batch simhash fold, fully vectorized across rows: flatten every row's
+    token hashes, then ONE np.add.reduceat per bit-plane (64 passes over the
+    flat array — no per-row Python work beyond the unavoidable list unboxing).
+    bit j of the output = 1 iff (#tokens with bit j set) > (#tokens without)."""
+    n = len(lists)
+    out = np.zeros(n, dtype=np.uint64)
+    arrs = [
+        (i, np.asarray(hs, dtype=np.int64))
+        for i, hs in enumerate(lists)
+        if hs is not None and len(hs) > 0
+    ]
+    if not arrs:
+        return out.astype(np.int64)
+    idx = np.fromiter((i for i, _ in arrs), dtype=np.int64, count=len(arrs))
+    lens = np.fromiter((len(a) for _, a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate([a for _, a in arrs]).view(np.uint64)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ne = np.zeros(len(arrs), dtype=np.uint64)
+    for j in range(64):
+        bitj = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bitj, starts)
+        # votes = 2*ones - len > 0  <=>  2*ones > len
+        ne |= np.where(2 * ones > lens, np.uint64(1) << np.uint64(j), np.uint64(0))
+    out[idx] = ne
+    return out.astype(np.int64)
+
+
 @F.pandas_udf(T.LongType())
 def _simhash_fold(token_hashes: pd.Series) -> pd.Series:
-    """array<long> token hashes -> 64-bit simhash (numpy bit-count fold)."""
-    out = np.zeros(len(token_hashes), dtype=np.uint64)
-    for i, hs in enumerate(token_hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits(
-            (votes > 0).astype(np.uint8)[::-1]
-        ).view(">u8")[0]
-    return pd.Series(out.astype(np.int64))
+    """array<long> token hashes -> 64-bit simhash (vectorized batch fold)."""
+    return pd.Series(np_simhash_fold(list(token_hashes)))
 
 
-def simhash(text: Column) -> Column:
-    """64-bit simhash: JVM tokenization+hashing, Arrow-batched numpy bit fold."""
-    return _simhash_fold(F.transform(tokens(text), lambda t: F.xxhash64(t)))
+def simhash(text: Column, hash_impl: str = "xxhash64") -> Column:
+    """64-bit simhash: JVM tokenization+hashing, Arrow-batched numpy bit fold.
+    hash_impl='md5' uses the 60-bit cross-engine token hash (bits 60-63 then
+    always vote negative -> 0 in both engines), making the value DuckDB-
+    reproducible (simhash_sql)."""
+    return _simhash_fold(F.transform(tokens(text), lambda t: cross_hash(t, hash_impl)))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -277,12 +351,19 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on 4 x 16-bit chunks (a pair within Hamming
     distance <= 3 shares at least one exact chunk — pigeonhole), verify exact
-    Hamming. Equi-join on (chunk_idx, chunk_value): no n^2."""
-    s = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    Hamming. Equi-join on (chunk_idx, chunk_value): no n^2.
+
+    For max_hamming <= 3 the blocking is LOSSLESS (pigeonhole over 4 chunks), so
+    the output is exactly {pairs with hamming <= max_hamming} — which is what
+    simhash_near_dups_sql expresses directly for the oracle."""
+    s = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), hash_impl).alias("_sh")
+    )
     chunks = s.select(
         "_id",
         "_sh",
@@ -387,6 +468,119 @@ def token_count(text: Column, mode: str = "whitespace") -> Column:
     if mode == "bpe":
         return F.regexp_count(text, F.lit(_BPE_PATTERN)).cast("long")
     raise ValueError(f"unknown token_count mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (hash_impl='md5' paths)
+# ---------------------------------------------------------------------------
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_impl='md5'): candidate pairs are
+    exactly those sharing one band's signature slice (the md5-mode band key is
+    the slice itself, so no hash collisions), verified by exact Jaccard.
+    Emits (id_a, id_b, jaccard_e3) matching q_minhash_dedup's aliases."""
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    rpb = n_hashes // bands
+    sig_exprs = ",\n        ".join(
+        f"coalesce(list_min(list_transform(_base, h -> (h * {a} + {b}) % {_MERSENNE}))"
+        f", {_MERSENNE})"
+        for a, b in _hash_params(n_hashes, seed)
+    )
+    # MATERIALIZED + banded string-key equi-join: same plan shape as the Spark
+    # side (hash join on (band, slice-string)), NOT an OR-of-slices theta join
+    # (which DuckDB executes as a nested loop re-evaluating the sig CTE — ~100x
+    # slower).
+    return f"""
+        WITH t AS MATERIALIZED (
+          SELECT {id_col} AS _id,
+                 {word_ngrams_sql(tokens_sql(text_col), ngram)} AS _sh
+          FROM {table}
+        ), sig AS MATERIALIZED (
+          SELECT _id, [
+        {sig_exprs}
+          ] AS _sig FROM (
+            SELECT _id,
+                   list_transform(_sh, s -> {cross_hash_sql('s')} % {_MERSENNE})
+                     AS _base
+            FROM t
+          )
+        ), banded AS (
+          SELECT _id, r.i AS band,
+                 array_to_string(list_transform(
+                   list_slice(_sig, r.i * {rpb} + 1, (r.i + 1) * {rpb}),
+                   v -> CAST(v AS VARCHAR)), ',') AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS i) r
+        ), cand AS (
+          SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a._id < b._id
+        ), p AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(list_distinct(ta._sh), list_distinct(tb._sh)))
+                   AS inter,
+                 len(list_distinct(ta._sh)) + len(list_distinct(tb._sh))
+                   - len(list_intersect(list_distinct(ta._sh), list_distinct(tb._sh)))
+                   AS uni
+          FROM cand JOIN t ta ON cand.id_a = ta._id
+                    JOIN t tb ON cand.id_b = tb._id
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(FLOOR((CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+                           ELSE 1.0 END) * 1000) AS BIGINT) AS jaccard_e3
+        FROM p
+        WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END)
+              >= {threshold}
+    """
+
+
+def simhash_near_dups_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of simhash_near_dups(hash_impl='md5'). For max_hamming <= 3 the
+    4x16-bit chunk blocking is lossless (pigeonhole), so the Spark output is
+    exactly {pairs: hamming(simhash_a, simhash_b) <= max_hamming} — expressed
+    here directly. The md5 token hash is 60-bit, so only bit-planes 0..59 can
+    ever be set (both engines)."""
+    if max_hamming > 3:
+        raise ValueError("chunk blocking is only lossless for max_hamming <= 3")
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS _id, unnest({tokens_sql(text_col)}) AS t
+          FROM {table}
+        ), h AS (
+          SELECT _id, {cross_hash_sql('t')} AS hv FROM toks
+        ), v AS (
+          SELECT _id,
+        {votes}
+          FROM h GROUP BY _id
+        ), s0 AS (
+          SELECT _id, ({pack}) AS sh FROM v
+        ), s AS (
+          SELECT d._id, coalesce(s0.sh, 0) AS sh
+          FROM (SELECT {id_col} AS _id FROM {table}) d LEFT JOIN s0 USING (_id)
+        )
+        SELECT CAST(a._id AS BIGINT) AS id_a, CAST(b._id AS BIGINT) AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM s a JOIN s b
+          ON a._id < b._id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
 
 
 def fingerprint(text: Column, ngram: int = 3) -> Column:

@@ -71,6 +71,53 @@ def test_lsh_bucket_deterministic(spark, emb):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_gemm_kernel_parity_cosine_topk(spark, emb):
+    """The production gemm kernel (per-partition matmul + local top-k) returns
+    the same ranks as the deterministic HOF path."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = embedops.cosine_topk(queries, emb, k=5, kernel="hof").toPandas()
+    gemm = embedops.cosine_topk(
+        queries, emb.repartition(4), k=5, kernel="gemm"
+    ).toPandas()
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, hof[key].values.tolist())) == sorted(
+        map(tuple, gemm[key].values.tolist())
+    )
+
+
+def test_gemm_kernel_parity_lsh(spark, emb):
+    """gemm and hof kernels of lsh_ann_topk agree (same buckets, same ranks)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = embedops.lsh_ann_topk(
+        queries, emb, k=5, dim=64, n_planes=8, multiprobe_bits=2, kernel="hof"
+    ).toPandas()
+    gemm = embedops.lsh_ann_topk(
+        queries, emb, k=5, dim=64, n_planes=8, multiprobe_bits=2, kernel="gemm"
+    ).toPandas()
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, hof[key].values.tolist())) == sorted(
+        map(tuple, gemm[key].values.tolist())
+    )
+
+
+def test_lsh_max_probes_cap(spark, emb):
+    """max_probes bounds the probe fan-out; capped output ranks stay a coherent
+    top-k (self-probe first -> self always rank 1)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    capped = embedops.lsh_ann_topk(
+        queries, emb, k=3, dim=64, n_planes=8, multiprobe_bits=2,
+        kernel="gemm", max_probes=9,
+    )
+    top1 = capped.filter(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
 def test_ivf_ann_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
