@@ -1421,6 +1421,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
         """,
+        "s2_cells": f"""
+            SELECT s2_cell, COUNT(*) AS n_points
+            FROM ({cells.s2_encode_sql(lon, lat, 12, 'FROM documents')})
+            GROUP BY 1
+        """,
+        "hex_cells": f"""
+            SELECT hex_cell, COUNT(*) AS n_points
+            FROM ({cells.hex_encode_sql(lon, lat, 6, 'FROM documents')})
+            GROUP BY 1
+        """,
         "ann_lsh": embedops_sql_ann_lsh(),
         "ann_ivf": embedops_sql_ann_ivf(),
         "minhash_dedup": textops_sql_minhash(),

@@ -489,6 +489,120 @@ def s2_encode_udf(level: int):
 
 
 # ---------------------------------------------------------------------------
+# DuckDB oracle twins of the numpy encoders
+# ---------------------------------------------------------------------------
+# Both encoders are elementary double arithmetic + libm trig; numpy's float64
+# ufuncs and DuckDB's scalar functions resolve to the same libm on this
+# platform, and every expression below replicates the numpy op ORDER exactly,
+# so the encodes are bit-identical (validated by the oracle hash gate).
+_DEG2RAD = repr(np.pi / 180.0)  # numpy deg2rad multiplies by this constant
+
+
+def _round_half_even_sql(v: str) -> str:
+    """DuckDB twin of np.round (rint, half-to-even) — DuckDB's ROUND is
+    half-away-from-zero, so spell out the tie rule. v - FLOOR(v) is exact for
+    doubles (Sterbenz), so the 0.5 comparisons are exact."""
+    return (
+        f"(CASE WHEN ({v}) - FLOOR({v}) > 0.5 THEN FLOOR({v}) + 1 "
+        f"WHEN ({v}) - FLOOR({v}) < 0.5 THEN FLOOR({v}) "
+        f"WHEN CAST(FLOOR({v}) AS BIGINT) % 2 = 0 THEN FLOOR({v}) "
+        f"ELSE FLOOR({v}) + 1 END)"
+    )
+
+
+def hex_encode_sql(lon_expr: str, lat_expr: str, res: int, from_clause: str) -> str:
+    """SELECT fragment producing column `hex_cell` — the DuckDB twin of
+    np_hex_encode over rows of `from_clause` exposing lon/lat expressions."""
+    size = hex_size(res)
+    c_q = repr(_SQRT3 / 3.0)
+    c_l = repr(1.0 / 3.0)
+    c_r = repr(2.0 / 3.0)
+    return f"""
+        WITH _pt AS (SELECT {lon_expr} AS lon, {lat_expr} AS lat {from_clause}),
+        _ax AS (
+          SELECT ({c_q} * lon - {c_l} * lat) / {size!r} AS xq,
+                 ({c_r} * lat) / {size!r} AS zr
+          FROM _pt
+        ),
+        _cube AS (SELECT xq, zr, -xq - zr AS yy FROM _ax),
+        _rnd AS (
+          SELECT xq, zr, yy,
+                 {_round_half_even_sql('xq')} AS rx,
+                 {_round_half_even_sql('yy')} AS ry,
+                 {_round_half_even_sql('zr')} AS rz
+          FROM _cube
+        ),
+        _dif AS (
+          SELECT rx, ry, rz,
+                 abs(rx - xq) AS dx, abs(ry - yy) AS dy, abs(rz - zr) AS dz
+          FROM _rnd
+        ),
+        _fix AS (
+          SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS rx2,
+                 CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                      THEN -rx - ry ELSE rz END AS rz2
+          FROM _dif
+        )
+        SELECT {res} * {_HEX_RES_SHIFT}
+               + (CAST(rx2 AS BIGINT) + {_HEX_OFF}) * {_HEX_Q_SHIFT}
+               + (CAST(rz2 AS BIGINT) + {_HEX_OFF}) AS hex_cell
+        FROM _fix
+    """
+
+
+def s2_encode_sql(lon_expr: str, lat_expr: str, level: int, from_clause: str) -> str:
+    """SELECT fragment producing column `s2_cell` — the DuckDB twin of
+    np_s2_encode (cube-face selection + gnomonic-ish u/v + Morton interleave)."""
+    n = 1 << level
+    si_bits = " + ".join(
+        f"(((si >> {j}) & 1) << {2 * j})" for j in range(level)
+    ) or "0"
+    ti_bits = " + ".join(
+        f"(((ti >> {j}) & 1) << {2 * j + 1})" for j in range(level)
+    ) or "0"
+    return f"""
+        WITH _pt AS (SELECT {lon_expr} AS lon, {lat_expr} AS lat {from_clause}),
+        _xyz AS (
+          SELECT cos(lat * {_DEG2RAD}) * cos(lon * {_DEG2RAD}) AS x,
+                 cos(lat * {_DEG2RAD}) * sin(lon * {_DEG2RAD}) AS y,
+                 sin(lat * {_DEG2RAD}) AS z
+          FROM _pt
+        ),
+        _face AS (
+          SELECT x, y, z,
+                 CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                        THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                      WHEN abs(y) >= abs(z)
+                        THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                      ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                 END AS face
+          FROM _xyz
+        ),
+        _uv AS (
+          SELECT face,
+                 CASE face % 3 WHEN 0 THEN y / abs(x)
+                               WHEN 1 THEN z / abs(y)
+                               ELSE x / abs(z) END AS u,
+                 CASE face % 3 WHEN 0 THEN z / abs(x)
+                               WHEN 1 THEN x / abs(y)
+                               ELSE y / abs(z) END AS v
+          FROM _face
+        ),
+        _st AS (
+          SELECT face,
+                 CAST(GREATEST(0.0, LEAST({n - 1}.0, FLOOR((u + 1.0) / 2.0 * {n})))
+                      AS BIGINT) AS si,
+                 CAST(GREATEST(0.0, LEAST({n - 1}.0, FLOOR((v + 1.0) / 2.0 * {n})))
+                      AS BIGINT) AS ti
+          FROM _uv
+        )
+        SELECT face * {_S2_FACE_SHIFT} + {level} * {_S2_LEVEL_SHIFT}
+               + ({si_bits}) + ({ti_bits}) AS s2_cell
+        FROM _st
+    """
+
+
+# ---------------------------------------------------------------------------
 # Morton (Z-order) keys — storage clustering for the tiling engine
 # ---------------------------------------------------------------------------
 _SPREAD_MASKS = [
