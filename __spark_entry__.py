@@ -394,6 +394,101 @@ def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic OBJECT_VERSIONS-shaped history derived from lineitem with
+    pure Column math (every derivation has an ANSI-SQL twin): entity =
+    l_orderkey (node/way/relation by key mod 3), version = l_linenumber, tags a
+    2-4 key map with a conditional 'promo' key and a {type: multipolygon}
+    non-feature case, node coords from part/supp keys, way/relation children as
+    consecutive-ref MemberRef ranges. Exercises every change type of
+    engine.diff.first_order_changes (ChangeUtils.scala:21-55) while staying
+    DuckDB-reproducible — unlike the PRNG fixture behind change_pipeline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") < 2000
+    )
+    key = F.col("l_orderkey").cast("long")
+    m3 = key % 3
+    typ = F.when(m3 == 0, "node").when(m3 == 1, "way").otherwise("relation")
+    is_mp = ((key + F.col("l_linenumber")) % 37) == 0
+    promo = F.col("l_quantity") > 25
+    base_map = F.create_map(
+        F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus")
+    )
+    promo_map = F.create_map(
+        F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus"),
+        F.lit("promo"), F.lit("y"),
+    )
+    tags = F.when(
+        is_mp, F.create_map(F.lit("type"), F.lit("multipolygon"))
+    ).otherwise(F.when(promo, promo_map).otherwise(base_map))
+    is_node = m3 == 0
+    lon = F.when(is_node, (F.col("l_partkey") % 360 - 180).cast("double"))
+    lat = F.when(is_node, (F.col("l_suppkey") % 180 - 90).cast("double"))
+    ref_lo = F.col("l_suppkey").cast("long") % 100
+    ref_hi = ref_lo + F.col("l_partkey").cast("long") % 3
+    children = F.when(
+        ~is_node,
+        F.transform(
+            F.sequence(ref_lo, ref_hi),
+            lambda r: F.struct(
+                F.lit("node").alias("type"), r.alias("ref"), F.lit("").alias("role")
+            ),
+        ),
+    )
+    return li.select(
+        cells.pack_feature_id(key, typ).alias("id"),
+        F.col("l_linenumber").cast("int").alias("version"),
+        F.col("l_shipdate").alias("timestamp"),
+        (F.col("l_quantity") > 2).alias("visible"),
+        tags.alias("tags"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        children.alias("children"),
+        (F.col("l_suppkey").cast("long") % 50).alias("changeset"),
+    )
+
+
+def q_change_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/§2.6 hash-checked: engine.diff.first_order_changes (the flagship
+    pipeline's first stage, ChangeUtils.scala:21-55) over the Column-math
+    lineitem history — scalar projection (maps/bboxes stay internal) so the
+    full 10-type emitter logic is value-checked against the DuckDB twin."""
+    _ensure_utc(spark)
+    from engine import diff
+
+    out = diff.first_order_changes(_lineitem_history(spark, sf_dir))
+    return out.select(
+        F.col("featureID").cast("long").alias("featureID"),
+        F.col("changeType").cast("long").alias("changeType"),
+        F.col("count").cast("long").alias("cnt"),
+        _epoch_us(F.col("timestamp")).alias("ts_us"),
+        F.col("changeset").cast("long").alias("changeset"),
+        "save",
+        "propagate",
+    )
+
+
+def q_change_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 hash-checked on the real pipeline operator: changes_to_save ->
+    engine.coalesce.coalesce_changes (ChangeUtils.scala:93-104) over the same
+    derived history."""
+    _ensure_utc(spark)
+    from engine import coalesce, diff
+
+    fo = diff.changes_to_save(
+        diff.first_order_changes(_lineitem_history(spark, sf_dir))
+    )
+    co = coalesce.coalesce_changes(fo)
+    return co.select(
+        F.col("featureID").cast("long").alias("featureID"),
+        F.col("changeType").cast("long").alias("changeType"),
+        F.col("count").cast("long").alias("cnt"),
+        _epoch_us(F.col("timestamp")).alias("ts_us"),
+        F.col("changeset").cast("long").alias("changeset"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
 def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full change pipeline (first-order diff -> temporal parent tree -> bounded
     propagation -> coalesce) on the deterministic versioned-history fixture —
@@ -944,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
         "rollup_chain": q_rollup_chain,
+        "change_firstorder": q_change_firstorder,
+        "change_coalesce": q_change_coalesce,
         "change_pipeline": q_change_pipeline,
         "streaming_cells": q_streaming_cells,
         "cube_agg": q_cube_agg,
@@ -989,6 +1086,130 @@ def textops_sql_simhash() -> str:
     from engine import textops
 
     return textops.simhash_near_dups_sql("documents", "doc_id", "text", max_hamming=3)
+
+
+def change_firstorder_sql() -> str:
+    """DuckDB twin of q_change_firstorder. The derived history has a known tag
+    vocabulary {flag, status, promo, type}, so the map-HOF key-set diffs reduce
+    to per-key presence booleans; children are consecutive integer ref ranges,
+    so the array_except counts reduce to interval arithmetic. Change-type codes
+    follow engine.schema (CREATE 0 .. MEMBER_REMOVE 9)."""
+    return """
+        WITH hist AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS rawid,
+                 CAST(l_orderkey AS BIGINT) % 3 AS m3,
+                 l_linenumber AS version, l_shipdate AS ts,
+                 ((CAST(l_orderkey AS BIGINT) + l_linenumber) % 37 = 0) AS is_mp,
+                 (l_quantity > 25) AS promo,
+                 l_returnflag AS flag, l_linestatus AS status,
+                 (l_quantity > 2) AS visible,
+                 CAST(l_suppkey AS BIGINT) % 50 AS changeset,
+                 CASE WHEN CAST(l_orderkey AS BIGINT) % 3 = 0
+                      THEN CAST(l_partkey % 360 - 180 AS DOUBLE) END AS lon,
+                 CASE WHEN CAST(l_orderkey AS BIGINT) % 3 = 0
+                      THEN CAST(l_suppkey % 180 - 90 AS DOUBLE) END AS lat,
+                 CASE WHEN CAST(l_orderkey AS BIGINT) % 3 <> 0
+                      THEN CAST(l_suppkey AS BIGINT) % 100 END AS ref_lo,
+                 CASE WHEN CAST(l_orderkey AS BIGINT) % 3 <> 0
+                      THEN CAST(l_suppkey AS BIGINT) % 100
+                           + CAST(l_partkey AS BIGINT) % 3 END AS ref_hi
+          FROM lineitem WHERE l_orderkey < 2000
+        ), lagged AS (
+          SELECT *,
+                 LAG(is_mp) OVER w AS p_is_mp, LAG(promo) OVER w AS p_promo,
+                 LAG(flag) OVER w AS p_flag, LAG(status) OVER w AS p_status,
+                 COALESCE(LAG(visible) OVER w, FALSE) AS p_vis,
+                 LAG(lon) OVER w AS p_lon, LAG(lat) OVER w AS p_lat,
+                 LAG(ref_lo) OVER w AS p_ref_lo, LAG(ref_hi) OVER w AS p_ref_hi,
+                 LAG(ts) OVER w AS p_ts, LAG(changeset) OVER w AS p_cs,
+                 (LAG(version) OVER w IS NULL) AS is_first
+          FROM hist
+          WINDOW w AS (PARTITION BY rawid ORDER BY ts, version)
+        ), conds AS (
+          SELECT *,
+                 CASE m3 WHEN 0 THEN rawid
+                         WHEN 1 THEN rawid + 2305843009213693952
+                         ELSE rawid + 4611686018427387904 END AS fid,
+                 (NOT is_mp) AS feat,
+                 (NOT is_first AND NOT p_is_mp) AS p_feat,
+                 -- per-key presence: flag/status iff non-mp; promo iff non-mp
+                 -- and quantity gate; type iff mp; prev side guarded by the
+                 -- empty ObjectVersion.empty prior (is_first -> no keys)
+                 (NOT is_mp) AS h_fs,
+                 (NOT is_first AND NOT p_is_mp) AS p_h_fs,
+                 (NOT is_mp AND promo) AS h_promo,
+                 (NOT is_first AND NOT p_is_mp AND p_promo) AS p_h_promo,
+                 is_mp AS h_type,
+                 (NOT is_first AND p_is_mp) AS p_h_type
+          FROM lagged
+        ), evals AS (
+          SELECT *,
+                 ((NOT p_feat OR NOT p_vis) AND feat AND visible) AS c_create,
+                 (p_feat AND p_vis AND (NOT feat OR NOT visible)) AS c_delete,
+                 2 * CAST(h_fs AND NOT p_h_fs AS INT)
+                   + CAST(h_promo AND NOT p_h_promo AS INT)
+                   + CAST(h_type AND NOT p_h_type AS INT) AS n_add_keys,
+                 2 * CAST(p_h_fs AND NOT h_fs AS INT)
+                   + CAST(p_h_promo AND NOT h_promo AS INT)
+                   + CAST(p_h_type AND NOT h_type AS INT) AS n_del_keys,
+                 CASE WHEN h_fs AND p_h_fs
+                      THEN CAST(flag <> p_flag AS INT)
+                         + CAST(status <> p_status AS INT)
+                      ELSE 0 END AS n_chg_keys,
+                 (m3 = 0 AND NOT (lat IS NOT DISTINCT FROM p_lat
+                                  AND lon IS NOT DISTINCT FROM p_lon)) AS moved,
+                 CASE WHEN m3 = 0 THEN 0
+                      WHEN p_ref_lo IS NULL THEN ref_hi - ref_lo + 1
+                      ELSE (ref_hi - ref_lo + 1)
+                           - GREATEST(0, LEAST(ref_hi, p_ref_hi)
+                                         - GREATEST(ref_lo, p_ref_lo) + 1)
+                      END AS n_added,
+                 CASE WHEN m3 = 0 OR p_ref_lo IS NULL THEN 0
+                      ELSE (p_ref_hi - p_ref_lo + 1)
+                           - GREATEST(0, LEAST(ref_hi, p_ref_hi)
+                                         - GREATEST(ref_lo, p_ref_lo) + 1)
+                      END AS n_removed
+          FROM conds
+        )
+        SELECT fid AS featureID, CAST(0 AS BIGINT) AS changeType,
+               CAST(1 AS BIGINT) AS cnt, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               changeset, TRUE AS save, FALSE AS propagate
+        FROM evals WHERE c_create
+        UNION ALL
+        SELECT fid, 1, 1, CAST(epoch_us(p_ts) AS BIGINT), p_cs, TRUE, FALSE
+        FROM evals WHERE c_delete
+        UNION ALL
+        SELECT fid, 2, n_add_keys, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, FALSE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND n_add_keys > 0
+        UNION ALL
+        SELECT fid, 3, n_del_keys, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, FALSE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND n_del_keys > 0
+        UNION ALL
+        SELECT fid, 4, n_chg_keys, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, FALSE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND n_chg_keys > 0
+        UNION ALL
+        SELECT fid, 5, 1, CAST(epoch_us(ts) AS BIGINT), changeset, feat, TRUE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND moved
+        UNION ALL
+        SELECT fid, 6, n_added, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, TRUE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 1 AND n_added > 0
+        UNION ALL
+        SELECT fid, 8, n_added, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, TRUE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 2 AND n_added > 0
+        UNION ALL
+        SELECT fid, 7, n_removed, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, TRUE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 1 AND n_removed > 0
+        UNION ALL
+        SELECT fid, 9, n_removed, CAST(epoch_us(ts) AS BIGINT), changeset,
+               feat, TRUE
+        FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 2 AND n_removed > 0
+    """
 
 
 def embedops_sql_ann_lsh() -> str:
@@ -1420,6 +1641,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(9 AS BIGINT), COUNT(DISTINCT (9 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 8388608) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 4194304))), COUNT(*) FROM documents
             UNION ALL
             SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
+        """,
+        "change_firstorder": change_firstorder_sql(),
+        "change_coalesce": f"""
+            WITH fo AS ({change_firstorder_sql()})
+            SELECT featureID, changeType, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   CAST(MAX(ts_us) AS BIGINT) AS ts_us, changeset,
+                   CAST(0 AS BIGINT) AS depth
+            FROM fo WHERE save
+            GROUP BY featureID, changeset, changeType
         """,
         "s2_cells": f"""
             SELECT s2_cell, COUNT(*) AS n_points

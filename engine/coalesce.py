@@ -74,8 +74,13 @@ def coalesce_changes(changes: DataFrame) -> DataFrame:
 #   candidates resolve to the one starting at the first box's min.lon.
 # ---------------------------------------------------------------------------
 def _lon_width(lo, hi):
-    """Width of the circle interval running east from lo to hi (Column math)."""
-    return F.pmod(hi - lo, F.lit(360.0))
+    """Width of the circle interval running east from lo to hi (Column math).
+    An interval whose endpoints differ but whose width is ≡ 0 (mod 360) — e.g.
+    the full [-180, 180] box, including bbox_union_wrap's own 'full' output —
+    is the WHOLE circle (width 360), not a point; without the special case a
+    full-range box fed back into the union collapses to -180."""
+    w = F.pmod(hi - lo, F.lit(360.0))
+    return F.when((w == 0.0) & (hi != lo), F.lit(360.0)).otherwise(w)
 
 
 def bbox_union_wrap(b1, b2):

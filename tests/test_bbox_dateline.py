@@ -61,6 +61,20 @@ def test_union_prefers_narrower_candidate(spark):
     assert _union(spark, (10, 0, 20, 0), (30, 0, 40, 0)) == (10, 0, 40, 0)
 
 
+def test_union_full_circle_box_is_absorbing(spark):
+    """Regression (ADVICE r1): a 360-degree-wide box — including the union's own
+    'full' output — must act as the absorbing element, not collapse to a point
+    via _lon_width's pmod(360, 360) == 0."""
+    full = (-180.0, -10.0, 180.0, 10.0)
+    other = (30.0, -5.0, 40.0, 20.0)
+    for pair in [(full, other), (other, full), (full, full)]:
+        got = _union(spark, *pair)
+        assert got[0] == -180.0 and got[2] == 180.0, (pair, got)
+    # latitudes still union component-wise
+    assert _union(spark, full, other)[1] == -10.0
+    assert _union(spark, full, other)[3] == 20.0
+
+
 def test_wrap_bbox_agg_points(spark):
     # points clustered around the dateline: minimal arc wraps; a naive
     # min/max bbox would span nearly the whole world
