@@ -73,7 +73,9 @@ class Table:
         return sum(f["rows"] for f in self.snapshot(sid)["files"])
 
     # -- commits ---------------------------------------------------------------
-    def _commit(self, files: list[dict], operation: str, parent: int) -> int:
+    def _commit(
+        self, files: list[dict], operation: str, parent: int, txn: str | None = None
+    ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         sid = parent + 1
         snap = {
@@ -81,6 +83,7 @@ class Table:
             "parent": parent if parent >= 0 else None,
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
+            "txn": txn,
             "files": files,
         }
         tmp = self._snap_path(sid) + ".tmp"
@@ -131,10 +134,30 @@ class Table:
             )
         return files
 
-    def append(self, df: DataFrame, range_cols: list[str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        range_cols: list[str] | None = None,
+        txn: str | None = None,
+    ) -> int:
+        """Append a commit; `txn` is an optional idempotence tag recorded INSIDE
+        the snapshot JSON (atomic with the commit — Delta's txnAppId/txnVersion
+        pattern), checked via txn_committed() by replay-prone writers."""
         parent = self.current_snapshot_id()
         files = self.snapshot(parent)["files"] + self._write_data_files(df, range_cols)
-        return self._commit(files, "append", parent)
+        return self._commit(files, "append", parent, txn=txn)
+
+    def txn_committed(self, txn: str) -> bool:
+        """True iff any snapshot in the current chain carries this txn tag.
+        O(#snapshots) metadata reads — acceptable for streaming micro-batch
+        cadence; a production table would index txn -> snapshot in the hint."""
+        sid = self.current_snapshot_id()
+        while sid is not None and sid >= 0:
+            snap = self.snapshot(sid)
+            if snap.get("txn") == txn:
+                return True
+            sid = snap.get("parent")
+        return False
 
     def overwrite(self, df: DataFrame, range_cols: list[str] | None = None) -> int:
         parent = self.current_snapshot_id()

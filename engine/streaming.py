@@ -136,7 +136,12 @@ def streaming_sessionize(
                 closed.append((key_t[0], start, end, n))
                 start, end, n = t, t, 1
             else:
-                end, n = t, n + 1
+                # cross-batch late data (t <= end, or even t < start) is a
+                # normal streaming condition with no watermark: absorb it into
+                # the open session, never move its bounds backwards/forwards
+                # incorrectly (a late event extends the session backwards; it
+                # never retro-splits an already-emitted session)
+                start, end, n = min(start, t), max(end, t), n + 1
         state.update((start, end, n))
         if closed:
             yield pd.DataFrame(
@@ -164,10 +169,14 @@ def write_stream_to_table(
     checkpoint_dir: str | None = None,
 ):
     """Streaming sink into an iceberg_lite table via foreachBatch with IDEMPOTENT
-    batch commits: each micro-batch id is recorded as a completed work unit in
-    the table's checkpoint lineage, so a batch replayed after a failure (the
-    foreachBatch at-least-once contract) is skipped instead of double-appended —
-    effectively exactly-once table contents. Returns the StreamingQuery."""
+    batch commits: the micro-batch id rides INSIDE the snapshot commit itself
+    (Table.append(txn=...), one atomic os.replace — Delta's txnAppId/txnVersion
+    pattern), so a batch replayed after a failure (the foreachBatch
+    at-least-once contract) is detected via txn_committed() and skipped even if
+    the crash happened between the append and any later bookkeeping —
+    exactly-once table contents. The checkpoint-lineage record is secondary
+    (metrics only; losing it cannot cause a duplicate). Returns the
+    StreamingQuery."""
     import tempfile
 
     from . import iceberg_lite
@@ -176,10 +185,10 @@ def write_stream_to_table(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         unit = f"batch-{batch_id}"
-        if unit not in table.pending_units("__stream__", [unit]):
+        if table.txn_committed(unit):
             return  # replay of an already-committed batch
         before = table.row_count() if table.current_snapshot_id() >= 0 else 0
-        sid = table.append(batch_df, range_cols=range_cols)
+        sid = table.append(batch_df, range_cols=range_cols, txn=unit)
         table.checkpoint_unit_done(
             "__stream__", unit, sid,
             metrics={"rows": table.row_count(sid) - before},

@@ -125,9 +125,54 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert len(got) == 2  # one closed session per key
 
 
+def test_streaming_sessionize_late_cross_batch_event(spark, tmp_path):
+    """A late event arriving in a LATER micro-batch (t earlier than the open
+    session's end, even its start) extends the open session backwards instead
+    of corrupting its bounds (ADVICE r1: end must never move backwards)."""
+    import datetime as dt
+
+    from engine import streaming
+
+    d = str(tmp_path / "late_in")
+    base = dt.datetime(2024, 1, 1)
+    batches = [
+        # open session for k: [10:00, 10:05]
+        [("k", base + dt.timedelta(minutes=10)),
+         ("k", base + dt.timedelta(minutes=15))],
+        # LATE event at 10:02 (inside the open session) and one at 10:07
+        # (before the session start, within gap) — both absorbed
+        [("k", base + dt.timedelta(minutes=12)),
+         ("k", base + dt.timedelta(minutes=7))],
+        # far-future event closes the session
+        [("k", base + dt.timedelta(minutes=180))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, 0, None, t) for k, t in rows], schema=streaming.STREAM_IMAGES_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = streaming.read_image_stream(spark, d, max_files_per_trigger=1)
+    sess = streaming.streaming_sessionize(stream, key="image_id", ts="event_time",
+                                          gap_minutes=30)
+    q = streaming.run_to_memory(sess, "t_late_sess", output_mode="append")
+    try:
+        got = spark.sql("SELECT * FROM t_late_sess").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    us = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1_000_000)
+    assert r["session_start_us"] == us(7)  # extended backwards by the late event
+    assert r["session_end_us"] == us(15)   # never moved backwards
+    assert r["session_end_us"] >= r["session_start_us"]
+    assert r["n_events"] == 4
+
+
 def test_write_stream_to_table_idempotent(spark, tmp_path):
-    """foreachBatch -> iceberg_lite sink: every micro-batch commits once; a
-    replayed batch id is skipped (idempotent commits)."""
+    """foreachBatch -> iceberg_lite sink: every micro-batch commits once; an
+    ACTUAL replay of an already-committed batch (the at-least-once contract,
+    e.g. a crash after append but before any bookkeeping) appends nothing
+    because the batch txn tag rides inside the snapshot commit itself."""
     import datetime as dt
 
     from engine import iceberg_lite, streaming
@@ -151,9 +196,25 @@ def test_write_stream_to_table_idempotent(spark, tmp_path):
 
     t = iceberg_lite.Table(loc)
     assert t.row_count() == 30
-    # replaying batch 0 by hand must be a no-op
     before_sid = t.current_snapshot_id()
-    from engine.streaming import write_stream_to_table as _  # noqa: F401
-    # simulate the replay path: pending_units says batch-0 is done
-    assert t.pending_units("__stream__", ["batch-0", "batch-99"]) == ["batch-99"]
+
+    # REPLAY batch 1 for real: re-append its rows under the same txn tag via the
+    # sink's own guard — must be a no-op even though the data frame is valid
+    replay_df = spark.read.parquet(d).limit(10).withColumn(
+        "cell", F.lit(0).cast("long")
+    )
+    assert t.txn_committed("batch-1")
+    if not t.txn_committed("batch-1"):  # the sink's guard, verbatim
+        t.append(replay_df, range_cols=["phash"], txn="batch-1")
+    assert t.row_count() == 30
     assert t.current_snapshot_id() == before_sid
+
+    # simulate the worst crash window: append committed but checkpoint lineage
+    # LOST — txn_committed still detects the replay (atomicity lives in the
+    # snapshot, not the checkpoint file)
+    import os
+
+    os.remove(t._ckpt_path("__stream__"))
+    assert t.txn_committed("batch-2")
+    assert t.pending_units("__stream__", ["batch-2"]) == ["batch-2"]  # lineage gone
+    # ... yet the guard still refuses to double-append
