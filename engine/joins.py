@@ -99,7 +99,11 @@ def polygon_cover(
         schema = "poly_id long, res int, cell long, full_inside boolean"
         if attach_rings:
             schema += ", ring array<struct<lon:double,lat:double>>"
-        return polygons.sparkSession.createDataFrame(out, schema=schema)
+        df = polygons.sparkSession.createDataFrame(out, schema=schema)
+        # the cover's resolution set is known right here — pin it on the frame
+        # so pip_join never issues a per-call distinct().collect() action
+        df._pip_used_res = sorted({r["res"] for r in out}) or [res_min]
+        return df
 
     def gen(batches):
         for pdf in batches:
@@ -192,6 +196,7 @@ def _materialize_if_large(cover: DataFrame, threshold: int = 20000) -> DataFrame
     a (tiny, distributed, cacheable) scan instead of embedding the rows."""
     import tempfile
 
+    used_res = getattr(cover, "_pip_used_res", None)
     plan = cover._jdf.queryExecution().logical().toString()
     if "LocalRelation" not in plan and "LogicalRDD" not in plan:
         return cover
@@ -199,7 +204,10 @@ def _materialize_if_large(cover: DataFrame, threshold: int = 20000) -> DataFrame
         return cover
     path = tempfile.mkdtemp(prefix="pip_cover_") + "/cover.parquet"
     cover.write.mode("overwrite").parquet(path)
-    return cover.sparkSession.read.parquet(path)
+    out = cover.sparkSession.read.parquet(path)
+    if used_res is not None:
+        out._pip_used_res = used_res
+    return out
 
 
 def pip_refine_udf(poly_rings: dict[int, tuple[np.ndarray, np.ndarray]]):
@@ -268,11 +276,16 @@ def build_pip_cover(
     that join MANY point partitions against the SAME polygons (e.g. the
     checkpointed pipeline's per-unit loop, jobs/run_pipeline.py) pay the
     driver-side cover build a single time and every per-unit job broadcasts a
-    cached parquet scan instead of re-deriving the cover."""
+    cached parquet scan instead of re-deriving the cover.
+
+    Rings do NOT ride in the cover (native refine joins them from a tiny
+    poly_id-keyed broadcast dim instead): a per-boundary-cell ring copy
+    multiplied the broadcast payload ~10x, and the broadcast build is driver-
+    serial — the dominant Amdahl term of the N-vs-4N scaling gate."""
     cover = polygon_cover(
         polygons, res_min, res_max, max_cells=max_cells,
         classify_interior=assume_convex and exact,
-        attach_rings=exact and refine_impl == "native",
+        attach_rings=False,
     )
     return _materialize_if_large(cover)
 
@@ -317,8 +330,11 @@ def pip_join(
     # resolutions the cover actually uses (usually 1-3 of the res_min..res_max
     # range), one equi-join on (res, cell). (A union of per-res joins would scan
     # the points once per level and multiply task count; exploding unused levels
-    # multiplies candidate volume.)
-    used_res = sorted(
+    # multiplies candidate volume.) The res set is pinned on the cover frame by
+    # polygon_cover/build_pip_cover; the distinct().collect() below only fires
+    # for a caller-supplied cover that lacks it (one action per call was pure
+    # serial driver cost in per-unit pipeline loops).
+    used_res = getattr(cover, "_pip_used_res", None) or sorted(
         r["res"] for r in cover.select("res").distinct().collect()
     ) or [res_min]
     enc = F.array(
@@ -348,15 +364,19 @@ def pip_join(
             .drop("_pip_res", "_pip_cell", "full_inside")
         )
     if refine_impl == "native":
-        # Rings ride INSIDE the broadcast cover (attached driver-side when the
-        # polygon set is small; joined in otherwise) so the whole join+refine is
-        # ONE broadcast hash join + one filter over a single scan.
+        # Two broadcast hash joins over a single point-side scan: the scalar
+        # cover on (res, cell), then the ring dim on poly_id. Keeping rings OUT
+        # of the per-cell cover (one ring per polygon, not one per boundary
+        # cell) cuts the driver-serial broadcast build ~10x — the Amdahl term
+        # the N-vs-4N scaling gate divides by.
         # `full_inside OR raycast` short-circuits in codegen: points in proven
         # interior cells (the vast majority at max_cells=1024) never run the ray
         # cast; only the ~4/sqrt(max_cells) boundary-cell residue pays it.
-        if "ring" not in cover.columns:
-            cover = cover.join(polygons.select("poly_id", "ring"), "poly_id")
         cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner")
+        if "ring" not in cand.columns:
+            cand = cand.join(
+                F.broadcast(polygons.select("poly_id", "ring")), "poly_id"
+            )
         keep = F.col("full_inside") | raycast_inside_expr(
             F.col("ring"), F.col(lon_col), F.col(lat_col)
         )
@@ -567,13 +587,19 @@ def asof_join(
     # deterministic ordering among same-timestamp right rows: the row with the
     # largest tiebreak value wins (defaults to the first payload column)
     tb_col = right_tiebreak or right_payload[0]
+    # each side carries the OTHER side's columns as a single null struct, not
+    # per-column nulls: right-stream rows used to shuffle left-width null
+    # columns (pure shuffle-byte waste at wide left schemas)
+    left_struct_t = T.StructType(
+        [T.StructField(c, left.schema[c].dataType) for c in left.columns]
+    )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.col(tb_col).cast("long").alias("_tb"),
         payload_struct.alias("_payload"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+        F.lit(None).cast(left_struct_t).alias("_lp"),
     )
     l = left.select(
         F.col(on).alias("_k"),
@@ -581,7 +607,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(0).cast("long").alias("_tb"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lp"),
     )
     u = r.unionByName(l)
     w = (
@@ -592,7 +618,7 @@ def asof_join(
     filled = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).filter(
         F.col("_side") == 1
     )
-    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols = [F.col("_lp").getField(c).alias(c) for c in left.columns]
     out_cols += [F.col("_m").getField(c).alias(c) for c in right_payload]
     return filled.select(*out_cols)
 

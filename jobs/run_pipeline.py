@@ -1,7 +1,7 @@
-"""spark-submit entry point for the full spatial pipeline with resumable
-per-partition lineage (BASELINE.json north_rule: run via `spark-submit
---py-files`, checkpoint cell-range -> snapshot -> output manifest so any
-executor/driver loss resumes without recompute).
+"""spark-submit entry point for the engine's jobs with resumable per-partition
+lineage (BASELINE.json north_rule: run via `spark-submit --py-files`, checkpoint
+cell-range -> snapshot -> output manifest so any executor/driver loss resumes
+without recompute).
 
 Usage:
     zip -r engine.zip engine/
@@ -10,11 +10,26 @@ Usage:
         [--n-synth 1000000] [--res 9] [--polygons 200] [--run-id my-run] \
         [--cell-splits 16]
 
-The job partitions work into cell-range units (prefix ranges of the res-`res`
-grid), processes each unit independently (encode -> PIP join -> per-cell/polygon
-aggregates), commits each unit's output as an iceberg_lite snapshot append, and
-records unit -> snapshot lineage in the run checkpoint. A rerun with the same
---run-id skips completed units.
+    # the reference App's generateChanges end-to-end (App.scala:29-36 parity):
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --job changes --input <object-versions.parquet> --out <table-dir> \
+        [--depth 10] [--no-coalesce] [--output-format parquet|orc]
+
+The spatial job partitions work into cell-range units (prefix ranges of the
+res-`res` grid), processes each unit independently (encode -> PIP join ->
+per-cell/polygon aggregates), commits each unit's output as an iceberg_lite
+snapshot append, and records unit -> snapshot lineage in the run checkpoint. A
+rerun with the same --run-id skips completed units.
+
+The changes job runs engine.propagate.propagate_changes (first-order diff ->
+temporal parent tree -> bounded propagation -> coalesce) over an
+OBJECT_VERSIONS-shaped parquet (or the deterministic synthetic fixture when
+--input is omitted) and commits the result as one idempotent iceberg_lite
+snapshot (txn-tagged: re-running the same --run-id is a no-op), or as a plain
+parquet/orc directory with --output-format (SparkJobs.scala:15,81 parity).
+
+Debug conveniences (App.scala:21-27 parity): --log-level WARN|INFO|DEBUG and
+--show N to print N rows at each stage boundary.
 """
 
 from __future__ import annotations
@@ -33,9 +48,61 @@ from engine import cells, iceberg_lite, joins, metrics, synth  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 
 
+def run_changes(spark, args) -> None:
+    """The reference App's generateChanges (App.scala:29-36): object-versions
+    parquet -> propagate_changes -> committed output."""
+    from engine import propagate, synth
+
+    if args.input:
+        objs = spark.read.parquet(args.input)
+    else:
+        objs = synth.object_versions_df(spark, n_entities=args.n_synth_entities)
+    if args.show:
+        objs.show(args.show, truncate=60)
+    out_df = propagate.propagate_changes(
+        objs, depth=args.depth, do_coalesce=not args.no_coalesce
+    )
+    if args.show:
+        out_df.show(args.show, truncate=60)
+    if args.output_format in ("orc", "parquet-plain"):
+        fmt = "orc" if args.output_format == "orc" else "parquet"
+        out_df.write.format(fmt).mode("overwrite").save(args.out)
+        n = spark.read.format(fmt).load(args.out).count()
+        print(json.dumps({"job": "changes", "format": fmt, "out": args.out,
+                          "output_rows": n}))
+        return
+    table = iceberg_lite.Table(args.out)
+    txn = f"changes-{args.run_id}"
+    if table.txn_committed(txn):
+        print(json.dumps({"job": "changes", "skipped": "already committed",
+                          "run_id": args.run_id,
+                          "output_rows": table.row_count()}))
+        return
+    sid = table.append(out_df, range_cols=["featureID"], txn=txn)
+    table.checkpoint_unit_done(args.run_id, "changes", sid)
+    print(json.dumps({"job": "changes", "run_id": args.run_id, "snapshot": sid,
+                      "output_rows": table.row_count(sid)}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--job", choices=["pipeline", "changes"], default="pipeline")
     ap.add_argument("--images", default=None, help="input parquet path (default: synthesize)")
+    ap.add_argument("--input", default=None,
+                    help="[changes] object-versions parquet (default: synthetic fixture)")
+    ap.add_argument("--depth", type=int, default=10, help="[changes] propagation depth")
+    ap.add_argument("--no-coalesce", action="store_true",
+                    help="[changes] skip the coalesce stage")
+    ap.add_argument("--n-synth-entities", type=int, default=200)
+    ap.add_argument("--output-format", choices=["table", "parquet-plain", "orc"],
+                    default="table",
+                    help="[changes] 'table' = iceberg_lite snapshot (default); "
+                         "'orc'/'parquet-plain' = plain directory "
+                         "(reference SparkJobs.scala:15,81 parity)")
+    ap.add_argument("--log-level", default=None,
+                    help="spark log level (WARN|INFO|DEBUG; App.scala:21-27 parity)")
+    ap.add_argument("--show", type=int, default=0, metavar="N",
+                    help="debug: show N rows at stage boundaries")
     ap.add_argument("--out", required=True, help="output iceberg_lite table dir")
     ap.add_argument("--n-synth", type=int, default=1_000_000)
     ap.add_argument("--res", type=int, default=9)
@@ -55,6 +122,14 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("run-pipeline")
+    if args.log_level:
+        spark.sparkContext.setLogLevel(args.log_level)
+
+    if args.job == "changes":
+        run_changes(spark, args)
+        spark.stop()
+        return
+
     out = iceberg_lite.Table(args.out)
 
     if args.images:

@@ -67,6 +67,44 @@ def test_units_commit_and_resume(spark, out_table):
     assert ran3 == []
 
 
+def test_changes_job_end_to_end(spark, tmp_path):
+    """--job changes (App.scala:29-36 parity): object-versions parquet ->
+    propagate_changes -> idempotent snapshot commit; rerun is a no-op; ORC
+    output mode writes a readable plain directory."""
+    import argparse
+
+    from engine import propagate, synth
+    from jobs.run_pipeline import run_changes
+
+    in_path = str(tmp_path / "ovs.parquet")
+    synth.object_versions_df(spark, n_entities=40).write.parquet(in_path)
+
+    args = argparse.Namespace(
+        input=in_path, depth=6, no_coalesce=False, n_synth_entities=0,
+        output_format="table", out=str(tmp_path / "changes_out"), run_id="c1",
+        show=0,
+    )
+    run_changes(spark, args)
+    t = iceberg_lite.Table(args.out)
+    want = propagate.propagate_changes(
+        spark.read.parquet(in_path), depth=6, do_coalesce=True
+    ).count()
+    assert t.row_count() == want and want > 0
+    # rerun with the same run_id: txn guard makes it a no-op
+    sid_before = t.current_snapshot_id()
+    run_changes(spark, args)
+    assert t.current_snapshot_id() == sid_before
+
+    # ORC parity mode (reference SparkJobs.scala:15,81 writes ORC)
+    args_orc = argparse.Namespace(
+        input=in_path, depth=6, no_coalesce=False, n_synth_entities=0,
+        output_format="orc", out=str(tmp_path / "changes_orc"), run_id="c2",
+        show=0,
+    )
+    run_changes(spark, args_orc)
+    assert spark.read.format("orc").load(args_orc.out).count() == want
+
+
 def test_units_equal_unpartitioned_result(spark, out_table):
     _run_units(spark, out_table, "r2")
     got = (
