@@ -317,6 +317,44 @@ def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-MULTIPOLYGON join (engine.joins.pip_join_multiring): outer ring
+    + hole (OSM relation outer/inner roles). Axis-aligned rect rings make the
+    even-odd ray cast exactly the half-open rect predicate ([x0,x1) x [y0,y1)),
+    so the full cover+refine pipeline is value-checkable in SQL."""
+    pts = _docs_points(spark, sf_dir)
+    polys = []
+    for i in range(6):
+        x0, y0 = -170.0 + i * 55.0, -80.0 + i * 25.0
+        x1, y1 = x0 + 50.0, y0 + 40.0
+        hx0, hy0, hx1, hy1 = x0 + 12.5, y0 + 10.0, x0 + 37.5, y0 + 30.0
+        outer = [
+            {"lon": x0, "lat": y0}, {"lon": x1, "lat": y0},
+            {"lon": x1, "lat": y1}, {"lon": x0, "lat": y1},
+        ]
+        hole = [
+            {"lon": hx0, "lat": hy0}, {"lon": hx1, "lat": hy0},
+            {"lon": hx1, "lat": hy1}, {"lon": hx0, "lat": hy1},
+        ]
+        polys.append(
+            {
+                "poly_id": i,
+                "bbox": {"min": {"lon": x0, "lat": y0}, "max": {"lon": x1, "lat": y1}},
+                "rings": [outer, hole],
+            }
+        )
+    pdf = spark.createDataFrame(
+        polys,
+        schema="poly_id long, bbox struct<min:struct<lon:double,lat:double>,"
+               "max:struct<lon:double,lat:double>>, "
+               "rings array<array<struct<lon:double,lat:double>>>",
+    )
+    joined = joins.pip_join_multiring(pts, pdf, res_min=4, res_max=9)
+    return joined.groupBy(F.col("poly_id").cast("long").alias("poly_id")).agg(
+        F.count("*").alias("n_points")
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile assignment at z=8 via pure integer math from phash (no floats)."""
     pts = _docs_points(spark, sf_dir)
@@ -1033,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiway_union": q_multiway_union,
         "dim_decode_join": q_dim_decode_join,
         "pip_rect": q_pip_rect,
+        "pip_holes": q_pip_holes,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -1365,6 +1404,19 @@ def oracle_sql() -> dict[str, str]:
                          -180.0 + i * 45.0 + 60.0 AS lon1, -90.0 + i * 20.0 + 50.0 AS lat1
                   FROM (SELECT unnest(range(8)) AS i)) r
               ON p.lon >= r.lon0 AND p.lon < r.lon1 AND p.lat >= r.lat0 AND p.lat < r.lat1
+            GROUP BY 1
+        """,
+        "pip_holes": f"""
+            SELECT CAST(r.poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_points
+            FROM (SELECT {lon} AS lon, {lat} AS lat FROM documents) p
+            JOIN (SELECT i AS poly_id,
+                         -170.0 + i * 55.0 AS x0, -80.0 + i * 25.0 AS y0,
+                         -170.0 + i * 55.0 + 50.0 AS x1,
+                         -80.0 + i * 25.0 + 40.0 AS y1
+                  FROM (SELECT unnest(range(6)) AS i)) r
+              ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
+                 AND NOT (p.lon >= r.x0 + 12.5 AND p.lon < r.x0 + 37.5
+                          AND p.lat >= r.y0 + 10.0 AND p.lat < r.y0 + 30.0)
             GROUP BY 1
         """,
         "tile_assign": f"""

@@ -198,9 +198,12 @@ def main() -> None:
         # threads, where the host itself only yields ~0.74 — see BASELINE.md)
         cores_per = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "4"))
         # the N vs 4N comparison needs a job long enough to amortize executor
-        # startup + broadcast distribution, or the 4N side is pure fixed cost
+        # startup + broadcast distribution, or the 4N side is pure fixed cost.
+        # 48M measured 0.803 vs 0.79 at 24M (per-job fixed cost ~1.5 s halves
+        # in relative terms); 2-core executors measured WORSE (0.72 — per-JVM
+        # overhead), so 4-core stays the default.
         n_scaling = int(
-            os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", str(max(n_images, 24_000_000)))
+            os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", str(max(n_images, 48_000_000)))
         )
         if mode == "local-cluster":
             # interleaved A/B trials, min per config: interference only ADDS
@@ -211,7 +214,7 @@ def main() -> None:
             # 16-core config swings 13.6-34.4 s with neighbor load — and the
             # min estimator only needs one clean window per config, so extra
             # (cheap) large trials buy robustness where it actually matters.
-            trials = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIALS", "3"))
+            trials = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIALS", "2"))
             large_per_round = int(
                 os.environ.get("SPARK_GRAFT_BENCH_SCALING_LARGE_PER_ROUND", "2")
             )

@@ -47,6 +47,19 @@ def np_point_in_polygon(
     return inside
 
 
+def np_point_in_multipolygon(
+    px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]
+) -> np.ndarray:
+    """Even-odd containment over multiple edge loops (outer ring + holes, the
+    OSM multipolygon outer/inner-role semantics the reference's relations
+    carry): XOR of per-ring parities == inside the outer minus the holes for
+    nested disjoint holes, and the correct even-odd result in general."""
+    inside = np.zeros(px.shape, dtype=bool)
+    for xs, ys in rings:
+        inside ^= np_point_in_polygon(px, py, xs, ys)
+    return inside
+
+
 def polygon_cover(
     polygons: DataFrame,
     res_min: int = 7,
@@ -250,6 +263,93 @@ def raycast_inside_expr(ring: Column, lon: Column, lat: Column) -> Column:
         return F.when(crosses & (lon < x_int), ~acc).otherwise(acc)
 
     return F.aggregate(idx, F.lit(False), edge_crossing)
+
+
+def raycast_inside_rings_expr(rings: Column, lon: Column, lat: Column) -> Column:
+    """Even-odd containment over an array<array<struct<lon,lat>>> of edge loops
+    (outer + holes): XOR-fold of the single-ring ray cast — JVM-side, same
+    HOF discipline as raycast_inside_expr."""
+    return F.aggregate(
+        rings,
+        F.lit(False),
+        lambda acc, ring: acc != raycast_inside_expr(ring, lon, lat),  # boolean XOR
+    )
+
+
+def pip_join_multiring(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_min: int = 7,
+    res_max: int = 11,
+    max_cells: int = 1024,
+    rings_col: str = "rings",
+) -> DataFrame:
+    """Point-in-MULTIPOLYGON join: polygons carry `rings_col` =
+    array<array<struct<lon,lat>>> — rings[0] the outer ring, rings[1:] holes
+    (OSM relation outer/inner member roles, ObjectVersion.scala relations).
+
+    Same plan shape as pip_join: bbox cell-cover broadcast equi-join on
+    (res, cell) + codegen'd even-odd refine over all rings. full_inside
+    classification is done against the OUTER ring and then revoked for any
+    cover cell whose bbox intersects a hole's bbox (conservative: such cells
+    fall back to the exact multi-ring ray cast)."""
+    rows = polygons.select("poly_id", "bbox", rings_col).collect()
+    out = []
+    for row in rows:
+        b = row["bbox"]
+        rings = [
+            (
+                np.array([v["lon"] for v in ring], dtype=np.float64),
+                np.array([v["lat"] for v in ring], dtype=np.float64),
+            )
+            for ring in row[rings_col]
+        ]
+        pid, res, cc, full = _cover_one(
+            row["poly_id"],
+            b["min"]["lon"], b["min"]["lat"], b["max"]["lon"], b["max"]["lat"],
+            res_min, res_max, max_cells,
+            ring_xs=rings[0][0], ring_ys=rings[0][1],
+        )
+        n = 2**res
+        ix = (cc - res * cells._RES_SHIFT) // cells._IX_SHIFT
+        iy = cc % cells._IX_SHIFT
+        cx0, cx1 = ix / n * 360.0 - 180.0, (ix + 1) / n * 360.0 - 180.0
+        cy0, cy1 = iy / n * 180.0 - 90.0, (iy + 1) / n * 180.0 - 90.0
+        for hx, hy in rings[1:]:
+            hx0, hx1, hy0, hy1 = hx.min(), hx.max(), hy.min(), hy.max()
+            touches_hole = (cx1 >= hx0) & (cx0 <= hx1) & (cy1 >= hy0) & (cy0 <= hy1)
+            full &= ~touches_hole
+        for c, f in zip(cc.tolist(), full.tolist()):
+            out.append({"poly_id": int(pid), "res": int(res), "cell": int(c),
+                        "full_inside": bool(f)})
+    cover = points.sparkSession.createDataFrame(
+        out, schema="poly_id long, res int, cell long, full_inside boolean"
+    )
+    used_res = sorted({r["res"] for r in out}) or [res_min]
+    enc = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                cells.grid_encode_lonlat(F.col(lon_col), F.col(lat_col), r).alias("cell"),
+            )
+            for r in used_res
+        ]
+    )
+    pts_exp = points.select("*", F.explode(enc).alias("_rc")).select(
+        "*", F.col("_rc.res").alias("_pip_res"), F.col("_rc.cell").alias("_pip_cell")
+    ).drop("_rc")
+    cover = F.broadcast(
+        cover.withColumnRenamed("res", "_pip_res").withColumnRenamed("cell", "_pip_cell")
+    )
+    cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner").join(
+        F.broadcast(polygons.select("poly_id", rings_col)), "poly_id"
+    )
+    keep = F.col("full_inside") | raycast_inside_rings_expr(
+        F.col(rings_col), F.col(lon_col), F.col(lat_col)
+    )
+    return cand.filter(keep).drop("_pip_res", "_pip_cell", "full_inside", rings_col)
 
 
 def collect_poly_rings(polygons: DataFrame) -> dict[int, tuple[np.ndarray, np.ndarray]]:

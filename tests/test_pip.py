@@ -52,6 +52,63 @@ def test_pip_join_shuffle_path_same_result(spark):
     assert a == b
 
 
+def test_pip_multiring_matches_brute_force(spark):
+    """pip_join_multiring (outer ring + holes, OSM outer/inner roles) vs the
+    numpy even-odd multipolygon oracle: ellipse outers with rect holes."""
+    images = synth.images_df(spark, 3000, hot_frac=0.3).select(
+        "image_id",
+        cells.anchor_lon(F.col("phash")).alias("lon"),
+        cells.anchor_lat(F.col("phash")).alias("lat"),
+    )
+    rng = np.random.default_rng(7)
+    polys, py_rings = [], {}
+    for i in range(8):
+        clon, clat = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        rlon, rlat = 8.0 + rng.random() * 10, 6.0 + rng.random() * 8
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+        ox, oy = clon + rlon * np.cos(ang), clat + rlat * np.sin(ang)
+        hx0, hx1 = clon - rlon * 0.3, clon + rlon * 0.3
+        hy0, hy1 = clat - rlat * 0.3, clat + rlat * 0.3
+        outer = [{"lon": float(a), "lat": float(b)} for a, b in zip(ox, oy)]
+        hole = [
+            {"lon": hx0, "lat": hy0}, {"lon": hx1, "lat": hy0},
+            {"lon": hx1, "lat": hy1}, {"lon": hx0, "lat": hy1},
+        ]
+        polys.append({
+            "poly_id": i,
+            "bbox": {"min": {"lon": float(ox.min()), "lat": float(oy.min())},
+                     "max": {"lon": float(ox.max()), "lat": float(oy.max())}},
+            "rings": [outer, hole],
+        })
+        py_rings[i] = [
+            (ox, oy),
+            (np.array([hx0, hx1, hx1, hx0]), np.array([hy0, hy0, hy1, hy1])),
+        ]
+    pdf = spark.createDataFrame(
+        polys,
+        schema="poly_id long, bbox struct<min:struct<lon:double,lat:double>,"
+               "max:struct<lon:double,lat:double>>, "
+               "rings array<array<struct<lon:double,lat:double>>>",
+    )
+    out = joins.pip_join_multiring(images, pdf, res_min=4, res_max=9)
+    got = {(r["image_id"], r["poly_id"]) for r in out.collect()}
+    pts = images.toPandas()
+    want = set()
+    holes_excluded = 0
+    for pid, rings in py_rings.items():
+        inside = joins.np_point_in_multipolygon(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(), rings
+        )
+        outer_only = joins.np_point_in_polygon(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(), rings[0][0], rings[0][1]
+        )
+        holes_excluded += int((outer_only & ~inside).sum())
+        for img in pts.loc[inside, "image_id"]:
+            want.add((img, pid))
+    assert got == want
+    assert len(want) > 0 and holes_excluded > 0  # holes must actually exclude
+
+
 def test_polygon_cover_contains_all_inside_points(spark):
     """Cover must be a superset: every inside point's cell appears in the cover."""
     polys = synth.polygons_df(spark, p=10)
