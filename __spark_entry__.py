@@ -719,6 +719,15 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (engine.textops.tfidf_top_terms): integer
+    rank tuple, floor-scaled score — hash-checked against the SQL twin."""
+    from engine import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table
     (engine.embedops.cosine_topk): queries = vec_id < 10, k = 5."""
@@ -1090,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_bpe": q_token_bpe,
+        "tfidf": q_tfidf,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1249,6 +1259,12 @@ def change_firstorder_sql() -> str:
                feat, TRUE
         FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 2 AND n_removed > 0
     """
+
+
+def tfidf_sql() -> str:
+    from engine import textops
+
+    return textops.tfidf_top_terms_sql("documents", "doc_id", "text", k=5)
 
 
 def embedops_sql_ann_lsh() -> str:
@@ -1703,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fo WHERE save
             GROUP BY featureID, changeset, changeType
         """,
+        "tfidf": tfidf_sql(),
         "s2_cells": f"""
             SELECT s2_cell, COUNT(*) AS n_points
             FROM ({cells.s2_encode_sql(lon, lat, 12, 'FROM documents')})

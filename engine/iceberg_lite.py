@@ -147,6 +147,31 @@ class Table:
         files = self.snapshot(parent)["files"] + self._write_data_files(df, range_cols)
         return self._commit(files, "append", parent, txn=txn)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        range_cols: list[str] | None = None,
+    ) -> int:
+        """Rewrite small data files into ~target-sized ones, committed as one
+        atomic 'compact' snapshot (bin-pack compaction — the small-files
+        problem is what kills table scans at 10^12 rows: per-file open cost
+        and manifest bloat). Files already >= target/2 are carried over
+        untouched; table contents are bit-identical before/after (test-
+        asserted). Returns the new snapshot id (or the current one if there
+        is nothing to do)."""
+        parent = self.current_snapshot_id()
+        snap = self.snapshot(parent)
+        small = [f for f in snap["files"] if f["bytes"] < target_file_bytes // 2]
+        if len(small) < 2:
+            return parent
+        keep = [f for f in snap["files"] if f["bytes"] >= target_file_bytes // 2]
+        df = spark.read.parquet(*[f["path"] for f in small])
+        total = sum(f["bytes"] for f in small)
+        n_out = max(1, total // target_file_bytes)
+        new_files = self._write_data_files(df.coalesce(int(n_out)), range_cols)
+        return self._commit(keep + new_files, "compact", parent)
+
     def txn_committed(self, txn: str) -> bool:
         """True iff any snapshot in the current chain carries this txn tag.
         O(#snapshots) metadata reads — acceptable for streaming micro-batch

@@ -471,6 +471,89 @@ def token_count(text: Column, mode: str = "whitespace") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-k salient terms by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1). Ranking is by the INTEGER tuple
+    (tf desc, df asc, term asc) — fully deterministic across engines — while
+    the tfidf score is emitted as a floor-scaled value column (the ln is
+    evaluated identically per (tf, df) pair in both engines; a floor flip
+    needs a ~1e-10 coincidence).
+
+    Plan: one doc-term aggregation (shuffle on (doc, term)), one term-keyed
+    df aggregation + join (broadcast it when the vocabulary is small; AQE
+    otherwise), N via a broadcast 1-row scalar join (no collect), one window
+    on doc. Returns (id, term, rank, tf, tfidf_e6)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (1.0 + F.col("n_docs").cast("double"))
+                    / (1.0 + F.col("df").cast("double"))
+                )
+                + 1.0
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tf").cast("long").alias("tf"),
+            F.floor(F.col("tfidf") * 1_000_000).cast("long").alias("tfidf_e6"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    """DuckDB twin of tfidf_top_terms (same smoothing, same op order)."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS _id, unnest({tokens_sql(text_col)}) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT _id, term, COUNT(*) AS tf FROM toks GROUP BY _id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM {table}
+        ), scored AS (
+          SELECT tf._id, tf.term, tf.tf, dfreq.df,
+                 tf.tf * (LN((1.0 + CAST(n.n_docs AS DOUBLE))
+                             / (1.0 + CAST(dfreq.df AS DOUBLE))) + 1.0) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT CAST(_id AS BIGINT) AS {id_col}, term,
+               CAST(rank AS BIGINT) AS rank, CAST(tf AS BIGINT) AS tf,
+               CAST(FLOOR(tfidf * 1000000) AS BIGINT) AS tfidf_e6
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY _id
+                      ORDER BY tf DESC, df ASC, term ASC) AS rank
+          FROM scored
+        ) t WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twins (hash_impl='md5' paths)
 # ---------------------------------------------------------------------------
 def minhash_lsh_pairs_sql(

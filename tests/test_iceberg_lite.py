@@ -44,6 +44,31 @@ def test_range_pruning(spark, table):
     assert full.count() == 1000
 
 
+def test_compact_binpacks_small_files(spark, table):
+    """Bin-pack compaction: many tiny appended files -> one atomic 'compact'
+    snapshot with fewer files and bit-identical contents; old snapshots stay
+    time-travelable."""
+    for i in range(5):
+        table.append(spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2).repartition(2))
+    files_before = len(table.snapshot()["files"])
+    rows_before = table.row_count()
+    sid_before = table.current_snapshot_id()
+    before = {(r["id"], r["v"]) for r in table.read(spark).collect()}
+
+    sid = table.compact(spark, target_file_bytes=64 * 1024 * 1024)
+    assert sid == sid_before + 1
+    assert table.snapshot()["operation"] == "compact"
+    assert len(table.snapshot()["files"]) < files_before
+    assert table.row_count() == rows_before  # manifest counts preserved
+    after = {(r["id"], r["v"]) for r in table.read(spark).collect()}
+    assert after == before
+    # pre-compaction snapshot still readable (time travel)
+    assert table.read(spark, sid=sid_before).count() == rows_before
+    # nothing left to compact -> no new snapshot
+    assert table.compact(spark, target_file_bytes=64 * 1024 * 1024) == sid
+
+
 def test_checkpoint_resume(spark, table):
     units = [f"u{i}" for i in range(4)]
     assert table.pending_units("r1", units) == units

@@ -117,6 +117,34 @@ def test_token_count_modes(spark):
     assert bpe == 6  # Hello / , / world / ! / 42 / times
 
 
+def test_tfidf_top_terms(spark, docs):
+    """TF-IDF top terms vs a hand-built pandas oracle (same smoothing)."""
+    import math
+
+    out = textops.tfidf_top_terms(docs, "doc_id", "text", k=3).toPandas()
+    pdf = docs.toPandas()
+    n = len(pdf)
+    tf, dfreq = {}, {}
+    for _, row in pdf.iterrows():
+        terms = [t for t in row["text"].lower().split() if t]
+        seen = set()
+        for t in terms:
+            tf[(row["doc_id"], t)] = tf.get((row["doc_id"], t), 0) + 1
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for doc_id in pdf["doc_id"]:
+        cand = [(d, t) for (d, t) in tf if d == doc_id]
+        cand.sort(key=lambda k: (-tf[k], dfreq[k[1]], k[1]))
+        want = [t for _, t in cand[:3]]
+        got_rows = out[out["doc_id"] == doc_id].sort_values("rank")
+        assert got_rows["term"].tolist() == want, doc_id
+        for _, r in got_rows.iterrows():
+            score = tf[(doc_id, r["term"])] * (
+                math.log((1.0 + n) / (1.0 + dfreq[r["term"]])) + 1.0
+            )
+            assert r["tfidf_e6"] == math.floor(score * 1_000_000)
+
+
 def test_fingerprint_stable_under_whitespace(spark):
     df = spark.createDataFrame(
         [(0, "the quick  brown fox"), (1, "the quick brown   fox"),
