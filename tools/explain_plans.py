@@ -91,12 +91,17 @@ def main() -> int:
         must_not=["SortMergeJoin", "CartesianProduct"],
     )
     # codegen ids are hidden in formatted output while the AdaptiveSparkPlan is
-    # unexecuted; exchange count is the real structural signal:
-    # 1 BroadcastExchange (cover) + 1 shuffle Exchange (final groupBy) expected.
-    # each Exchange appears twice in formatted output (tree + detail section)
-    n_exchanges = p.count("Exchange") // 2
-    print(f"  exchanges in plan: {n_exchanges} (expect 2: broadcast + final agg)")
-    ok &= n_exchanges <= 2
+    # unexecuted; exchange counts are the real structural signal. Design shape:
+    # 2 BroadcastExchanges (scalar cover + 200-row ring dim — rings deliberately
+    # do NOT ride per-cell in the cover, see joins.build_pip_cover) and exactly
+    # 1 shuffle Exchange (the final groupBy) — the POINT side must never
+    # shuffle. Each Exchange appears twice in formatted output (tree + detail).
+    n_shuffles = (p.count("Exchange hashpartitioning")
+                  + p.count("Exchange rangepartitioning")) // 2
+    n_bcast = p.count("BroadcastExchange") // 2
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: final agg); "
+          f"broadcasts: {n_bcast} (expect <=2: cover + ring dim)")
+    ok &= n_shuffles <= 1 and n_bcast <= 2
 
     # 3. agg: partial + final hash aggregate
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
