@@ -355,6 +355,37 @@ def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of a per-point metric (the
+    raster/vector composition a geospatial engine runs constantly) — PIP join
+    (rect zones) feeding count / int64-scaled mean components / extent."""
+    pts = _docs_points(spark, sf_dir)
+    # deterministic per-point metric from the phash (int math)
+    metric = (F.col("phash") % 1000).cast("long")
+    rects = spark.createDataFrame(
+        [(i, -180.0 + i * 45.0, -90.0 + i * 20.0, -180.0 + i * 45.0 + 60.0,
+          -90.0 + i * 20.0 + 50.0) for i in range(8)],
+        ["rect_id", "lon0", "lat0", "lon1", "lat1"],
+    )
+    cond = (
+        (F.col("lon") >= F.col("lon0")) & (F.col("lon") < F.col("lon1"))
+        & (F.col("lat") >= F.col("lat0")) & (F.col("lat") < F.col("lat1"))
+    )
+    return (
+        pts.withColumn("metric", metric)
+        .join(F.broadcast(rects), cond, "inner")
+        .groupBy(F.col("rect_id").cast("long").alias("zone_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("metric").cast("long").alias("metric_sum"),
+            F.min("metric").cast("long").alias("metric_min"),
+            F.max("metric").cast("long").alias("metric_max"),
+            F.count_distinct(cells.grid_encode_phash(F.col("phash"), 7))
+             .alias("n_cells_r7"),
+        )
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile assignment at z=8 via pure integer math from phash (no floats)."""
     pts = _docs_points(spark, sf_dir)
@@ -1081,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_decode_join": q_dim_decode_join,
         "pip_rect": q_pip_rect,
         "pip_holes": q_pip_holes,
+        "zonal_stats": q_zonal_stats,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -1433,6 +1465,22 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
                  AND NOT (p.lon >= r.x0 + 12.5 AND p.lon < r.x0 + 37.5
                           AND p.lat >= r.y0 + 10.0 AND p.lat < r.y0 + 30.0)
+            GROUP BY 1
+        """,
+        "zonal_stats": f"""
+            SELECT CAST(r.rect_id AS BIGINT) AS zone_id, COUNT(*) AS n_points,
+                   CAST(SUM(p.metric) AS BIGINT) AS metric_sum,
+                   CAST(MIN(p.metric) AS BIGINT) AS metric_min,
+                   CAST(MAX(p.metric) AS BIGINT) AS metric_max,
+                   COUNT(DISTINCT {cells.grid_encode_phash_sql('p.phash', 7)})
+                     AS n_cells_r7
+            FROM (SELECT {lon} AS lon, {lat} AS lat, ({phash}) % 1000 AS metric,
+                         ({phash}) AS phash
+                  FROM documents) p
+            JOIN (SELECT i AS rect_id, -180.0 + i * 45.0 AS lon0, -90.0 + i * 20.0 AS lat0,
+                         -180.0 + i * 45.0 + 60.0 AS lon1, -90.0 + i * 20.0 + 50.0 AS lat1
+                  FROM (SELECT unnest(range(8)) AS i)) r
+              ON p.lon >= r.lon0 AND p.lon < r.lon1 AND p.lat >= r.lat0 AND p.lat < r.lat1
             GROUP BY 1
         """,
         "tile_assign": f"""

@@ -73,6 +73,59 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
 
+def np_ahash(pixels: np.ndarray, grid: int = 8) -> int:
+    """Average hash (aHash) of an RGB image: downsample the grayscale to a
+    grid x grid lattice (block means), threshold at the global mean, pack the
+    bits row-major (bit (r*grid + c) set iff block mean > image mean). 64-bit
+    for the default 8x8 grid — the perceptual-hash family the north star's
+    'phash-derived anchor point' refers to, computed from REAL pixels."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    blocks = np.empty((grid, grid), dtype=np.float64)
+    for r in range(grid):
+        for c in range(grid):
+            blocks[r, c] = gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    bits = (blocks > gray.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(grid * grid, dtype=np.uint64)).sum())
+
+
+AHASH_SCHEMA = "image_id string, ahash long, anchor_lon double, anchor_lat double, error string"
+
+
+def compute_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-image average hash from DECODED pixels + the phash-derived anchor
+    point (engine.cells anchor mapping applied to the computed hash) — the
+    geotag-from-pixels path of the north star, as an Arrow-batched mapInPandas
+    kernel. Input needs (image_id, bytes, w, h, fmt); undecodable rows surface
+    a per-row error."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, None, None, err))
+                    continue
+                hv = np_ahash(px, grid) & ((1 << 63) - 1)  # non-negative int64
+                x = hv % 2**32
+                y = (hv >> 32) % 2**31
+                out.append((
+                    row.image_id, hv,
+                    x / 2**32 * 360.0 - 180.0,
+                    y / 2**31 * 180.0 - 90.0,
+                    None,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "ahash", "anchor_lon", "anchor_lat", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, error string"
 
 

@@ -56,6 +56,32 @@ def streaming_cell_counts(
     )
 
 
+def streaming_pip_counts(
+    stream: DataFrame,
+    polygons: DataFrame,
+    res_min: int = 4,
+    res_max: int = 9,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming point-in-polygon: incoming images -> phash anchors -> the SAME
+    pip_join plan as batch (stream-static broadcast join: the cover and ring
+    dim are static broadcasts, so the stream side never shuffles before the
+    windowed agg) -> watermarked per-(window, polygon) counts. The batch ==
+    streaming equality is asserted in tests/test_streaming.py."""
+    from . import joins
+
+    pts = (
+        stream.withWatermark("event_time", watermark)
+        .withColumn("lon", cells.anchor_lon(F.col("phash")))
+        .withColumn("lat", cells.anchor_lat(F.col("phash")))
+    )
+    joined = joins.pip_join(pts, polygons, res_min=res_min, res_max=res_max)
+    return joined.groupBy(F.window("event_time", window), F.col("poly_id")).agg(
+        F.count("*").alias("n_images")
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on image_id within the watermark horizon (state is
     expired past it) — the streaming twin of textops.exact_dedup."""

@@ -84,6 +84,43 @@ def test_extract_features(spark, images):
         assert r["mean_r"] is not None and r["edge_energy"] >= 0
 
 
+def test_compute_ahash_matches_numpy_and_is_stable(spark, images):
+    """Average hash from decoded pixels: matches the numpy oracle applied to
+    the same decoded bytes, is partition-invariant, and the derived anchor
+    lands in valid lon/lat ranges (the geotag-from-pixels north-star path)."""
+    import numpy as np
+
+    from engine import image_codec
+
+    out = {r["image_id"]: r for r in multimodal.compute_ahash(images).collect()}
+    assert len(out) == 40 and all(r["error"] is None for r in out.values())
+    # partition invariance
+    out2 = {r["image_id"]: r["ahash"]
+            for r in multimodal.compute_ahash(images.repartition(7)).collect()}
+    assert {k: v["ahash"] for k, v in out.items()} == out2
+    # numpy oracle on raw rows
+    for row in images.filter(F.col("fmt") == "raw").limit(5).collect():
+        px = image_codec.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        want = multimodal.np_ahash(px) & ((1 << 63) - 1)
+        got = out[row["image_id"]]
+        assert got["ahash"] == want
+        assert -180.0 <= got["anchor_lon"] < 180.0
+        assert -90.0 <= got["anchor_lat"] < 90.0
+    # hash must discriminate: 40 distinct random images -> many distinct hashes
+    assert len({r["ahash"] for r in out.values()}) > 30
+
+
+def test_compute_ahash_error_isolation(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00\x01"), 4, 4, "jpeg"),
+         ("cap", None, 4, 4, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in multimodal.compute_ahash(df).collect()}
+    assert rows["bad"]["error"] is not None and rows["bad"]["ahash"] is None
+    assert rows["cap"]["error"] is not None
+
+
 def test_extract_features_unsupported_format(spark):
     df = spark.createDataFrame(
         [("x1", bytearray(b"\x00\x01"), 4, 4, "jpeg")],

@@ -65,6 +65,38 @@ def test_streaming_dedup(spark, stream_dir):
         q.stop()
 
 
+def test_streaming_pip_counts_match_batch(spark, stream_dir):
+    """Streaming PIP (stream-static broadcast join) produces the same
+    per-polygon totals as the batch pip_join over the union of all batches."""
+    from engine import joins, synth
+
+    polys = synth.polygons_df(spark, p=60, hot_frac=0.0, radius_scale=4.0)
+    stream = streaming.read_image_stream(spark, stream_dir)
+    agg = streaming.streaming_pip_counts(stream, polys, res_min=4, res_max=9)
+    q = streaming.run_to_memory(agg, "pip_counts", output_mode="complete")
+    try:
+        got = {
+            (r["poly_id"], r["n"])
+            for r in spark.sql(
+                "SELECT poly_id, CAST(sum(n_images) AS BIGINT) AS n "
+                "FROM pip_counts GROUP BY poly_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch_pts = (
+        spark.read.parquet(stream_dir)
+        .withColumn("lon", cells.anchor_lon(F.col("phash")))
+        .withColumn("lat", cells.anchor_lat(F.col("phash")))
+    )
+    want = {
+        (r["poly_id"], r["n"])
+        for r in joins.pip_join(batch_pts, polys, res_min=4, res_max=9)
+        .groupBy("poly_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: closed sessions across micro-batches
     equal the batch sessionizer's non-final sessions."""
