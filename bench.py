@@ -261,9 +261,10 @@ def main() -> None:
     # representative subset by default (keeps the whole bench under ~5 min);
     # SPARK_GRAFT_BENCH_ALL_QUERIES=1 times every registered query
     fast_subset = [
-        "cell_encode", "cell_rollup", "rollup_chain", "pip_rect", "tile_assign",
+        "cell_encode", "cell_rollup", "rollup_chain", "pip_rect", "pip_holes",
+        "zonal_stats", "tile_assign",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
-        "asof_join", "dedup_exact", "token_stats", "cosine_topk", "knn",
+        "asof_join", "dedup_exact", "token_stats", "tfidf", "cosine_topk", "knn",
         "sessionize", "window_range", "semi_anti_join", "cosine_neardup",
         "ngram_jaccard", "curation", "distinct_cells",
     ]
