@@ -355,6 +355,19 @@ def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash (4th index family, engine.cells.geohash_phash): pure
+    Column shifts + base32 from the phash anchor; per-prefix counts at
+    precision 5 over the precision-8 encode (string-hierarchy rollup)."""
+    pts = _docs_points(spark, sf_dir)
+    gh = cells.geohash_phash(F.col("phash"), 8)
+    return (
+        pts.select(gh.alias("gh8"))
+        .groupBy(F.substring("gh8", 1, 5).alias("gh5"))
+        .agg(F.count("*").alias("n_points"), F.min("gh8").alias("min_gh8"))
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon aggregates of a per-point metric (the
     raster/vector composition a geospatial engine runs constantly) — PIP join
@@ -1113,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": q_pip_rect,
         "pip_holes": q_pip_holes,
         "zonal_stats": q_zonal_stats,
+        "geohash": q_geohash,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -1465,6 +1479,12 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
                  AND NOT (p.lon >= r.x0 + 12.5 AND p.lon < r.x0 + 37.5
                           AND p.lat >= r.y0 + 10.0 AND p.lat < r.y0 + 30.0)
+            GROUP BY 1
+        """,
+        "geohash": f"""
+            SELECT substr(gh8, 1, 5) AS gh5, COUNT(*) AS n_points,
+                   MIN(gh8) AS min_gh8
+            FROM (SELECT {cells.geohash_phash_sql(phash, 8)} AS gh8 FROM documents)
             GROUP BY 1
         """,
         "zonal_stats": f"""

@@ -489,6 +489,88 @@ def s2_encode_udf(level: int):
 
 
 # ---------------------------------------------------------------------------
+# Geohash (standard base32) — fourth index family, Column-only from phash
+# ---------------------------------------------------------------------------
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def np_geohash(lon: np.ndarray, lat: np.ndarray, precision: int = 8) -> np.ndarray:
+    """Standard geohash strings (successive-halving == bit extraction of the
+    floor-quantized fraction; numpy oracle for tests/known vectors)."""
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    fx = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << n_lon)), 0, (1 << n_lon) - 1)
+    fy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << n_lat)), 0, (1 << n_lat) - 1)
+    fx = fx.astype(np.uint64)
+    fy = fy.astype(np.uint64)
+    # even total bits: LSB is a lat bit (lat at 2j, lon at 2j+1); odd total
+    # (odd precision): lon has one extra bit and the LSB is lon's
+    if nbits % 2 == 0:
+        g = _spread_bits(fy) | (_spread_bits(fx) << np.uint64(1))
+    else:
+        g = _spread_bits(fx) | (_spread_bits(fy) << np.uint64(1))
+    out = []
+    for v in g.tolist():
+        s = "".join(
+            _GEOHASH32[(v >> (nbits - 5 * (k + 1))) & 31] for k in range(precision)
+        )
+        out.append(s)
+    return np.array(out)
+
+
+def geohash_phash(phash: Column, precision: int = 8) -> Column:
+    """Geohash of the phash anchor point as a pure Column expression: the
+    anchor's lon/lat fractions ARE x/2^32 and y/2^31, so the geohash bit
+    planes are plain right-shifts of x and y — no floats, no UDF; the base32
+    chars come from element_at over a literal array. precision <= 11
+    (n_lon <= 28 fits the _spread_bits_col mask)."""
+    if not (1 <= precision <= 11):
+        raise ValueError("precision must be in [1, 11]")
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    fx = (phash_x(phash) / F.lit(2 ** (32 - n_lon))).cast("long")
+    fy = (phash_y(phash) / F.lit(2 ** (31 - n_lat))).cast("long")
+    if nbits % 2 == 0:
+        g = _spread_bits_col(fy).bitwiseOR(F.shiftleft(_spread_bits_col(fx), 1))
+    else:
+        g = _spread_bits_col(fx).bitwiseOR(F.shiftleft(_spread_bits_col(fy), 1))
+    alpha = F.array(*[F.lit(c) for c in _GEOHASH32])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftrightunsigned(g, nbits - 5 * (k + 1)).bitwiseAND(F.lit(31)) + 1)
+            .cast("int"),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_phash_sql(phash_expr: str, precision: int = 8) -> str:
+    """DuckDB twin of geohash_phash (same shifts, same alphabet)."""
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    x = f"((({phash_expr}) % 4294967296) // {2 ** (32 - n_lon)})"
+    y = f"(((({phash_expr}) // 4294967296) % 2147483648) // {2 ** (31 - n_lat)})"
+
+    def spread(v: str, nb: int) -> str:
+        return "(" + " + ".join(f"((({v} >> {j}) & 1) << {2 * j})" for j in range(nb)) + ")"
+
+    if nbits % 2 == 0:
+        g = f"({spread(y, n_lat)} + ({spread(x, n_lon)} << 1))"
+    else:
+        g = f"({spread(x, n_lon)} + ({spread(y, n_lat)} << 1))"
+    chars = " || ".join(
+        f"substr('{_GEOHASH32}', CAST((({g} >> {nbits - 5 * (k + 1)}) & 31) AS INT) + 1, 1)"
+        for k in range(precision)
+    )
+    return f"({chars})"
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twins of the numpy encoders
 # ---------------------------------------------------------------------------
 # Both encoders are elementary double arithmetic + libm trig; numpy's float64

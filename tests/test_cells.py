@@ -237,3 +237,35 @@ def test_hex_udf_matches_numpy(spark):
     )
     want = cells.np_hex_encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9)
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# geohash (4th index family)
+# ---------------------------------------------------------------------------
+def test_geohash_known_vectors():
+    # canonical geohash test points
+    assert cells.np_geohash(np.array([10.40744]), np.array([57.64911]), 11)[0] == "u4pruydqqvj"
+    assert cells.np_geohash(np.array([10.40744]), np.array([57.64911]), 5)[0] == "u4pru"
+
+
+def test_geohash_phash_matches_numpy(spark):
+    df = spark.range(2000).select(cells.synth_phash(F.col("id")).alias("phash"))
+    for prec in (5, 8):  # odd + even total-bit branches
+        got = df.select(
+            "phash", cells.geohash_phash(F.col("phash"), prec).alias("gh")
+        ).collect()
+        ph = np.array([r["phash"] for r in got], dtype=np.int64)
+        lon, lat = cells.np_anchor(ph)
+        want = cells.np_geohash(lon, lat, prec)
+        assert [r["gh"] for r in got] == list(want)
+
+
+def test_geohash_prefix_is_containment(spark):
+    """geohash hierarchy: the precision-5 encode is the prefix of the
+    precision-8 encode of the same point — string-prefix rollups are exact."""
+    df = spark.range(500).select(cells.synth_phash(F.col("id")).alias("phash"))
+    bad = df.select(
+        cells.geohash_phash(F.col("phash"), 8).alias("g8"),
+        cells.geohash_phash(F.col("phash"), 5).alias("g5"),
+    ).filter(F.substring("g8", 1, 5) != F.col("g5"))
+    assert bad.count() == 0
