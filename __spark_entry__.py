@@ -426,6 +426,22 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN (engine.joins.knn_geo_brute_force, haversine meters):
+    queries = every 200th document anchor, k=3 nearest anchors. Rank by
+    (distance, id); dist emitted floor-scaled to mm."""
+    pts = _docs_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "lon", "lat"
+    )
+    points = pts.select(F.col("doc_id").alias("point_id"), "lon", "lat")
+    out = joins.knn_geo_brute_force(queries, points, k=3)
+    return out.select(
+        "query_id", "point_id", F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("dist_m") * 1000).cast("long").alias("dist_mm"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy on content: keep min doc_id per text, report
     duplicate multiplicity (md5 is standard — identical across engines)."""
@@ -1129,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
+        "knn_geo": q_knn_geo,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
@@ -1522,6 +1539,23 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents WHERE doc_id % 100 = 0) q
               CROSS JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, {xi} AS x, {yi} AS y
                           FROM documents) p
+            ) t WHERE rank <= 3
+        """,
+        "knn_geo": f"""
+            SELECT query_id, point_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(FLOOR(dist_m * 1000) AS BIGINT) AS dist_mm
+            FROM (
+              SELECT q.doc_id AS query_id, p.doc_id AS point_id,
+                     {joins.haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')}
+                       AS dist_m,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY {joins.haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')},
+                                p.doc_id) AS rank
+              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {lon} AS lon, {lat} AS lat
+                    FROM documents WHERE doc_id % 200 = 0) q
+              CROSS JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, {lon} AS lon,
+                                 {lat} AS lat FROM documents) p
             ) t WHERE rank <= 3
         """,
         "dedup_exact": """

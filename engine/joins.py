@@ -662,6 +662,67 @@ def knn_brute_force(
 
 
 # ---------------------------------------------------------------------------
+# Geodesic distance (haversine) — Column math, SQL-twin-able
+# ---------------------------------------------------------------------------
+_DEG2RAD_F = float(np.pi / 180.0)
+EARTH_RADIUS_M = 6371008.8  # IUGG mean
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters (haversine, double Column math — libm
+    trig, identical expression order to haversine_m_sql)."""
+    dphi = (lat2 - lat1) * _DEG2RAD_F
+    dlam = (lon2 - lon1) * _DEG2RAD_F
+    a = (
+        F.sin(dphi / 2.0) * F.sin(dphi / 2.0)
+        + F.cos(lat1 * _DEG2RAD_F)
+        * F.cos(lat2 * _DEG2RAD_F)
+        * F.sin(dlam / 2.0)
+        * F.sin(dlam / 2.0)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB twin of haversine_m (same constants, same op order)."""
+    c = repr(_DEG2RAD_F)
+    dphi = f"(({lat2}) - ({lat1})) * {c}"
+    dlam = f"(({lon2}) - ({lon1})) * {c}"
+    a = (
+        f"(sin(({dphi}) / 2.0) * sin(({dphi}) / 2.0)"
+        f" + cos(({lat1}) * {c}) * cos(({lat2}) * {c})"
+        f" * sin(({dlam}) / 2.0) * sin(({dlam}) / 2.0))"
+    )
+    return f"(2.0 * {EARTH_RADIUS_M!r} * asin(sqrt({a})))"
+
+
+def knn_geo_brute_force(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 3,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Geodesic kNN (haversine) for a broadcastable query set: broadcast cross
+    join + per-query top-k window — the exact/oracle plan; the planar
+    ring-expansion path (knn_join) remains the scale strategy with haversine
+    as the final rerank metric when geodesic exactness matters. Inputs need
+    (id, lon, lat). Returns (query_id, point_id, rank, dist_m)."""
+    q = queries.select(query_id, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"))
+    p = points.select(point_id, F.col("lon").alias("_plon"), F.col("lat").alias("_plat"))
+    scored = F.broadcast(q).crossJoin(p).withColumn(
+        "dist_m",
+        haversine_m(F.col("_qlon"), F.col("_qlat"), F.col("_plon"), F.col("_plat")),
+    )
+    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "rank", "dist_m")
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (temporal assignment) — union + window, the J3 rebuild
 # ---------------------------------------------------------------------------
 def asof_join(
