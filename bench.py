@@ -99,10 +99,12 @@ def _flagship_elapsed(
         def run() -> int:
             return plan.count()
 
-        # two runs, take the min: the first doubles as warm-up (codegen,
-        # broadcast); min-of-N is the robust estimator on a noisy host
+        # min of 3 runs: the first doubles as warm-up (codegen, broadcast);
+        # min-of-N is the robust estimator on a noisy host, and a third run
+        # costs seconds while halving the odds that both timed runs land in a
+        # steal window (observed 2.5x swings between adjacent runs)
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows = run()
             best = min(best, time.time() - t0)
