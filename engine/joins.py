@@ -474,9 +474,13 @@ def pip_join(
         # cast; only the ~4/sqrt(max_cells) boundary-cell residue pays it.
         cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner")
         if "ring" not in cand.columns:
-            cand = cand.join(
-                F.broadcast(polygons.select("poly_id", "ring")), "poly_id"
-            )
+            rings_dim = polygons.select("poly_id", "ring")
+            # a polygon set too large to broadcast as a cover is too large to
+            # broadcast as a ring dim: degrade to the shuffled equi-join on
+            # poly_id together with the cover (AQE handles both)
+            if broadcast_cover:
+                rings_dim = F.broadcast(rings_dim)
+            cand = cand.join(rings_dim, "poly_id")
         keep = F.col("full_inside") | raycast_inside_expr(
             F.col("ring"), F.col(lon_col), F.col(lat_col)
         )
