@@ -217,13 +217,14 @@ def main() -> None:
             # min estimator only needs one clean window per config, so extra
             # (cheap) large trials buy robustness where it actually matters.
             trials = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIALS", "2"))
-            large_per_round = int(
-                os.environ.get("SPARK_GRAFT_BENCH_SCALING_LARGE_PER_ROUND", "2")
+            n_large = int(
+                os.environ.get("SPARK_GRAFT_BENCH_SCALING_LARGE_TRIALS", "3")
             )
             ts_small, ts_large = [], []
-            for _ in range(trials):
+            for i in range(trials):
                 ts_small.append(_subprocess_flagship(cores_per, n_scaling, cores_per, 1))
-                for _ in range(large_per_round):
+                # spread the large trials across the small ones (interleaving)
+                while len(ts_large) < round(n_large * (i + 1) / trials):
                     ts_large.append(
                         _subprocess_flagship(cores_per, n_scaling, 4 * cores_per, 4)
                     )
