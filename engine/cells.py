@@ -86,8 +86,11 @@ def phash_x(phash: Column) -> Column:
 
 
 def phash_y(phash: Column) -> Column:
-    """Bits 32..62 of phash (31-bit)."""
-    return (phash / F.lit(2**32)).cast("long") % F.lit(2**31)
+    """Bits 32..62 of phash (31-bit). Pure integer math: the double-division
+    form ((phash / 2^32).cast(long)) rounds at ~512-ulp for 63-bit inputs and
+    can flip the floor when phash % 2^32 lands within ~256 of a multiple of
+    2^32 — shiftrightunsigned matches the oracle's `// 4294967296` exactly."""
+    return F.shiftrightunsigned(phash, 32) % F.lit(2**31)
 
 
 def anchor_lon(phash: Column) -> Column:

@@ -117,8 +117,14 @@ def _gemm_topk_scan(
             Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             sims = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (batch, |Q|)
             kk = min(k, sims.shape[0])
-            # per-query local top-k within this batch (argpartition, O(batch))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, |Q|)
+            # per-query local top-k within this batch, with the documented
+            # (sim desc, corpus_id asc) tiebreak applied LOCALLY too: a bare
+            # argpartition keeps an arbitrary member of a tie at the kk-th
+            # boundary, so with duplicate vectors the global window could see
+            # a higher-id candidate while the lower-id tie was dropped here
+            top = np.empty((kk, sims.shape[1]), dtype=np.int64)
+            for j in range(sims.shape[1]):
+                top[:, j] = np.lexsort((cids, -sims[:, j]))[:kk]
             qcol = np.repeat(qids[None, :], kk, axis=0).ravel()
             ccol = cids[top].ravel()
             scol = np.take_along_axis(sims, top, axis=0).ravel()
@@ -272,6 +278,14 @@ def lsh_ann_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
+    if max_probes is None and kernel == "gemm":
+        # production default: own bucket + all 1-bit flips + 32 of the 2-bit
+        # pairs. The 2-bit tail is the 1+n+n(n-1)/2 fan-out that dominates the
+        # bucket join at 20 planes (211 probes/query); capping it bounds
+        # candidate volume with a negligible recall cost (the nearest buckets
+        # are overwhelmingly the 0/1-flip ones). The hof/oracle kernel stays
+        # uncapped — its DuckDB twin enumerates the exact uncapped probe set.
+        max_probes = 1 + n_planes + 32
     if max_probes is not None:
         probes = probes[:max_probes]
     q = base.withColumn("_bucket", F.explode(F.array(*probes)))

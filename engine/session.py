@@ -55,10 +55,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # reliable-checkpoint support: operators that materialize mid-plan frames
+    # (engine.textops ngram index) use .checkpoint() when a dir is configured —
+    # unlike localCheckpoint, the blocks survive executor loss. The cleaner
+    # releases checkpoint files when the frame is GC'd.
+    b = b.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
     return spark
 
 

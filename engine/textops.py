@@ -257,14 +257,20 @@ def ngram_jaccard_pairs_indexed(
         # brute force is the only exact plan for threshold <= 0
         return ngram_jaccard_pairs(df, id_col, text_col, ngram, threshold)
     # the shingle projection feeds three consumers; materialize it ONCE via
-    # localCheckpoint (eager) instead of persist(): checkpoint blocks are
-    # released by the ContextCleaner when the frame is garbage-collected, so
-    # repeated calls (bench loops) no longer leak cached relations for the
-    # session lifetime, and the 3x recompute of a bare projection is avoided
+    # checkpoint instead of persist(): checkpoint blocks are released by the
+    # ContextCleaner when the frame is garbage-collected, so repeated calls
+    # (bench loops) don't leak cached relations for the session lifetime, and
+    # the 3x recompute of a bare projection is avoided. A RELIABLE checkpoint
+    # (configured dir — engine.session sets one) survives executor loss, which
+    # localCheckpoint does not; localCheckpoint is the dir-less fallback only.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_ngrams(tokens(F.col(text_col)), ngram)).alias("_sh"),
-    ).localCheckpoint(eager=True)
+    )
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        sh = sh.checkpoint(eager=True)
+    else:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     posts = sh.select("_id", F.explode("_sh").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("_gh")
@@ -479,11 +485,13 @@ def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
     """Per-document top-k salient terms by smoothed TF-IDF
-    (idf = ln((1+N)/(1+df)) + 1). Ranking is by the INTEGER tuple
-    (tf desc, df asc, term asc) — fully deterministic across engines — while
-    the tfidf score is emitted as a floor-scaled value column (the ln is
-    evaluated identically per (tf, df) pair in both engines; a floor flip
-    needs a ~1e-10 coincidence).
+    (idf = ln((1+N)/(1+df)) + 1). Ranking is by the actual score — as the
+    INTEGER floor-scaled tfidf_e6 (desc), term asc tiebreak — so a rare
+    high-idf term outranks a common term with higher raw tf, which is what
+    "top-k by TF-IDF" promises. Ranking on the integer keeps the order
+    deterministic across engines; tfidf_e6 itself already rides in the
+    hash-checked output, so the (empirically ulp-identical) ln evaluation
+    adds no new cross-engine risk beyond the value column.
 
     Plan: one doc-term aggregation (shuffle on (doc, term)), one term-keyed
     df aggregation + join (broadcast it when the vocabulary is small; AQE
@@ -510,8 +518,11 @@ def tfidf_top_terms(
             ),
         )
     )
+    scored = scored.withColumn(
+        "tfidf_e6", F.floor(F.col("tfidf") * 1_000_000).cast("long")
+    )
     w = Window.partitionBy("_id").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        F.col("tfidf_e6").desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -521,7 +532,7 @@ def tfidf_top_terms(
             "term",
             F.col("rank").cast("long").alias("rank"),
             F.col("tf").cast("long").alias("tf"),
-            F.floor(F.col("tfidf") * 1_000_000).cast("long").alias("tfidf_e6"),
+            "tfidf_e6",
         )
     )
 
@@ -543,14 +554,17 @@ def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 5) -> s
                  tf.tf * (LN((1.0 + CAST(n.n_docs AS DOUBLE))
                              / (1.0 + CAST(dfreq.df AS DOUBLE))) + 1.0) AS tfidf
           FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), scored_e6 AS (
+          SELECT *, CAST(FLOOR(tfidf * 1000000) AS BIGINT) AS tfidf_e6
+          FROM scored
         )
         SELECT CAST(_id AS BIGINT) AS {id_col}, term,
                CAST(rank AS BIGINT) AS rank, CAST(tf AS BIGINT) AS tf,
-               CAST(FLOOR(tfidf * 1000000) AS BIGINT) AS tfidf_e6
+               tfidf_e6
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY _id
-                      ORDER BY tf DESC, df ASC, term ASC) AS rank
-          FROM scored
+                      ORDER BY tfidf_e6 DESC, term ASC) AS rank
+          FROM scored_e6
         ) t WHERE rank <= {k}
     """
 
