@@ -146,13 +146,19 @@ def polygon_cover(
 
 
 def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
-               ring_xs=None, ring_ys=None):
+               ring_xs=None, ring_ys=None, convex=True):
     """Cover of one bbox: finest res whose cell count fits under max_cells.
 
-    When the polygon ring is given (and convex), each cover cell is classified:
-    full_inside = all 4 cell corners strictly inside -> the whole cell is inside
-    (convexity), so points in it skip the ray-cast refine entirely. Boundary cells
-    are the ~4/sqrt(max_cells) residue that still needs the exact test."""
+    When the polygon ring is given AND convex=True, each cover cell is
+    classified: full_inside = all 4 cell corners strictly inside -> the whole
+    cell is inside (convexity), so points in it skip the ray-cast refine
+    entirely. Boundary cells are the ~4/sqrt(max_cells) residue that still
+    needs the exact test. For a CONCAVE ring the 4-corner test is unsound (all
+    corners inside does not imply the cell is inside), so convex=False keeps
+    full_inside all-False — every candidate goes through the exact refine. The
+    SAT cull below remains valid for concave rings: separation from the
+    vertex hull implies separation from the polygon (polygon ⊆ hull), so it
+    only ever DROPS provably-disjoint cells."""
     res = res_min
     for r in range(res_max, res_min - 1, -1):
         n = 2**r
@@ -176,12 +182,15 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     gx1 = np.repeat((xs + 1) / n * 360.0 - 180.0, len(ys))
     gy0 = np.tile(ys / n * 180.0 - 90.0, len(xs))
     gy1 = np.tile((ys + 1) / n * 180.0 - 90.0, len(xs))
-    full = (
-        np_point_in_polygon(gx0, gy0, ring_xs, ring_ys)
-        & np_point_in_polygon(gx0, gy1, ring_xs, ring_ys)
-        & np_point_in_polygon(gx1, gy0, ring_xs, ring_ys)
-        & np_point_in_polygon(gx1, gy1, ring_xs, ring_ys)
-    )
+    if convex:
+        full = (
+            np_point_in_polygon(gx0, gy0, ring_xs, ring_ys)
+            & np_point_in_polygon(gx0, gy1, ring_xs, ring_ys)
+            & np_point_in_polygon(gx1, gy0, ring_xs, ring_ys)
+            & np_point_in_polygon(gx1, gy1, ring_xs, ring_ys)
+        )
+    else:
+        full = np.zeros(cc.shape, dtype=bool)
     # SAT cull (convex polygon vs axis-aligned cell): a cell separated from the
     # polygon along any edge-normal axis cannot contain inside points -> drop it
     # from the cover entirely (bbox corners of an ellipse-ish polygon are ~20%
@@ -200,22 +209,57 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     return poly_id, res, cc[keep], full[keep]
 
 
-def _materialize_if_large(cover: DataFrame, threshold: int = 20000) -> DataFrame:
+_COVER_TMP_DIRS: list[str] = []
+_COVER_ATEXIT_REGISTERED = False
+
+
+def cleanup_cover_dirs() -> int:
+    """Remove every temp directory created by _materialize_if_large in this
+    process. Returns the number of directories removed. Also registered via
+    atexit, so long-lived sessions (the driver harness, bench loops) don't
+    accumulate one orphan dir per materialized cover."""
+    import shutil
+
+    n = 0
+    while _COVER_TMP_DIRS:
+        d = _COVER_TMP_DIRS.pop()
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
+def _materialize_if_large(
+    cover: DataFrame, threshold: int = 20000, force: bool = False
+) -> DataFrame:
     """A driver-built cover is a LocalRelation: it gets re-serialized by the
     single-threaded driver into every job that uses it (measured ~10s of serial
     time per run for a 200k-row cover with ring payloads — the dominant Amdahl
     term). Covers above `threshold` rows are written once per pip_join call to a
     temp parquet and read back, so every action on the returned plan references
-    a (tiny, distributed, cacheable) scan instead of embedding the rows."""
+    a (tiny, distributed, cacheable) scan instead of embedding the rows.
+
+    force=True materializes regardless of plan shape — used for DISTRIBUTED
+    (mapInPandas) covers that feed multiple consumers (used_res probe + the
+    join itself), so the cover is computed once, not per consumer. Temp dirs
+    are tracked and removed at process exit (cleanup_cover_dirs)."""
+    import atexit
     import tempfile
 
+    global _COVER_ATEXIT_REGISTERED
+
     used_res = getattr(cover, "_pip_used_res", None)
-    plan = cover._jdf.queryExecution().logical().toString()
-    if "LocalRelation" not in plan and "LogicalRDD" not in plan:
-        return cover
-    if cover.count() <= threshold:
-        return cover
-    path = tempfile.mkdtemp(prefix="pip_cover_") + "/cover.parquet"
+    if not force:
+        plan = cover._jdf.queryExecution().logical().toString()
+        if "LocalRelation" not in plan and "LogicalRDD" not in plan:
+            return cover
+        if cover.count() <= threshold:
+            return cover
+    d = tempfile.mkdtemp(prefix="pip_cover_")
+    _COVER_TMP_DIRS.append(d)
+    if not _COVER_ATEXIT_REGISTERED:
+        atexit.register(cleanup_cover_dirs)
+        _COVER_ATEXIT_REGISTERED = True
+    path = d + "/cover.parquet"
     cover.write.mode("overwrite").parquet(path)
     out = cover.sparkSession.read.parquet(path)
     if used_res is not None:
@@ -276,6 +320,105 @@ def raycast_inside_rings_expr(rings: Column, lon: Column, lat: Column) -> Column
     )
 
 
+def _multiring_cover_one(poly_id, b, rings, res_min, res_max, max_cells,
+                         assume_convex):
+    """Cover rows for ONE multipolygon: cover + full_inside against the OUTER
+    ring (convexity-gated — see _cover_one), then full_inside revoked for any
+    cover cell whose bbox intersects a hole's bbox (conservative: such cells
+    fall back to the exact even-odd multi-ring ray cast)."""
+    pid, res, cc, full = _cover_one(
+        poly_id,
+        b["min"]["lon"], b["min"]["lat"], b["max"]["lon"], b["max"]["lat"],
+        res_min, res_max, max_cells,
+        ring_xs=rings[0][0], ring_ys=rings[0][1], convex=assume_convex,
+    )
+    n = 2**res
+    ix = (cc - res * cells._RES_SHIFT) // cells._IX_SHIFT
+    iy = cc % cells._IX_SHIFT
+    cx0, cx1 = ix / n * 360.0 - 180.0, (ix + 1) / n * 360.0 - 180.0
+    cy0, cy1 = iy / n * 180.0 - 90.0, (iy + 1) / n * 180.0 - 90.0
+    for hx, hy in rings[1:]:
+        hx0, hx1, hy0, hy1 = hx.min(), hx.max(), hy.min(), hy.max()
+        touches_hole = (cx1 >= hx0) & (cx0 <= hx1) & (cy1 >= hy0) & (cy0 <= hy1)
+        full &= ~touches_hole
+    return pid, res, cc, full
+
+
+def _np_rings(raw) -> list[tuple[np.ndarray, np.ndarray]]:
+    return [
+        (
+            np.array([v["lon"] for v in ring], dtype=np.float64),
+            np.array([v["lat"] for v in ring], dtype=np.float64),
+        )
+        for ring in raw
+    ]
+
+
+def multiring_cover(
+    polygons: DataFrame,
+    rings_col: str = "rings",
+    res_min: int = 7,
+    res_max: int = 11,
+    max_cells: int = 1024,
+    driver_side_limit: int = 5000,
+    assume_convex: bool = True,
+) -> DataFrame:
+    """(poly_id, res, cell, full_inside) cover for multipolygons — the multiring
+    twin of polygon_cover, with the same two physical strategies: sets small
+    enough to broadcast are covered driver-side (zero Python workers in the hot
+    path); larger sets run a distributed mapInPandas over the polygon rows and
+    are materialized once to parquet (no driver collect at any size)."""
+    try:
+        n_polys = polygons.count()
+    except Exception:
+        n_polys = driver_side_limit + 1
+    if n_polys <= driver_side_limit:
+        rows = polygons.select("poly_id", "bbox", rings_col).collect()
+        out = []
+        for row in rows:
+            pid, res, cc, full = _multiring_cover_one(
+                row["poly_id"], row["bbox"], _np_rings(row[rings_col]),
+                res_min, res_max, max_cells, assume_convex,
+            )
+            for c, f in zip(cc.tolist(), full.tolist()):
+                out.append({"poly_id": int(pid), "res": int(res), "cell": int(c),
+                            "full_inside": bool(f)})
+        df = polygons.sparkSession.createDataFrame(
+            out, schema="poly_id long, res int, cell long, full_inside boolean"
+        )
+        df._pip_used_res = sorted({r["res"] for r in out}) or [res_min]
+        return _materialize_if_large(df)
+
+    def gen(batches):
+        import json
+
+        for pdf in batches:
+            out_poly, out_res, out_cell, out_full = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                pid, res, cc, full = _multiring_cover_one(
+                    row.poly_id, row.bbox, _np_rings(json.loads(row.rings_json)),
+                    res_min, res_max, max_cells, assume_convex,
+                )
+                out_poly.extend([pid] * len(cc))
+                out_res.extend([res] * len(cc))
+                out_cell.extend(cc.tolist())
+                out_full.extend(full.tolist())
+            yield pd.DataFrame({"poly_id": out_poly, "res": out_res,
+                                "cell": out_cell, "full_inside": out_full})
+
+    # rings cross the Arrow boundary as JSON: pandas conversion of the ragged
+    # array<array<struct>> column (outer ring + differently-sized holes) trips
+    # numpy's inhomogeneous-shape check; a string column is shape-free
+    dist = polygons.select(
+        "poly_id", "bbox", F.to_json(F.col(rings_col)).alias("rings_json")
+    ).mapInPandas(
+        gen, schema="poly_id long, res int, cell long, full_inside boolean"
+    )
+    # materialize once: the cover feeds two consumers (used_res probe + join);
+    # without this the mapInPandas cover would be recomputed per consumer
+    return _materialize_if_large(dist, force=True)
+
+
 def pip_join_multiring(
     points: DataFrame,
     polygons: DataFrame,
@@ -285,49 +428,38 @@ def pip_join_multiring(
     res_max: int = 11,
     max_cells: int = 1024,
     rings_col: str = "rings",
+    assume_convex: bool = True,
+    driver_side_limit: int = 5000,
+    broadcast_cover: bool | None = None,
 ) -> DataFrame:
     """Point-in-MULTIPOLYGON join: polygons carry `rings_col` =
     array<array<struct<lon,lat>>> — rings[0] the outer ring, rings[1:] holes
     (OSM relation outer/inner member roles, ObjectVersion.scala relations).
 
-    Same plan shape as pip_join: bbox cell-cover broadcast equi-join on
-    (res, cell) + codegen'd even-odd refine over all rings. full_inside
-    classification is done against the OUTER ring and then revoked for any
-    cover cell whose bbox intersects a hole's bbox (conservative: such cells
-    fall back to the exact multi-ring ray cast)."""
-    rows = polygons.select("poly_id", "bbox", rings_col).collect()
-    out = []
-    for row in rows:
-        b = row["bbox"]
-        rings = [
-            (
-                np.array([v["lon"] for v in ring], dtype=np.float64),
-                np.array([v["lat"] for v in ring], dtype=np.float64),
-            )
-            for ring in row[rings_col]
-        ]
-        pid, res, cc, full = _cover_one(
-            row["poly_id"],
-            b["min"]["lon"], b["min"]["lat"], b["max"]["lon"], b["max"]["lat"],
-            res_min, res_max, max_cells,
-            ring_xs=rings[0][0], ring_ys=rings[0][1],
-        )
-        n = 2**res
-        ix = (cc - res * cells._RES_SHIFT) // cells._IX_SHIFT
-        iy = cc % cells._IX_SHIFT
-        cx0, cx1 = ix / n * 360.0 - 180.0, (ix + 1) / n * 360.0 - 180.0
-        cy0, cy1 = iy / n * 180.0 - 90.0, (iy + 1) / n * 180.0 - 90.0
-        for hx, hy in rings[1:]:
-            hx0, hx1, hy0, hy1 = hx.min(), hx.max(), hy.min(), hy.max()
-            touches_hole = (cx1 >= hx0) & (cx0 <= hx1) & (cy1 >= hy0) & (cy0 <= hy1)
-            full &= ~touches_hole
-        for c, f in zip(cc.tolist(), full.tolist()):
-            out.append({"poly_id": int(pid), "res": int(res), "cell": int(c),
-                        "full_inside": bool(f)})
-    cover = points.sparkSession.createDataFrame(
-        out, schema="poly_id long, res int, cell long, full_inside boolean"
+    Same plan shape as pip_join: bbox cell-cover equi-join on (res, cell) +
+    codegen'd even-odd refine over all rings, with the same two regimes:
+    a broadcastable polygon set ships a driver-built cover + broadcast ring
+    dim (no point-side shuffle); a larger set builds the cover DISTRIBUTED
+    (multiring_cover's mapInPandas path — no .collect() anywhere) and degrades
+    to shuffled equi-joins on (res, cell) and poly_id, which AQE handles.
+
+    assume_convex gates the outer-ring full_inside classification exactly like
+    pip_join: concave OUTER rings (the general OSM relation case) must pass
+    False, leaving every candidate to the exact refine — all 4 corners of a
+    cell being inside a concave ring does NOT imply the cell is inside."""
+    try:
+        n_polys = polygons.count()
+    except Exception:
+        n_polys = driver_side_limit + 1
+    if broadcast_cover is None:
+        broadcast_cover = n_polys <= driver_side_limit
+    cover = multiring_cover(
+        polygons, rings_col, res_min, res_max, max_cells,
+        driver_side_limit=driver_side_limit, assume_convex=assume_convex,
     )
-    used_res = sorted({r["res"] for r in out}) or [res_min]
+    used_res = getattr(cover, "_pip_used_res", None) or sorted(
+        r["res"] for r in cover.select("res").distinct().collect()
+    ) or [res_min]
     enc = F.array(
         *[
             F.struct(
@@ -340,11 +472,17 @@ def pip_join_multiring(
     pts_exp = points.select("*", F.explode(enc).alias("_rc")).select(
         "*", F.col("_rc.res").alias("_pip_res"), F.col("_rc.cell").alias("_pip_cell")
     ).drop("_rc")
-    cover = F.broadcast(
-        cover.withColumnRenamed("res", "_pip_res").withColumnRenamed("cell", "_pip_cell")
+    cover = cover.withColumnRenamed("res", "_pip_res").withColumnRenamed(
+        "cell", "_pip_cell"
     )
+    rings_dim = polygons.select("poly_id", rings_col)
+    if broadcast_cover:
+        # a polygon set small enough to broadcast as a cover is small enough
+        # to broadcast as a ring dim (rings are one row per polygon)
+        cover = F.broadcast(cover)
+        rings_dim = F.broadcast(rings_dim)
     cand = pts_exp.join(cover, ["_pip_res", "_pip_cell"], "inner").join(
-        F.broadcast(polygons.select("poly_id", rings_col)), "poly_id"
+        rings_dim, "poly_id"
     )
     keep = F.col("full_inside") | raycast_inside_rings_expr(
         F.col(rings_col), F.col(lon_col), F.col(lat_col)
