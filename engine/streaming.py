@@ -126,23 +126,53 @@ def streaming_sessionize(
     key: str = "image_id",
     ts: str = "event_time",
     gap_minutes: int = 30,
+    watermark: str | None = None,
 ):
     """Custom stateful streaming operator (applyInPandasWithState): gap-based
     sessionization with per-key state carried across micro-batches — the
     streaming twin of engine.temporal.sessionize.
 
     Emits one row per CLOSED session (a session closes when a later event for
-    the same key arrives more than `gap_minutes` after its last event); the
-    open tail session stays in the state store. State per key is three int64s —
-    bounded regardless of stream length. Arrow-batched: the kernel sees pandas
-    frames, never per-row Python."""
+    the same key arrives more than `gap_minutes` after its last event). The
+    open tail session stays in the state store only until the EVENT-TIME
+    timeout at (last event + gap) fires — once the watermark proves no event
+    can extend the session, the tail is emitted as a final session (exactly
+    what the batch twin computes) and the state entry is REMOVED. On an
+    unbounded key universe (image ids!) per-key state would otherwise
+    accumulate forever even though each entry is only three int64s; with the
+    timeout the store is bounded by the WATERMARK-ACTIVE key set. A
+    processing-time timeout is deliberately not used: it makes the micro-batch
+    engine spin empty batches continuously, and its flushes depend on
+    wall-clock scheduling rather than data.
+
+    `watermark` (default: the gap itself) is the standard lateness horizon:
+    events later than it are dropped by the engine before the operator; late
+    events WITHIN it are absorbed into the open session (see below). Arrow-
+    batched: the kernel sees pandas frames, never per-row Python."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+    if watermark is None:
+        watermark = f"{gap_minutes} minutes"
 
     def fn(key_t, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # the watermark passed (end + gap): no event can extend this
+            # session any more — flush the tail as a final session and drop
+            # the state entry
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                if start is not None:
+                    yield pd.DataFrame(
+                        [(key_t[0], start, end, n)],
+                        columns=["key", "session_start_us",
+                                 "session_end_us", "n_events"],
+                    )
+            return
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend(
@@ -169,6 +199,12 @@ def streaming_sessionize(
                 # never retro-splits an already-emitted session)
                 start, end, n = min(start, t), max(end, t), n + 1
         state.update((start, end, n))
+        # event-time expiry at end + gap; must stay strictly above the current
+        # watermark (the API rejects timestamps at/below it, and a key whose
+        # last event is already > gap behind the global stream would hit that)
+        state.setTimeoutTimestamp(
+            max(end // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -177,13 +213,14 @@ def streaming_sessionize(
 
     return (
         stream.selectExpr(f"{key} AS key", f"{ts} AS {ts}")
+        .withWatermark(ts, watermark)
         .groupBy("key")
         .applyInPandasWithState(
             fn,
             SESSION_OUT_SCHEMA,
             _SESSION_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

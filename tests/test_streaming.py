@@ -148,13 +148,23 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     last = {r["key"]: r for r in
             agg.groupBy("key").agg(F.max("session_idx").alias("m")).collect()}
+    # closed sessions, plus TAIL sessions already past the event-time expiry
+    # horizon: the final watermark (global max event - 30min delay) proves no
+    # event can extend them, so the streaming operator flushes them as final
+    gap_us = 30 * 60 * 1_000_000
+    max_us = max(int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+                 for _, t in all_rows)
+    final_wm_us = max_us - gap_us
     want = {
         (r["key"], r["start_us"], r["end_us"], r["n"])
         for r in agg.collect()
-        if r["session_idx"] < last[r["key"]]["m"]  # only CLOSED sessions
+        if r["session_idx"] < last[r["key"]]["m"]  # CLOSED sessions
+        or r["end_us"] + gap_us <= final_wm_us     # expired tails
     }
     assert got == want
-    assert len(got) == 2  # one closed session per key
+    # one closed session per key + a's expired tail (b's tail is still open:
+    # its end + gap is past the final watermark)
+    assert len(got) == 3
 
 
 def test_streaming_sessionize_late_cross_batch_event(spark, tmp_path):
@@ -250,3 +260,47 @@ def test_write_stream_to_table_idempotent(spark, tmp_path):
     assert t.txn_committed("batch-2")
     assert t.pending_units("__stream__", ["batch-2"]) == ["batch-2"]  # lineage gone
     # ... yet the guard still refuses to double-append
+
+
+def test_streaming_sessionize_tail_expiry(spark, tmp_path):
+    """An idle key's state must EXPIRE: once the watermark passes the open
+    tail's (end + gap), the tail is emitted as a FINAL session and the state
+    entry is removed (round-2 version used NoTimeout — unbounded state on an
+    unbounded key universe). Driven purely by event time: a far-future event
+    for a DIFFERENT key advances the watermark past a's horizon."""
+    import datetime as dt
+
+    from engine import streaming
+
+    d = str(tmp_path / "sess_exp_in")
+    base = dt.datetime(2024, 1, 1)
+    batches = [
+        [("a", base), ("a", base + dt.timedelta(minutes=3))],
+        # watermark after this batch: 10:00 - 30min = 09:30, way past a's
+        # timeout horizon 00:03 + 30min = 00:33 -> a's tail flushes
+        [("b", base + dt.timedelta(hours=10))],
+        [("b", base + dt.timedelta(hours=10, minutes=1))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, 0, None, t) for k, t in rows],
+            schema=streaming.STREAM_IMAGES_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = streaming.read_image_stream(spark, d, max_files_per_trigger=1)
+    sess = streaming.streaming_sessionize(
+        stream, key="image_id", ts="event_time", gap_minutes=30
+    )
+    q = streaming.run_to_memory(sess, "t_sess_expiry", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["key"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM t_sess_expiry").collect()
+        }
+    finally:
+        q.stop()
+    s0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # a's tail [00:00, 00:03] is the ONLY expired session; b's tail is still
+    # within its horizon (10:01 + 30min > watermark 09:31)
+    assert rows == {("a", s0, s0 + 3 * 60 * 1_000_000, 2)}, rows
