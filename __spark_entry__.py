@@ -496,9 +496,12 @@ def _lineitem_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic OBJECT_VERSIONS-shaped history derived from lineitem with
     pure Column math (every derivation has an ANSI-SQL twin): entity =
     l_orderkey (node/way/relation by key mod 3), version = l_linenumber, tags a
-    2-4 key map with a conditional 'promo' key and a {type: multipolygon}
-    non-feature case, node coords from part/supp keys, way/relation children as
-    consecutive-ref MemberRef ranges. Exercises every change type of
+    2-5 key map with a conditional 'promo' key, a {type: multipolygon}
+    non-feature case, and a standing type=multipolygon key on feature RELATION
+    versions (so they have geometry); node coords from part/supp keys; way
+    children are consecutive node-ref ranges and relation children consecutive
+    WAY-ref ranges (a real node->way->relation tree, so the propagation
+    pipeline reaches depth 2). Exercises every change type of
     engine.diff.first_order_changes (ChangeUtils.scala:21-55) while staying
     DuckDB-reproducible — unlike the PRNG fixture behind change_pipeline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
@@ -509,12 +512,35 @@ def _lineitem_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     typ = F.when(m3 == 0, "node").when(m3 == 1, "way").otherwise("relation")
     is_mp = ((key + F.col("l_linenumber")) % 37) == 0
     promo = F.col("l_quantity") > 25
-    base_map = F.create_map(
-        F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus")
+    is_rel = m3 == 2
+    # relations carry type=multipolygon in their FEATURE tag maps too, so
+    # feature relation versions have geometry (ObjectVersion.hasGeometry needs
+    # it) — the propagation pipeline's depth-2 saves depend on this
+    base_map = F.when(
+        is_rel,
+        F.create_map(
+            F.lit("type"), F.lit("multipolygon"),
+            F.lit("flag"), F.col("l_returnflag"),
+            F.lit("status"), F.col("l_linestatus"),
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus")
+        )
     )
-    promo_map = F.create_map(
-        F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus"),
-        F.lit("promo"), F.lit("y"),
+    promo_map = F.when(
+        is_rel,
+        F.create_map(
+            F.lit("type"), F.lit("multipolygon"),
+            F.lit("flag"), F.col("l_returnflag"),
+            F.lit("status"), F.col("l_linestatus"),
+            F.lit("promo"), F.lit("y"),
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus"),
+            F.lit("promo"), F.lit("y"),
+        )
     )
     tags = F.when(
         is_mp, F.create_map(F.lit("type"), F.lit("multipolygon"))
@@ -524,17 +550,21 @@ def _lineitem_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = F.when(is_node, (F.col("l_suppkey") % 180 - 90).cast("double"))
     ref_lo = F.col("l_suppkey").cast("long") % 100
     ref_hi = ref_lo + F.col("l_partkey").cast("long") % 3
+    # ways reference nodes; relations reference WAYS — a real 3-level tree, so
+    # propagation reaches depth 2 (node -> way -> relation)
+    child_type = F.when(is_rel, "way").otherwise("node")
     children = F.when(
         ~is_node,
         F.transform(
             F.sequence(ref_lo, ref_hi),
             lambda r: F.struct(
-                F.lit("node").alias("type"), r.alias("ref"), F.lit("").alias("role")
+                child_type.alias("type"), r.alias("ref"), F.lit("").alias("role")
             ),
         ),
     )
     return li.select(
         cells.pack_feature_id(key, typ).alias("id"),
+        typ.alias("type"),
         F.col("l_linenumber").cast("int").alias("version"),
         F.col("l_shipdate").alias("timestamp"),
         (F.col("l_quantity") > 2).alias("visible"),
@@ -589,21 +619,27 @@ def q_change_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full change pipeline (first-order diff -> temporal parent tree -> bounded
-    propagation -> coalesce) on the deterministic versioned-history fixture —
-    the end-to-end rebuild of SparkJobs.generateChanges (SparkJobs.scala:10-82).
-    Iterative + map-typed output: no SQL oracle (driver rows-only check); exact
-    semantics are pinned by tests/test_diff.py + tests/test_temporal.py goldens."""
+    propagation -> coalesce) — the end-to-end rebuild of
+    SparkJobs.generateChanges (SparkJobs.scala:10-82) — over the deterministic
+    Column-math lineitem history, so the WHOLE pipeline is value-checked
+    against an unrolled per-depth DuckDB oracle (the fixture's node->way->
+    relation tree drains after 3 rounds; changes save at depths 0, 1 and 2).
+    drop_rootless=False (the documented improvement mode): top-level ways and
+    relations keep geometry-only tree entries, so changes propagating INTO
+    them are assigned and saved rather than silently dropped."""
     _ensure_utc(spark)
     from engine import propagate
 
-    ovs = synth.object_versions_df(spark, n_entities=120)
-    out = propagate.propagate_changes(ovs, do_coalesce=True, depth=6)
+    out = propagate.propagate_changes(
+        _lineitem_history(spark, sf_dir), do_coalesce=True, depth=6,
+        drop_rootless=False,
+    )
     return out.select(
-        "featureID",
+        F.col("featureID").cast("long").alias("featureID"),
         F.col("changeType").cast("long").alias("changeType"),
-        F.col("count").cast("long").alias("count"),
+        F.col("count").cast("long").alias("cnt"),
         _epoch_us(F.col("timestamp")).alias("ts_us"),
-        "changeset",
+        F.col("changeset").cast("long").alias("changeset"),
         F.col("depth").cast("long").alias("depth"),
     )
 
@@ -1251,8 +1287,10 @@ def change_firstorder_sql() -> str:
                  (NOT is_first AND NOT p_is_mp) AS p_h_fs,
                  (NOT is_mp AND promo) AS h_promo,
                  (NOT is_first AND NOT p_is_mp AND p_promo) AS p_h_promo,
-                 is_mp AS h_type,
-                 (NOT is_first AND p_is_mp) AS p_h_type
+                 -- relations carry 'type' on EVERY version (feature maps
+                 -- include type=multipolygon); nodes/ways only when mp
+                 (is_mp OR m3 = 2) AS h_type,
+                 (NOT is_first AND (p_is_mp OR m3 = 2)) AS p_h_type
           FROM lagged
         ), evals AS (
           SELECT *,
@@ -1321,6 +1359,153 @@ def change_firstorder_sql() -> str:
         SELECT fid, 9, n_removed, CAST(epoch_us(ts) AS BIGINT), changeset,
                feat, TRUE
         FROM evals WHERE NOT c_create AND NOT c_delete AND m3 = 2 AND n_removed > 0
+    """
+
+
+def change_pipeline_sql() -> str:
+    """DuckDB twin of q_change_pipeline: the propagation loop UNROLLED per
+    depth. On the lineitem-history fixture the tree is exactly 3 levels
+    (nodes -> ways -> relations), so the bounded loop drains after round 3 and
+    plain SQL can replay it: round 1 assigns the self-seeded propagate arm to
+    tree versions (as-of) and forwards to parents (no saves — SparkJobs.scala
+    :55-57 re-propagation round); rounds 2/3 save at depths 1/2 where the
+    assigned version has geometry and forward again. The as-of assignment is
+    DuckDB's ASOF JOIN with a first-version fallback (pre-history changes
+    clamp to version 1 — ChangeUtils.scala:57-91 takeWhile semantics); the
+    temporal tree (membership + geometry per boundary) replays
+    engine.temporal.ref_tree's window algebra with the same tie rules (events
+    before probes, ADD before DELETE, hasGeometry=true wins). Coalesce matches
+    engine.coalesce: SUM counts, MAX timestamp, arg-min (ts, cnt, depth)."""
+    way_off = 2305843009213693952
+    rel_off = 4611686018427387904
+
+    def asof_round(q: str, side: str, out: str) -> str:
+        """One propagation round: as-of assign queue `q` to tree `side`."""
+        return f"""
+        {out}_raw AS (
+          SELECT q.parentID, q.featureID, q.changeType, q.cnt, q.c_ts,
+                 q.changeset,
+                 COALESCE(t.ts_us, fv.f_ts) AS v_ts
+          FROM {q} q
+          ASOF LEFT JOIN {side} t
+            ON q.parentID = t.id AND q.c_ts >= t.ts_us
+          LEFT JOIN (SELECT id, MIN(ts_us) AS f_ts FROM {side} GROUP BY id) fv
+            ON q.parentID = fv.id
+          WHERE COALESCE(t.ts_us, fv.f_ts) IS NOT NULL
+        ),
+        {out} AS (
+          SELECT a.*, t.hg
+          FROM {out}_raw a
+          JOIN {side} t ON t.id = a.parentID AND t.ts_us = a.v_ts
+        )"""
+
+    return f"""
+        WITH fo AS ({change_firstorder_sql()}),
+        hist AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS rawid,
+                 CAST(l_orderkey AS BIGINT) % 3 AS m3,
+                 l_linenumber AS version,
+                 CAST(epoch_us(l_shipdate) AS BIGINT) AS ts_us,
+                 ((CAST(l_orderkey AS BIGINT) + l_linenumber) % 37 = 0) AS is_mp,
+                 CAST(l_suppkey AS BIGINT) % 100 AS ref_lo,
+                 CAST(l_suppkey AS BIGINT) % 100
+                   + CAST(l_partkey AS BIGINT) % 3 AS ref_hi
+          FROM lineitem WHERE l_orderkey < 2000
+        ),
+        wr AS (
+          SELECT rawid, m3, ts_us, ref_lo, ref_hi,
+                 CASE WHEN m3 = 1 THEN rawid + {way_off}
+                      ELSE rawid + {rel_off} END AS pid,
+                 NOT is_mp AS hg,
+                 LAG(ref_lo) OVER w AS p_lo, LAG(ref_hi) OVER w AS p_hi
+          FROM hist WHERE m3 <> 0
+          WINDOW w AS (PARTITION BY rawid ORDER BY ts_us, version)
+        ),
+        refev AS (
+          -- ADD (ct=0): refs entering the [ref_lo, ref_hi] range;
+          -- DELETE (ct=1): refs leaving it. Way children are node ids (raw),
+          -- relation children are WAY ids (raw + way offset).
+          SELECT pid AS parentID,
+                 CASE WHEN m3 = 1 THEN r ELSE r + {way_off} END AS childID,
+                 ts_us, 0 AS ct
+          FROM wr, UNNEST(range(ref_lo, ref_hi + 1)) AS t(r)
+          WHERE p_lo IS NULL OR r < p_lo OR r > p_hi
+          UNION ALL
+          SELECT pid, CASE WHEN m3 = 1 THEN r ELSE r + {way_off} END, ts_us, 1
+          FROM wr, UNNEST(range(p_lo, p_hi + 1)) AS t(r)
+          WHERE p_lo IS NOT NULL AND (r < ref_lo OR r > ref_hi)
+        ),
+        geomev AS (SELECT pid AS id, ts_us, hg FROM wr),
+        bounds AS (
+          SELECT DISTINCT id, ts_us FROM (
+            SELECT childID AS id, ts_us FROM refev
+            UNION ALL SELECT id, ts_us FROM geomev) u
+        ),
+        pairs AS (SELECT DISTINCT childID AS id, parentID FROM refev),
+        memb AS MATERIALIZED (
+          SELECT id, parentID, ts_us FROM (
+            SELECT id, parentID, ts_us, probe,
+                   LAST_VALUE(ct IGNORE NULLS) OVER (
+                     PARTITION BY id, parentID ORDER BY ts_us, probe, ct
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+            FROM (
+              SELECT childID AS id, parentID, ts_us, ct, 0 AS probe FROM refev
+              UNION ALL
+              SELECT b.id, p.parentID, b.ts_us, NULL AS ct, 1 AS probe
+              FROM bounds b JOIN pairs p ON b.id = p.id) s
+          ) t WHERE probe = 1 AND state = 0
+        ),
+        tree AS MATERIALIZED (
+          SELECT DISTINCT id, ts_us, COALESCE(state, FALSE) AS hg FROM (
+            SELECT id, ts_us, probe,
+                   LAST_VALUE(g IGNORE NULLS) OVER (
+                     PARTITION BY id ORDER BY ts_us, probe, g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+            FROM (
+              SELECT id, ts_us, hg AS g, 0 AS probe FROM geomev
+              UNION ALL
+              SELECT id, ts_us, NULL AS g, 1 AS probe FROM bounds) s
+          ) t WHERE probe = 1
+        ),
+        tree2 AS (SELECT * FROM tree WHERE id >= {way_off}),
+        tree3 AS (SELECT * FROM tree WHERE id >= {rel_off}),
+        q1 AS (
+          SELECT featureID AS parentID, featureID, changeType, cnt,
+                 ts_us AS c_ts, changeset
+          FROM fo WHERE propagate
+        ),
+        {asof_round('q1', 'tree', 'a1')},
+        q2 AS (
+          SELECT m.parentID, a.parentID AS featureID, a.changeType, a.cnt,
+                 a.c_ts, a.changeset
+          FROM a1 a JOIN memb m ON m.id = a.parentID AND m.ts_us = a.v_ts
+        ),
+        {asof_round('q2', 'tree2', 'a2')},
+        q3 AS (
+          SELECT m.parentID, a.parentID AS featureID, a.changeType, a.cnt,
+                 a.c_ts, a.changeset
+          FROM a2 a JOIN memb m ON m.id = a.parentID AND m.ts_us = a.v_ts
+        ),
+        {asof_round('q3', 'tree3', 'a3')},
+        allc AS (
+          SELECT featureID, changeType, cnt, ts_us, changeset, 0 AS depth
+          FROM fo WHERE save
+          UNION ALL
+          SELECT parentID, changeType, cnt, c_ts, changeset, 1 FROM a2 WHERE hg
+          UNION ALL
+          SELECT parentID, changeType, cnt, c_ts, changeset, 2 FROM a3 WHERE hg
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY featureID, changeset, changeType
+            ORDER BY ts_us, cnt, depth) AS rn
+          FROM allc
+        )
+        SELECT featureID, CAST(changeType AS BIGINT) AS changeType,
+               CAST(SUM(cnt) AS BIGINT) AS cnt,
+               CAST(MAX(ts_us) AS BIGINT) AS ts_us, changeset,
+               CAST(MIN(CASE WHEN rn = 1 THEN depth END) AS BIGINT) AS depth
+        FROM ranked GROUP BY featureID, changeset, changeType
     """
 
 
@@ -1813,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
         """,
         "change_firstorder": change_firstorder_sql(),
+        "change_pipeline": change_pipeline_sql(),
         "change_coalesce": f"""
             WITH fo AS ({change_firstorder_sql()})
             SELECT featureID, changeType, CAST(SUM(cnt) AS BIGINT) AS cnt,

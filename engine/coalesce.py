@@ -9,8 +9,10 @@ Documented deviations (SURVEY.md §2.9 Q3 + determinism):
 - key on the REAL (featureID, changeset, changeType) triple, not an Int hashCode
   (the reference can merge distinct pairs on hash collision);
 - the surviving tagsBefore/tagChanges/depth come from the change with the MINIMUM
-  (timestamp, count) instead of "first encountered" (which is partition-order
-  dependent in the reference) — deterministic under any input order.
+  (timestamp, count, depth) instead of "first encountered" (which is
+  partition-order dependent in the reference) — deterministic under any input
+  order (tag payloads can still tie across genuinely distinct same-key changes;
+  the hash-gated projections carry only the integer columns).
 
 Spark shape: a single groupBy -> partial+final hash aggregate (map-side combine for
 free); bbox union (Bbox.scala:5-8) is 4 min/max aggregates over the nullable struct.
@@ -24,8 +26,13 @@ from pyspark.sql import functions as F
 
 def coalesce_changes(changes: DataFrame) -> DataFrame:
     """changes: CHANGES-shaped rows -> one row per (featureID, changeset, changeType)."""
+    # depth rides in the ORDER key too: the same change can reach a feature at
+    # two depths with identical (timestamp, count) — e.g. via a direct
+    # membership and via an intermediate way — and the surviving depth must
+    # not be partition-order dependent (min depth wins on ties)
     pick = F.min_by(
-        F.struct("tagsBefore", "tagChanges", "depth"), F.struct("timestamp", "count")
+        F.struct("tagsBefore", "tagChanges", "depth"),
+        F.struct("timestamp", "count", "depth"),
     )
     return (
         changes.groupBy("featureID", "changeset", "changeType")

@@ -72,7 +72,14 @@ def assign_to_versions(tree: DataFrame, queue: DataFrame) -> DataFrame:
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wfirst = Window.partitionBy("_tid")
+    # the pre-history fallback must deterministically be the EARLIEST tree
+    # version: order the full-partition window by (ts, side) — an unordered
+    # partition would hand first() an arbitrary version (row-order dependent)
+    wfirst = (
+        Window.partitionBy("_tid")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     assigned = (
         tv.unionByName(qv)
         .withColumn("_asof", F.last("_v", ignorenulls=True).over(w))

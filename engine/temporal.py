@@ -164,9 +164,13 @@ def ref_tree(refs: DataFrame, geoms: DataFrame, drop_rootless: bool = True) -> D
         "id", "timestamp", F.lit(None).cast("boolean").alias("_g"),
         F.lit(1).alias("_probe"),
     )
+    # _g rides in the order too: two versions of one parent can share a
+    # timestamp with different geometry status, and last() must not be
+    # row-order dependent — the rule is "hasGeometry=true wins the tie"
+    # (false < true in both Spark and ANSI boolean ordering)
     wg = (
         Window.partitionBy("id")
-        .orderBy("timestamp", "_probe")
+        .orderBy("timestamp", "_probe", "_g")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     geometry = (
