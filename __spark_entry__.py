@@ -644,21 +644,26 @@ def q_change_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming surface (engine.streaming): file-source incremental
-    ingest -> watermarked per-cell windowed counts, driven to completion against
-    a deterministic 3-batch directory; returns the final per-cell totals.
-    Streaming state is non-SQL-expressible: rows-only (the batch==streaming
-    equality is asserted in tests/test_streaming.py)."""
+def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged Structured Streaming surface (engine.streaming), driven to
+    completion against deterministic multi-batch directories: (a) file-source
+    ingest -> watermarked per-cell windowed counts; (b) the custom stateful
+    sessionizer (applyInPandasWithState, event-time state expiry). Returned as
+    DIGEST rows (metric, value) — streaming state is non-SQL-expressible, so
+    the driver records a rows-only check while the exact values are pinned by
+    the committed golden (tests/golden/golden_digests.json, asserted in
+    tests/test_streaming.py) and batch==streaming equality by the rest of that
+    module."""
     import datetime as dt
     import shutil
     import tempfile
 
     from engine import streaming
 
-    d = tempfile.mkdtemp(prefix="stream_q_")
+    base = dt.datetime(2024, 1, 1)
+    d1 = tempfile.mkdtemp(prefix="stream_q_")
+    d2 = tempfile.mkdtemp(prefix="stream_sess_q_")
     try:
-        base = dt.datetime(2024, 1, 1)
         for batch in range(3):
             rows = [
                 (
@@ -671,22 +676,61 @@ def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             spark.createDataFrame(
                 rows, schema=streaming.STREAM_IMAGES_SCHEMA
-            ).coalesce(1).write.mode("append").parquet(d)
-        stream = streaming.read_image_stream(spark, d)
-        agg = streaming.streaming_cell_counts(stream, res=5, window="10 minutes")
-        q = streaming.run_to_memory(agg, "q_streaming_cells", output_mode="complete")
+            ).coalesce(1).write.mode("append").parquet(d1)
+            sess_rows = [
+                (
+                    f"k{i % 7}",
+                    0,
+                    None,
+                    base + dt.timedelta(minutes=40 * batch + (i % 5)),
+                )
+                for i in range(35)
+            ]
+            spark.createDataFrame(
+                sess_rows, schema=streaming.STREAM_IMAGES_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d2)
+
+        agg = streaming.streaming_cell_counts(
+            streaming.read_image_stream(spark, d1), res=5, window="10 minutes"
+        )
+        q = streaming.run_to_memory(agg, "q_stream_cells", output_mode="complete")
         try:
-            out = spark.sql(
-                "SELECT cell, CAST(sum(n_images) AS BIGINT) AS n_images "
-                "FROM q_streaming_cells GROUP BY cell"
-            )
-            # materialize before the temp dir disappears
-            pdf = out.toPandas()
+            cells_pdf = spark.sql(
+                "SELECT COUNT(DISTINCT cell) AS n_cells, "
+                "CAST(SUM(n_images) AS BIGINT) AS total_images, "
+                "CAST(SUM((cell % 1000000007) * n_images) AS BIGINT) AS checksum "
+                "FROM q_stream_cells"
+            ).toPandas()
         finally:
             q.stop()
-        return spark.createDataFrame(pdf, schema="cell long, n_images long")
+
+        sess = streaming.streaming_sessionize(
+            streaming.read_image_stream(spark, d2, max_files_per_trigger=1),
+            key="image_id", ts="event_time", gap_minutes=30,
+        )
+        q2 = streaming.run_to_memory(sess, "q_stream_sess", output_mode="append")
+        try:
+            sess_pdf = spark.sql(
+                "SELECT COUNT(*) AS n_sessions, "
+                "CAST(SUM(n_events) AS BIGINT) AS total_events, "
+                "CAST(SUM(session_start_us) AS BIGINT) AS sum_start_us, "
+                "CAST(SUM(session_end_us) AS BIGINT) AS sum_end_us "
+                "FROM q_stream_sess"
+            ).toPandas()
+        finally:
+            q2.stop()
+
+        out = [("cells_" + c, int(cells_pdf[c].iloc[0]))
+               for c in ["n_cells", "total_images", "checksum"]]
+        out += [("sess_" + c, int(sess_pdf[c].iloc[0]))
+                for c in ["n_sessions", "total_events", "sum_start_us",
+                          "sum_end_us"]]
+        return spark.createDataFrame(
+            sorted(out), schema="metric string, value long"
+        )
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
 
 
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,23 +754,64 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row image invariant (BASELINE.json input_hint): decode every image's
-    binary payload, round-trip through its own codec, assert PSNR>=40dB (inf for
-    the lossless formats here) + caption presence — Arrow-batched mapInPandas
-    kernel (engine.image_codec.verify_images_batches). Deterministic synthetic
-    images (seed 42); rows-only (binary payloads have no SQL twin)."""
-    from engine import image_codec
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged binary-image surface (BASELINE.json input_hint): (a) decode every
+    image's binary payload, round-trip through its own codec, check PSNR>=40dB
+    + caption presence (engine.image_codec.verify_images_batches); (b) decode +
+    per-image feature extraction with per-row error isolation
+    (engine.multimodal.extract_features). Both Arrow-batched mapInPandas over
+    deterministic seeded synth images. Returned as DIGEST rows (metric, value)
+    so the driver's rows-only check sees a stable shape AND the exact values
+    are pinned by the committed golden (tests/golden/golden_digests.json,
+    asserted in tests/test_codec_synth.py). Binary payloads have no SQL twin:
+    rows-only."""
+    from engine import image_codec, multimodal
 
     imgs = synth.images_df(spark, 200, with_bytes=True)
     ver = imgs.mapInPandas(
         image_codec.verify_images_batches(), schema=image_codec.VERIFY_SCHEMA
     )
-    return ver.groupBy().agg(
+    vd = ver.groupBy().agg(
         F.count("*").alias("n_images"),
         F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),
         F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+        F.sum(F.when(F.col("psnr_db") >= 40.0, 1).otherwise(0)).alias("n_psnr40"),
     )
+    v = vd.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"verify_{c}").alias("metric"),
+                        F.col(c).cast("long").alias("value"),
+                    )
+                    for c in ["n_images", "n_pixels_ok", "n_caption_ok", "n_psnr40"]
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    feats = multimodal.extract_features(synth.images_df(spark, 240, with_bytes=True))
+    fd = feats.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_decoded"),
+        F.floor(F.avg("brightness") * 100).cast("long").alias("avg_brightness_e2"),
+        F.floor(F.avg("edge_energy") * 100).cast("long").alias("avg_edge_e2"),
+    )
+    f = fd.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat(F.col("fmt"), F.lit(f"_{c}")).alias("metric"),
+                        F.col(c).cast("long").alias("value"),
+                    )
+                    for c in ["n_images", "n_decoded", "avg_brightness_e2",
+                              "avg_edge_e2"]
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return v.unionByName(f).orderBy("metric")
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,71 +1127,6 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction (engine.multimodal.extract_features): decode
-    binary image payloads (raw/PNG real; exotic formats surface per-row errors
-    instead of failing the batch) -> per-image features via Arrow-batched
-    mapInPandas -> corpus aggregate. Binary inputs: rows-only check."""
-    from engine import multimodal
-
-    imgs = synth.images_df(spark, 240, with_bytes=True)
-    feats = multimodal.extract_features(imgs)
-    return feats.groupBy("fmt").agg(
-        F.count("*").alias("n_images"),
-        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_decoded"),
-        F.floor(F.avg("brightness") * 100).cast("long").alias("avg_brightness_e2"),
-        F.floor(F.avg("edge_energy") * 100).cast("long").alias("avg_edge_e2"),
-    )
-
-
-def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState): gap-based
-    sessionization with per-key state across micro-batches
-    (engine.streaming.streaming_sessionize). Emits CLOSED sessions; equality
-    with the batch sessionizer is asserted in tests/test_streaming.py.
-    Streaming state is non-SQL-expressible: rows-only."""
-    import datetime as dt
-    import shutil
-    import tempfile
-
-    from engine import streaming
-
-    d = tempfile.mkdtemp(prefix="stream_sess_q_")
-    try:
-        base = dt.datetime(2024, 1, 1)
-        for batch in range(3):
-            rows = [
-                (
-                    f"k{i % 7}",
-                    0,
-                    None,
-                    base + dt.timedelta(minutes=40 * batch + (i % 5)),
-                )
-                for i in range(35)
-            ]
-            spark.createDataFrame(
-                rows, schema=streaming.STREAM_IMAGES_SCHEMA
-            ).coalesce(1).write.mode("append").parquet(d)
-        stream = streaming.read_image_stream(spark, d, max_files_per_trigger=1)
-        sess = streaming.streaming_sessionize(
-            stream, key="image_id", ts="event_time", gap_minutes=30
-        )
-        q = streaming.run_to_memory(sess, "q_streaming_sessionize",
-                                    output_mode="append")
-        try:
-            pdf = spark.sql(
-                "SELECT key, session_start_us, session_end_us, n_events "
-                "FROM q_streaming_sessionize"
-            ).toPandas()
-        finally:
-            q.stop()
-        return spark.createDataFrame(
-            pdf,
-            schema="key string, session_start_us long, session_end_us long, "
-                   "n_events long",
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,6 +1182,10 @@ def q_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries (the driver checks at most 50 — VERDICT r2 item 1):
+    the 48 DuckDB-oracle-checked queries come FIRST, the 2 rows-only digest
+    queries (binary images, streaming state — pinned by committed goldens)
+    come last, so a future truncation can only ever shed rows-only checks."""
     return {
         "pack_feature_id": q_pack_feature_id,
         "cell_encode": q_cell_encode,
@@ -1189,10 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_firstorder": q_change_firstorder,
         "change_coalesce": q_change_coalesce,
         "change_pipeline": q_change_pipeline,
-        "streaming_cells": q_streaming_cells,
         "cube_agg": q_cube_agg,
         "percentiles": q_percentiles,
-        "image_verify": q_image_verify,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
         "quality_score": q_quality_score,
@@ -1211,10 +1233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "sessionize": q_sessionize,
         "window_range": q_window_range,
-        "multimodal_features": q_multimodal_features,
         "curation": q_curation,
         "distinct_cells": q_distinct_cells,
-        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_suite": q_streaming_suite,
+        "image_pipeline": q_image_pipeline,
     }
 
 

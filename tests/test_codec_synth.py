@@ -72,3 +72,20 @@ def test_object_versions_fixture_shape(spark):
     assert nodes["lon"].notna().all()
     ways = pdf[pdf["type"] == "way"]
     assert ways["children"].map(lambda c: c is not None and len(c) >= 1).all()
+
+
+def test_image_pipeline_digest_golden(spark):
+    """The merged binary-image query's digest rows are pinned by a committed
+    golden: the driver's check for it is rows-only (no SQL twin for binary
+    payloads), so this is the value gate (VERDICT r2 item 7)."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" / "golden_digests.json").read_text()
+    )["image_pipeline"]
+    rows = entry.q_image_pipeline(spark, "/root/testdata/sf0.001").collect()
+    got = {r["metric"]: r["value"] for r in rows}
+    assert got == golden

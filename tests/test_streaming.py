@@ -304,3 +304,20 @@ def test_streaming_sessionize_tail_expiry(spark, tmp_path):
     # a's tail [00:00, 00:03] is the ONLY expired session; b's tail is still
     # within its horizon (10:01 + 30min > watermark 09:31)
     assert rows == {("a", s0, s0 + 3 * 60 * 1_000_000, 2)}, rows
+
+
+def test_streaming_suite_digest_golden(spark):
+    """The merged streaming query's digest rows are pinned by a committed
+    golden: the driver's check for it is rows-only (streaming state has no SQL
+    twin), so this is the value gate (VERDICT r2 item 7)."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" / "golden_digests.json").read_text()
+    )["streaming_suite"]
+    rows = entry.q_streaming_suite(spark, "/root/testdata/sf0.001").collect()
+    got = {r["metric"]: r["value"] for r in rows}
+    assert got == golden
