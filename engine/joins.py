@@ -68,11 +68,18 @@ def polygon_cover(
     driver_side_limit: int = 5000,
     classify_interior: bool = True,
     attach_rings: bool = False,
+    convex: bool = True,
 ) -> DataFrame:
     """(poly_id, res, cell) cover: for each polygon pick the finest res in
     [res_min, res_max] whose bbox cover stays under max_cells, then emit every grid
     cell overlapping the bbox. Analog of the reference's bbox-union discipline
     (Bbox.scala:5-8) used as a join-pruning cover.
+
+    classify_interior feeds the ring to _cover_one, which always applies the
+    (concave-safe, hull-based) SAT cull; the 4-corner full_inside
+    classification additionally requires convex=True — for concave rings the
+    cover keeps the cull but leaves full_inside False everywhere (every
+    candidate goes through the exact refine).
 
     Polygon sets small enough to broadcast (the common case — they are the dim
     side) are covered driver-side in numpy and shipped as a local DataFrame: zero
@@ -100,6 +107,7 @@ def polygon_cover(
                 res_min, res_max, max_cells,
                 ring_xs=rx if classify_interior else None,
                 ring_ys=ry if classify_interior else None,
+                convex=convex,
             )
             for c, f in zip(cc.tolist(), full.tolist()):
                 rec = {"poly_id": int(pid), "res": int(res), "cell": int(c),
@@ -132,6 +140,7 @@ def polygon_cover(
                     row.poly_id,
                     b["min"]["lon"], b["min"]["lat"], b["max"]["lon"], b["max"]["lat"],
                     res_min, res_max, max_cells, ring_xs=rx, ring_ys=ry,
+                    convex=convex,
                 )
                 out_poly.extend([pid] * len(cc))
                 out_res.extend([res] * len(cc))
@@ -522,8 +531,9 @@ def build_pip_cover(
     serial — the dominant Amdahl term of the N-vs-4N scaling gate."""
     cover = polygon_cover(
         polygons, res_min, res_max, max_cells=max_cells,
-        classify_interior=assume_convex and exact,
+        classify_interior=exact,
         attach_rings=False,
+        convex=assume_convex,
     )
     return _materialize_if_large(cover)
 
