@@ -256,11 +256,15 @@ def lsh_ann_topk(
         _bucket_gemm_udf(planes) if kernel == "gemm"
         else lambda v: lsh_bucket(v, planes)
     )
-    c = (
-        corpus.select(
-            F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"),
-        )
-        .withColumn("_bucket", bucket_of(F.col("_cv")))
+    # SLIM index frames: the bucket join and the (qid, cid) dedup move id+
+    # bucket rows only (~16 bytes), never embedding arrays. Round-2 shape
+    # carried BOTH 64-dim vectors through the dedup shuffle (~1 KB/row):
+    # measured 135 GB of spill at 20k queries x 1M corpus — it filled the
+    # disk. Vectors are re-attached per deduped pair afterwards (query side
+    # broadcasts when small; corpus side is one cid-keyed equi-join bounded
+    # by corpus size, the same bound the bucket join already had).
+    c_idx = corpus.select(
+        F.col(corpus_id).alias("_cid"), bucket_of(F.col(vec_col)).alias("_bucket")
     )
     base = (
         queries.select(
@@ -288,9 +292,97 @@ def lsh_ann_topk(
         max_probes = 1 + n_planes + 32
     if max_probes is not None:
         probes = probes[:max_probes]
-    q = base.withColumn("_bucket", F.explode(F.array(*probes)))
-    cand = q.join(c, "_bucket").dropDuplicates(["_qid", "_cid"])
+    q_idx = base.select("_qid", F.explode(F.array(*probes)).alias("_bucket"))
+    pairs = (
+        q_idx.join(c_idx, "_bucket")
+        .select("_qid", "_cid")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    if kernel == "gemm":
+        # production rerank: broadcast query matrix looked up inside the Arrow
+        # kernel; only the cid-keyed corpus join carries vectors
+        return _rerank_pairs_gemm(
+            pairs, queries, corpus, k, query_id, corpus_id, vec_col
+        )
+    # hof/oracle rerank: attach both vectors per deduped pair (pure-JVM
+    # expressions, bit-identical to the DuckDB twin; fine at oracle scale)
+    cand = pairs.join(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+        ),
+        "_qid",
+    ).join(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+        ),
+        "_cid",
+    )
     return _rerank(cand, k, kernel, query_id, corpus_id)
+
+
+def _rerank_pairs_gemm(
+    pairs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rerank slim candidate PAIRS (_qid, _cid) without ever materializing
+    per-pair (query_vec, corpus_vec) rows: the query matrix is collected once
+    (it is the broadcast-bounded side — 20k x 64 doubles is 10 MB) and looked
+    up by position INSIDE the Arrow kernel, so the only vector-carrying join
+    is one cid-keyed equi-join bounded by corpus size. The per-pair attach
+    joins it replaces moved ~1 KB/candidate through the shuffle — 60 GB at
+    20k queries x 3k candidates — for ~4 GFLOP of actual math."""
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], schema=f"{query_id} long, {corpus_id} long, rank long"
+        )
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField("_cid", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf["_cv"])
+            Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            qi = pdf["_qid"].map(qpos).to_numpy(np.int64)
+            sims = np.einsum("ij,ij->i", C, Q[qi]) / (Cn * Qn[qi])
+            yield pd.DataFrame(
+                {"_qid": pdf["_qid"].to_numpy(np.int64),
+                 "_cid": pdf["_cid"].to_numpy(np.int64), "_sim": sims}
+            )
+
+    joined = pairs.join(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+        ),
+        "_cid",
+    )
+    local = joined.mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+        )
+    )
 
 
 def _rerank(cand: DataFrame, k: int, kernel: str, query_id: str,
@@ -387,10 +479,12 @@ def ivf_ann_topk(
         queries.select(F.col(query_id).alias("_qid"), F.col(vec_col)),
         "_qid", n_probe,
     ).select("_qid", F.col(vec_col).alias("_qv"), "centroid_id")
-    cand = (
-        q_probes.join(c_assigned, "centroid_id")
-        .dropDuplicates(["_qid", "_cid"])
-    )
+    # no dedup needed (and none of its shuffle): every corpus row lives in
+    # exactly ONE inverted list (nearest-1 assignment) and a query's probes
+    # are n_probe DISTINCT centroids, so (query, corpus) pairs are unique by
+    # construction — a dropDuplicates here would shuffle vector-carrying rows
+    # for nothing
+    cand = q_probes.join(c_assigned, "centroid_id")
     return _rerank(cand, k, kernel, query_id, corpus_id)
 
 
