@@ -713,18 +713,30 @@ def cosine_near_dups(
         probes = [F.col("_b0")]
         if multiprobe_bits >= 1:
             probes += [F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        a = bucketed.withColumn("_bucket", F.explode(F.array(*probes))).select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-            F.col("_n").alias("_na"), "_bucket"
+        # slim-pair discipline (same as lsh_ann_topk): the bucket join and the
+        # (id_a, id_b) dedup move id rows only; vectors are attached to the
+        # deduped pairs via two id-keyed joins, each bounded by corpus size —
+        # never per probe-explode row
+        a_idx = bucketed.withColumn(
+            "_bucket", F.explode(F.array(*probes))
+        ).select(F.col("_id").alias("id_a"), "_bucket")
+        b_idx = bucketed.select(
+            F.col("_id").alias("id_b"), F.col("_b0").alias("_bucket")
         )
-        b = bucketed.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-            F.col("_n").alias("_nb"), F.col("_b0").alias("_bucket"),
-        )
-        pairs = (
-            a.join(b, "_bucket")
+        slim = (
+            a_idx.join(b_idx, "_bucket")
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = slim.join(
+            base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na")),
+            "id_a",
+        ).join(
+            base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                        F.col("_n").alias("_nb")),
+            "id_b",
         )
         sim = _dot_double(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     else:
