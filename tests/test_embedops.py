@@ -118,6 +118,89 @@ def test_lsh_max_probes_cap(spark, emb):
     assert all(r["query_id"] == r["vec_id"] for r in top1)
 
 
+def _synth_vectors(spark, n, dim, seed=7):
+    """Deterministic synthetic embedding frame (seeded numpy), dense enough to
+    measure recall in regimes the 500-row test parquet can't reach."""
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim)).astype(np.float64)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lsh_capped_recall(spark):
+    """VERDICT r3 item 1: the production probe cap must be recall-tested where
+    it actually bites. n_planes=14, bits=2 -> 106 probes total, auto cap = 47;
+    assert margin-ordered capped recall >= uncapped recall - eps (the cap
+    drops the LEAST likely buckets per query, so it should cost ~nothing)."""
+    corpus = _synth_vectors(spark, 50_000, 16).persist()
+    queries = corpus.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    capped = embedops.lsh_ann_topk(
+        queries, corpus, k=5, dim=16, n_planes=14, multiprobe_bits=2,
+        kernel="gemm", max_probes="auto",
+    )
+    uncapped = embedops.lsh_ann_topk(
+        queries, corpus, k=5, dim=16, n_planes=14, multiprobe_bits=2,
+        kernel="gemm", max_probes=None,
+    )
+    r_capped = embedops.ann_recall(exact, capped)
+    r_uncapped = embedops.ann_recall(exact, uncapped)
+    corpus.unpersist()
+    exact.unpersist()
+    # both must be meaningful, and the 47/106 margin-ordered cap must not
+    # cost more than eps recall vs the full Hamming-2 ball
+    assert r_uncapped >= 0.5, f"uncapped recall {r_uncapped}"
+    assert r_capped >= r_uncapped - 0.05, (
+        f"capped {r_capped} vs uncapped {r_uncapped}"
+    )
+
+
+def test_gemm_query_guard_raises_on_brute_force(spark, emb):
+    """VERDICT r3 item 2: an oversized query side must raise, not silently
+    collect to the driver."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        embedops.cosine_topk(queries, emb, k=3, kernel="gemm", max_query_rows=5)
+
+
+def test_gemm_query_guard_lsh_fallback(spark, emb):
+    """lsh_ann_topk(kernel='gemm') with an oversized query side reroutes to the
+    attach-join einsum rerank (no driver collect) and returns the same pairs."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, dim=64, n_planes=8, multiprobe_bits=2, kernel="gemm")
+    normal = embedops.lsh_ann_topk(queries, emb, **kw).toPandas()
+    rerouted = embedops.lsh_ann_topk(
+        queries, emb, max_query_rows=5, **kw
+    ).toPandas()
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, normal[key].values.tolist())) == sorted(
+        map(tuple, rerouted[key].values.tolist())
+    )
+
+
+def test_ivf_auto_size_and_lloyd(spark, emb):
+    """IVF auto-sizes the quantizer (sqrt(n), clamped) and Lloyd refinement
+    keeps/improves recall; gemm assignment kernel end-to-end."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, emb, k=3)
+    approx = embedops.ivf_ann_topk(
+        queries, emb, k=3, n_centroids=None, n_probe=6, kernel="gemm",
+        lloyd_iters=1,
+    )
+    rec = embedops.ann_recall(exact, approx)
+    assert rec >= 0.6, f"recall {rec}"
+    top1 = approx.filter(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
 def test_ivf_ann_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
