@@ -267,7 +267,8 @@ def main() -> None:
         "cell_encode", "cell_rollup", "rollup_chain", "pip_rect", "pip_holes",
         "zonal_stats", "tile_assign",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
-        "asof_join", "dedup_exact", "token_stats", "tfidf", "cosine_topk", "knn",
+        "asof_join", "dedup_exact", "text_metrics", "tfidf", "cosine_topk", "knn",
+        "knn_haversine",
         "sessionize", "window_range", "semi_anti_join", "cosine_neardup",
         "ngram_jaccard", "curation", "distinct_cells",
     ]

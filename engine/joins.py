@@ -856,10 +856,9 @@ def knn_geo_brute_force(
     point_id: str = "point_id",
 ) -> DataFrame:
     """Geodesic kNN (haversine) for a broadcastable query set: broadcast cross
-    join + per-query top-k window — the exact/oracle plan; the planar
-    ring-expansion path (knn_join) remains the scale strategy with haversine
-    as the final rerank metric when geodesic exactness matters. Inputs need
-    (id, lon, lat). Returns (query_id, point_id, rank, dist_m)."""
+    join + per-query top-k window — the exact/oracle plan. knn_geo_join is the
+    scale path (ring expansion with a haversine distance guarantee). Inputs
+    need (id, lon, lat). Returns (query_id, point_id, rank, dist_m)."""
     q = queries.select(query_id, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"))
     p = points.select(point_id, F.col("lon").alias("_plon"), F.col("lat").alias("_plat"))
     scored = F.broadcast(q).crossJoin(p).withColumn(
@@ -872,6 +871,190 @@ def knn_geo_brute_force(
         .filter(F.col("rank") <= k)
         .select(query_id, point_id, "rank", "dist_m")
     )
+
+
+def knn_geo_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 3,
+    res: int | None = None,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    max_radius: int = 8,
+) -> DataFrame:
+    """Exact geodesic kNN at scale (VERDICT r3 item 4): ring expansion on a
+    lon/lat grid with the distance guarantee AND the final rank computed in
+    haversine meters — the geodesic twin of knn_join. Inputs need (id, lon,
+    lat) in degrees; returns (query_id, point_id, rank, dist_m), rank ties
+    broken by point id. Result-identical to knn_geo_brute_force (parity test
+    in tests/test_knn.py) because dist_m is the same haversine_m expression
+    and the settle guarantee is a sound lower bound on the distance to any
+    point outside the covered cell rectangle.
+
+    Guarantee construction (the cos(lat) floor VERDICT asked for): the
+    uncovered region beyond the covered rect [lon_w, lon_e] x [lat_s, lat_n]
+    decomposes into (a) beyond a lat edge — central angle >= |dlat|, so
+    d >= R * rad(lat_n - qlat) (meridian arc, exact spherical bound) — and
+    (b) beyond a lon edge within the lat band — from the haversine identity
+    sin^2(t/2) >= cos(qlat) * cos_floor * sin^2(dlon/2), with cos_floor =
+    min(cos(lat_s), cos(lat_n)) (cos is unimodal, so the band minimum is at
+    an endpoint; it degrades to 0 near the poles, where the lat bounds take
+    over). Longitude separations are wrap-aware (min of the direct and
+    around-the-antimeridian arc), so queries near the dateline settle
+    correctly instead of unsoundly.
+
+    Scale shape is knn_join's: per round one equi-join of exploded disk cells
+    against the bucketed point table, per-query top-k window, settled queries
+    retire; stragglers (sparse regions) brute-force as a bounded residue.
+    res=None auto-sizes like knn_join, and small |Q| x |P| short-circuits to
+    the broadcast brute force."""
+    if res is None:
+        import math
+
+        n_points = points.count()
+        n_queries = queries.count()
+        if n_queries * n_points <= 5e7:
+            return knn_geo_brute_force(queries, points, k, query_id, point_id)
+        res = max(0, min(12, int(math.log2(max(2.0, 9.0 * n_points / (4.0 * k))) / 2)))
+    n = 2**res
+    cellw_lon = 360.0 / n
+    cellw_lat = 180.0 / n
+
+    def cell_ix(lon: Column) -> Column:
+        return F.least(
+            F.lit(n - 1),
+            F.greatest(F.lit(0), F.floor((lon + 180.0) / cellw_lon)),
+        ).cast("long")
+
+    def cell_iy(lat: Column) -> Column:
+        return F.least(
+            F.lit(n - 1),
+            F.greatest(F.lit(0), F.floor((lat + 90.0) / cellw_lat)),
+        ).cast("long")
+
+    q = queries.select(
+        query_id, F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    ).withColumn("qcell", cells.grid_pack(res, cell_ix(F.col("qlon")), cell_iy(F.col("qlat"))))
+    p = points.select(
+        point_id, F.col("lon").alias("plon"), F.col("lat").alias("plat")
+    ).withColumn("pcell", cells.grid_pack(res, cell_ix(F.col("plon")), cell_iy(F.col("plat"))))
+    p = p.persist()
+    _persisted = [p]
+    _FAR = 2.1e7  # > half Earth circumference: "this direction is fully covered"
+    results = None
+    remaining = q
+    radius = 0
+    while True:
+        qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
+        span = F.sequence(F.lit(-radius), F.lit(radius))
+        disk = F.array_distinct(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        span,
+                        lambda dx: F.transform(
+                            span,
+                            lambda dy: F.when(
+                                ((qix + dx) >= 0)
+                                & ((qix + dx) < n)
+                                & ((qiy + dy) >= 0)
+                                & ((qiy + dy) < n),
+                                F.lit(res * cells._RES_SHIFT)
+                                + (qix + dx) * F.lit(cells._IX_SHIFT)
+                                + (qiy + dy),
+                            ),
+                        ),
+                    )
+                ),
+                lambda c: c.isNotNull(),
+            )
+        )
+        cand_cells = remaining.withColumn("ccell", F.explode(disk))
+        cand = cand_cells.join(p, cand_cells.ccell == p.pcell, "inner")
+        scored = cand.withColumn(
+            "dist_m",
+            haversine_m(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")),
+        )
+        w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, point_id, "rank", "dist_m", "qlon", "qlat", "qcell")
+        )
+        # sound lower bound on the haversine distance to anything OUTSIDE the
+        # covered rect (see docstring); clamped edges are fully covered -> FAR
+        qix_l = cells.grid_ix(F.col("qcell"))
+        qiy_l = cells.grid_iy(F.col("qcell"))
+        lon_w = (qix_l - radius) * F.lit(cellw_lon) - 180.0
+        lon_e = (qix_l + radius + 1) * F.lit(cellw_lon) - 180.0
+        lat_s = F.greatest(F.lit(-90.0), (qiy_l - radius) * F.lit(cellw_lat) - 90.0)
+        lat_n = F.least(F.lit(90.0), (qiy_l + radius + 1) * F.lit(cellw_lat) - 90.0)
+        d_north = F.when(
+            (qiy_l + radius + 1) >= n, F.lit(_FAR)
+        ).otherwise((lat_n - F.col("qlat")) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
+        d_south = F.when(
+            (qiy_l - radius) <= 0, F.lit(_FAR)
+        ).otherwise((F.col("qlat") - lat_s) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
+        cos_floor = F.least(
+            F.cos(lat_s * F.lit(_DEG2RAD_F)), F.cos(lat_n * F.lit(_DEG2RAD_F))
+        )
+        cos_q = F.cos(F.col("qlat") * F.lit(_DEG2RAD_F))
+
+        def lon_bound(dlon_deg: Column, covered: Column) -> Column:
+            ang = dlon_deg * F.lit(_DEG2RAD_F)
+            return F.when(covered, F.lit(_FAR)).otherwise(
+                2.0
+                * EARTH_RADIUS_M
+                * F.asin(F.sqrt(F.greatest(F.lit(0.0), cos_q * cos_floor)) * F.sin(ang / 2.0))
+            )
+
+        # wrap-aware lon separations: direct arc to the near edge vs the
+        # around-the-antimeridian arc to the region's far end (the far end of
+        # the east region [lon_e, 180] is 180 === -180, reached westward in
+        # qlon + 180 degrees; symmetrically for the west region). A clamped
+        # edge means that lon region is EMPTY (the other region's wrap term
+        # still accounts for dateline-crossing neighbors), hence FAR.
+        dlon_e = F.least(lon_e - F.col("qlon"), F.lit(180.0) + F.col("qlon"))
+        dlon_w = F.least(F.col("qlon") - lon_w, F.lit(180.0) - F.col("qlon"))
+        d_east = lon_bound(dlon_e, (qix_l + radius + 1) >= n)
+        d_west = lon_bound(dlon_w, (qix_l - radius) <= 0)
+        dist_bound = F.least(d_north, d_south, d_east, d_west)
+        settled_q = (
+            topk.groupBy(query_id, "qcell", "qlon", "qlat")
+            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+            .filter((F.col("cnt") >= k) & (F.col("kth") <= dist_bound))
+            .select(query_id)
+        )
+        settled_rows = topk.join(settled_q, query_id, "left_semi").select(
+            query_id, point_id, "rank", "dist_m"
+        )
+        results = settled_rows if results is None else results.unionByName(settled_rows)
+        remaining = remaining.join(settled_q, query_id, "left_anti")
+        results = results.persist()
+        remaining = remaining.persist()
+        _persisted += [results, remaining]
+        if remaining.isEmpty():
+            break
+        if radius >= max_radius:
+            bf = remaining.crossJoin(p).withColumn(
+                "dist_m",
+                haversine_m(
+                    F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")
+                ),
+            )
+            w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+            bf_topk = (
+                bf.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, point_id, "rank", "dist_m")
+            )
+            results = results.unionByName(bf_topk)
+            break
+        radius = 1 if radius == 0 else radius * 2
+    out = results.localCheckpoint(eager=True)
+    for f in _persisted:
+        f.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
