@@ -448,13 +448,16 @@ def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; result-identical to the brute-force haversine oracle (the SQL twin
     IS the brute force). res forced so the ring machinery actually runs at
     test scale (the auto-sizer would short-circuit small inputs to the
-    broadcast brute force)."""
+    broadcast brute force); max_radius=1 keeps it to two ring rounds + the
+    brute-force residue — all three phases exercised, half the per-round
+    driver latency the tiny input would otherwise pay (results are
+    res/max_radius-invariant by the settle-guarantee construction)."""
     pts = _docs_points(spark, sf_dir)
     queries = pts.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), "lon", "lat"
     )
     points = pts.select(F.col("doc_id").alias("point_id"), "lon", "lat")
-    out = joins.knn_geo_join(queries, points, k=3, res=4, max_radius=4)
+    out = joins.knn_geo_join(queries, points, k=3, res=3, max_radius=1)
     return out.select(
         "query_id", "point_id", F.col("rank").cast("long").alias("rank"),
         F.floor(F.col("dist_m") * 1000).cast("long").alias("dist_mm"),

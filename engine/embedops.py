@@ -58,16 +58,23 @@ GEMM_MAX_QUERY_ROWS = 500_000
 
 # mapInArrow receives whatever batch sizes the upstream scan produced (the
 # global maxRecordsPerBatch is pinned small, 4096, for MB-scale image rows).
-# Slim numeric frames amortize kernel-launch overhead much better at larger
-# batches, so the kernels re-batch INSIDE the task — runtime-safe, no conf
-# juggling around lazy plans (VERDICT r3 item 7).
-GEMM_REBATCH_ROWS = 65_536
+# The in-task re-batch (VERDICT r3 item 7: concatenate to 64k rows before the
+# einsum) was MEASURED A/B on both kernels at 1M corpus rows and LOST both
+# times — brute-force scan 1.53 vs 1.31 s, LSH pair-rerank 7.2 vs 5.3 s
+# (tools/bench_kernels.py rebatch/rerank, min-of-N interleaved): the Arrow
+# concat-and-copy costs more than the per-batch overhead it amortizes, i.e.
+# the kernels were never batch-overhead bound at 4096 slim rows. Default is
+# therefore PASSTHROUGH (1); the plumbing stays for callers whose upstream
+# emits pathologically small batches.
+GEMM_REBATCH_ROWS = 1
 
 
 def _rebatch(batches, min_rows: int = GEMM_REBATCH_ROWS):
     """Concatenate incoming Arrow RecordBatches to >= min_rows before yielding
-    (last batch may be smaller). Pure plumbing: downstream per-batch local
-    top-k / pairwise sims are batch-split-invariant."""
+    (last batch may be smaller). min_rows=1 (the measured-best default) is a
+    true zero-copy passthrough; single batches never pay the concat either
+    way. Pure plumbing: downstream per-batch local top-k / pairwise sims are
+    batch-split-invariant."""
     import pyarrow as pa
 
     buf: list = []
@@ -78,14 +85,20 @@ def _rebatch(batches, min_rows: int = GEMM_REBATCH_ROWS):
         buf.append(rb)
         rows += rb.num_rows
         if rows >= min_rows:
+            if len(buf) == 1:  # zero-copy fast path
+                yield buf[0]
+            else:
+                yield pa.Table.from_batches(buf).combine_chunks().to_batches(
+                    max_chunksize=rows
+                )[0]
+            buf, rows = [], 0
+    if buf:
+        if len(buf) == 1:
+            yield buf[0]
+        else:
             yield pa.Table.from_batches(buf).combine_chunks().to_batches(
                 max_chunksize=rows
             )[0]
-            buf, rows = [], 0
-    if buf:
-        yield pa.Table.from_batches(buf).combine_chunks().to_batches(
-            max_chunksize=rows
-        )[0]
 
 
 def _collect_query_rows(
@@ -230,10 +243,15 @@ def _gemm_topk_scan(
         ]
     )
 
+    # captured as a plain int at plan-build time so the executor-side closure
+    # honors a driver-side override of GEMM_REBATCH_ROWS (module globals of
+    # top-level helpers re-resolve on the executor and would ignore it)
+    rebatch_rows = GEMM_REBATCH_ROWS
+
     def scan(batches):
         import pyarrow as pa
 
-        for rb in _rebatch(batches):
+        for rb in _rebatch(batches, rebatch_rows):
             # mapInArrow + contiguous-buffer reshape: no per-row unboxing of
             # the embedding lists (the pandas route spent more time unboxing
             # than in the GEMM itself)
@@ -523,10 +541,15 @@ def _rerank_pairs_gemm(
         ]
     )
 
+    # captured as a plain int at plan-build time so the executor-side closure
+    # honors a driver-side override of GEMM_REBATCH_ROWS (module globals of
+    # top-level helpers re-resolve on the executor and would ignore it)
+    rebatch_rows = GEMM_REBATCH_ROWS
+
     def scan(batches):
         import pyarrow as pa
 
-        for rb in _rebatch(batches):
+        for rb in _rebatch(batches, rebatch_rows):
             C = _arrow_matrix(rb, "_cv")
             Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             qid_np = np.asarray(

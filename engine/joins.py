@@ -226,7 +226,13 @@ def cleanup_cover_dirs() -> int:
     """Remove every temp directory created by _materialize_if_large in this
     process. Returns the number of directories removed. Also registered via
     atexit, so long-lived sessions (the driver harness, bench loops) don't
-    accumulate one orphan dir per materialized cover."""
+    accumulate one orphan dir per materialized cover.
+
+    EXIT-SCOPE ONLY: a materialized cover dir backs the parquet scan inside
+    every DataFrame a prior pip_join/multiring cover call returned — calling
+    this while such a plan is still live turns its next action into a
+    FileNotFoundException. Invoke it only after all pip results are consumed
+    (end of a pipeline/test), or rely on the atexit hook."""
     import shutil
 
     n = 0

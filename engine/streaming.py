@@ -147,8 +147,14 @@ def streaming_sessionize(
 
     `watermark` (default: the gap itself) is the standard lateness horizon:
     events later than it are dropped by the engine before the operator; late
-    events WITHIN it are absorbed into the open session (see below). Arrow-
-    batched: the kernel sees pandas frames, never per-row Python."""
+    events WITHIN it are absorbed into the open session (see below). NOTE on
+    the batch-parity claim: the batch twin (engine.temporal.sessionize) sees
+    ALL events regardless of lateness, so on inputs containing events more
+    than `watermark` late the streaming output legitimately diverges from
+    batch — those events never reach this operator. The
+    batch==streaming pytest holds on in-horizon data; widen `watermark` if
+    the source can be later than the gap. Arrow-batched: the kernel sees
+    pandas frames, never per-row Python."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     import pandas as pd
@@ -201,9 +207,12 @@ def streaming_sessionize(
         state.update((start, end, n))
         # event-time expiry at end + gap; must stay strictly above the current
         # watermark (the API rejects timestamps at/below it, and a key whose
-        # last event is already > gap behind the global stream would hit that)
+        # last event is already > gap behind the global stream would hit that).
+        # ceil the us->ms conversion: flooring would fire the timeout up to
+        # 1 ms BEFORE end + gap, early-expiring a session whose extender
+        # lands exactly at the boundary
         state.setTimeoutTimestamp(
-            max(end // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+            max((end + 999) // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
         if closed:
             yield pd.DataFrame(

@@ -1,0 +1,243 @@
+"""Kernel-table measurements for BENCH/BASELINE.md (run ONE part at a time —
+never two Spark processes concurrently on this host).
+
+Parts:
+  rebatch   — cosine_topk gemm at 1M x 32q: in-task Arrow rebatch (65536) vs
+              pass-through scan batches (4096) — the VERDICT r3 item 7 delta.
+  recall    — capped ('auto' margin-ordered) vs uncapped LSH recall at
+              n_planes=14, bits=2 on a 1M-row corpus (the regime where the
+              cap drops 59 of 106 probes).
+  ivf       — auto-sized (sqrt-N) vs fixed-16 IVF recall + candidate volume
+              at 1M corpus, with and without one Lloyd pass.
+  knn_geo   — knn_geo_join at 10k queries x 1M points (geodesic twin of the
+              planar kNN BENCH row).
+
+Usage: python tools/bench_kernels.py {rebatch|recall|ivf|knn_geo}
+Prints one JSON line per part.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _spark(name: str):
+    from engine.session import get_spark
+
+    return get_spark(name, cores=32, shuffle_partitions=32)
+
+
+def _vectors(spark, n, dim=64, seed=7, partitions=64):
+    """Deterministic embedding frame, generated distributed (driver-side row
+    lists die at 1M x 64 doubles)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n, 1, partitions).select(F.col("id").alias("vec_id"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            # one vectorized draw per batch, seeded by the batch's id range so
+            # the frame is deterministic given the same partitioning (persisted
+            # before any comparison anyway)
+            rng = np.random.default_rng(seed + int(ids[0]))
+            M = rng.standard_normal((len(ids), dim))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(M)})
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return base.mapInPandas(gen, schema)
+
+
+def part_rebatch() -> None:
+    from engine import embedops
+
+    spark = _spark("bench-rebatch")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 32").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+
+    def run_once() -> float:
+        t0 = time.time()
+        embedops.cosine_topk(queries, corpus, k=10, kernel="gemm").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    results = {}
+    import engine.embedops as eo
+
+    orig = eo.GEMM_REBATCH_ROWS
+    ts = {"rebatch_65536": [], "passthrough_4096": []}
+    for _ in range(3):  # interleaved A/B, min per config
+        eo.GEMM_REBATCH_ROWS = orig
+        ts["rebatch_65536"].append(round(run_once(), 3))
+        eo.GEMM_REBATCH_ROWS = 1  # yield scan batches as-is (4096 rows)
+        ts["passthrough_4096"].append(round(run_once(), 3))
+    eo.GEMM_REBATCH_ROWS = orig
+    results = {k: {"runs": v, "min": min(v)} for k, v in ts.items()}
+    print(json.dumps({"part": "rebatch", **results}))
+    spark.stop()
+
+
+def part_recall() -> None:
+    from pyspark.sql import functions as F
+
+    from engine import embedops
+
+    spark = _spark("bench-recall")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+    out = {"part": "recall", "n_corpus": 1_000_000, "n_queries": 200,
+           "n_planes": 14, "multiprobe_bits": 2}
+    for label, cap in [("capped_auto_47", "auto"), ("uncapped_106", None)]:
+        t0 = time.time()
+        approx = embedops.lsh_ann_topk(
+            queries, corpus, k=5, dim=64, n_planes=14, multiprobe_bits=2,
+            kernel="gemm", max_probes=cap,
+        ).persist()
+        approx.count()
+        wall = time.time() - t0
+        out[label] = {
+            "recall": round(embedops.ann_recall(exact, approx), 4),
+            "wall_s": round(wall, 2),
+        }
+        approx.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
+def part_rerank() -> None:
+    """Rebatch A/B on the PAIR-rerank kernel (_rerank_pairs_gemm), the path the
+    ~2.5us/candidate batch-overhead claim was about: lsh_ann_topk gemm at 200
+    queries x 1M corpus (~600k candidate pairs through the rerank)."""
+    from pyspark.sql import functions as F
+
+    import engine.embedops as eo
+
+    spark = _spark("bench-rerank")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run_once() -> float:
+        t0 = time.time()
+        eo.lsh_ann_topk(
+            queries, corpus, k=5, dim=64, n_planes=14, multiprobe_bits=2,
+            kernel="gemm", max_probes="auto",
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    orig = eo.GEMM_REBATCH_ROWS
+    ts = {"rebatch_65536": [], "passthrough_4096": []}
+    for _ in range(2):
+        eo.GEMM_REBATCH_ROWS = orig
+        ts["rebatch_65536"].append(round(run_once(), 2))
+        eo.GEMM_REBATCH_ROWS = 1
+        ts["passthrough_4096"].append(round(run_once(), 2))
+    eo.GEMM_REBATCH_ROWS = orig
+    print(json.dumps({"part": "rerank",
+                      **{k: {"runs": v, "min": min(v)} for k, v in ts.items()}}))
+    spark.stop()
+
+
+def part_ivf() -> None:
+    """VERDICT r3 item 5 'Done' row: auto-sized IVF (n_centroids=sqrt(1M)=1000)
+    recall + candidate volume at 1M corpus, vs the old fixed-16 quantizer."""
+    from pyspark.sql import functions as F
+
+    from engine import embedops
+
+    spark = _spark("bench-ivf")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+    out = {"part": "ivf", "n_corpus": 1_000_000, "n_queries": 200, "n_probe": 4}
+    for label, nc, lloyd in [
+        ("fixed_16", 16, 0),
+        ("auto_1000", None, 0),
+        ("auto_1000_lloyd1", None, 1),
+    ]:
+        t0 = time.time()
+        approx = embedops.ivf_ann_topk(
+            queries, corpus, k=5, n_centroids=nc, n_probe=4,
+            kernel="gemm", lloyd_iters=lloyd,
+        ).persist()
+        approx.count()
+        wall = time.time() - t0
+        ncent = nc if nc else 1000
+        out[label] = {
+            "recall": round(embedops.ann_recall(exact, approx), 4),
+            "wall_s": round(wall, 2),
+            "candidates_per_query_approx": int(4 * 1_000_000 / ncent),
+        }
+        approx.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
+def part_knn_geo() -> None:
+    from pyspark.sql import functions as F
+
+    from engine import cells, joins, synth
+
+    spark = _spark("bench-knn-geo")
+
+    def pts(n, id_col):
+        return synth.images_df(spark, n, with_bytes=False, partitions=64).select(
+            F.col("image_id").alias(id_col),
+            cells.anchor_lon(F.col("phash")).alias("lon"),
+            cells.anchor_lat(F.col("phash")).alias("lat"),
+        )
+
+    points = pts(1_000_000, "point_id").persist()
+    points.count()
+    queries = pts(10_000, "query_id").persist()
+    queries.count()
+    t0 = time.time()
+    n_out = joins.knn_geo_join(queries, points, k=3, res=9).count()
+    wall = time.time() - t0
+    print(json.dumps({
+        "part": "knn_geo", "n_points": 1_000_000, "n_queries": 10_000, "k": 3,
+        "wall_s": round(wall, 2), "rows": n_out,
+        "queries_per_sec": round(10_000 / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    {
+        "rebatch": part_rebatch,
+        "rerank": part_rerank,
+        "recall": part_recall,
+        "ivf": part_ivf,
+        "knn_geo": part_knn_geo,
+    }[sys.argv[1]]()
