@@ -100,6 +100,43 @@ def test_knn_geo_dateline_wrap(spark):
     assert got["point_id"].tolist()[0] == 1  # the cross-dateline neighbor wins
 
 
+def test_knn_geo_polar(spark):
+    """Near the pole the cos-floor lon bound degrades to 0 (the covered rect's
+    lat band touches 90, where every meridian converges), so lon separation
+    can never justify settling there — exactly what keeps the bound sound. A
+    query at lat 88 whose true nearest neighbor sits on the OPPOSITE meridian
+    (~390 km over the pole, 16 lon cells away at res 5 — unreachable by ring
+    radius 2) must refuse to settle with the same-meridian decoy (~556 km)
+    and recover the polar neighbor through the brute-force residue. Also
+    covers the iy clamp at the grid's top row."""
+    points = spark.createDataFrame(
+        [
+            (1, -179.0, 88.5),   # across the pole: ~390 km great-circle
+            (2, 1.0, 83.0),      # same meridian, farther (~556 km)
+            (3, 10.0, 70.0),
+            (4, -90.0, 87.0),
+        ],
+        ["point_id", "lon", "lat"],
+    )
+    queries = spark.createDataFrame([(10, 1.0, 88.0)], ["query_id", "lon", "lat"])
+    got = (
+        joins.knn_geo_join(queries, points, k=2, res=5, max_radius=2)
+        .select("query_id", "point_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        joins.knn_geo_brute_force(queries, points, k=2)
+        .select("query_id", "point_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["point_id"].tolist()[0] == 1  # the over-the-pole neighbor wins
+
+
 def test_knn_geo_sparse_fallback(spark):
     """Sparse geodesic points escalate to the brute-force residue and stay exact."""
     points = _geo_points(spark, 40)

@@ -204,6 +204,82 @@ def part_ivf() -> None:
     spark.stop()
 
 
+def _clustered_vectors(spark, n, dim=64, n_clusters=64, spread=0.3, seed=7,
+                       partitions=64):
+    """Mixture-of-gaussians embedding frame: cluster centers on the unit
+    sphere, points = center + spread * noise. The regime real embedding
+    models produce (semantic clusters), where LSH buckets and IVF lists
+    align with data structure — the isotropic frame is their worst case."""
+    from pyspark.sql import functions as F
+
+    import pyspark.sql.types as T
+
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_clusters, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    base = spark.range(0, n, 1, partitions).select(F.col("id").alias("vec_id"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            r = np.random.default_rng(seed + 1 + int(ids[0]))
+            centers = C[ids % n_clusters]
+            M = centers + spread * r.standard_normal((len(ids), C.shape[1]))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(M)})
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return base.mapInPandas(gen, schema)
+
+
+def part_clustered() -> None:
+    """LSH + IVF recall on CLUSTERED embeddings (64 gaussian clusters, 1M
+    rows) — the counterpart to part_recall/part_ivf's isotropic worst case,
+    and the regime where Lloyd refinement should actually pay."""
+    from pyspark.sql import functions as F
+
+    from engine import embedops
+
+    spark = _spark("bench-clustered")
+    corpus = _clustered_vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+    out = {"part": "clustered", "n_corpus": 1_000_000, "n_queries": 200,
+           "n_clusters": 64}
+    runs = [
+        ("lsh_capped", lambda: embedops.lsh_ann_topk(
+            queries, corpus, k=5, dim=64, n_planes=14, multiprobe_bits=2,
+            kernel="gemm", max_probes="auto")),
+        ("ivf_auto", lambda: embedops.ivf_ann_topk(
+            queries, corpus, k=5, n_probe=4, kernel="gemm")),
+        ("ivf_auto_lloyd1", lambda: embedops.ivf_ann_topk(
+            queries, corpus, k=5, n_probe=4, kernel="gemm", lloyd_iters=1)),
+    ]
+    for label, fn in runs:
+        t0 = time.time()
+        approx = fn().persist()
+        approx.count()
+        wall = time.time() - t0
+        out[label] = {
+            "recall": round(embedops.ann_recall(exact, approx), 4),
+            "wall_s": round(wall, 2),
+        }
+        approx.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
 def part_knn_geo() -> None:
     from pyspark.sql import functions as F
 
@@ -239,5 +315,6 @@ if __name__ == "__main__":
         "rerank": part_rerank,
         "recall": part_recall,
         "ivf": part_ivf,
+        "clustered": part_clustered,
         "knn_geo": part_knn_geo,
     }[sys.argv[1]]()
