@@ -879,6 +879,59 @@ def knn_geo_brute_force(
     )
 
 
+_GEO_FAR = 2.1e7  # > half Earth circumference: "this direction is fully covered"
+
+
+def geo_settle_bound(
+    qlon: Column, qlat: Column, qix: Column, qiy: Column, radius: int, res: int
+) -> Column:
+    """Sound lower bound (meters) on the haversine distance from a query at
+    (qlon, qlat) in grid cell (qix, qiy) to ANY point whose cell lies outside
+    the covered rect [qix-radius, qix+radius] x [qiy-radius, qiy+radius] on
+    the 2^res x 2^res lon/lat grid. Soundness is fuzz-tested against exact
+    haversine over random configurations incl. poles and the antimeridian
+    (tests/test_knn.py::test_geo_settle_bound_sound); construction is in the
+    knn_geo_join docstring. Clamped edges mean the region beyond is empty
+    (lat) or wraps into the opposite lon term, hence _GEO_FAR."""
+    n = 2**res
+    cellw_lon = 360.0 / n
+    cellw_lat = 180.0 / n
+    lon_w = (qix - radius) * F.lit(cellw_lon) - 180.0
+    lon_e = (qix + radius + 1) * F.lit(cellw_lon) - 180.0
+    lat_s = F.greatest(F.lit(-90.0), (qiy - radius) * F.lit(cellw_lat) - 90.0)
+    lat_n = F.least(F.lit(90.0), (qiy + radius + 1) * F.lit(cellw_lat) - 90.0)
+    d_north = F.when(
+        (qiy + radius + 1) >= n, F.lit(_GEO_FAR)
+    ).otherwise((lat_n - qlat) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
+    d_south = F.when(
+        (qiy - radius) <= 0, F.lit(_GEO_FAR)
+    ).otherwise((qlat - lat_s) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
+    cos_floor = F.least(
+        F.cos(lat_s * F.lit(_DEG2RAD_F)), F.cos(lat_n * F.lit(_DEG2RAD_F))
+    )
+    cos_q = F.cos(qlat * F.lit(_DEG2RAD_F))
+
+    def lon_bound(dlon_deg: Column, covered: Column) -> Column:
+        ang = dlon_deg * F.lit(_DEG2RAD_F)
+        return F.when(covered, F.lit(_GEO_FAR)).otherwise(
+            2.0
+            * EARTH_RADIUS_M
+            * F.asin(F.sqrt(F.greatest(F.lit(0.0), cos_q * cos_floor)) * F.sin(ang / 2.0))
+        )
+
+    # wrap-aware lon separations: direct arc to the near edge vs the
+    # around-the-antimeridian arc to the region's far end (the far end of
+    # the east region [lon_e, 180] is 180 === -180, reached westward in
+    # qlon + 180 degrees; symmetrically for the west region). A clamped
+    # edge means that lon region is EMPTY (the other region's wrap term
+    # still accounts for dateline-crossing neighbors), hence FAR.
+    dlon_e = F.least(lon_e - qlon, F.lit(180.0) + qlon)
+    dlon_w = F.least(qlon - lon_w, F.lit(180.0) - qlon)
+    d_east = lon_bound(dlon_e, (qix + radius + 1) >= n)
+    d_west = lon_bound(dlon_w, (qix - radius) <= 0)
+    return F.least(d_north, d_south, d_east, d_west)
+
+
 def knn_geo_join(
     queries: DataFrame,
     points: DataFrame,
@@ -946,7 +999,6 @@ def knn_geo_join(
     ).withColumn("pcell", cells.grid_pack(res, cell_ix(F.col("plon")), cell_iy(F.col("plat"))))
     p = p.persist()
     _persisted = [p]
-    _FAR = 2.1e7  # > half Earth circumference: "this direction is fully covered"
     results = None
     remaining = q
     radius = 0
@@ -987,44 +1039,11 @@ def knn_geo_join(
             .filter(F.col("rank") <= k)
             .select(query_id, point_id, "rank", "dist_m", "qlon", "qlat", "qcell")
         )
-        # sound lower bound on the haversine distance to anything OUTSIDE the
-        # covered rect (see docstring); clamped edges are fully covered -> FAR
-        qix_l = cells.grid_ix(F.col("qcell"))
-        qiy_l = cells.grid_iy(F.col("qcell"))
-        lon_w = (qix_l - radius) * F.lit(cellw_lon) - 180.0
-        lon_e = (qix_l + radius + 1) * F.lit(cellw_lon) - 180.0
-        lat_s = F.greatest(F.lit(-90.0), (qiy_l - radius) * F.lit(cellw_lat) - 90.0)
-        lat_n = F.least(F.lit(90.0), (qiy_l + radius + 1) * F.lit(cellw_lat) - 90.0)
-        d_north = F.when(
-            (qiy_l + radius + 1) >= n, F.lit(_FAR)
-        ).otherwise((lat_n - F.col("qlat")) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
-        d_south = F.when(
-            (qiy_l - radius) <= 0, F.lit(_FAR)
-        ).otherwise((F.col("qlat") - lat_s) * F.lit(EARTH_RADIUS_M * _DEG2RAD_F))
-        cos_floor = F.least(
-            F.cos(lat_s * F.lit(_DEG2RAD_F)), F.cos(lat_n * F.lit(_DEG2RAD_F))
+        dist_bound = geo_settle_bound(
+            F.col("qlon"), F.col("qlat"),
+            cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell")),
+            radius, res,
         )
-        cos_q = F.cos(F.col("qlat") * F.lit(_DEG2RAD_F))
-
-        def lon_bound(dlon_deg: Column, covered: Column) -> Column:
-            ang = dlon_deg * F.lit(_DEG2RAD_F)
-            return F.when(covered, F.lit(_FAR)).otherwise(
-                2.0
-                * EARTH_RADIUS_M
-                * F.asin(F.sqrt(F.greatest(F.lit(0.0), cos_q * cos_floor)) * F.sin(ang / 2.0))
-            )
-
-        # wrap-aware lon separations: direct arc to the near edge vs the
-        # around-the-antimeridian arc to the region's far end (the far end of
-        # the east region [lon_e, 180] is 180 === -180, reached westward in
-        # qlon + 180 degrees; symmetrically for the west region). A clamped
-        # edge means that lon region is EMPTY (the other region's wrap term
-        # still accounts for dateline-crossing neighbors), hence FAR.
-        dlon_e = F.least(lon_e - F.col("qlon"), F.lit(180.0) + F.col("qlon"))
-        dlon_w = F.least(F.col("qlon") - lon_w, F.lit(180.0) - F.col("qlon"))
-        d_east = lon_bound(dlon_e, (qix_l + radius + 1) >= n)
-        d_west = lon_bound(dlon_w, (qix_l - radius) <= 0)
-        dist_bound = F.least(d_north, d_south, d_east, d_west)
         settled_q = (
             topk.groupBy(query_id, "qcell", "qlon", "qlat")
             .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))

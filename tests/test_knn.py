@@ -137,6 +137,80 @@ def test_knn_geo_polar(spark):
     assert got["point_id"].tolist()[0] == 1  # the over-the-pole neighbor wins
 
 
+def test_geo_settle_bound_sound(spark):
+    """Soundness fuzz of the settle bound that makes knn_geo_join exact: for
+    tens of thousands of random (query, point) pairs — heavily oversampled
+    near the poles and the antimeridian, across several (res, radius) grid
+    shapes — every point whose cell lies OUTSIDE the covered rect must be at
+    least the bound away. A single violation means the ring expansion could
+    retire a query with a wrong neighbor. All-Column evaluation: one Spark
+    job per grid shape."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n = 30000
+
+    def sample(lo_lon, hi_lon, lo_lat, hi_lat, m):
+        return (rng.uniform(lo_lon, hi_lon, m), rng.uniform(lo_lat, hi_lat, m))
+
+    # uniform + dateline band + polar caps, for queries and points independently
+    parts = [
+        sample(-180, 180, -90, 90, n // 2),
+        sample(170, 180, -90, 90, n // 8),
+        sample(-180, -170, -90, 90, n // 8),
+        sample(-180, 180, 85, 90, n // 8),
+        sample(-180, 180, -90, -85, n // 8),
+    ]
+    qlon = np.concatenate([p[0] for p in parts])
+    qlat = np.concatenate([p[1] for p in parts])
+    perm = rng.permutation(len(qlon))
+    plon, plat = qlon[perm], qlat[perm]  # same heavy-tailed distribution
+    pdf = pd.DataFrame({"qlon": qlon, "qlat": qlat, "plon": plon, "plat": plat})
+    df = spark.createDataFrame(pdf)
+
+    for res, radius in [(2, 0), (3, 1), (4, 2), (5, 0), (6, 3)]:
+        ncells = 2**res
+        cw_lon, cw_lat = 360.0 / ncells, 180.0 / ncells
+
+        def ix(lon):
+            return F.least(
+                F.lit(ncells - 1),
+                F.greatest(F.lit(0), F.floor((lon + 180.0) / cw_lon)),
+            ).cast("long")
+
+        def iy(lat):
+            return F.least(
+                F.lit(ncells - 1),
+                F.greatest(F.lit(0), F.floor((lat + 90.0) / cw_lat)),
+            ).cast("long")
+
+        qix, qiy = ix(F.col("qlon")), iy(F.col("qlat"))
+        pix, piy = ix(F.col("plon")), iy(F.col("plat"))
+        outside = (
+            (pix < qix - radius) | (pix > qix + radius)
+            | (piy < qiy - radius) | (piy > qiy + radius)
+        )
+        bound = joins.geo_settle_bound(
+            F.col("qlon"), F.col("qlat"), qix, qiy, radius, res
+        )
+        dist = joins.haversine_m(
+            F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")
+        )
+        checked = df.filter(outside).select(
+            bound.alias("bound"), dist.alias("dist")
+        )
+        stats = checked.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("bound") > F.col("dist") + 1e-3, 1).otherwise(0))
+            .alias("violations"),
+        ).collect()[0]
+        assert stats["n"] > 1000, f"vacuous fuzz at res={res} r={radius}"
+        assert stats["violations"] == 0, (
+            f"unsound settle bound at res={res} radius={radius}: "
+            f"{stats['violations']}/{stats['n']}"
+        )
+
+
 def test_knn_geo_sparse_fallback(spark):
     """Sparse geodesic points escalate to the brute-force residue and stay exact."""
     points = _geo_points(spark, 40)
