@@ -280,6 +280,41 @@ def part_clustered() -> None:
     spark.stop()
 
 
+def part_nprobe() -> None:
+    """IVF n_probe recall/cost curve on the clustered corpus (the dial a user
+    turns at fixed quantizer): auto-1000 centroids + 1 Lloyd pass, n_probe in
+    {1, 4, 16, 64}."""
+    from pyspark.sql import functions as F
+
+    from engine import embedops
+
+    spark = _spark("bench-nprobe")
+    corpus = _clustered_vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+    out = {"part": "nprobe_sweep", "n_corpus": 1_000_000, "n_queries": 200,
+           "quantizer": "auto_1000_lloyd1"}
+    for n_probe in [1, 4, 16, 64]:
+        t0 = time.time()
+        approx = embedops.ivf_ann_topk(
+            queries, corpus, k=5, n_probe=n_probe, kernel="gemm", lloyd_iters=1
+        ).persist()
+        approx.count()
+        wall = time.time() - t0
+        out[f"n_probe_{n_probe}"] = {
+            "recall": round(embedops.ann_recall(exact, approx), 4),
+            "wall_s": round(wall, 2),
+            "candidates_per_query": n_probe * 1000,
+        }
+        approx.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
 def part_knn_geo() -> None:
     from pyspark.sql import functions as F
 
@@ -316,5 +351,6 @@ if __name__ == "__main__":
         "recall": part_recall,
         "ivf": part_ivf,
         "clustered": part_clustered,
+        "nprobe": part_nprobe,
         "knn_geo": part_knn_geo,
     }[sys.argv[1]]()
