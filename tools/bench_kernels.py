@@ -11,8 +11,10 @@ Parts:
               at 1M corpus, with and without one Lloyd pass.
   knn_geo   — knn_geo_join at 10k queries x 1M points (geodesic twin of the
               planar kNN BENCH row).
+  int8      — int8 quantization lever at 1M x 64: parquet bytes f64 vs codes,
+              code-scan vs float-GEMM wall, code-rank + rerank recall.
 
-Usage: python tools/bench_kernels.py {rebatch|recall|ivf|knn_geo}
+Usage: python tools/bench_kernels.py {rebatch|recall|ivf|knn_geo|int8}
 Prints one JSON line per part.
 """
 
@@ -344,9 +346,80 @@ def part_knn_geo() -> None:
     spark.stop()
 
 
+def part_int8() -> None:
+    """Int8 quantization lever at 1M x 64: parquet bytes (float64 array vs
+    binary codes), code-scan vs float-GEMM wall at 32 queries, and code-rank
+    recall vs exact (plus rerank wall, which is exact by construction when the
+    true top-k survives the 4x candidate cut)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine import embedops, quantize
+
+    spark = _spark("bench-int8")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    codes = quantize.quantize_int8(corpus).select("vec_id", "code").persist()
+    t0 = time.time()
+    codes.count()
+    quant_wall = time.time() - t0
+    queries = corpus.filter("vec_id < 32").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def dir_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    tmp = tempfile.mkdtemp(prefix="int8bench-")
+    corpus.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{tmp}/f64"
+    )
+    codes.write.mode("overwrite").parquet(f"{tmp}/int8")
+    sizes = {"f64_bytes": dir_bytes(f"{tmp}/f64"),
+             "int8_bytes": dir_bytes(f"{tmp}/int8")}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def timed(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    walls = {"f64_gemm": [], "int8_scan": [], "int8_rerank": []}
+    for _ in range(3):  # interleaved, min per config
+        walls["f64_gemm"].append(round(timed(
+            embedops.cosine_topk(queries, corpus, k=10, kernel="gemm")), 2))
+        walls["int8_scan"].append(round(timed(
+            quantize.cosine_topk_int8(queries, codes, k=10)), 2))
+        walls["int8_rerank"].append(round(timed(
+            quantize.cosine_topk_int8(
+                queries, codes, k=10, rerank_corpus=corpus)), 2))
+    exact = embedops.cosine_topk(queries, corpus, k=10, kernel="gemm").persist()
+    exact.count()
+    rec_scan = embedops.ann_recall(
+        exact, quantize.cosine_topk_int8(queries, codes, k=10))
+    rec_rerank = embedops.ann_recall(
+        exact,
+        quantize.cosine_topk_int8(queries, codes, k=10, rerank_corpus=corpus))
+    print(json.dumps({
+        "part": "int8", "n_corpus": 1_000_000, "n_queries": 32, "k": 10,
+        "quantize_wall_s": round(quant_wall, 2), **sizes,
+        "bytes_ratio": round(sizes["f64_bytes"] / sizes["int8_bytes"], 2),
+        **{k: {"runs": v, "min": min(v)} for k, v in walls.items()},
+        "recall_code_scan": round(rec_scan, 4),
+        "recall_rerank": round(rec_rerank, 4),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "int8": part_int8,
         "rerank": part_rerank,
         "recall": part_recall,
         "ivf": part_ivf,
