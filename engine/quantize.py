@@ -238,13 +238,29 @@ def cosine_topk_int8(
         return cand.select(
             F.col("_qid").alias(query_id), F.col("_cid").alias(corpus_id), "rank"
         )
-    # exact rerank: attach original vectors by cid (one equi-join bounded by
-    # corpus size), query vectors from the already-collected driver matrix via
-    # a broadcast lookup frame (bounded by the query cap), exact double cosine
-    spark = queries.sparkSession
+    return _exact_rerank(
+        cand, qids, Qf, rerank_corpus, k, query_id, corpus_id, vec_col
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    qids: np.ndarray,
+    Qf: np.ndarray,
+    rerank_corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-double rerank of slim (_qid, _cid) candidates: attach original
+    vectors by cid (one equi-join bounded by corpus size), query vectors from
+    the already-collected driver matrix via a broadcast lookup frame (bounded
+    by the query cap), exact double cosine, (sim desc, cid asc) tiebreak."""
+    spark = rerank_corpus.sparkSession
     qvec = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Qf)],
-        schema=f"_qid long, _qv array<double>",
+        schema="_qid long, _qv array<double>",
     )
     cvec = rerank_corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
@@ -262,4 +278,171 @@ def cosine_topk_int8(
         .select(
             F.col("_qid").alias(query_id), F.col("_cid").alias(corpus_id), "rank"
         )
+    )
+
+
+def ivf_ann_topk_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: bool = True,
+    rerank_mult: int = 4,
+    max_query_rows: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8: embedops.ivf_ann_topk's coarse quantizer (identical md5-ordered
+    centroid sample + nearest-1 gemm assignment, so candidate sets match the
+    float IVF exactly at the same seed) over inverted lists that store int8
+    CODES instead of float64 vectors. The candidate equi-join — IVF's biggest
+    intermediate, n_probe/n_centroids of the corpus per query — moves 64-byte
+    codes instead of 512-byte arrays (8x less shuffle/spill at dim 64), and
+    the tiny (query, centroid) probe table is broadcast so the corpus-sized
+    list frame never shuffles at all. Probe selection happens driver-side on
+    the collected query matrix (bounded by GEMM_MAX_QUERY_ROWS, same contract
+    as every gemm kernel; stable argsort ties match the HOF window order).
+
+    rerank=True (default) upgrades the code ranking to near-exact: keep
+    rerank_mult*k candidates by int8 similarity, attach original vectors by
+    one cid equi-join, rank by exact double cosine. rerank=False returns the
+    pure code ranking (recall 0.97+ vs float at dim 64 — BENCH/BASELINE.md).
+
+    At 100 TB: lists are built once per corpus snapshot (one scan: assignment
+    + quantization are pipelined narrow Arrow passes, no shuffle) and shrink
+    the stored index 8x; per-query work is bounded by n_probe * corpus /
+    n_centroids candidates, each 64 B + two int8-GEMM FLOP rows. No reference
+    analog (the reference has no embedding surface); extends the SURVEY.md §2
+    similarity family. Binary codes are not reasonably SQL-expressible, so
+    verification is pytest (candidate-parity + recall + rerank parity vs the
+    hash-checked float ivf_ann_topk) rather than a registry row.
+
+    Returns (query_id, corpus_id, rank)."""
+    import math
+
+    import pyarrow as pa
+
+    from engine.textops import cross_hash
+
+    from .embedops import _nearest_centroids_gemm_udf
+
+    q_rows = _collect_query_rows(queries, query_id, vec_col, max_query_rows)
+    if q_rows is None:
+        cap = GEMM_MAX_QUERY_ROWS if max_query_rows is None else max_query_rows
+        raise ValueError(
+            f"ivf_ann_topk_int8: query side exceeds {cap} rows; probe "
+            "selection and the rerank need a driver-collectable query matrix. "
+            "Raise max_query_rows deliberately or shard the query set."
+        )
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], schema=f"{query_id} long, {corpus_id} long, rank long"
+        )
+
+    # coarse quantizer: the identical deterministic sample embedops uses
+    # (cross-engine md5 order, seeded) — same seed => same centroid set
+    if n_centroids is None:
+        n_centroids = max(16, min(4096, int(math.sqrt(corpus.count()))))
+    sample_key = cross_hash(
+        F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
+    )
+    cents_mat = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col)
+            .orderBy(sample_key)
+            .limit(n_centroids)
+            .collect()
+        ]
+    )
+    n_centroids = cents_mat.shape[0]
+
+    # driver-side probe selection: (n_q, m) matmul on the bounded query matrix
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Qf = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qfn = np.linalg.norm(Qf, axis=1)
+    Qfn[Qfn == 0.0] = 1.0
+    Cen = np.linalg.norm(cents_mat, axis=1)
+    Cen[Cen == 0.0] = 1.0
+    sims = (Qf @ cents_mat.T) / (Qfn[:, None] * Cen[None, :])
+    order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, n_centroids)]
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), int(c)) for q, row in zip(qids, order) for c in row],
+            schema="_qid long, centroid_id long",
+        )
+    )
+
+    # inverted lists over codes: one corpus scan — nearest-1 assignment and
+    # int8 quantization are pipelined narrow Arrow passes, embedding dropped
+    # before anything wide
+    nc = _nearest_centroids_gemm_udf(cents_mat, 1)
+    assigned = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col)
+    ).withColumn("centroid_id", F.element_at(nc(F.col(vec_col)), 1))
+    lists = quantize_int8(assigned, vec_col=vec_col).select(
+        "centroid_id", "_cid", "code"
+    )
+
+    # candidate join: broadcast probes -> the corpus-sized list side never
+    # shuffles; rows out carry (qid, cid, 64-byte code). Pairs are unique by
+    # construction (nearest-1 lists x distinct probes) — no dedup shuffle.
+    cand = lists.join(probe_df, "centroid_id").select("_qid", "_cid", "code")
+
+    # int8 pair rerank: quantized query matrix looked up by position inside
+    # the Arrow kernel (the codes twin of embedops._rerank_pairs_gemm)
+    Qc, _ = _quantize_np(Qf)
+    Q32 = Qc.astype(np.float32)
+    Qn = np.sqrt(np.einsum("ij,ij->i", Q32, Q32))
+    Qn[Qn == 0.0] = 1.0
+    _qsort_pos = np.argsort(qids, kind="stable")
+    _qsorted = qids[_qsort_pos]
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField("_cid", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            C = _binary_matrix(rb, "code", dim).astype(np.float32)
+            Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            Cn[Cn == 0.0] = 1.0
+            qid_np = np.asarray(
+                rb.column(rb.schema.get_field_index("_qid")), dtype=np.int64
+            )
+            cid_np = np.asarray(
+                rb.column(rb.schema.get_field_index("_cid")), dtype=np.int64
+            )
+            qi = _qsort_pos[np.searchsorted(_qsorted, qid_np)]
+            sims = (
+                np.einsum("ij,ij->i", C, Q32[qi]) / (Cn * Qn[qi])
+            ).astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid_np), pa.array(cid_np), pa.array(sims)],
+                names=["_qid", "_cid", "_sim"],
+            )
+
+    local = cand.mapInArrow(scan, schema=out_schema)
+    keep = k * rerank_mult if rerank else k
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
+    ranked = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+    )
+    if not rerank:
+        return ranked.select(
+            F.col("_qid").alias(query_id), F.col("_cid").alias(corpus_id), "rank"
+        )
+    return _exact_rerank(
+        ranked, qids, Qf, corpus, k, query_id, corpus_id, vec_col
     )

@@ -96,6 +96,46 @@ def test_int8_topk_rerank_exact_parity(spark, emb):
     )
 
 
+def test_ivf_int8_matches_float_ivf_after_rerank(spark, emb):
+    """Same seed => same centroid sample + nearest-1 assignment => identical
+    candidate sets as the float IVF; the exact rerank then reproduces the
+    float IVF's ranking (deterministic on this fixed corpus)."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = embedops.ivf_ann_topk(
+        queries, emb, k=3, n_centroids=8, n_probe=4, kernel="gemm"
+    )
+    sq8 = quantize.ivf_ann_topk_int8(
+        queries, emb, k=3, n_centroids=8, n_probe=4, rerank=True
+    )
+    assert embedops.ann_recall(flt, sq8) == 1.0
+
+
+def test_ivf_int8_code_rank_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, emb, k=3)
+    sq8 = quantize.ivf_ann_topk_int8(
+        queries, emb, k=3, n_centroids=8, n_probe=4, rerank=False
+    )
+    rec = embedops.ann_recall(exact, sq8)
+    assert rec >= 0.7, f"IVF-SQ8 code-rank recall {rec}"
+    # a query in the corpus probes its own centroid; int8 self-sim is still
+    # the max (code cosine with itself is 1) -> rank 1 self
+    top1 = sq8.filter(F.col("rank") == 1).collect()
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
+def test_ivf_int8_query_guard_raises(spark, emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="query side exceeds"):
+        quantize.ivf_ann_topk_int8(
+            queries, emb, k=2, n_centroids=8, max_query_rows=5
+        )
+
+
 def test_int8_query_guard_raises(spark, emb):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     codes = quantize.quantize_int8(emb).select("vec_id", "code")
