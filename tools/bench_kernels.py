@@ -416,10 +416,65 @@ def part_int8() -> None:
     spark.stop()
 
 
+def part_ivf_sq8() -> None:
+    """Float IVF vs IVF-SQ8 at 1M x 64, 200 queries, auto centroids (1000),
+    n_probe=4: wall (interleaved min-of-2), recall@5 vs exact, and the
+    candidate-join payload both plans move (4k candidates/query x 200)."""
+    from pyspark.sql import functions as F
+
+    from engine import embedops, quantize
+
+    spark = _spark("bench-ivf-sq8")
+    corpus = _vectors(spark, 1_000_000).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+
+    def timed(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    walls = {"ivf_float_gemm": [], "ivf_sq8_rerank": [], "ivf_sq8_codes": []}
+    for _ in range(2):
+        walls["ivf_float_gemm"].append(round(timed(embedops.ivf_ann_topk(
+            queries, corpus, k=5, n_probe=4, kernel="gemm")), 2))
+        walls["ivf_sq8_rerank"].append(round(timed(quantize.ivf_ann_topk_int8(
+            queries, corpus, k=5, n_probe=4, rerank=True)), 2))
+        walls["ivf_sq8_codes"].append(round(timed(quantize.ivf_ann_topk_int8(
+            queries, corpus, k=5, n_probe=4, rerank=False)), 2))
+    recalls = {
+        "recall_ivf_float": round(embedops.ann_recall(
+            exact, embedops.ivf_ann_topk(
+                queries, corpus, k=5, n_probe=4, kernel="gemm")), 4),
+        "recall_ivf_sq8_rerank": round(embedops.ann_recall(
+            exact, quantize.ivf_ann_topk_int8(
+                queries, corpus, k=5, n_probe=4, rerank=True)), 4),
+        "recall_ivf_sq8_codes": round(embedops.ann_recall(
+            exact, quantize.ivf_ann_topk_int8(
+                queries, corpus, k=5, n_probe=4, rerank=False)), 4),
+    }
+    n_cand = 200 * 4 * 1_000_000 // 1000  # queries x probe x corpus/centroids
+    print(json.dumps({
+        "part": "ivf_sq8", "n_corpus": 1_000_000, "n_queries": 200,
+        "n_centroids": 1000, "n_probe": 4, "k": 5,
+        **{k: {"runs": v, "min": min(v)} for k, v in walls.items()},
+        **recalls,
+        "cand_rows": n_cand,
+        "cand_payload_float_mb": round(n_cand * 512 / 1e6, 1),
+        "cand_payload_int8_mb": round(n_cand * 64 / 1e6, 1),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "int8": part_int8,
+        "ivf_sq8": part_ivf_sq8,
         "rerank": part_rerank,
         "recall": part_recall,
         "ivf": part_ivf,
