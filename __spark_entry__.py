@@ -1049,25 +1049,57 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2-style spherical cells (engine.cells.s2_encode_udf, numpy pandas_udf) —
-    engine-defined ids, no SQL twin: rows-only; round-trip/hierarchy asserted in
-    tests/test_cells.py."""
+def q_cell_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex + S2 cell encodings (engine.cells.hex_encode_udf / s2_encode_udf,
+    numpy pandas_udfs) as one tagged union — both families' histograms stay
+    hash-checked against their DuckDB twins in a single registry row (the
+    merge that freed a slot for geo_ann; each half is the former hex_cells /
+    s2_cells query verbatim)."""
     pts = _docs_points(spark, sf_dir)
-    return (
-        pts.select(cells.s2_encode_udf(12)(F.col("lon"), F.col("lat")).alias("s2_cell"))
-        .groupBy("s2_cell")
+    hexes = (
+        pts.select(cells.hex_encode_udf(6)(F.col("lon"), F.col("lat")).alias("cell"))
+        .groupBy("cell")
         .agg(F.count("*").alias("n_points"))
+        .select(F.lit("hex").alias("fam"), F.col("cell").cast("long").alias("cell"),
+                "n_points")
     )
-
-
-def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hex cells (engine.cells.hex_encode_udf, numpy pandas_udf) — rows-only."""
-    pts = _docs_points(spark, sf_dir)
-    return (
-        pts.select(cells.hex_encode_udf(6)(F.col("lon"), F.col("lat")).alias("hex_cell"))
-        .groupBy("hex_cell")
+    s2 = (
+        pts.select(cells.s2_encode_udf(12)(F.col("lon"), F.col("lat")).alias("cell"))
+        .groupBy("cell")
         .agg(F.count("*").alias("n_points"))
+        .select(F.lit("s2").alias("fam"), F.col("cell").cast("long").alias("cell"),
+                "n_points")
+    )
+    return hexes.unionByName(s2)
+
+
+def q_geo_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-constrained similarity search (engine.geoann.geo_ann_topk): exact
+    cosine top-5 within a 3000 km haversine radius over the geotagged
+    embedding corpus (anchors derive from the vec_id pseudo-phash). The cell
+    cover + equi-join + window plan is the scale path; the DuckDB twin is the
+    brute-force radius join (parity also fuzz-tested in tests/test_geoann.py
+    incl. polar full-wrap and antimeridian covers)."""
+    from engine import geoann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ph = cells.synth_phash(F.col("vec_id").cast("long"))
+    geo = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        cells.anchor_lon(ph).alias("lon"),
+        cells.anchor_lat(ph).alias("lat"),
+    )
+    queries = geo.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = geoann.geo_ann_topk(queries, geo, radius_m=3_000_000.0, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("sim") * 1000000).cast("long").alias("sim_e6"),
+        F.floor(F.col("dist_m") * 1000).cast("long").alias("dist_mm"),
     )
 
 
@@ -1274,8 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
-        "s2_cells": q_s2_cells,
-        "hex_cells": q_hex_cells,
+        "cell_families": q_cell_families,
+        "geo_ann": q_geo_ann,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_neardup": q_cosine_neardup,
         "semi_anti_join": q_semi_anti_join,
@@ -1643,6 +1675,37 @@ def embedops_sql_ann_recall() -> str:
                CAST(FLOOR(SUM(CASE WHEN a._cid IS NOT NULL THEN 1 ELSE 0 END)
                     * 1000000 / COUNT(*)) AS BIGINT) AS recall_e6
         FROM exact e LEFT JOIN approx a ON e._qid = a._qid AND e._cid = a._cid
+    """
+
+
+def _geo_ann_oracle_sql() -> str:
+    """Brute-force DuckDB twin of q_geo_ann: radius theta-join + cosine
+    window, same haversine/cosine expression order as the engine (see
+    engine.joins.haversine_m_sql / engine.embedops.cosine_double_sql)."""
+    from engine import embedops
+
+    ph = cells.synth_phash_sql("vec_id")
+    lon_e = f"(({ph}) % 4294967296) / 4294967296.0 * 360.0 - 180.0"
+    lat_e = f"((({ph}) // 4294967296) % 2147483648) / 2147483648.0 * 180.0 - 90.0"
+    sim = embedops.cosine_double_sql("q.embedding", "c.embedding")
+    hav = joins.haversine_m_sql("q.lon", "q.lat", "c.lon", "c.lat")
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+                 {lon_e} AS lon, {lat_e} AS lat
+          FROM embeddings
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+               CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6,
+               CAST(FLOOR(dist_m * 1000) AS BIGINT) AS dist_mm
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 {sim} AS sim, {hav} AS dist_m,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {sim} DESC, c.vec_id) AS rank
+          FROM (SELECT * FROM pts WHERE vec_id % 25 = 0) q
+          JOIN pts c ON {hav} <= 3000000.0
+        ) t WHERE rank <= 5
     """
 
 
@@ -2138,16 +2201,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY featureID, changeset, changeType
         """,
         "tfidf": tfidf_sql(),
-        "s2_cells": f"""
-            SELECT s2_cell, COUNT(*) AS n_points
-            FROM ({cells.s2_encode_sql(lon, lat, 12, 'FROM documents')})
-            GROUP BY 1
-        """,
-        "hex_cells": f"""
-            SELECT hex_cell, COUNT(*) AS n_points
+        "cell_families": f"""
+            SELECT 'hex' AS fam, CAST(hex_cell AS BIGINT) AS cell,
+                   COUNT(*) AS n_points
             FROM ({cells.hex_encode_sql(lon, lat, 6, 'FROM documents')})
-            GROUP BY 1
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 's2' AS fam, CAST(s2_cell AS BIGINT) AS cell,
+                   COUNT(*) AS n_points
+            FROM ({cells.s2_encode_sql(lon, lat, 12, 'FROM documents')})
+            GROUP BY 1, 2
         """,
+        "geo_ann": _geo_ann_oracle_sql(),
         "ann_lsh": embedops_sql_ann_lsh(),
         "ann_ivf": embedops_sql_ann_ivf(),
         "ann_recall": embedops_sql_ann_recall(),

@@ -291,6 +291,35 @@ def grid_ring(cell: Column, k: int, res: int) -> Column:
     return F.array_except(grid_disk(cell, k, res), grid_disk(cell, k - 1, res))
 
 
+def grid_disk_var(cell: Column, kx: Column, ky: Column, res: int) -> Column:
+    """grid_disk with per-ROW rectangular radii (Column-valued): all cells with
+    |dx| <= kx (lon, wraps mod 2^res) and |dy| <= ky (lat, out-of-range
+    dropped). kx is clamped to the half-grid so a full wrap enumerates each
+    lon column exactly once (array_distinct dedups the seam). Used by
+    radius-bounded geo operators (engine.geoann) where the lon extent of the
+    covered rect depends on each query's latitude."""
+    _check_res(res)
+    n = 2**res
+    ix, iy = grid_ix(cell), grid_iy(cell)
+    kx_c = F.least(F.greatest(kx.cast("int"), F.lit(0)), F.lit(n // 2))
+    ky_c = F.greatest(ky.cast("int"), F.lit(0))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(-kx_c, kx_c),
+            lambda dx: F.transform(
+                F.sequence(-ky_c, ky_c),
+                lambda dy: F.when(
+                    ((iy + dy) >= 0) & ((iy + dy) < n),
+                    F.lit(res * _RES_SHIFT)
+                    + ((ix + dx + n) % F.lit(n)) * F.lit(_IX_SHIFT)
+                    + (iy + dy),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.filter(cells, lambda c: c.isNotNull()))
+
+
 # ---------------------------------------------------------------------------
 # numpy mirrors (oracles for tests + inputs for vectorized kernels)
 # ---------------------------------------------------------------------------
