@@ -355,6 +355,51 @@ def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlay_rects(df, key_col, x_mult, x_mod, w_base, w_mult, w_mod,
+                   y_mult, y_mod, h_base, h_mult, h_mod, frac):
+    """Deterministic axis-aligned rect polygons from an integer key column.
+
+    All coordinates land on int + frac; using distinct fracs for the two
+    sides (.125 vs .375) guarantees NO coordinate ever coincides across
+    sides, so closed-vs-open boundary semantics can't affect the result and
+    the DuckDB interval-overlap twin is exact."""
+    k = F.col(key_col).cast("long")
+    x0 = F.lit(-180.0) + (k * x_mult % x_mod).cast("double") + F.lit(frac)
+    w = (F.lit(w_base) + (k * w_mult % w_mod)).cast("double")
+    y0 = F.lit(-90.0) + (k * y_mult % y_mod).cast("double") + F.lit(frac)
+    h = (F.lit(h_base) + (k * h_mult % h_mod)).cast("double")
+    x1, y1 = x0 + w, y0 + h
+    pt = lambda lon, lat: F.struct(lon.alias("lon"), lat.alias("lat"))  # noqa: E731
+    return df.select(
+        k.alias("poly_id"),
+        F.struct(pt(x0, y0).alias("min"), pt(x1, y1).alias("max")).alias("bbox"),
+        F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)).alias("ring"),
+    )
+
+
+def q_poly_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlay join (engine.overlay.polygon_overlay_join):
+    rect regions derived from nation (A) and supplier (B) keys; the full
+    cover -> blocking-res equi-join -> fast-accept/refine pipeline is
+    value-checkable against a DuckDB interval-overlap twin because the rect
+    coordinate lattices of the two sides never coincide (.125 vs .375)."""
+    from engine import overlay
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pa = _overlay_rects(nation, "n_nationkey", 37, 300, 20, 13, 40,
+                        23, 120, 15, 7, 30, 0.125)
+    pb = _overlay_rects(supplier, "s_suppkey", 53, 310, 10, 11, 30,
+                        31, 130, 8, 17, 20, 0.375)
+    out = overlay.polygon_overlay_join(
+        pa, pb, convex_a=True, convex_b=True, res_min=3, res_max=8
+    )
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+    )
+
+
 def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard geohash (4th index family, engine.cells.geohash_phash): pure
     Column shifts + base32 from the phash anchor; per-prefix counts at
@@ -884,8 +929,11 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics (engine.textops.quality_score): scaled-int fields."""
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics + language ID per document (engine.textops
+    quality_score / lang_id), digest-merged into one row (both are per-doc
+    Column-only metrics over the same scan; the per-doc lang_guess column
+    strictly subsumes the old per-language counts row)."""
     from engine import textops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -896,18 +944,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getField("mean_token_len_e3").alias("mean_token_len_e3"),
         q.getField("stop_ratio_e3").alias("stop_ratio_e3"),
         q.getField("digit_ratio_e3").alias("digit_ratio_e3"),
-    )
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (engine.textops.lang_id), counts per guess."""
-    from engine import textops
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.select(textops.lang_id(F.col("text")).alias("lang_guess"))
-        .groupBy("lang_guess")
-        .agg(F.count("*").alias("n"))
+        textops.lang_id(F.col("text")).alias("lang_guess"),
     )
 
 
@@ -1281,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_decode_join": q_dim_decode_join,
         "pip_rect": q_pip_rect,
         "pip_holes": q_pip_holes,
+        "poly_overlay": q_poly_overlay,
         "zonal_stats": q_zonal_stats,
         "geohash": q_geohash,
         "tile_assign": q_tile_assign,
@@ -1297,8 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
         "tfidf": q_tfidf,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1991,12 +2028,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        "quality_score": """
+        "text_quality": """
             WITH t AS (
               SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS toks
               FROM documents
+            ), scored AS (
+              SELECT doc_id, text, toks,
+                     len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS c_de,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS c_en,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS c_es,
+                     len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr
+              FROM t
             )
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -2010,32 +2054,41 @@ def oracle_sql() -> dict[str, str]:
                              / len(toks)) ELSE 0 END AS BIGINT) AS stop_ratio_e3,
                    CAST(CASE WHEN length(text) > 0
                         THEN FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                             * 1000.0 / length(text)) ELSE 0 END AS BIGINT) AS digit_ratio_e3
-            FROM t
-        """,
-        "lang_id": """
-            WITH t AS (
-              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), scored AS (
-              SELECT len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS c_de,
-                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS c_en,
-                     len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS c_es,
-                     len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr
-              FROM t
-            )
-            -- argmax with ties going to the lexicographically largest lang,
-            -- mirroring the engine's struct-max comparison
-            SELECT CASE
+                             * 1000.0 / length(text)) ELSE 0 END AS BIGINT) AS digit_ratio_e3,
+                   -- argmax with ties going to the lexicographically largest
+                   -- lang, mirroring the engine's struct-max comparison
+                   CASE
                      WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
                      WHEN c_fr = greatest(c_de, c_en, c_es, c_fr) THEN 'fr'
                      WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
                      WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
                      ELSE 'de'
-                   END AS lang_guess,
-                   COUNT(*) AS n
-            FROM scored GROUP BY 1
+                   END AS lang_guess
+            FROM scored
+        """,
+        "poly_overlay": """
+            WITH a AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS a_id,
+                     -180 + (n_nationkey * 37 % 300) + 0.125 AS x0,
+                     -90 + (n_nationkey * 23 % 120) + 0.125 AS y0,
+                     -180 + (n_nationkey * 37 % 300) + 0.125
+                       + (20 + (n_nationkey * 13 % 40)) AS x1,
+                     -90 + (n_nationkey * 23 % 120) + 0.125
+                       + (15 + (n_nationkey * 7 % 30)) AS y1
+              FROM nation
+            ), b AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+                     -180 + (s_suppkey * 53 % 310) + 0.375 AS x0,
+                     -90 + (s_suppkey * 31 % 130) + 0.375 AS y0,
+                     -180 + (s_suppkey * 53 % 310) + 0.375
+                       + (10 + (s_suppkey * 11 % 30)) AS x1,
+                     -90 + (s_suppkey * 31 % 130) + 0.375
+                       + (8 + (s_suppkey * 17 % 20)) AS y1
+              FROM supplier
+            )
+            SELECT a.a_id AS a_id, b.b_id AS b_id
+            FROM a, b
+            WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
         """,
         "cosine_topk": """
             SELECT CAST(query_id AS BIGINT) AS query_id,

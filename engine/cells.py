@@ -203,6 +203,22 @@ def grid_parent(cell: Column, steps: int = 1) -> Column:
     )
 
 
+def grid_ancestor(cell: Column, to_res: Column) -> Column:
+    """Ancestor of `cell` at a per-row resolution `to_res` <= grid_res(cell).
+
+    Variable-steps twin of grid_parent for mixed-resolution frames (e.g.
+    normalizing a multi-res polygon cover to one blocking resolution). The
+    shift runs through double pow/division, which is exact here: both are
+    powers of two and ix/iy < 2^29 << 2^53.
+    """
+    d = F.pow(F.lit(2.0), (grid_res(cell) - to_res).cast("double"))
+    return (
+        to_res.cast("long") * F.lit(_RES_SHIFT)
+        + F.floor(grid_ix(cell) / d).cast("long") * F.lit(_IX_SHIFT)
+        + F.floor(grid_iy(cell) / d).cast("long")
+    )
+
+
 def grid_parent_sql(cell_expr: str, steps: int = 1) -> str:
     """ANSI-SQL twin of grid_parent."""
     d = 2**steps
