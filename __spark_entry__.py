@@ -802,24 +802,38 @@ def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d2, ignore_errors=True)
 
 
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets surface: CUBE over (returnflag, linestatus) — ANSI-identical
-    in both engines."""
+def q_olap_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets + ordered-set aggregates in one row (digest-merge of the
+    old cube_agg and percentiles rows): CUBE over (returnflag, linestatus)
+    with counts, sums, and exact interpolated percentiles (Spark percentile
+    == ANSI percentile_cont) per cube group, floor-scaled to int."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("long")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(qty).alias("sum_qty"),
+        F.floor(F.expr("percentile(CAST(l_quantity AS BIGINT), 0.5)") * 100)
+        .cast("long").alias("p50_qty_cents"),
+        F.floor(F.expr("percentile(CAST(l_quantity AS BIGINT), 0.9)") * 100)
+        .cast("long").alias("p90_qty_cents"),
     )
 
 
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark percentile == ANSI
-    percentile_cont), floor-scaled to int."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.floor(F.expr("percentile(value, 0.5)") * 100).cast("long").alias("p50_cents"),
-        F.floor(F.expr("percentile(value, 0.9)") * 100).cast("long").alias("p90_cents"),
-        F.count("*").alias("n"),
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-set compaction (engine.cells.compact_cells — the H3-compact
+    analog on the aperture-4 grid) + roundtrip: 'compact' rows are the
+    minimal cell set for the res-5 anchor cells of the documents corpus,
+    'roundtrip' rows uncompact that set back to res 5 and must equal the
+    original distinct encode — which is exactly what the DuckDB twin
+    computes for that part, so the roundtrip is value-checked without any
+    uncompact logic in SQL."""
+    pts = _docs_points(spark, sf_dir)
+    c5 = pts.select(cells.grid_encode_phash(F.col("phash"), 5).alias("cell")).distinct()
+    compacted = cells.compact_cells(c5, min_res=2).localCheckpoint()
+    back = cells.uncompact_cells(compacted, 5)
+    return (
+        compacted.select(F.lit("compact").alias("part"), "cell")
+        .unionByName(back.select(F.lit("roundtrip").alias("part"), "cell"))
     )
 
 
@@ -1331,8 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_firstorder": q_change_firstorder,
         "change_coalesce": q_change_coalesce,
         "change_pipeline": q_change_pipeline,
-        "cube_agg": q_cube_agg,
-        "percentiles": q_percentiles,
+        "olap_aggs": q_olap_aggs,
+        "cell_compact": q_cell_compact,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
         "text_quality": q_text_quality,
@@ -1754,6 +1768,11 @@ def oracle_sql() -> dict[str, str]:
     lat = f"((({phash}) // 4294967296) % 2147483648) / 2147483648.0 * 180.0 - 90.0"
     xi = f"(({phash}) % 4294967296)"
     yi = f"((({phash}) // 4294967296) % 2147483648)"
+    cell5_cte = (
+        f"SELECT DISTINCT {cells.grid_encode_phash_sql(phash, 5)} AS cell "
+        "FROM documents"
+    )
+    compact5 = cells.compact_unroll_sql(cell5_cte, 5, 2)
     return {
         "pack_feature_id": """
             SELECT CASE CAST(o_orderkey AS BIGINT) % 3
@@ -1992,20 +2011,22 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_stop
             FROM documents
         """,
-        "cube_agg": """
+        "olap_aggs": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(FLOOR(percentile_cont(0.5)
+                        WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) * 100)
+                        AS BIGINT) AS p50_qty_cents,
+                   CAST(FLOOR(percentile_cont(0.9)
+                        WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) * 100)
+                        AS BIGINT) AS p90_qty_cents
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
-        "percentiles": """
-            SELECT event_type,
-                   CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 100)
-                        AS BIGINT) AS p50_cents,
-                   CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) * 100)
-                        AS BIGINT) AS p90_cents,
-                   COUNT(*) AS n
-            FROM events GROUP BY event_type
+        "cell_compact": f"""
+            SELECT 'compact' AS part, cell FROM ({compact5}) c
+            UNION ALL
+            SELECT 'roundtrip' AS part, cell FROM ({cell5_cte}) b
         """,
         "interval_join": """
             SELECT CAST(y.year AS BIGINT) AS year, COUNT(*) AS n_items

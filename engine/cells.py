@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -241,6 +241,109 @@ def grid_children(cell: Column) -> Column:
             for dy in (0, 1)
         ]
     )
+
+
+def compact_cells(
+    df: DataFrame, cell_col: str = "cell", min_res: int = 0
+) -> DataFrame:
+    """Minimal equivalent cell set: every complete group of 4 siblings is
+    replaced by its parent, repeatedly, down to min_res (the H3 `compact` /
+    S2 normalize operation on this grid's aperture-4 hierarchy). Input may
+    mix resolutions; duplicates are removed. Returns a single `cell` column
+    whose union of leaf descendants equals the input's, with no cell an
+    ancestor of another.
+
+    Distributed shape: one bounded pass per resolution level from the finest
+    present down to min_res+1 — each pass is a groupBy on the parent key
+    (count==4 -> promote) plus an anti-join for the survivors; promoted
+    parents feed the next-coarser pass. Per-pass state is the current level
+    only, lineage is truncated per pass (localCheckpoint), and the number of
+    passes is bounded by the res span (<= 28), so the plan cannot grow with
+    data size. Rollup covers / cover stores shrink up to 4x per level where
+    density saturates — this is the storage normalizer for cell covers.
+    """
+    if not (0 <= min_res <= GRID_MAX_RES):
+        raise ValueError(f"min_res must be in [0, {GRID_MAX_RES}]")
+    cur = df.select(F.col(cell_col).alias("cell")).distinct()
+    max_row = cur.agg(F.max(grid_res(F.col("cell"))).alias("m")).collect()[0]
+    if max_row["m"] is None:
+        return cur
+    max_res = int(max_row["m"])
+    finals = []
+    for r in range(max_res, min_res, -1):
+        level = cur.filter(grid_res(F.col("cell")) == r)
+        rest = cur.filter(grid_res(F.col("cell")) != r)
+        promoted = (
+            level.groupBy(grid_parent(F.col("cell")).alias("cell"))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == 4)
+            .drop("_n")
+        )
+        kept = level.join(
+            promoted.select(F.col("cell").alias("_p")),
+            grid_parent(level["cell"]) == F.col("_p"),
+            "left_anti",
+        )
+        finals.append(kept)
+        cur = rest.unionByName(promoted).localCheckpoint(eager=False)
+    out = cur
+    for k in finals:
+        out = out.unionByName(k)
+    return out
+
+
+def uncompact_cells(
+    df: DataFrame, to_res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Inverse of compact_cells: explode every cell to all its descendants at
+    `to_res` (cells already at to_res pass through; cells finer than to_res
+    are rejected). Column-only: two sequence-explodes over the per-row child
+    index ranges — 4^(to_res - res) rows per input cell, so the caller owns
+    the blowup budget (compact res spans are small by construction)."""
+    _check_res(to_res)
+    res = grid_res(F.col(cell_col))
+    d = F.when(
+        res > F.lit(to_res),
+        F.raise_error(F.lit("uncompact_cells: cell finer than to_res")),
+    ).otherwise(F.pow(F.lit(2.0), (F.lit(to_res) - res).cast("double")).cast("long"))
+    base_ix = grid_ix(F.col(cell_col)) * d
+    base_iy = grid_iy(F.col(cell_col)) * d
+    out = (
+        df.withColumn("_dx", F.explode(F.sequence(F.lit(0), d - 1)))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(0), d - 1)))
+        .withColumn(
+            cell_col,
+            F.lit(to_res * _RES_SHIFT)
+            + (base_ix + F.col("_dx")) * F.lit(_IX_SHIFT)
+            + base_iy
+            + F.col("_dy"),
+        )
+        .drop("_dx", "_dy")
+    )
+    return out
+
+
+def compact_unroll_sql(cells_cte: str, from_res: int, to_res: int) -> str:
+    """DuckDB twin of compact_cells for a fixed res span: unrolled one CTE
+    pair per level. `cells_cte` must select a single BIGINT column `cell` of
+    distinct cells, all at from_res. Returns a full query selecting the
+    compacted `cell` set."""
+    parts = [f"lvl{from_res} AS ({cells_cte})"]
+    kept_selects = []
+    for r in range(from_res, to_res, -1):
+        parent = grid_parent_sql("cell", 1)
+        parts.append(
+            f"prom{r - 1} AS (SELECT {parent} AS cell FROM lvl{r} "
+            f"GROUP BY 1 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"kept{r} AS (SELECT cell FROM lvl{r} "
+            f"WHERE {parent} NOT IN (SELECT cell FROM prom{r - 1}))"
+        )
+        parts.append(f"lvl{r - 1} AS (SELECT cell FROM prom{r - 1})")
+        kept_selects.append(f"SELECT cell FROM kept{r}")
+    kept_selects.append(f"SELECT cell FROM lvl{to_res}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(kept_selects)
 
 
 def grid_center_lon(cell: Column, res: int) -> Column:
