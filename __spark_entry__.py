@@ -471,19 +471,41 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic kNN (engine.joins.knn_geo_brute_force, haversine meters):
-    queries = every 200th document anchor, k=3 nearest anchors. Rank by
-    (distance, id); dist emitted floor-scaled to mm."""
-    pts = _docs_points(spark, sf_dir)
-    queries = pts.filter(F.col("doc_id") % 200 == 0).select(
-        F.col("doc_id").alias("query_id"), "lon", "lat"
+def q_line_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-within-radius-of-polyline join (engine.lines.line_radius_join,
+    int-exact arithmetic): document anchors folded into a 2^15 planar space,
+    zigzag 4-vertex polylines derived from nation keys, radius 600. The
+    cover -> cell equi-join -> integer-rational point-to-segment refine is
+    hash-stable against a brute-force DuckDB twin running the identical
+    int64 expressions (no floats anywhere in the checked path).
+
+    The knn_geo registry row this replaces was redundant: knn_geo_brute_force
+    IS the DuckDB twin of the knn_haversine row, and stays pytest-covered
+    (tests/test_knn.py)."""
+    from engine import lines as L
+
+    pts = _docs_points(spark, sf_dir).select(
+        F.col("doc_id").alias("point_id"),
+        F.shiftrightunsigned(F.col("x"), 17).alias("x"),
+        F.shiftrightunsigned(F.col("y"), 16).alias("y"),
     )
-    points = pts.select(F.col("doc_id").alias("point_id"), "lon", "lat")
-    out = joins.knn_geo_brute_force(queries, points, k=3)
-    return out.select(
-        "query_id", "point_id", F.col("rank").cast("long").alias("rank"),
-        F.floor(F.col("dist_m") * 1000).cast("long").alias("dist_mm"),
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey").cast("long")
+    verts = nation.select(
+        nk.alias("line_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.struct(
+                ((nk * 1973 + j * 4801) % 32768).cast("double").alias("x"),
+                ((nk * 3271 + j * 6007) % 32768).cast("double").alias("y"),
+            ),
+        ).alias("pts"),
+    )
+    return L.line_radius_join(
+        pts, verts, radius=600.0, arithmetic="int_exact"
+    ).select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("line_id").cast("long").alias("line_id"),
     )
 
 
@@ -1337,7 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
-        "knn_geo": q_knn_geo,
+        "line_join": q_line_join,
         "knn_haversine": q_knn_haversine,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
@@ -1958,22 +1980,39 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents) p
             ) t WHERE rank <= 3
         """,
-        "knn_geo": f"""
-            SELECT query_id, point_id, CAST(rank AS BIGINT) AS rank,
-                   CAST(FLOOR(dist_m * 1000) AS BIGINT) AS dist_mm
-            FROM (
-              SELECT q.doc_id AS query_id, p.doc_id AS point_id,
-                     {joins.haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')}
-                       AS dist_m,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY q.doc_id
-                       ORDER BY {joins.haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')},
-                                p.doc_id) AS rank
-              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {lon} AS lon, {lat} AS lat
-                    FROM documents WHERE doc_id % 200 = 0) q
-              CROSS JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, {lon} AS lon,
-                                 {lat} AS lat FROM documents) p
-            ) t WHERE rank <= 3
+        "line_join": f"""
+            WITH pts AS (
+              SELECT CAST(doc_id AS BIGINT) AS point_id,
+                     {xi} // 131072 AS px, {yi} // 65536 AS py
+              FROM documents
+            ), verts AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS line_id, j,
+                     (n_nationkey * 1973 + j * 4801) % 32768 AS vx,
+                     (n_nationkey * 3271 + j * 6007) % 32768 AS vy
+              FROM nation, (SELECT unnest(range(4)) AS j)
+            ), segs AS (
+              SELECT a.line_id, a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by
+              FROM verts a JOIN verts b
+                ON a.line_id = b.line_id AND b.j = a.j + 1
+            ), cand AS (
+              SELECT p.point_id, s.line_id,
+                     (s.bx - s.ax) * (s.bx - s.ax)
+                       + (s.by - s.ay) * (s.by - s.ay) AS t_den,
+                     (p.px - s.ax) * (s.bx - s.ax)
+                       + (p.py - s.ay) * (s.by - s.ay) AS t_num,
+                     (p.px - s.ax) * (p.px - s.ax)
+                       + (p.py - s.ay) * (p.py - s.ay) AS d2a,
+                     (p.px - s.bx) * (p.px - s.bx)
+                       + (p.py - s.by) * (p.py - s.by) AS d2b
+              FROM pts p CROSS JOIN segs s
+            )
+            SELECT DISTINCT point_id, line_id
+            FROM cand
+            WHERE CASE
+                    WHEN t_den = 0 OR t_num <= 0 THEN d2a <= 360000
+                    WHEN t_num >= t_den THEN d2b <= 360000
+                    ELSE d2a * t_den - t_num * t_num <= 360000 * t_den
+                  END
         """,
         "knn_haversine": f"""
             SELECT query_id, point_id, CAST(rank AS BIGINT) AS rank,

@@ -1,0 +1,248 @@
+"""Polyline (linestring) operators: cell cover + points-within-radius join.
+
+OSM ways are polylines (the reference's way geometries,
+/root/reference/.../osmdata/ — this engine re-grounds them over the graft's
+planar anchor space), and the canonical curation query over the geotagged
+image corpus is "images within d of a road/route". The join discipline
+matches knn_join/pip_join: the point side is the fact table and is touched
+once (one cell encode, no explode, no shuffle when the line cover
+broadcasts); ALL expansion happens on the line side.
+
+Cover construction is Column-only (no Python workers):
+
+  lines --(posexplode vertices)--> segments (A, B)
+        --(sequence-explode ~len/cell sample points along AB)-->
+        --(2D sequence-explode a (2k+1)^2 neighbor block per sample)-->
+        distinct (line_id, cell)
+
+Soundness: with sample step <= cell size s, every cell the segment traverses
+is within 1 cell (Chebyshev) of some sample point's cell; dilating by
+k = 1 + ceil(radius/s) therefore covers every cell within `radius` of the
+segment. Default s = max(1, radius) keeps k = 2 (a 5x5 block per sample).
+
+The exact refine is point-to-segment distance. arithmetic='double' is the
+production path; arithmetic='int_exact' computes the comparison in pure
+int64 rationals — exact and engine-portable when coords are integers with
+|coord| < ~2^15 and r^2 * |seg|^2 < 2^62 (the DuckDB oracle twin runs the
+identical integer expressions, so the registry row is hash-stable by
+construction, per the repo's oracle determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_IY_SHIFT = 2**31  # local planar cell packing: cell = ix * 2^31 + iy
+
+
+def _cell(x: Column, y: Column, s: float) -> Column:
+    return (
+        F.floor(x / F.lit(float(s))).cast("long") * F.lit(_IY_SHIFT)
+        + F.floor(y / F.lit(float(s))).cast("long")
+    )
+
+
+def line_segments(lines: DataFrame, id_col: str = "line_id",
+                  pts_col: str = "pts") -> DataFrame:
+    """(line_id, pts: array<struct<x,y>>) -> one row per consecutive segment
+    (line_id, seg_idx, ax, ay, bx, by)."""
+    seg = lines.select(
+        F.col(id_col).alias("line_id"),
+        F.posexplode(F.slice(F.col(pts_col), 1, F.size(pts_col) - 1)).alias(
+            "seg_idx", "_a"
+        ),
+        F.col(pts_col).alias("_pts"),
+    )
+    return seg.select(
+        "line_id",
+        "seg_idx",
+        F.col("_a.x").cast("double").alias("ax"),
+        F.col("_a.y").cast("double").alias("ay"),
+        F.element_at(F.col("_pts"), F.col("seg_idx") + 2)["x"].cast("double").alias("bx"),
+        F.element_at(F.col("_pts"), F.col("seg_idx") + 2)["y"].cast("double").alias("by"),
+    )
+
+
+def line_cover(segs: DataFrame, radius: float, cell_size: float | None = None,
+               keep_segments: bool = False) -> DataFrame:
+    """Distinct (line_id[, seg_idx, ax..by], cell) cells within `radius` of
+    each segment (superset; exact refine happens at join time). Column-only.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    s = float(cell_size) if cell_size is not None else max(1.0, float(radius))
+    k = 1 + int(-(-radius // s))  # 1 + ceil(radius / s)
+
+    n_steps = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.greatest(F.abs(F.col("bx") - F.col("ax")),
+                       F.abs(F.col("by") - F.col("ay"))) / F.lit(s)
+        ).cast("int"),
+    )
+    t = F.col("_i").cast("double") / F.col("_n").cast("double")
+    px = F.col("ax") + t * (F.col("bx") - F.col("ax"))
+    py = F.col("ay") + t * (F.col("by") - F.col("ay"))
+    sampled = (
+        segs.withColumn("_n", n_steps)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n"))))
+        .withColumn("_sx", px)
+        .withColumn("_sy", py)
+    )
+    dil = (
+        sampled.withColumn("_dx", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn(
+            "cell",
+            (F.floor(F.col("_sx") / F.lit(s)).cast("long") + F.col("_dx"))
+            * F.lit(_IY_SHIFT)
+            + F.floor(F.col("_sy") / F.lit(s)).cast("long")
+            + F.col("_dy"),
+        )
+    )
+    keys = (["line_id", "seg_idx", "ax", "ay", "bx", "by"]
+            if keep_segments else ["line_id"])
+    return dil.select(*keys, "cell").distinct()
+
+
+def _d2_le_r2_double(px, py, ax, ay, bx, by, r: float) -> Column:
+    """Point-to-segment distance^2 <= r^2, double arithmetic (production)."""
+    vx, vy = bx - ax, by - ay
+    wx, wy = px - ax, py - ay
+    t_num = wx * vx + wy * vy
+    t_den = vx * vx + vy * vy
+    t = F.when(t_den == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_num / t_den))
+    )
+    dx = px - (ax + t * vx)
+    dy = py - (ay + t * vy)
+    return dx * dx + dy * dy <= F.lit(float(r) * float(r))
+
+
+def _d2_le_r2_int(px, py, ax, ay, bx, by, r2: int) -> Column:
+    """Exact integer-rational point-to-segment comparison (coords integral):
+
+      t_num = (P-A).(B-A), t_den = |B-A|^2
+      t_num <= 0      -> |P-A|^2            <= r^2
+      t_num >= t_den  -> |P-B|^2            <= r^2
+      else            -> |P-A|^2 * t_den - t_num^2 <= r^2 * t_den
+
+    All int64; caller owns the overflow budget (|coords| < 2^15 keeps every
+    product under 2^62). Identical expressions run in the DuckDB twin.
+    """
+    L = lambda c: c.cast("long")  # noqa: E731
+    px, py, ax, ay, bx, by = L(px), L(py), L(ax), L(ay), L(bx), L(by)
+    vx, vy = bx - ax, by - ay
+    wx, wy = px - ax, py - ay
+    ux, uy = px - bx, py - by
+    t_num = wx * vx + wy * vy
+    t_den = vx * vx + vy * vy
+    d2a = wx * wx + wy * wy
+    d2b = ux * ux + uy * uy
+    return (
+        F.when((t_den == 0) | (t_num <= 0), d2a <= F.lit(int(r2)))
+        .when(t_num >= t_den, d2b <= F.lit(int(r2)))
+        .otherwise(d2a * t_den - t_num * t_num <= F.lit(int(r2)) * t_den)
+    )
+
+
+def line_radius_join(
+    points: DataFrame,
+    lines: DataFrame,
+    radius: float,
+    cell_size: float | None = None,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    line_id: str = "line_id",
+    pts_col: str = "pts",
+    arithmetic: str = "double",
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """Distinct (point_id, line_id) pairs where the point lies within
+    `radius` of the polyline (planar). points: (point_id, x, y); lines:
+    (line_id, pts: array<struct<x,y>>).
+
+    arithmetic='double' | 'int_exact' (see _d2_le_r2_int for the exact-mode
+    contract). The point side is scanned once and never exploded; the line
+    cover is the broadcast side by default."""
+    if arithmetic not in ("double", "int_exact"):
+        raise ValueError(f"unknown arithmetic {arithmetic!r}")
+    s = float(cell_size) if cell_size is not None else max(1.0, float(radius))
+
+    segs = line_segments(lines, id_col=line_id, pts_col=pts_col)
+    cover = line_cover(segs, radius, cell_size=s, keep_segments=True)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    ).withColumn("cell", _cell(F.col("_px"), F.col("_py"), s))
+
+    cand = p.join(cover, "cell")
+    if arithmetic == "double":
+        pred = _d2_le_r2_double(
+            F.col("_px"), F.col("_py"), F.col("ax"), F.col("ay"),
+            F.col("bx"), F.col("by"), radius,
+        )
+    else:
+        r2 = int(round(radius * radius))
+        if abs(r2 - radius * radius) > 0:
+            raise ValueError("int_exact needs an integer radius^2")
+        pred = _d2_le_r2_int(
+            F.col("_px"), F.col("_py"), F.col("ax"), F.col("ay"),
+            F.col("bx"), F.col("by"), r2,
+        )
+    return (
+        cand.filter(pred)
+        .select("point_id", F.col("line_id"))
+        .distinct()
+    )
+
+
+def line_radius_brute_force(
+    points: DataFrame,
+    lines: DataFrame,
+    radius: float,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    line_id: str = "line_id",
+    pts_col: str = "pts",
+    arithmetic: str = "double",
+) -> DataFrame:
+    """Quarantined O(|P| x |segments|) twin: cross join + the same distance
+    predicate, no cover. For tests and the DuckDB oracle shape."""
+    segs = line_segments(lines, id_col=line_id, pts_col=pts_col)
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    )
+    cand = p.crossJoin(F.broadcast(segs))
+    if arithmetic == "double":
+        pred = _d2_le_r2_double(
+            F.col("_px"), F.col("_py"), F.col("ax"), F.col("ay"),
+            F.col("bx"), F.col("by"), radius,
+        )
+    else:
+        pred = _d2_le_r2_int(
+            F.col("_px"), F.col("_py"), F.col("ax"), F.col("ay"),
+            F.col("bx"), F.col("by"), int(round(radius * radius)),
+        )
+    return cand.filter(pred).select("point_id", "line_id").distinct()
+
+
+def line_length(lines: DataFrame, id_col: str = "line_id",
+                pts_col: str = "pts") -> DataFrame:
+    """Per-line planar length (sum of segment lengths) — Column-only via
+    aggregate over zipped consecutive vertices."""
+    segs = line_segments(lines, id_col=id_col, pts_col=pts_col)
+    d = F.sqrt(
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    return segs.groupBy("line_id").agg(F.sum(d).alias("length"))
