@@ -60,6 +60,36 @@ def default_res(radius_m: float) -> int:
     return max(0, min(cells.GRID_MAX_RES, int(math.log2(target))))
 
 
+def _explode_radius_cover(q: DataFrame, res: int, radius_m: float) -> DataFrame:
+    """Explode a frame carrying `_qlon`/`_qlat` over every res-`res` cell that
+    can contain a point within haversine radius_m of the row's location (the
+    sound rect cover derived in the module docstring: uniform lat bound +
+    cos-band lon bound with polar/antimeridian fallback)."""
+    n = 2**res
+    cell_lon_deg = 360.0 / n
+    cell_lat_deg = 180.0 / n
+    dlat_max_deg = radius_m / _MPD_LAT
+    ky = int(dlat_max_deg / cell_lat_deg) + 1
+    # sin^2(R / 2Re): the lon bound's numerator, a scalar
+    s2 = math.sin(min(radius_m / (2.0 * EARTH_RADIUS_M), math.pi / 2.0)) ** 2
+
+    qlat = F.col("_qlat")
+    denom = F.cos(F.radians(qlat)) * F.cos(
+        F.radians(F.least(F.lit(90.0), F.abs(qlat) + F.lit(dlat_max_deg)))
+    )
+    kx = F.when(denom <= F.lit(s2), F.lit(n // 2)).otherwise(
+        F.floor(
+            F.degrees(2.0 * F.asin(F.sqrt(F.lit(s2) / denom)))
+            / F.lit(cell_lon_deg)
+        ).cast("int")
+        + F.lit(1)
+    )
+    qcell = cells.grid_encode_lonlat(F.col("_qlon"), F.col("_qlat"), res)
+    return q.withColumn(
+        "_cell", F.explode(cells.grid_disk_var(qcell, kx, F.lit(ky), res))
+    )
+
+
 def geo_ann_brute_force(
     queries: DataFrame,
     corpus: DataFrame,
@@ -139,25 +169,6 @@ def geo_ann_topk(
         raise ValueError("radius_m must be > 0")
     if res is None:
         res = default_res(radius_m)
-    n = 2**res
-    cell_lon_deg = 360.0 / n
-    cell_lat_deg = 180.0 / n
-    dlat_max_deg = radius_m / _MPD_LAT
-    ky = int(dlat_max_deg / cell_lat_deg) + 1
-    # sin^2(R / 2Re): the lon bound's numerator, a scalar
-    s2 = math.sin(min(radius_m / (2.0 * EARTH_RADIUS_M), math.pi / 2.0)) ** 2
-
-    qlat = F.col("_qlat")
-    denom = F.cos(F.radians(qlat)) * F.cos(
-        F.radians(F.least(F.lit(90.0), F.abs(qlat) + F.lit(dlat_max_deg)))
-    )
-    kx = F.when(denom <= F.lit(s2), F.lit(n // 2)).otherwise(
-        F.floor(
-            F.degrees(2.0 * F.asin(F.sqrt(F.lit(s2) / denom)))
-            / F.lit(cell_lon_deg)
-        ).cast("int")
-        + F.lit(1)
-    )
 
     q = queries.select(
         F.col(query_id).alias("_qid"),
@@ -165,10 +176,7 @@ def geo_ann_topk(
         F.col(lat_col).cast("double").alias("_qlat"),
         F.col(vec_col).alias("_qv"),
     )
-    qcell = cells.grid_encode_lonlat(F.col("_qlon"), F.col("_qlat"), res)
-    cover = q.withColumn(
-        "_cell", F.explode(cells.grid_disk_var(qcell, kx, F.lit(ky), res))
-    )
+    cover = _explode_radius_cover(q, res, radius_m)
     if broadcast_queries:
         cover = F.broadcast(cover)
 
@@ -206,6 +214,62 @@ def geo_ann_topk(
             F.col("_cid").alias(corpus_id),
             "rank",
             F.col("_sim").alias("sim"),
+            F.col("_dist").alias("dist_m"),
+        )
+    )
+
+
+def geo_radius_join(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radius_m: float,
+    res: int | None = None,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_a: bool = True,
+) -> DataFrame:
+    """All (a_id, b_id, dist_m) pairs with haversine distance <= radius_m —
+    the plain point-point within-distance (DWithin) join, i.e. geo_ann_topk
+    without the embedding rank (same sound radius cover, same plan shape).
+
+    A is the exploded/broadcast side by convention (put the smaller set
+    there); B is scanned once with a fused cell encode and, with the default
+    broadcast, never shuffles. broadcast_a=False switches to a shuffled cell
+    equi-join for two large sides — candidate volume stays bounded by
+    O(B-density x radius^2) per A row either way."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be > 0")
+    if res is None:
+        res = default_res(radius_m)
+
+    a = points_a.select(
+        F.col(id_a).alias("_qid"),
+        F.col(lon_col).cast("double").alias("_qlon"),
+        F.col(lat_col).cast("double").alias("_qlat"),
+    )
+    cover = _explode_radius_cover(a, res, radius_m)
+    if broadcast_a:
+        cover = F.broadcast(cover)
+    b = points_b.select(
+        F.col(id_b).alias("_bid"),
+        F.col(lon_col).cast("double").alias("_blon"),
+        F.col(lat_col).cast("double").alias("_blat"),
+        cells.grid_encode_lonlat(
+            F.col(lon_col).cast("double"), F.col(lat_col).cast("double"), res
+        ).alias("_cell"),
+    )
+    dist = haversine_m(
+        F.col("_qlon"), F.col("_qlat"), F.col("_blon"), F.col("_blat")
+    )
+    return (
+        cover.join(b, "_cell")
+        .withColumn("_dist", dist)
+        .filter(F.col("_dist") <= F.lit(float(radius_m)))
+        .select(
+            F.col("_qid").alias(id_a),
+            F.col("_bid").alias(id_b),
             F.col("_dist").alias("dist_m"),
         )
     )

@@ -132,3 +132,51 @@ def test_no_rows_outside_radius(spark, geo):
     )
     out = geoann.geo_ann_topk(queries, geo, radius_m=1e6, k=100).toPandas()
     assert (out["dist_m"] <= 1e6).all()
+
+
+class TestGeoRadiusJoin:
+    def test_parity_vs_brute_force(self, spark):
+        from engine.geoann import geo_radius_join
+        from engine.joins import haversine_m
+
+        rng = np.random.default_rng(17)
+        pa = spark.createDataFrame(
+            [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+                zip(rng.uniform(-30, 30, 40), rng.uniform(-20, 20, 40)))],
+            "a_id long, lon double, lat double",
+        )
+        pb = spark.createDataFrame(
+            [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+                zip(rng.uniform(-30, 30, 500), rng.uniform(-20, 20, 500)))],
+            "b_id long, lon double, lat double",
+        )
+        r = 400_000.0
+        got = {(x["a_id"], x["b_id"]) for x in
+               geo_radius_join(pa, pb, r).collect()}
+        brute = (
+            pa.crossJoin(pb.select(F.col("b_id"), F.col("lon").alias("blon"),
+                                   F.col("lat").alias("blat")))
+            .withColumn("d", haversine_m(F.col("lon"), F.col("lat"),
+                                         F.col("blon"), F.col("blat")))
+            .filter(F.col("d") <= r)
+        )
+        want = {(x["a_id"], x["b_id"]) for x in brute.collect()}
+        assert got == want
+        assert len(want) > 50
+
+    def test_polar_and_antimeridian(self, spark):
+        from engine.geoann import geo_radius_join
+
+        pa = spark.createDataFrame(
+            [(0, 179.9, 0.0), (1, 10.0, 89.5)],
+            "a_id long, lon double, lat double",
+        )
+        pb = spark.createDataFrame(
+            [(0, -179.9, 0.05), (1, -170.0, 89.6), (2, 0.0, 0.0)],
+            "b_id long, lon double, lat double",
+        )
+        got = {(x["a_id"], x["b_id"]) for x in
+               geo_radius_join(pa, pb, 150_000.0).collect()}
+        # 0<->0 crosses the antimeridian (~23 km); 1<->1 is near-polar
+        # (~60 km); nothing reaches (0,0)
+        assert got == {(0, 0), (1, 1)}
