@@ -1215,6 +1215,49 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_window_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the former semi_anti_join + window_range rows (merged to
+    free a registry slot for dedup_cluster, same consolidation pattern as
+    cell_families): rows tagged 'semi_anti' carry (nationkey, has_orders,
+    customer count); rows tagged 'wrange' carry (user, event, trailing-1h
+    int64-cents running sum over a RANGE frame). Both halves stay hash-checked
+    verbatim against their DuckDB twins."""
+    sa = q_semi_anti_join(spark, sf_dir).select(
+        F.lit("semi_anti").alias("tag"),
+        F.col("c_nationkey").alias("k1"),
+        F.col("has_orders").cast("long").alias("k2"),
+        F.col("n").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+    )
+    wr = q_window_range(spark, sf_dir).select(
+        F.lit("wrange").alias("tag"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.col("ts_us").alias("v1"),
+        F.col("trail_cents").alias("v2"),
+    )
+    return sa.unionByName(wr)
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash+LSH pairs (md5 oracle path) ->
+    distributed connected components (engine.graph, alternating large-star/
+    small-star) -> (doc_id, cluster_id = min doc in component). The operator
+    that turns pairwise near-dup evidence into the canonical keep-one-per-
+    cluster decision a corpus dedup actually ships; hash-checked against a
+    DuckDB recursive-CTE walk over the identical pair set."""
+    from engine import graph, textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = textops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=3, hash_impl="md5"
+    )
+    return graph.neardup_clusters(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (operators absent from the reference — SURVEY.md §2.4 'not
     present' — added for engine completeness): per nation, customers WITH >=1
@@ -1378,14 +1421,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_recall": q_ann_recall,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_cluster": q_dedup_cluster,
         "simhash_dedup": q_simhash_dedup,
         "cell_families": q_cell_families,
         "geo_ann": q_geo_ann,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_neardup": q_cosine_neardup,
-        "semi_anti_join": q_semi_anti_join,
+        "rel_window_ops": q_rel_window_ops,
         "sessionize": q_sessionize,
-        "window_range": q_window_range,
         "curation": q_curation,
         "distinct_cells": q_distinct_cells,
         "streaming_suite": q_streaming_suite,
@@ -1403,6 +1446,16 @@ def textops_sql_minhash() -> str:
         "documents", "doc_id", "text", n_hashes=64, bands=16, ngram=3,
         threshold=0.8, seed=42,
     )
+
+
+def dedup_cluster_sql() -> str:
+    """DuckDB twin of q_dedup_cluster: recursive min-label walk over the exact
+    minhash pair set (engine.graph.connected_components_sql wrapping the
+    minhash_lsh_pairs_sql twin)."""
+    from engine import graph
+
+    inner = graph.connected_components_sql(textops_sql_minhash())
+    return f"SELECT id AS doc_id, cluster_id FROM ({inner})"
 
 
 def textops_sql_simhash() -> str:
@@ -2228,18 +2281,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
             FROM p WHERE sim >= 0.25
         """,
-        "semi_anti_join": """
-            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
-                   TRUE AS has_orders
+        "rel_window_ops": """
+            SELECT 'semi_anti' AS tag, CAST(c_nationkey AS BIGINT) AS k1,
+                   CAST(1 AS BIGINT) AS k2, COUNT(*) AS v1,
+                   CAST(-1 AS BIGINT) AS v2
             FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-            GROUP BY 1
+            GROUP BY 2
             UNION ALL
-            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
-                   FALSE AS has_orders
+            SELECT 'semi_anti' AS tag, CAST(c_nationkey AS BIGINT) AS k1,
+                   CAST(0 AS BIGINT) AS k2, COUNT(*) AS v1,
+                   CAST(-1 AS BIGINT) AS v2
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-            GROUP BY 1
+            GROUP BY 2
+            UNION ALL
+            SELECT 'wrange' AS tag, CAST(user_id AS BIGINT) AS k1,
+                   CAST(event_id AS BIGINT) AS k2,
+                   CAST(epoch_us(ts) AS BIGINT) AS v1,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS v2
+            FROM events
         """,
         "sessionize": """
             WITH t AS (
@@ -2262,16 +2326,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(us) AS BIGINT) AS start_us,
                    CAST(MAX(us) AS BIGINT) AS end_us
             FROM s GROUP BY 1, 2
-        """,
-        "window_range": """
-            SELECT CAST(user_id AS BIGINT) AS user_id,
-                   CAST(event_id AS BIGINT) AS event_id,
-                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
-                     PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS trail_cents
-            FROM events
         """,
         "curation": """
             WITH scored AS (
@@ -2330,5 +2384,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": embedops_sql_ann_ivf(),
         "ann_recall": embedops_sql_ann_recall(),
         "minhash_dedup": textops_sql_minhash(),
+        "dedup_cluster": dedup_cluster_sql(),
         "simhash_dedup": textops_sql_simhash(),
     }

@@ -269,7 +269,7 @@ def main() -> None:
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "text_metrics", "tfidf", "cosine_topk", "knn",
         "knn_haversine",
-        "sessionize", "window_range", "semi_anti_join", "cosine_neardup",
+        "sessionize", "rel_window_ops", "dedup_cluster", "cosine_neardup",
         "ngram_jaccard", "curation", "distinct_cells",
     ]
     all_queries = entry_mod.queries()

@@ -1,0 +1,217 @@
+"""Distributed connected components and near-duplicate clustering.
+
+The dedup family (minhash/simhash/cosine, engine.textops / engine.embedops)
+stops at PAIRS; an actual corpus dedup needs components — "these 40 documents
+are all the same article" — and a canonical survivor per component. This
+module closes that gap with the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+
+- every round is two bounded shuffles (a groupBy on node id + an equi-join),
+  no driver-side adjacency, no Python in the loop — pure Column algebra;
+- convergence is O(log^2 n) rounds WORST case (star operations contract paths
+  by powers, not one hop per round like naive min-label propagation, whose
+  round count is the component DIAMETER — a 10^6-node chain would need 10^6
+  rounds there and ~20 here);
+- lineage is truncated per round (localCheckpoint) so the plan stays flat no
+  matter how many rounds run — same discipline as engine.propagate's bounded
+  iteration (O5) and engine.textops' checkpointed shingle frame.
+
+The reference has no graph operator (its propagation is a bounded-depth tree
+walk, SparkJobs.scala:10-82, rebuilt in engine/propagate.py); this serves the
+LLM-training-pipeline completeness axis of the brief. The DuckDB oracle twin
+is a recursive CTE (connected_components_sql) — exact label parity, since the
+min-id label is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(hi, lo) orientation, self-loops dropped, deduped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for every node u, connect each STRICTLY LARGER neighbor to
+    m(u) = min(neighborhood(u) + {u}). Operates on the symmetrized edge set;
+    emits (v, m) pairs (v > u >= m, so never a self-loop unless v == m, which
+    is filtered)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("_m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient edges (hi, lo); for every node u, connect each
+    lo-neighbor AND u itself to m(u) = min(lo-neighbors) (all lo <= u, so
+    m(u) = min(neighborhood_lo(u) + {u}) automatically)."""
+    c = _canonical(edges)
+    mins = c.groupBy("u").agg(F.min("v").alias("_m"))
+    relink = (
+        c.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    selfedge = mins.select("u", F.col("_m").alias("v"))
+    return (
+        relink.unionByName(selfedge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _digest(edges: DataFrame) -> tuple:
+    """Order-independent digest of an edge set: (count, XOR of per-edge hash —
+    overflow-free under ANSI mode, unlike a 64-bit sum). Equality of
+    consecutive small-star outputs == convergence (the algorithm is monotone:
+    labels only decrease, so a stable set cannot be a cycle). The edge set is
+    distinct by construction, so XOR cannot cancel duplicate edges."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns (id, comp)
+    where comp is the MINIMUM node id in the component — a deterministic,
+    engine-independent label (the DuckDB twin connected_components_sql
+    reproduces it exactly).
+
+    edges: any (src, dst) pair frame (direction ignored, self-loops ignored).
+    nodes: optional frame of node ids (id_col); nodes with no edges come back
+    as their own singleton component. Without it, only nodes appearing in
+    edges are labeled.
+
+    Alternates large-star/small-star until the edge set is stable (checked by
+    an order-independent digest); at convergence the set is a star forest
+    (every non-root points at its component min). Each round: 2 shuffles,
+    lineage truncated via localCheckpoint — plan depth is O(1) regardless of
+    round count. Raises RuntimeError if max_iters rounds don't converge
+    (worst-case need is ~log^2 of the largest component size; 30 covers any
+    practical graph)."""
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    prev = _digest(e)
+    converged = prev[0] == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _digest(e_next)
+        e = e_next
+        if cur == prev:
+            converged = True
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iters} rounds"
+        )
+    # star forest -> labels: non-roots from the edges, roots label themselves
+    non_roots = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    labels = non_roots.unionByName(roots)
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+        isolated = all_nodes.join(labels.select("id"), "id", "left_anti").withColumn(
+            "comp", F.col("id")
+        )
+        labels = labels.unionByName(isolated)
+    return labels
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pair frame (minhash_lsh_pairs / simhash_near_dups /
+    cosine_near_dups output) -> (id, cluster_id): transitive closure of the
+    pairwise relation, cluster_id = min member id. With nodes given, singleton
+    documents appear as their own cluster."""
+    return connected_components(
+        pairs, src=id_a, dst=id_b, nodes=nodes, id_col=id_col
+    ).select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus dedup by transitive near-dup clusters: keep exactly one row per
+    component (the min id — same canonical-survivor rule as q_curation's exact
+    dedup) plus every row in no pair at all. One anti-join against the
+    non-survivor list; df columns pass through untouched."""
+    clusters = neardup_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(f"_loser_{id_col}")
+    )
+    return df.join(
+        losers,
+        F.col(id_col).cast("long") == F.col(f"_loser_{id_col}"),
+        "left_anti",
+    )
+
+
+def connected_components_sql(
+    pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> str:
+    """DuckDB twin of connected_components over a pair-producing query:
+    recursive min-label walk — enumerate every (node, reachable-comp-seed)
+    pair, keep the min. Exact label parity with the Spark operator (min id is
+    engine-independent). pairs_sql may itself be a full WITH query (nested
+    CTEs are legal as a CTE body)."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          {pairs_sql}
+        ), edges AS MATERIALIZED (
+          SELECT {id_a} AS u, {id_b} AS v FROM pairs
+          UNION
+          SELECT {id_b} AS u, {id_a} AS v FROM pairs
+        ), walk(u, comp) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.u
+        )
+        SELECT CAST(u AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY u
+    """

@@ -1,0 +1,126 @@
+"""Connected components (large-star/small-star) vs a driver-side BFS oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import graph
+
+
+def _bfs_components(n_nodes, edges):
+    """Driver-side oracle: min-id label per component via BFS."""
+    adj = {i: set() for i in range(n_nodes)}
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    label = {}
+    for start in range(n_nodes):
+        if start in label:
+            continue
+        comp = [start]
+        seen = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    comp.append(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    return label
+
+
+def _run(spark, n_nodes, edges, with_nodes=True):
+    e = spark.createDataFrame(edges or [(0, 0)], ["u", "v"])
+    if not edges:
+        e = e.limit(0)
+    nodes = (
+        spark.range(n_nodes).withColumnRenamed("id", "nid") if with_nodes else None
+    )
+    out = graph.connected_components(e, nodes=nodes, id_col="nid")
+    return {r["id"]: r["comp"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 20), (2, 60, 45), (3, 100, 160)])
+def test_random_graphs_match_bfs(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    assert _run(spark, n, edges) == _bfs_components(n, edges)
+
+
+def test_path_graph_converges_fast(spark):
+    # a 200-node chain: naive min-label propagation would need 200 rounds;
+    # the star alternation must finish well inside max_iters
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    out = _run(spark, n, edges)
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_disjoint_cliques_and_singletons(spark):
+    edges = [
+        (u, v) for base in (10, 20, 30) for u in range(base, base + 4)
+        for v in range(u + 1, base + 4)
+    ]
+    out = _run(spark, 40, edges)
+    for base in (10, 20, 30):
+        for i in range(base, base + 4):
+            assert out[i] == base
+    # nodes 0-9 and 34-39 are isolated -> own singleton component
+    assert all(out[i] == i for i in range(10))
+
+
+def test_empty_edges(spark):
+    out = _run(spark, 5, [])
+    assert out == {i: i for i in range(5)}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 2)]
+    out = _run(spark, 5, edges)
+    assert out[1] == out[2] == out[4] == 1
+    assert out[3] == 3 and out[0] == 0
+
+
+def test_dedup_survivors(spark):
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in graph.dedup_survivors(df, pairs).collect()
+    )
+    # {0,3,5} -> keep 0; {6,7} -> keep 6; 1,2,4 untouched
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_sql_twin_matches(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    rng = random.Random(7)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    spark_out = sorted(
+        (r["id"], r["cluster_id"])
+        for r in graph.neardup_clusters(e).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}, {v})" for u, v in edges)
+        + ") t(id_a, id_b)"
+    )
+    sql = graph.connected_components_sql("SELECT id_a, id_b FROM p")
+    duck_out = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
+    # Spark side labels only nodes in pairs here (no nodes frame); the SQL
+    # twin does the same — drop self-loop-only nodes from both for compare
+    real = {u for u, v in edges if u != v} | {v for u, v in edges if u != v}
+    assert [x for x in spark_out if x[0] in real] == [
+        x for x in duck_out if x[0] in real
+    ]
