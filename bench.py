@@ -269,7 +269,10 @@ def main() -> None:
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "text_metrics", "tfidf", "cosine_topk", "knn",
         "knn_haversine",
-        "sessionize", "rel_window_ops", "dedup_cluster", "cosine_neardup",
+        # dedup_cluster is registry-checked but excluded here for the same
+        # reason as minhash_dedup: its md5 oracle-path pair generation is the
+        # cost, not the CC rounds (CC scale evidence: BENCH/BASELINE.md)
+        "sessionize", "rel_window_ops", "cosine_neardup",
         "ngram_jaccard", "curation", "distinct_cells",
     ]
     all_queries = entry_mod.queries()

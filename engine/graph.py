@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# diagnostics only: rounds the last connected_components call needed to
+# converge (read by tools/bench_kernels.py part_graph; not part of the API)
+LAST_ROUNDS = 0
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """(hi, lo) orientation, self-loops dropped, deduped."""
@@ -53,6 +57,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mv"))
         .select("u", F.least(F.col("u"), F.col("_mv")).alias("_m"))
     )
+    # the trailing distinct looks redundant (small-star dedups its input) but
+    # is load-bearing for VOLUME: after round 1 most nodes relabel to the same
+    # few minima, so (v, m) duplicates are rampant — measured A/B at 16M nodes
+    # / 32M edges, dropping the two input-side distincts slowed the full run
+    # 172 s -> 249 s (local[32]): the extra shuffle is cheaper than pushing
+    # duplicate rows through the next two stages
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -124,14 +134,17 @@ def connected_components(
             F.col(dst).cast("long").alias("v"),
         )
     ).localCheckpoint(eager=True)
+    global LAST_ROUNDS
     prev = _digest(e)
     converged = prev[0] == 0
+    LAST_ROUNDS = 0
     for _ in range(max_iters):
         if converged:
             break
         e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _digest(e_next)
         e = e_next
+        LAST_ROUNDS += 1
         if cur == prev:
             converged = True
         prev = cur

@@ -470,9 +470,57 @@ def part_ivf_sq8() -> None:
     spark.stop()
 
 
+def part_graph() -> None:
+    """Connected components at scale: 2M nodes in 31 250 chain-of-64 components
+    plus one pseudo-random intra-component edge per node (~4M raw edges). The
+    chain structure forces the logarithmic star contraction (naive min-label
+    propagation would need 64 rounds; large-star/small-star needs ~5). Every
+    label is verified against the known component minimum — an at-scale
+    correctness check, not just a timing. Runs at local[32] and local[8] for
+    the operator's own scaling data point."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import graph
+    from engine.session import get_spark
+
+    N = int(os.environ.get("GRAPH_BENCH_NODES", "16000000"))
+    SIZE = 64
+    out = {"n_nodes": N, "component_size": SIZE}
+    for cores in (32, 8):
+        spark = get_spark(f"bench-graph-{cores}", cores=cores,
+                          shuffle_partitions=max(cores, 32),
+                          driver_mem="24g")
+        base = spark.range(0, N, 1, 64)
+        comp0 = F.col("id") - F.pmod(F.col("id"), F.lit(SIZE))
+        chain = base.filter(F.pmod(F.col("id") + 1, F.lit(SIZE)) != 0).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        extra = base.select(
+            F.col("id").alias("u"),
+            (comp0 + F.pmod(F.xxhash64("id"), F.lit(SIZE))).alias("v"),
+        )
+        edges = chain.union(extra)
+        t0 = time.time()
+        labels = graph.connected_components(edges)
+        bad = labels.filter(
+            F.col("comp") != F.col("id") - F.pmod(F.col("id"), F.lit(SIZE))
+        ).count()
+        n_labeled = labels.count()
+        wall = round(time.time() - t0, 2)
+        out[f"local{cores}"] = {
+            "wall_s": wall, "rounds": graph.LAST_ROUNDS,
+            "labels": n_labeled, "bad_labels": bad,
+        }
+        spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "graph": part_graph,
         "int8": part_int8,
         "ivf_sq8": part_ivf_sq8,
         "rerank": part_rerank,
