@@ -1,0 +1,107 @@
+"""Geometry measurement functions (engine/geomfns.py): analytic values,
+open/closed ring invariance, DuckDB twin parity."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import geomfns
+from engine.joins import EARTH_RADIUS_M
+
+
+def _one(spark, xs, ys, expr_fn):
+    df = spark.createDataFrame(
+        [(xs, ys)], "xs array<double>, ys array<double>"
+    )
+    return df.select(expr_fn(F.col("xs"), F.col("ys")).alias("v")).collect()[0]["v"]
+
+
+def test_square_area_planar(spark):
+    v = _one(spark, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0],
+             geomfns.polygon_area)
+    assert v == pytest.approx(12.0)
+
+
+def test_closed_ring_same_as_open(spark):
+    open_v = _one(spark, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0],
+                  geomfns.polygon_area)
+    closed_v = _one(spark, [0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 3.0, 3.0, 0.0],
+                    geomfns.polygon_area)
+    assert closed_v == pytest.approx(open_v)
+
+
+def test_vertex_order_agnostic(spark):
+    cw = _one(spark, [0.0, 0.0, 4.0, 4.0], [0.0, 3.0, 3.0, 0.0],
+              geomfns.polygon_area)
+    assert cw == pytest.approx(12.0)
+
+
+def test_sphere_rectangle_exact(spark):
+    # lat-lon rectangle: analytic area R^2 * dlam * (sin(lat2) - sin(lat1))
+    lon1, lon2, lat1, lat2 = 10.0, 12.0, 40.0, 41.5
+    expected = (
+        EARTH_RADIUS_M**2
+        * math.radians(lon2 - lon1)
+        * (math.sin(math.radians(lat2)) - math.sin(math.radians(lat1)))
+    )
+    v = _one(spark, [lon1, lon2, lon2, lon1], [lat1, lat1, lat2, lat2],
+             geomfns.polygon_area_sphere_m2)
+    assert v == pytest.approx(expected, rel=1e-12)
+
+
+def test_polyline_length_345(spark):
+    v = _one(spark, [0.0, 3.0, 3.0], [0.0, 0.0, 4.0], geomfns.polyline_length)
+    assert v == pytest.approx(7.0)
+    # perimeter closes the triangle: + hypotenuse 5
+    p = _one(spark, [0.0, 3.0, 3.0], [0.0, 0.0, 4.0], geomfns.polygon_perimeter)
+    assert p == pytest.approx(12.0)
+
+
+def test_degenerate_paths(spark):
+    assert _one(spark, [1.0], [1.0], geomfns.polyline_length) == 0.0
+    assert _one(spark, [1.0], [1.0], geomfns.polyline_length_geodesic_m) == 0.0
+    assert _one(spark, [1.0, 2.0], [1.0, 2.0], geomfns.polygon_area) == 0.0
+    assert _one(spark, [], [], geomfns.polygon_area) == 0.0
+    assert _one(spark, [], [], geomfns.polygon_area_sphere_m2) == 0.0
+    assert _one(spark, [1.0], [1.0], geomfns.polygon_perimeter) == 0.0
+
+
+def test_geodesic_equator_degree(spark):
+    # 1 degree along the equator = 2*pi*R / 360
+    v = _one(spark, [0.0, 1.0], [0.0, 0.0], geomfns.polyline_length_geodesic_m)
+    assert v == pytest.approx(2 * math.pi * EARTH_RADIUS_M / 360, rel=1e-9)
+
+
+def test_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    rng = random.Random(11)
+    rows = []
+    for i in range(20):
+        n = rng.randint(3, 8)
+        xs = [round(rng.uniform(-170, 170), 6) for _ in range(n)]
+        ys = [round(rng.uniform(-80, 80), 6) for _ in range(n)]
+        rows.append((i, xs, ys))
+    df = spark.createDataFrame(rows, ["gid", "xs", "ys"])
+    got = {
+        r["gid"]: (r["a"], r["s"], r["l"])
+        for r in df.select(
+            "gid",
+            geomfns.polygon_area(F.col("xs"), F.col("ys")).alias("a"),
+            geomfns.polygon_area_sphere_m2(F.col("xs"), F.col("ys")).alias("s"),
+            geomfns.polyline_length(F.col("xs"), F.col("ys")).alias("l"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {xs}, {ys})" for i, xs, ys in rows)
+    con.execute(f"CREATE TABLE g AS SELECT * FROM (VALUES {vals}) t(gid, xs, ys)")
+    q = (
+        f"SELECT gid, {geomfns.polygon_area_sql('xs', 'ys')} AS a, "
+        f"{geomfns.polygon_area_sphere_m2_sql('xs', 'ys')} AS s, "
+        f"{geomfns.polyline_length_sql('xs', 'ys')} AS l FROM g"
+    )
+    for gid, a, s, l in con.execute(q).fetchall():
+        assert got[gid][0] == pytest.approx(a, rel=1e-12)
+        assert got[gid][1] == pytest.approx(s, rel=1e-12)
+        assert got[gid][2] == pytest.approx(l, rel=1e-12)
