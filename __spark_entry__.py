@@ -739,7 +739,9 @@ def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged Structured Streaming surface (engine.streaming), driven to
     completion against deterministic multi-batch directories: (a) file-source
     ingest -> watermarked per-cell windowed counts; (b) the custom stateful
-    sessionizer (applyInPandasWithState, event-time state expiry). Returned as
+    sessionizer (applyInPandasWithState, event-time state expiry); (c) a
+    watermarked stream-stream interval join (images x trailing labels, state
+    bounded by the two-sided time-range predicate). Returned as
     DIGEST rows (metric, value) — streaming state is non-SQL-expressible, so
     the driver records a rows-only check while the exact values are pinned by
     the committed golden (tests/golden/golden_digests.json, asserted in
@@ -754,6 +756,7 @@ def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dt.datetime(2024, 1, 1)
     d1 = tempfile.mkdtemp(prefix="stream_q_")
     d2 = tempfile.mkdtemp(prefix="stream_sess_q_")
+    d3 = tempfile.mkdtemp(prefix="stream_lbl_q_")
     try:
         for batch in range(3):
             rows = [
@@ -780,6 +783,22 @@ def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(
                 sess_rows, schema=streaming.STREAM_IMAGES_SCHEMA
             ).coalesce(1).write.mode("append").parquet(d2)
+            # trailing labels: lag = i%20 minutes -> joined iff lag <= 15
+            # (max_lag); label lN with N = i%4. The golden values are
+            # derived INDEPENDENTLY in pure Python (FIXTURES.md §5):
+            # n_joined = 3*48, checksum = sum (b*1000+i)*((i%4)+1) over
+            # joined (b, i).
+            lbl_rows = [
+                (
+                    f"img{batch:02d}_{i:04d}",
+                    f"l{i % 4}",
+                    base + dt.timedelta(minutes=5 * batch + (i % 20)),
+                )
+                for i in range(60)
+            ]
+            spark.createDataFrame(
+                lbl_rows, schema=streaming.STREAM_LABELS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d3)
 
         agg = streaming.streaming_cell_counts(
             streaming.read_image_stream(spark, d1), res=5, window="10 minutes"
@@ -811,17 +830,42 @@ def q_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q2.stop()
 
+        sj = streaming.streaming_interval_join(
+            streaming.read_image_stream(spark, d1).select(
+                "image_id", "event_time"
+            ),
+            spark.readStream.format("parquet")
+            .schema(streaming.STREAM_LABELS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(d3),
+        )
+        q3 = streaming.run_to_memory(sj, "q_stream_join", output_mode="append")
+        try:
+            join_pdf = spark.sql(
+                "SELECT COUNT(*) AS n_joined, "
+                "CAST(SUM((CAST(regexp_extract(image_id, 'img(\\\\d+)_(\\\\d+)', 1)"
+                " AS BIGINT) * 1000 + "
+                "CAST(regexp_extract(image_id, 'img(\\\\d+)_(\\\\d+)', 2) AS BIGINT))"
+                " * (CAST(substr(label, 2) AS BIGINT) + 1)) AS BIGINT) AS checksum "
+                "FROM q_stream_join"
+            ).toPandas()
+        finally:
+            q3.stop()
+
         out = [("cells_" + c, int(cells_pdf[c].iloc[0]))
                for c in ["n_cells", "total_images", "checksum"]]
         out += [("sess_" + c, int(sess_pdf[c].iloc[0]))
                 for c in ["n_sessions", "total_events", "sum_start_us",
                           "sum_end_us"]]
+        out += [("join_" + c, int(join_pdf[c].iloc[0]))
+                for c in ["n_joined", "checksum"]]
         return spark.createDataFrame(
             sorted(out), schema="metric string, value long"
         )
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+        shutil.rmtree(d3, ignore_errors=True)
 
 
 def q_olap_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:

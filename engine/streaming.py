@@ -90,6 +90,83 @@ def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def streaming_interval_join(
+    images: DataFrame,
+    labels: DataFrame,
+    key: str = "image_id",
+    left_time: str = "event_time",
+    right_time: str = "label_time",
+    max_lag: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each image event with label
+    events for the same key arriving within [event_time, event_time + max_lag]
+    — the late-annotation attach of a continuous ingest pipeline (labels trail
+    their image by a bounded lag).
+
+    State is bounded on BOTH sides: the watermarks plus the two-sided
+    time-range predicate let the engine evict image rows once no matching
+    label can still arrive (event_time + max_lag < label watermark) and vice
+    versa — without the range condition Spark would have to keep join state
+    forever. Exact batch parity (same predicate on static frames,
+    interval_join_batch_twin) is asserted in tests/test_streaming.py."""
+    li = images.withWatermark(left_time, watermark).alias("l")
+    ri = labels.withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return li.join(ri, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_time}").alias(left_time),
+        F.col(f"r.{right_time}").alias(right_time),
+        F.col("r.label").alias("label"),
+    )
+
+
+def interval_join_batch_twin(
+    images: DataFrame,
+    labels: DataFrame,
+    key: str = "image_id",
+    left_time: str = "event_time",
+    right_time: str = "label_time",
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """Batch twin of streaming_interval_join (identical predicate on static
+    frames) — the parity oracle. Inner interval joins emit a row exactly when
+    the predicate holds, independent of arrival order, so batch == streaming
+    on the same input set."""
+    li, ri = images.alias("l"), labels.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return li.join(ri, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_time}").alias(left_time),
+        F.col(f"r.{right_time}").alias(right_time),
+        F.col("r.label").alias("label"),
+    )
+
+
+# labels stream: trailing annotations keyed by image_id
+STREAM_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("label_time", T.TimestampType(), False),
+    ]
+)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion against currently-available input
     (test/bench harness): memory sink + processAllAvailable."""

@@ -321,3 +321,53 @@ def test_streaming_suite_digest_golden(spark):
     rows = entry.q_streaming_suite(spark, "/root/testdata/sf0.001").collect()
     got = {r["metric"]: r["value"] for r in rows}
     assert got == golden
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == batch twin on the same data,
+    including a label beyond max_lag (excluded) and multi-label fan-out."""
+    base = dt.datetime(2024, 1, 1)
+    img_rows = [
+        (f"img{i}", i * 2654435761 % (2**62), f"cap {i}",
+         base + dt.timedelta(minutes=2 * i))
+        for i in range(30)
+    ]
+    lbl_rows = []
+    for i in range(30):
+        t = base + dt.timedelta(minutes=2 * i)
+        lbl_rows.append((f"img{i}", "fast", t + dt.timedelta(minutes=1)))
+        if i % 3 == 0:  # second in-window label -> fan-out
+            lbl_rows.append((f"img{i}", "also", t + dt.timedelta(minutes=14)))
+        if i % 5 == 0:  # beyond max_lag -> excluded
+            lbl_rows.append((f"img{i}", "late", t + dt.timedelta(minutes=16)))
+    spark.createDataFrame(img_rows, schema=streaming.STREAM_IMAGES_SCHEMA) \
+        .coalesce(2).write.parquet(str(tmp_path / "img"))
+    spark.createDataFrame(lbl_rows, schema=streaming.STREAM_LABELS_SCHEMA) \
+        .coalesce(2).write.parquet(str(tmp_path / "lbl"))
+
+    s_img = streaming.read_image_stream(spark, str(tmp_path / "img")).select(
+        "image_id", "event_time"
+    )
+    s_lbl = (
+        spark.readStream.format("parquet")
+        .schema(streaming.STREAM_LABELS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "lbl"))
+    )
+    joined = streaming.streaming_interval_join(s_img, s_lbl)
+    q = streaming.run_to_memory(joined, "ssjoin", output_mode="append")
+    try:
+        got = {
+            (r["image_id"], r["label"])
+            for r in spark.sql("SELECT * FROM ssjoin").collect()
+        }
+    finally:
+        q.stop()
+    batch = streaming.interval_join_batch_twin(
+        spark.read.parquet(str(tmp_path / "img")).select("image_id", "event_time"),
+        spark.read.parquet(str(tmp_path / "lbl")),
+    )
+    want = {(r["image_id"], r["label"]) for r in batch.collect()}
+    assert got == want
+    assert all(lbl != "late" for _, lbl in want)
+    assert ("img0", "also") in want
