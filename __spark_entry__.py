@@ -400,19 +400,6 @@ def q_poly_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standard geohash (4th index family, engine.cells.geohash_phash): pure
-    Column shifts + base32 from the phash anchor; per-prefix counts at
-    precision 5 over the precision-8 encode (string-hierarchy rollup)."""
-    pts = _docs_points(spark, sf_dir)
-    gh = cells.geohash_phash(F.col("phash"), 8)
-    return (
-        pts.select(gh.alias("gh8"))
-        .groupBy(F.substring("gh8", 1, 5).alias("gh5"))
-        .agg(F.count("*").alias("n_points"), F.min("gh8").alias("min_gh8"))
-    )
-
-
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon aggregates of a per-point metric (the
     raster/vector composition a geospatial engine runs constantly) — PIP join
@@ -454,6 +441,82 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.select((F.lit(8 * 2**50) + tx * F.lit(2**25) + ty).alias("tile_id"))
         .groupBy("tile_id")
         .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_tile_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile bundling (engine.tiles.tile_bundle): per-tile capped feature
+    packing — the vector-tile cut. Tiles are the res-7 grid cells of the
+    phash anchors (pure int math, hash-stable); cap=8 features per tile in
+    doc_id rank order, with total/kept/overflow accounting. One shuffle
+    (window + groupBy share the tile hash partitioning)."""
+    from engine.tiles import tile_bundle
+
+    pts = _docs_points(spark, sf_dir)
+    feats = pts.select(
+        cells.grid_encode_phash(F.col("phash"), 7).alias("tile_id"), "doc_id"
+    )
+    return tile_bundle(feats, cap=8, tile_col="tile_id", id_col="doc_id")
+
+
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measurement functions (engine.geomfns) driver-checked on
+    exact arithmetic: per-nation polygons whose integer vertices derive from
+    customer keys (first 64 customers per nation in key order). area2 is the
+    exact integer shoelace (twice the area — no halving, stays BIGINT);
+    perimeter sums floor-scaled IEEE sqrt segment lengths (correctly-rounded
+    sqrt of exact-int doubles is engine-portable, per the repo's oracle
+    determinism rules). The trig-based spherical/geodesic variants stay
+    pytest-parity-checked (rel 1e-12) in tests/test_geomfns.py — JVM trig vs
+    libm is not bit-stable, so they are kept out of the hash row."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    v = (
+        cust.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            F.col("c_custkey").cast("long").alias("ck"),
+            (F.col("c_custkey") % 199).cast("long").alias("vx"),
+            ((F.col("c_custkey") * 37) % 181).cast("long").alias("vy"),
+        )
+    )
+    poly = (
+        v.groupBy("nk")
+        .agg(F.sort_array(F.collect_list(F.struct("ck", "vx", "vy"))).alias("vs"))
+        .filter(F.size("vs") >= 3)
+        .select(
+            "nk",
+            F.transform("vs", lambda s: s["vx"]).alias("xs"),
+            F.transform("vs", lambda s: s["vy"]).alias("ys"),
+        )
+    )
+    # closing-edge included: pair each vertex with its rotated successor
+    xr = F.concat(F.slice("xs", 2, F.size("xs") - 1), F.slice("xs", 1, 1))
+    yr = F.concat(F.slice("ys", 2, F.size("ys") - 1), F.slice("ys", 1, 1))
+    cross = F.zip_with(
+        F.zip_with("xs", yr, lambda x, y2: x * y2),
+        F.zip_with("ys", xr, lambda y, x2: y * x2),
+        lambda a, b: a - b,
+    )
+    seg_e6 = F.zip_with(
+        F.zip_with("xs", xr, lambda x, x2: x2 - x),
+        F.zip_with("ys", yr, lambda y, y2: y2 - y),
+        lambda dx, dy: F.floor(
+            F.sqrt((dx * dx + dy * dy).cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return poly.select(
+        F.col("nk").alias("nationkey"),
+        F.size("xs").cast("long").alias("n_vertices"),
+        F.abs(F.aggregate(cross, F.lit(0).cast("long"), lambda a, x: a + x)).alias(
+            "area2"
+        ),
+        F.aggregate(seg_e6, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "perimeter_e6"
+        ),
+        F.array_min("xs").cast("long").alias("min_x"),
+        F.array_max("ys").cast("long").alias("max_y"),
     )
 
 
@@ -542,16 +605,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated per-doc text metrics (VERDICT r3 item 6: the former
-    token_stats / token_bpe / stopword_ratio single-metric rows merged into
-    one multi-metric oracle query, freeing registry slots): whitespace token
+    """Consolidated per-doc text metrics (VERDICT r3 item 6 + the round-4
+    text_quality merge that freed a slot for tile_bundle): whitespace token
     count, char count, chars/token (scaled int), BPE-ish pre-tokenizer count
     (engine.textops._BPE_PATTERN), stopword occurrences via length-difference
-    counting. All Column-only — one scan, no shuffle."""
+    counting, PLUS the quality heuristics (engine.textops.quality_score) and
+    language ID (engine.textops.lang_id) formerly in their own row. All
+    Column-only — one scan, no shuffle; every half stays hash-checked."""
+    from engine import textops
     from engine.textops import _BPE_PATTERN
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ntok = F.size(F.split(F.col("text"), " "))
+    q = textops.quality_score(F.col("text"))
 
     def occurrences(word: str):
         pat = f" {word} "
@@ -567,6 +633,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
         n_stop.cast("long").alias("n_stop"),
+        q.getField("n_tokens").alias("q_n_tokens"),
+        q.getField("mean_token_len_e3").alias("mean_token_len_e3"),
+        q.getField("stop_ratio_e3").alias("stop_ratio_e3"),
+        q.getField("digit_ratio_e3").alias("digit_ratio_e3"),
+        textops.lang_id(F.col("text")).alias("lang_guess"),
     )
 
 
@@ -1009,25 +1080,6 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics + language ID per document (engine.textops
-    quality_score / lang_id), digest-merged into one row (both are per-doc
-    Column-only metrics over the same scan; the per-doc lang_guess column
-    strictly subsumes the old per-language counts row)."""
-    from engine import textops
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = textops.quality_score(F.col("text"))
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        q.getField("n_tokens").alias("n_tokens"),
-        q.getField("mean_token_len_e3").alias("mean_token_len_e3"),
-        q.getField("stop_ratio_e3").alias("stop_ratio_e3"),
-        q.getField("digit_ratio_e3").alias("digit_ratio_e3"),
-        textops.lang_id(F.col("text")).alias("lang_guess"),
-    )
-
-
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 TF-IDF terms (engine.textops.tfidf_top_terms): integer
     rank tuple, floor-scaled score — hash-checked against the SQL twin."""
@@ -1167,27 +1219,36 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hex + S2 cell encodings (engine.cells.hex_encode_udf / s2_encode_udf,
-    numpy pandas_udfs) as one tagged union — both families' histograms stay
-    hash-checked against their DuckDB twins in a single registry row (the
-    merge that freed a slot for geo_ann; each half is the former hex_cells /
-    s2_cells query verbatim)."""
+    """Hex + S2 + geohash cell encodings (engine.cells hex_encode_udf /
+    s2_encode_udf numpy pandas_udfs; geohash_phash Column-only base32) as one
+    tagged union — all three families' histograms stay hash-checked against
+    their DuckDB twins in a single registry row (r3 merged hex+s2 to free a
+    slot for geo_ann; r4 folds in the former geohash row to free one for
+    geom_measures). Cells ride as strings so the base32 family unions with
+    the integer ones; `aux` carries geohash's full-precision min (its
+    string-hierarchy check), empty for hex/s2."""
     pts = _docs_points(spark, sf_dir)
     hexes = (
         pts.select(cells.hex_encode_udf(6)(F.col("lon"), F.col("lat")).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_points"))
-        .select(F.lit("hex").alias("fam"), F.col("cell").cast("long").alias("cell"),
-                "n_points")
+        .select(F.lit("hex").alias("fam"), F.col("cell").cast("string").alias("cell"),
+                "n_points", F.lit("").alias("aux"))
     )
     s2 = (
         pts.select(cells.s2_encode_udf(12)(F.col("lon"), F.col("lat")).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_points"))
-        .select(F.lit("s2").alias("fam"), F.col("cell").cast("long").alias("cell"),
-                "n_points")
+        .select(F.lit("s2").alias("fam"), F.col("cell").cast("string").alias("cell"),
+                "n_points", F.lit("").alias("aux"))
     )
-    return hexes.unionByName(s2)
+    gh = (
+        pts.select(cells.geohash_phash(F.col("phash"), 8).alias("gh8"))
+        .groupBy(F.substring("gh8", 1, 5).alias("cell"))
+        .agg(F.count("*").alias("n_points"), F.min("gh8").alias("aux"))
+        .select(F.lit("gh").alias("fam"), "cell", "n_points", "aux")
+    )
+    return hexes.unionByName(s2).unionByName(gh)
 
 
 def q_geo_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,8 +1504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_holes": q_pip_holes,
         "poly_overlay": q_poly_overlay,
         "zonal_stats": q_zonal_stats,
-        "geohash": q_geohash,
         "tile_assign": q_tile_assign,
+        "tile_bundle": q_tile_bundle,
+        "geom_measures": q_geom_measures,
         "knn": q_knn,
         "line_join": q_line_join,
         "knn_haversine": q_knn_haversine,
@@ -1458,7 +1520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
-        "text_quality": q_text_quality,
         "tfidf": q_tfidf,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -2034,12 +2095,6 @@ def oracle_sql() -> dict[str, str]:
                           AND p.lat >= r.y0 + 10.0 AND p.lat < r.y0 + 30.0)
             GROUP BY 1
         """,
-        "geohash": f"""
-            SELECT substr(gh8, 1, 5) AS gh5, COUNT(*) AS n_points,
-                   MIN(gh8) AS min_gh8
-            FROM (SELECT {cells.geohash_phash_sql(phash, 8)} AS gh8 FROM documents)
-            GROUP BY 1
-        """,
         "zonal_stats": f"""
             SELECT CAST(r.rect_id AS BIGINT) AS zone_id, COUNT(*) AS n_points,
                    CAST(SUM(p.metric) AS BIGINT) AS metric_sum,
@@ -2061,6 +2116,57 @@ def oracle_sql() -> dict[str, str]:
                     + ({yi} // 8388608)) AS tile_id,
                    COUNT(*) AS n_points
             FROM documents GROUP BY 1
+        """,
+        "tile_bundle": f"""
+            WITH f AS (
+              SELECT {cells.grid_encode_phash_sql(phash, 7)} AS tile_id,
+                     CAST(doc_id AS BIGINT) AS doc_id
+              FROM documents
+            ), ranked AS (
+              SELECT tile_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY tile_id) AS n_total
+              FROM f
+            )
+            SELECT tile_id,
+                   CAST(ANY_VALUE(n_total) AS BIGINT) AS n_total,
+                   CAST(LEAST(8, ANY_VALUE(n_total)) AS BIGINT) AS n_kept,
+                   CAST(ANY_VALUE(n_total) - LEAST(8, ANY_VALUE(n_total)) AS BIGINT)
+                     AS n_overflow,
+                   COALESCE(string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id), '') AS ids_csv
+            FROM ranked
+            GROUP BY tile_id
+        """,
+        "geom_measures": """
+            WITH v AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                     CAST(c_custkey AS BIGINT) AS ck,
+                     CAST(c_custkey % 199 AS BIGINT) AS vx,
+                     CAST((c_custkey * 37) % 181 AS BIGINT) AS vy,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_custkey) AS rn
+              FROM customer
+            ), poly AS (
+              SELECT nk, list(vx ORDER BY ck) AS xs, list(vy ORDER BY ck) AS ys,
+                     COUNT(*) AS n
+              FROM v WHERE rn <= 64 GROUP BY nk HAVING COUNT(*) >= 3
+            )
+            SELECT nk AS nationkey,
+                   CAST(n AS BIGINT) AS n_vertices,
+                   CAST(abs(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                        i -> xs[i] * ys[1 + (i % CAST(n AS INT))]
+                           - ys[i] * xs[1 + (i % CAST(n AS INT))]))) AS BIGINT) AS area2,
+                   CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                        i -> CAST(FLOOR(sqrt(CAST(
+                               (xs[1 + (i % CAST(n AS INT))] - xs[i])
+                                 * (xs[1 + (i % CAST(n AS INT))] - xs[i])
+                             + (ys[1 + (i % CAST(n AS INT))] - ys[i])
+                                 * (ys[1 + (i % CAST(n AS INT))] - ys[i]) AS DOUBLE))
+                             * 1000000.0) AS BIGINT))) AS BIGINT) AS perimeter_e6,
+                   CAST(list_min(xs) AS BIGINT) AS min_x,
+                   CAST(list_max(ys) AS BIGINT) AS max_y
+            FROM poly
         """,
         "knn": f"""
             SELECT query_id, point_id, CAST(rank AS BIGINT) AS rank
@@ -2134,6 +2240,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "text_metrics": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, text, toks,
+                     len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS c_de,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS c_en,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS c_es,
+                     len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr
+              FROM t
+            )
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -2144,8 +2263,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
                       + (length(text) - length(replace(text, ' and ', ''))) / 5
                       + (length(text) - length(replace(text, ' of ', ''))) / 4
-                     AS BIGINT) AS n_stop
-            FROM documents
+                     AS BIGINT) AS n_stop,
+                   CAST(len(toks) AS BIGINT) AS q_n_tokens,
+                   CAST(CASE WHEN len(toks) > 0
+                        THEN FLOOR(length(text) * 1000.0 / len(toks)) ELSE 0 END AS BIGINT)
+                     AS mean_token_len_e3,
+                   CAST(CASE WHEN len(toks) > 0
+                        THEN FLOOR(len(list_filter(toks, x -> x IN (
+                             'the','and','of','to','is','der','und','die','das','ist',
+                             'le','la','et','les','est','el','los','que','es'))) * 1000.0
+                             / len(toks)) ELSE 0 END AS BIGINT) AS stop_ratio_e3,
+                   CAST(CASE WHEN length(text) > 0
+                        THEN FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                             * 1000.0 / length(text)) ELSE 0 END AS BIGINT) AS digit_ratio_e3,
+                   -- argmax with ties going to the lexicographically largest
+                   -- lang, mirroring the engine's struct-max comparison
+                   CASE
+                     WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                     WHEN c_fr = greatest(c_de, c_en, c_es, c_fr) THEN 'fr'
+                     WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                     WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                     ELSE 'de'
+                   END AS lang_guess
+            FROM scored
         """,
         "olap_aggs": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -2184,44 +2324,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
-        """,
-        "text_quality": """
-            WITH t AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), scored AS (
-              SELECT doc_id, text, toks,
-                     len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS c_de,
-                     len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS c_en,
-                     len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS c_es,
-                     len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr
-              FROM t
-            )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                   CAST(CASE WHEN len(toks) > 0
-                        THEN FLOOR(length(text) * 1000.0 / len(toks)) ELSE 0 END AS BIGINT)
-                     AS mean_token_len_e3,
-                   CAST(CASE WHEN len(toks) > 0
-                        THEN FLOOR(len(list_filter(toks, x -> x IN (
-                             'the','and','of','to','is','der','und','die','das','ist',
-                             'le','la','et','les','est','el','los','que','es'))) * 1000.0
-                             / len(toks)) ELSE 0 END AS BIGINT) AS stop_ratio_e3,
-                   CAST(CASE WHEN length(text) > 0
-                        THEN FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                             * 1000.0 / length(text)) ELSE 0 END AS BIGINT) AS digit_ratio_e3,
-                   -- argmax with ties going to the lexicographically largest
-                   -- lang, mirroring the engine's struct-max comparison
-                   CASE
-                     WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-                     WHEN c_fr = greatest(c_de, c_en, c_es, c_fr) THEN 'fr'
-                     WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
-                     WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
-                     ELSE 'de'
-                   END AS lang_guess
-            FROM scored
         """,
         "poly_overlay": """
             WITH a AS (
@@ -2413,14 +2515,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf": tfidf_sql(),
         "cell_families": f"""
-            SELECT 'hex' AS fam, CAST(hex_cell AS BIGINT) AS cell,
-                   COUNT(*) AS n_points
+            SELECT 'hex' AS fam, CAST(CAST(hex_cell AS BIGINT) AS VARCHAR) AS cell,
+                   COUNT(*) AS n_points, '' AS aux
             FROM ({cells.hex_encode_sql(lon, lat, 6, 'FROM documents')})
             GROUP BY 1, 2
             UNION ALL
-            SELECT 's2' AS fam, CAST(s2_cell AS BIGINT) AS cell,
-                   COUNT(*) AS n_points
+            SELECT 's2' AS fam, CAST(CAST(s2_cell AS BIGINT) AS VARCHAR) AS cell,
+                   COUNT(*) AS n_points, '' AS aux
             FROM ({cells.s2_encode_sql(lon, lat, 12, 'FROM documents')})
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'gh' AS fam, substr(gh8, 1, 5) AS cell,
+                   COUNT(*) AS n_points, MIN(gh8) AS aux
+            FROM (SELECT {cells.geohash_phash_sql(phash, 8)} AS gh8 FROM documents)
             GROUP BY 1, 2
         """,
         "geo_ann": _geo_ann_oracle_sql(),
