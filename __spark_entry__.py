@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1031,7 +1032,40 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.*")
-    return v.unionByName(f).orderBy("metric")
+
+    # (c) per-tile thumbnail mosaics (engine.multimodal.tile_mosaic): the
+    # image x geo composition — capped members, fixed-size raw-RGB24 canvas.
+    # Digest = tile/member/error counts + the exact pixel sum across every
+    # canvas (golden-pinned from an independent numpy derivation in
+    # tests/gen_goldens.py).
+    @F.pandas_udf("long")
+    def _bytes_sum(b: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        return b.map(lambda v: int(_np.frombuffer(v, dtype=_np.uint8).sum(dtype=_np.int64)))
+
+    tiles_src = synth.images_df(spark, 200, with_bytes=True).withColumn(
+        "tile_id", cells.grid_encode_phash(F.col("phash"), 2)
+    )
+    mos = multimodal.tile_mosaic(tiles_src, grid=3, thumb=8)
+    md = mos.groupBy().agg(
+        F.count("*").alias("mosaic_n_tiles"),
+        F.sum("n_images").alias("mosaic_n_members"),
+        F.sum("n_errors").alias("mosaic_n_errors"),
+        F.sum(_bytes_sum(F.col("mosaic"))).alias("mosaic_pixel_sum"),
+    )
+    m = md.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("metric"), F.col(c).cast("long").alias("value"))
+                    for c in ["mosaic_n_tiles", "mosaic_n_members",
+                              "mosaic_n_errors", "mosaic_pixel_sum"]
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return v.unionByName(f).unionByName(m).orderBy("metric")
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

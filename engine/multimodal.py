@@ -188,3 +188,75 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("media_id", "bytes", "fmt").mapInPandas(
         kernel, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+MOSAIC_SCHEMA = (
+    "tile_id long, mosaic binary, w int, h int, "
+    "n_images int, n_errors int, ids_csv string"
+)
+
+
+def tile_mosaic(
+    df: DataFrame, tile_col: str = "tile_id", grid: int = 4, thumb: int = 16
+) -> DataFrame:
+    """Per-tile thumbnail mosaic — the image x geo composition of the north
+    star: for every map tile, decode its first grid^2 images (image_id rank
+    order), nearest-neighbor-resize each to thumb x thumb, and pack them
+    row-major into one raw-RGB24 canvas (the visual tile preview a serving
+    stack renders).
+
+    Scale discipline: membership is capped by a row_number window BEFORE the
+    group shuffle, so an applyInPandas group never exceeds grid^2 rows no
+    matter how hot the megacity tile is — the binary payloads of the dropped
+    rows never travel. Undecodable members count in n_errors and leave their
+    slot black; deterministic and partition-invariant by construction (tests).
+    Input needs (tile_col, image_id, bytes, w, h, fmt)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cap = grid * grid
+    side = grid * thumb
+    w = Window.partitionBy(tile_col).orderBy("image_id")
+    capped = (
+        df.select(
+            F.col(tile_col).cast("long").alias("tile_id"),
+            "image_id", "bytes", "w", "h", "fmt",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn")
+        canvas = np.zeros((side, side, 3), dtype=np.uint8)
+        n_err = 0
+        ids = []
+        for slot, row in enumerate(pdf.itertuples(index=False)):
+            ids.append(row.image_id)
+            px, err = _decode_or_error(row)
+            if px is None:
+                n_err += 1
+                continue
+            h0, w0, _ = px.shape
+            yi = (np.arange(thumb) * h0 // thumb).clip(0, h0 - 1)
+            xi = (np.arange(thumb) * w0 // thumb).clip(0, w0 - 1)
+            r, c = divmod(slot, grid)
+            canvas[r * thumb : (r + 1) * thumb, c * thumb : (c + 1) * thumb] = (
+                px[yi][:, xi]
+            )
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["tile_id"].iloc[0]),
+                    image_codec.encode_raw(canvas),
+                    side,
+                    side,
+                    len(pdf),
+                    n_err,
+                    ",".join(ids),
+                )
+            ],
+            columns=["tile_id", "mosaic", "w", "h", "n_images", "n_errors", "ids_csv"],
+        )
+
+    return capped.groupBy("tile_id").applyInPandas(build, schema=MOSAIC_SCHEMA)

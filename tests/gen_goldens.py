@@ -107,8 +107,46 @@ def main() -> None:
     (GOLDEN_DIR / "golden_rollup.json").write_text(
         json.dumps(sorted([[int(c), int(n)] for c, n in zip(vals, counts)]))
     )
+    # golden_digests.image_pipeline mosaic rows — independent numpy rebuild of
+    # the tile_mosaic digest (spec: synth.images_df(n=200) pixels are
+    # default_rng([42, key]) uint8; w = [16,32,64][k%3], h = [16,32,64][(k//3)%3];
+    # tiles = grid cells at res 2; cap = 3x3 thumbs of 8x8, nearest-neighbor,
+    # members in image_id (== key) order; codecs are lossless so fmt is moot)
+    M_N, M_RES, M_GRID, M_THUMB = 200, 2, 3, 8
+    mk = np.arange(M_N, dtype=np.int64)
+    mph = _phash(mk)
+    mx, my = mph % 2**32, mph // 2**32
+    mcell = M_RES * 2**58 + (mx >> (32 - M_RES)) * 2**29 + (my >> (31 - M_RES))
+    sizes = np.array([16, 32, 64])
+    mw, mh = sizes[mk % 3], sizes[(mk // 3) % 3]
+    by_tile: dict[int, list[int]] = {}
+    for k in mk:
+        by_tile.setdefault(int(mcell[k]), []).append(int(k))
+    n_members = 0
+    pixel_sum = 0
+    for ks in by_tile.values():
+        for k in sorted(ks)[: M_GRID * M_GRID]:
+            n_members += 1
+            rng = np.random.default_rng([SEED, k])
+            px = rng.integers(0, 256, size=(int(mh[k]), int(mw[k]), 3), dtype=np.uint8)
+            yi = (np.arange(M_THUMB) * int(mh[k]) // M_THUMB).clip(0, int(mh[k]) - 1)
+            xi = (np.arange(M_THUMB) * int(mw[k]) // M_THUMB).clip(0, int(mw[k]) - 1)
+            pixel_sum += int(px[yi][:, xi].sum(dtype=np.int64))
+    dig_path = GOLDEN_DIR / "golden_digests.json"
+    dig = json.loads(dig_path.read_text())
+    dig["image_pipeline"].update(
+        {
+            "mosaic_n_tiles": len(by_tile),
+            "mosaic_n_members": n_members,
+            "mosaic_n_errors": 0,
+            "mosaic_pixel_sum": pixel_sum,
+        }
+    )
+    dig_path.write_text(json.dumps(dig, indent=1, sort_keys=True) + "\n")
+
     print(f"goldens written to {GOLDEN_DIR}: pip={len(pip_pairs)} knn={len(knn)} "
-          f"tiles={len(tiles)} rollup_cells={len(vals)}")
+          f"tiles={len(tiles)} rollup_cells={len(vals)} "
+          f"mosaic_tiles={len(by_tile)} mosaic_pixel_sum={pixel_sum}")
 
 
 if __name__ == "__main__":
