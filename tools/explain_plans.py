@@ -153,6 +153,25 @@ def main() -> int:
         print(p)
     ok &= check("neardup", p, must=[], must_not=["CartesianProduct"])
 
+    # 6. tile bundle: window + groupBy must share ONE tile-key shuffle
+    from engine.tiles import tile_bundle
+
+    feats = images.select(
+        cells.grid_encode_phash(F.col("phash"), 7).alias("tile_id"),
+        F.col("image_id").alias("id"),
+    )
+    tb = tile_bundle(feats, cap=8)
+    p = formatted(tb)
+    print("\n## tile bundle (capped per-tile packing)")
+    if args.full:
+        print(p)
+    n_shuffles = p.count("Exchange hashpartitioning") // 2
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: window+groupBy share "
+          f"the tile partitioning)")
+    ok &= n_shuffles <= 1
+    ok &= check("tile_bundle", p, must=["Window", "HashAggregate"],
+                must_not=["CartesianProduct"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
