@@ -517,9 +517,95 @@ def part_graph() -> None:
     print(_json.dumps(out))
 
 
+def part_tilecut() -> None:
+    """Tile-cut family at scale, local[32]: (a) tile_bundle over 16M skewed
+    points (10% of keys collapse onto one hot phash -> one megacity tile),
+    plain vs salted plan, asserting identical per-tile totals; (b) tile_mosaic
+    over 200k real-byte images; (c) line_clip_to_tiles over 100k polylines
+    (~1.2M segments)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import cells, clip, multimodal, synth
+    from engine.tiles import tile_bundle
+
+    out = {}
+    spark = _spark("bench-tilecut")
+
+    # (a) bundle: 16M points, res-7 tiles, cap 64
+    N = int(os.environ.get("TILECUT_BENCH_POINTS", "16000000"))
+    pts = synth.images_df(spark, N, hot_frac=0.1).select(
+        cells.grid_encode_phash(F.col("phash"), 7).alias("tile_id"),
+        F.col("image_id").alias("id"),
+    ).persist()
+    pts.count()
+    for label, salt in (("plain", None), ("salted", 32)):
+        t0 = time.time()
+        res = tile_bundle(pts, cap=64, salt_buckets=salt)
+        agg = res.agg(
+            F.count("*").alias("tiles"),
+            F.sum("n_total").alias("total"),
+            F.max("n_total").alias("hot"),
+        ).collect()[0]
+        out[f"bundle_{label}"] = {
+            "wall_s": round(time.time() - t0, 2),
+            "tiles": agg["tiles"], "total": agg["total"],
+            "hottest_tile_rows": agg["hot"],
+        }
+    assert out["bundle_plain"]["total"] == out["bundle_salted"]["total"] == N
+    assert out["bundle_plain"]["tiles"] == out["bundle_salted"]["tiles"]
+    pts.unpersist()
+
+    # (b) mosaic: 200k images with real binary payloads, grid 4 x thumb 16
+    imgs = synth.images_df(spark, 200_000, with_bytes=True).withColumn(
+        "tile_id", cells.grid_encode_phash(F.col("phash"), 6)
+    ).persist()
+    n_img = imgs.count()
+    t0 = time.time()
+    mos = multimodal.tile_mosaic(imgs, grid=4, thumb=16)
+    m = mos.agg(F.count("*").alias("tiles"), F.sum("n_errors").alias("errs")).collect()[0]
+    wall = time.time() - t0
+    out["mosaic"] = {
+        "wall_s": round(wall, 2), "images": n_img, "tiles": m["tiles"],
+        "errors": m["errs"], "images_per_sec": round(n_img / wall),
+    }
+    imgs.unpersist()
+
+    # (c) clip: 100k walks x ~12 segments against a unit-degree tile lattice
+    n_lines = 100_000
+    base = spark.range(0, n_lines, 1, 64)
+    mk = F.transform(
+        F.sequence(F.lit(0), F.lit(12)),
+        lambda i: F.struct(
+            (
+                (F.pmod(F.xxhash64(F.col("id"), i), F.lit(360000)) / 1000.0) - 180.0
+            ).alias("x"),
+            (
+                (F.pmod(F.xxhash64(F.col("id"), i, F.lit(1)), F.lit(170000)) / 1000.0)
+                - 85.0
+            ).alias("y"),
+        ),
+    )
+    walks = base.select(F.col("id").alias("line_id"), mk.alias("pts")).persist()
+    walks.count()
+    t0 = time.time()
+    cl = clip.line_clip_to_tiles(walks, tile_size=8.0)
+    n_pieces = cl.count()
+    wall = time.time() - t0
+    out["clip"] = {
+        "wall_s": round(wall, 2), "lines": n_lines, "pieces": n_pieces,
+        "segments_per_sec": round(n_lines * 12 / wall),
+    }
+    walks.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "tilecut": part_tilecut,
         "graph": part_graph,
         "int8": part_int8,
         "ivf_sq8": part_ivf_sq8,
