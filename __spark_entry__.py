@@ -1182,6 +1182,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH + IVF approximate-NN in one registry row (merged to free a slot —
+    VERDICT r3 item 6 discipline): union of the two hash-checked method
+    results tagged by a method column. Each half is unchanged from its
+    previously-green standalone row (q_ann_lsh / q_ann_ivf)."""
+    lsh = q_ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image phash near-dup clustering (engine.imagesim): pigeonhole-blocked
+    hamming pairs over DISTINCT codes + connected components over the code
+    graph + one equi-join back — the only shape that survives hot phashes at
+    10^12 images (a million-copy meme is ONE code-graph node). Oracle codes
+    derive from documents.text via the cross-engine md5 hash masked to every
+    4th bit (15 effective bits -> planted near-collisions at hamming <= 2);
+    production input is the images table's phash int64 directly
+    (imagesim.phash_dedup_clusters defaults, tests/test_imagesim.py)."""
+    from engine import imagesim, textops
+
+    mask = 0x1111111111111111
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    coded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.cross_hash(F.col("text"), "md5")
+        .bitwiseAND(F.lit(mask))
+        .alias("code"),
+    )
+    out = imagesim.phash_dedup_clusters(
+        coded, id_col="doc_id", code_col="code", max_hamming=2
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("code").cast("long").alias("code"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the capped-probe LSH regime, hash-checked (VERDICT r3 items
     1+6): n_planes=14, multiprobe_bits=2, max_probes=47 — the cap genuinely
@@ -1556,8 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface": q_sql_surface,
         "tfidf": q_tfidf,
         "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "ann_topk": q_ann_topk,
+        "phash_neardup": q_phash_neardup,
         "ann_recall": q_ann_recall,
         "minhash_dedup": q_minhash_dedup,
         "dedup_cluster": q_dedup_cluster,
@@ -1898,6 +1937,28 @@ def embedops_sql_ann_ivf() -> str:
         "embeddings", "vec_id", "embedding", "_id < 10",
         k=5, n_centroids=16, n_probe=4, seed=42,
     )
+
+
+def phash_neardup_sql() -> str:
+    """DuckDB twin of q_phash_neardup: same masked md5 codes, the
+    hamming_code_pairs twin for the code graph, the recursive-CTE connected
+    components twin for labels, COALESCE(code) for singleton codes (the Spark
+    side passes nodes= so isolated codes self-label)."""
+    from engine import graph, imagesim, textops
+
+    mask = 0x1111111111111111
+    code_expr = f"({textops.cross_hash_sql('text')} & {mask})"
+    pairs = imagesim.hamming_code_pairs_sql("documents", code_expr, max_hamming=2)
+    cc = graph.connected_components_sql(pairs, id_a="code_a", id_b="code_b")
+    return f"""
+        WITH doc_codes AS MATERIALIZED (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {code_expr} AS code
+          FROM documents
+        )
+        SELECT d.doc_id, d.code,
+               CAST(COALESCE(cc.cluster_id, d.code) AS BIGINT) AS cluster_id
+        FROM doc_codes d LEFT JOIN ({cc}) cc ON cc.id = d.code
+    """
 
 
 def embedops_sql_ann_recall() -> str:
@@ -2565,8 +2626,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "geo_ann": _geo_ann_oracle_sql(),
-        "ann_lsh": embedops_sql_ann_lsh(),
-        "ann_ivf": embedops_sql_ann_ivf(),
+        "ann_topk": f"""
+            SELECT 'lsh' AS method, query_id, vec_id, rank
+            FROM ({embedops_sql_ann_lsh()})
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, vec_id, rank
+            FROM ({embedops_sql_ann_ivf()})
+        """,
+        "phash_neardup": phash_neardup_sql(),
         "ann_recall": embedops_sql_ann_recall(),
         "minhash_dedup": textops_sql_minhash(),
         "dedup_cluster": dedup_cluster_sql(),
