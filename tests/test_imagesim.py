@@ -10,7 +10,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from engine import imagesim, synth
+from engine import imagesim
 from tests.conftest import spark  # noqa: F401
 
 
@@ -103,23 +103,30 @@ def test_clusters_transitive_and_string_ids(spark):
     assert got == {"img-a": 0, "img-b": 0, "img-c": 0, "img-x": 0b111000 << 40}
 
 
-def test_clusters_on_synth_images(spark):
-    # hot_frac collapses 10% of images onto hot phashes: those images must
-    # share clusters; every image labeled exactly once
-    imgs = synth.images_df(spark, 2000, hot_frac=0.1)
-    out = imagesim.phash_dedup_clusters(imgs, max_hamming=0).persist()
-    assert out.count() == 2000
-    assert out.select("image_id").distinct().count() == 2000
-    # at max_hamming=0 clusters == exact phash groups
-    by_phash = (
-        imgs.groupBy("phash").agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1).count()
+def test_clusters_on_planted_image_table(spark):
+    # the bench shape at pytest scale: 4 copies per base phash (exact, 1-bit
+    # flip, 2-bit flip, exact) -> every base collapses to ONE cluster at
+    # max_hamming=2; every image labeled exactly once
+    n, base_n = 2000, 500
+    key = F.col("id")
+    base_code = F.xxhash64((key % base_n).cast("string"))
+    variant = (key / base_n).cast("long")
+    bit1 = F.expr(f"shiftleft(1L, cast(id % {base_n} as int) % 61)")
+    bit2 = F.expr(f"shiftleft(1L, cast((id % {base_n}) * 7 % 61 as int) + 1)")
+    code = (
+        F.when(variant == 1, base_code.bitwiseXOR(bit1))
+        .when(variant == 2, base_code.bitwiseXOR(bit1).bitwiseXOR(bit2))
+        .otherwise(base_code)
     )
-    multi = (
-        out.groupBy("cluster_id").agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1).count()
+    imgs = spark.range(0, n, 1, 8).select(
+        F.concat(F.lit("img-"), key).alias("image_id"), code.alias("phash")
     )
-    assert multi == by_phash
+    out = imagesim.phash_dedup_clusters(imgs, max_hamming=2).persist()
+    assert out.count() == n
+    assert out.select("image_id").distinct().count() == n
+    stats = out.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    assert stats.count() == base_n
+    assert stats.agg(F.min("sz"), F.max("sz")).collect()[0] == (4, 4)
     out.unpersist()
 
 

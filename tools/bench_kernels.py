@@ -602,10 +602,75 @@ def part_tilecut() -> None:
     print(_json.dumps(out))
 
 
+def part_phash() -> None:
+    """phash near-dup clustering at scale, local[32]: 16M images, 10% of rows
+    collapsed onto hot phashes (the meme regime). The point under test is the
+    distinct-code discipline: the pair join and CC run over ~14M DISTINCT
+    codes no matter how many rows share them, and every image gets a cluster
+    via one map-side-free equi-join. Asserts: every row labeled once; images
+    sharing a phash share a cluster (cluster count == distinct-code count
+    minus merged near-dups)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import cells, imagesim
+
+    out = {}
+    spark = _spark("bench-phash")
+    n = int(os.environ.get("PHASH_BENCH_ROWS", "16000000"))
+    # planted duplicates: 4 rows per base code — copy 0/3 exact, copy 1 one
+    # bit flipped, copy 2 two bits flipped (all within max_hamming=2, so each
+    # base collapses to ONE cluster); ~n/4 distinct-ish codes, n rows
+    base_n = n // 4
+    key = F.col("id")
+    b = key % base_n          # base index: copies live at b + j*base_n
+    variant = (key / base_n).cast("long")
+    base_code = cells.synth_phash(b)
+    bit1 = F.expr("shiftleft(1L, cast(id % {bn} as int) % 61)".format(bn=base_n))
+    bit2 = F.expr(
+        "shiftleft(1L, cast((id % {bn}) * 7 % 61 as int) + 1)".format(bn=base_n)
+    )
+    code = (
+        F.when(variant == 1, base_code.bitwiseXOR(bit1))
+        .when(variant == 2, base_code.bitwiseXOR(bit1).bitwiseXOR(bit2))
+        .otherwise(base_code)
+    )
+    imgs = (
+        spark.range(0, n, 1, 64)
+        .select(F.col("id").alias("image_id"), code.alias("phash"))
+        .persist()
+    )
+    imgs.count()
+    t0 = time.time()
+    cl = imagesim.phash_dedup_clusters(imgs, max_hamming=2).persist()
+    n_rows = cl.count()
+    wall = time.time() - t0
+    agg = cl.agg(
+        F.countDistinct("cluster_id").alias("clusters"),
+        F.countDistinct("phash").alias("codes"),
+    ).collect()[0]
+    biggest = (
+        cl.groupBy("cluster_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert n_rows == n
+    assert agg["clusters"] <= agg["codes"]
+    assert biggest >= 4  # the planted 4-copy groups actually merged
+    out["phash_cluster"] = {
+        "wall_s": round(wall, 2), "rows": n, "distinct_codes": agg["codes"],
+        "clusters": agg["clusters"], "biggest_cluster": biggest,
+        "rows_per_sec": round(n / wall),
+    }
+    cl.unpersist(); imgs.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "tilecut": part_tilecut,
+        "phash": part_phash,
         "graph": part_graph,
         "int8": part_int8,
         "ivf_sq8": part_ivf_sq8,
