@@ -1,0 +1,161 @@
+"""engine.raster: per-tile point-density grids vs Python + DuckDB oracles."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import raster
+from tests.conftest import spark  # noqa: F401
+
+
+def _py_heatmap(rows, s, res, weights=None):
+    tiles = {}
+    for i, (x, y) in enumerate(rows):
+        tx, ty = math.floor(x / s), math.floor(y / s)
+        fx, fy = x / s - math.floor(x / s), y / s - math.floor(y / s)
+        px = min(int(fx * res), res - 1)
+        py = min(int(fy * res), res - 1)
+        g = tiles.setdefault((tx, ty), [0] * (res * res))
+        g[py * res + px] += 1 if weights is None else weights[i]
+    return tiles
+
+
+def _collect(df):
+    return {
+        (r["tx"], r["ty"]): (list(r["counts"]), r["n_points"], r["max_count"])
+        for r in df.collect()
+    }
+
+
+def test_matches_python_oracle(spark):
+    rng = random.Random(3)
+    rows = [(rng.uniform(-50, 50), rng.uniform(-50, 50)) for _ in range(3000)]
+    s, res = 10.0, 8
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = _collect(raster.heatmap_tiles(df.repartition(7), s, res))
+    want = _py_heatmap(rows, s, res)
+    assert set(got) == set(want)
+    for k, grid in want.items():
+        counts, n_points, max_count = got[k]
+        assert counts == grid, k
+        assert n_points == sum(grid)
+        assert max_count == max(grid)
+
+
+def test_weighted_and_edges(spark):
+    # exact tile-edge and pixel-edge points: half-open binning, upper edge
+    # clamps into the last pixel only via the interior fraction (1.0 -> next
+    # tile's pixel 0, not a clamp)
+    rows = [
+        (0.0, 0.0, 5),    # tile (0,0) pixel (0,0)
+        (10.0, 0.0, 7),   # tile (1,0) pixel (0,0) — upper x edge
+        (9.999999, 0.0, 1),  # tile (0,0) last x pixel
+        (-0.000001, 0.0, 2),  # tile (-1,0) last x pixel
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, w long")
+    got = _collect(raster.heatmap_tiles(df, 10.0, 4, weight_col="w"))
+    assert got[(0, 0)][0][0] == 5
+    assert got[(1, 0)][0][0] == 7
+    assert got[(0, 0)][0][3] == 1
+    assert got[(-1, 0)][0][3] == 2
+    assert got[(0, 0)][1] == 6 and got[(0, 0)][2] == 5
+
+
+def test_res_one_counts_per_tile(spark):
+    rng = random.Random(5)
+    rows = [(rng.uniform(0, 30), rng.uniform(0, 30)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = _collect(raster.heatmap_tiles(df, 10.0, 1))
+    per_tile = {}
+    for x, y in rows:
+        k = (math.floor(x / 10), math.floor(y / 10))
+        per_tile[k] = per_tile.get(k, 0) + 1
+    assert {k: v[0][0] for k, v in got.items()} == per_tile
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        raster.heatmap_tiles(df, 0.0)
+    with pytest.raises(ValueError):
+        raster.heatmap_tiles(df, 1.0, res=0)
+
+
+def test_sql_twin_matches_spark(spark):
+    import duckdb
+
+    rng = random.Random(11)
+    rows = [(rng.uniform(-40, 40), rng.uniform(-40, 40)) for _ in range(2000)]
+    s, res = 8.0, 5
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = _collect(raster.heatmap_tiles(df, s, res))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): (list(r[2]), r[3], r[4])
+        for r in con.execute(raster.heatmap_tiles_sql("t", s, res)).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation
+# ---------------------------------------------------------------------------
+def _mk_polys(spark, rows):
+    return spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in ring], v) for pid, ring, v in rows],
+        "poly_id: long, ring: array<struct<x:double,y:double>>, value: double",
+    )
+
+
+def test_areal_mass_conservation(spark):
+    # irregular polygons spanning several tiles: total value is conserved
+    rng = random.Random(13)
+    rows = []
+    for pid in range(20):
+        cx, cy = rng.uniform(-20, 20), rng.uniform(-20, 20)
+        rad = rng.uniform(3, 12)
+        ring = [
+            (cx + rad * (1 + 0.3 * rng.random()) * math.cos(2 * math.pi * k / 9),
+             cy + rad * (1 + 0.3 * rng.random()) * math.sin(2 * math.pi * k / 9))
+            for k in range(9)
+        ]
+        rows.append((pid, ring, rng.uniform(10, 1000)))
+    df = _mk_polys(spark, rows)
+    out = raster.tile_areal_interp(df.repartition(4), 5.0).collect()
+    assert sum(r["value"] for r in out) == pytest.approx(
+        sum(v for _, _, v in rows), rel=1e-9
+    )
+
+
+def test_areal_uniform_square_split(spark):
+    # unit-density 10x10 square over a 5-lattice: four tiles, 25% each
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    df = _mk_polys(spark, [(0, sq, 400.0)])
+    got = {(r["tx"], r["ty"]): r["value"]
+           for r in raster.tile_areal_interp(df, 5.0).collect()}
+    assert got == {(0, 0): pytest.approx(100.0), (1, 0): pytest.approx(100.0),
+                   (0, 1): pytest.approx(100.0), (1, 1): pytest.approx(100.0)}
+
+
+def test_areal_overlapping_polys_sum(spark):
+    # two coincident squares: tile value sums both; n_polys counts both
+    sq = [(1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0)]
+    df = _mk_polys(spark, [(0, sq, 9.0), (1, sq, 18.0)])
+    out = raster.tile_areal_interp(df, 5.0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(27.0)
+    assert out[0]["n_polys"] == 2
+
+
+def test_areal_degenerate_polygon_dropped(spark):
+    # zero-area ring contributes nothing rather than NaN
+    line = [(0.0, 0.0), (5.0, 0.0), (0.0, 0.0)]
+    sq = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)]
+    df = _mk_polys(spark, [(0, line, 100.0), (1, sq, 7.0)])
+    out = raster.tile_areal_interp(df, 5.0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(7.0)
