@@ -125,6 +125,73 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell encode + hierarchy rollup in one row (merged from the
+    standalone cell_encode/cell_rollup rows to free a slot — VERDICT r3 item 6
+    discipline): res-9 per-cell counts UNION the res-11 -> res-7 parent rollup
+    (SparkJobs.scala:48-70 analog), tagged by a res column."""
+    enc = q_cell_encode(spark, sf_dir).select(
+        F.lit(9).cast("long").alias("res"), "cell", "n_points"
+    )
+    rol = q_cell_rollup(spark, sf_dir).select(
+        F.lit(7).cast("long").alias("res"),
+        F.col("cell7").alias("cell"),
+        "n_points",
+    )
+    return enc.unionByName(rol)
+
+
+def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory trip segmentation (engine.trajectory.trip_segments): the
+    events stream as device fixes — user_id is the device, lon/lat derive
+    deterministically from event_id via the cross-engine md5 hash — split
+    into trips at >240 min gaps, with geodesic length in FLOOR-scaled integer
+    millimeters (the knn_haversine-proven haversine twin, no raw double
+    sums). Window-only: one shuffle on the entity key."""
+    from engine import textops, trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    hx = textops.cross_hash(eid, "md5")
+    hy = textops.cross_hash(F.concat(eid, F.lit("y")), "md5")
+    pts = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        (F.pmod(hx, F.lit(360000)) / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+        (F.pmod(hy, F.lit(170000)) / F.lit(1000.0) - F.lit(85.0)).alias("lat"),
+    )
+    out = trajectory.trip_segments(pts, id_col="user_id", gap_minutes=240.0)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("trip_idx").cast("long").alias("trip_idx"),
+        F.col("start_us").cast("long").alias("start_us"),
+        F.col("end_us").cast("long").alias("end_us"),
+        F.col("duration_us").cast("long").alias("duration_us"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("length_mm").cast("long").alias("length_mm"),
+    )
+
+
+def trip_stats_sql() -> str:
+    """DuckDB twin of q_trip_stats (same md5-derived lon/lat, same window
+    order, same haversine + FLOOR-mm legs)."""
+    from engine import textops, trajectory
+
+    hx = textops.cross_hash_sql("CAST(event_id AS VARCHAR)")
+    hy = textops.cross_hash_sql("CAST(event_id AS VARCHAR) || 'y'")
+    inner = f"""(
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               (({hx}) % 360000) / 1000.0 - 180.0 AS lon,
+               (({hy}) % 170000) / 1000.0 - 85.0 AS lat
+        FROM events
+    ) pts"""
+    return trajectory.trip_segments_sql(
+        inner, "user_id", "ts_us", "lon", "lat",
+        gap_minutes=240.0, out_id="user_id",
+    )
+
+
 def q_anchor_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — bbox-union aggregate (Bbox.scala:5-8) as 4 min/max aggs per group."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1562,8 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     come last, so a future truncation can only ever shed rows-only checks."""
     return {
         "pack_feature_id": q_pack_feature_id,
-        "cell_encode": q_cell_encode,
-        "cell_rollup": q_cell_rollup,
+        "cell_grid": q_cell_grid,
+        "trip_stats": q_trip_stats,
         "anchor_bbox": q_anchor_bbox,
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
@@ -2060,14 +2127,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey AS BIGINT) AS raw_id
             FROM orders
         """,
-        "cell_encode": f"""
-            SELECT {cell9} AS cell, COUNT(*) AS n_points
-            FROM documents GROUP BY 1
+        "cell_grid": f"""
+            SELECT 9 AS res, {cell9} AS cell, COUNT(*) AS n_points
+            FROM documents GROUP BY 1, 2
+            UNION ALL
+            SELECT 7 AS res, {cells.grid_parent_sql(cell11, 4)} AS cell,
+                   COUNT(*) AS n_points
+            FROM documents GROUP BY 1, 2
         """,
-        "cell_rollup": f"""
-            SELECT {cells.grid_parent_sql(cell11, 4)} AS cell7, COUNT(*) AS n_points
-            FROM documents GROUP BY 1
-        """,
+        "trip_stats": trip_stats_sql(),
         "anchor_bbox": f"""
             SELECT lang,
                    MIN({lon}) AS min_lon, MAX({lon}) AS max_lon,

@@ -1,0 +1,210 @@
+"""Trajectory operators: trip segmentation and dwell detection.
+
+Geotagged image streams are trajectories — a device's photos ordered by
+timestamp trace a path. Two classic operators over (entity, ts, lon, lat)
+point streams, both pure window + aggregate algebra (one shuffle on the
+entity key, no UDF, no per-group Python):
+
+- trip_segments: split each entity's ordered stream into trips wherever the
+  time gap exceeds a threshold (gaps-and-islands: a lag comparison marks trip
+  starts, a running sum numbers them), then aggregate per-trip stats
+  including geodesic length (engine.joins.haversine_m — the same
+  expression-order-pinned twin pair the knn_haversine oracle row is
+  hash-green on). Lengths also come FLOOR-scaled to integer millimeters
+  (length_mm) so downstream oracle checks never sum raw doubles.
+
+- dwell_episodes: maximal runs of consecutive slow points (leg speed under a
+  threshold), reported when they last long enough — the window analog of
+  stay-point detection. Same gaps-and-islands trick on the speed flag.
+
+Scale: both operators are a single hash partition by entity + in-partition
+sort — the natural layout for trajectory data (entity count >> executor
+count; one entity's stream fits a partition by construction of any sane
+device-id keyspace). Skewed entities (one device with 10^8 points) would
+need range-bucketed windows; at that point the trip CUT points are still
+per-neighbor decisions, so a two-pass split (mark boundaries, then
+re-aggregate) keeps correctness — noted, not implemented.
+
+Timestamps are int64 epoch MICROSECONDS (ts_us) throughout — callers convert
+once (TIMESTAMP_NTZ parquet needs a TIMESTAMP cast first; see the driver's
+_epoch_us helper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .joins import haversine_m
+
+
+def _with_legs(
+    df: DataFrame, id_col: str, ts_col: str, lon_col: str, lat_col: str
+) -> DataFrame:
+    """Normalize columns and attach each point's predecessor. Deterministic
+    in-entity order: ties on ts break by (lon, lat) so both engines see the
+    same neighbor sequence."""
+    w = Window.partitionBy("_id").orderBy("_ts", "_lon", "_lat")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        F.col(lat_col).cast("double").alias("_lat"),
+    ).select(
+        "*",
+        F.lag("_ts").over(w).alias("_pts"),
+        F.lag("_lon").over(w).alias("_plon"),
+        F.lag("_lat").over(w).alias("_plat"),
+    )
+
+
+def trip_segments(
+    df: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """One row per (entity, trip): trip_idx numbers trips 1..n in time order;
+    start_us/end_us/duration_us bound it; n_points counts fixes; length_mm is
+    the geodesic path length in integer millimeters (per-leg FLOOR — exact
+    cross-engine reproducible; divide by 1e6 for km). A new trip starts at
+    the first point and after any gap > gap_minutes. Single-point trips have
+    length 0."""
+    gap_us = int(gap_minutes * 60_000_000)
+    pts = _with_legs(df, id_col, ts_col, lon_col, lat_col)
+    is_new = (
+        F.col("_pts").isNull() | ((F.col("_ts") - F.col("_pts")) > gap_us)
+    ).cast("long")
+    w = Window.partitionBy("_id").orderBy("_ts", "_lon", "_lat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    leg_mm = F.when(
+        is_new == 1, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            haversine_m(
+                F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+            )
+            * 1000.0
+        ).cast("long")
+    )
+    seg = pts.select(
+        "_id", "_ts", leg_mm.alias("_leg_mm"), F.sum(is_new).over(w).alias("trip_idx")
+    )
+    return seg.groupBy(F.col("_id"), F.col("trip_idx")).agg(
+        F.min("_ts").alias("start_us"),
+        F.max("_ts").alias("end_us"),
+        (F.max("_ts") - F.min("_ts")).alias("duration_us"),
+        F.count("*").alias("n_points"),
+        F.sum("_leg_mm").alias("length_mm"),
+    ).withColumnRenamed("_id", id_col)
+
+
+def trip_segments_sql(
+    table: str,
+    id_expr: str,
+    ts_expr: str,
+    lon_expr: str,
+    lat_expr: str,
+    gap_minutes: float = 30.0,
+    out_id: str = "entity_id",
+) -> str:
+    """DuckDB twin of trip_segments: identical window order (ts, lon, lat),
+    identical haversine op order (engine.joins.haversine_m_sql), identical
+    FLOOR-to-millimeter leg scaling. ts_expr must already be epoch micros.
+    out_id names the entity column in the output (match the Spark id_col)."""
+    from .joins import haversine_m_sql
+
+    gap_us = int(gap_minutes * 60_000_000)
+    hav = haversine_m_sql("_plon", "_plat", "_lon", "_lat")
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT {id_expr} AS _id, CAST({ts_expr} AS BIGINT) AS _ts,
+                 CAST({lon_expr} AS DOUBLE) AS _lon,
+                 CAST({lat_expr} AS DOUBLE) AS _lat
+          FROM {table}
+        ), lagged AS (
+          SELECT *,
+                 LAG(_ts)  OVER w AS _pts,
+                 LAG(_lon) OVER w AS _plon,
+                 LAG(_lat) OVER w AS _plat
+          FROM pts
+          WINDOW w AS (PARTITION BY _id ORDER BY _ts, _lon, _lat)
+        ), flagged AS (
+          SELECT *,
+                 CASE WHEN _pts IS NULL OR (_ts - _pts) > {gap_us}
+                      THEN 1 ELSE 0 END AS _new,
+                 CASE WHEN _pts IS NULL OR (_ts - _pts) > {gap_us}
+                      THEN 0
+                      ELSE CAST(FLOOR(({hav}) * 1000.0) AS BIGINT)
+                 END AS _leg_mm
+          FROM lagged
+        ), numbered AS (
+          SELECT _id, _ts, _leg_mm,
+                 SUM(_new) OVER (PARTITION BY _id ORDER BY _ts, _lon, _lat
+                                 ROWS UNBOUNDED PRECEDING) AS trip_idx
+          FROM flagged
+        )
+        SELECT _id AS {out_id}, CAST(trip_idx AS BIGINT) AS trip_idx,
+               MIN(_ts) AS start_us, MAX(_ts) AS end_us,
+               MAX(_ts) - MIN(_ts) AS duration_us,
+               COUNT(*) AS n_points,
+               CAST(SUM(_leg_mm) AS BIGINT) AS length_mm
+        FROM numbered GROUP BY _id, trip_idx
+    """
+
+
+def dwell_episodes(
+    df: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    speed_mps_max: float = 0.5,
+    min_duration_minutes: float = 5.0,
+) -> DataFrame:
+    """Maximal runs of consecutive SLOW legs (speed <= speed_mps_max; a
+    zero-dt leg counts as slow), reported when the run spans at least
+    min_duration_minutes: (entity, start_us, end_us, duration_us, n_points).
+    The episode includes the anchor point that began the slow run (the run's
+    first leg's origin), so n_points >= 2. The window analog of stay-point
+    detection: no iterative scan, one partition-by-entity shuffle."""
+    pts = _with_legs(df, id_col, ts_col, lon_col, lat_col)
+    dt = F.col("_ts") - F.col("_pts")
+    leg_m = haversine_m(
+        F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+    )
+    slow = (
+        F.col("_pts").isNotNull()
+        & ((dt == 0) | (leg_m / (dt.cast("double") / 1e6) <= speed_mps_max))
+    ).cast("long")
+    order = Window.partitionBy("_id").orderBy("_ts", "_lon", "_lat")
+    run = Window.partitionBy("_id").orderBy("_ts", "_lon", "_lat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # gaps-and-islands: a slow leg STARTS an episode when the previous leg
+    # wasn't slow; episode id = running count of starts, over slow legs only
+    prev_slow = F.lag(slow).over(order)
+    starts = (slow.cast("boolean") & ~F.coalesce(prev_slow.cast("boolean"), F.lit(False))).cast("long")
+    flagged = pts.select(
+        "_id", "_ts", "_pts", slow.alias("_slow"), F.sum(starts).over(run).alias("_ep")
+    )
+    eps = (
+        flagged.filter(F.col("_slow") == 1)
+        .groupBy("_id", "_ep")
+        .agg(
+            F.min("_pts").alias("start_us"),  # first slow leg's origin point
+            F.max("_ts").alias("end_us"),
+            F.count("*").alias("_n_legs"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+        .withColumn("n_points", F.col("_n_legs") + 1)
+        .filter(F.col("duration_us") >= int(min_duration_minutes * 60_000_000))
+        .select(
+            F.col("_id").alias(id_col),
+            "start_us", "end_us", "duration_us", "n_points",
+        )
+    )
+    return eps

@@ -1,0 +1,142 @@
+"""engine.trajectory: trip segmentation + dwell episodes vs Python oracles."""
+
+import math
+import random
+
+import pytest
+
+from engine import trajectory
+from tests.conftest import spark  # noqa: F401
+
+MIN = 60_000_000  # one minute in micros
+
+
+def _hav_m(lon1, lat1, lon2, lat2):
+    r = 6371008.8
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def _py_trips(rows, gap_min):
+    """rows: (id, ts, lon, lat) -> {(id, trip_idx): (start, end, n, length_mm)}"""
+    gap = int(gap_min * MIN)
+    by_id = {}
+    for eid, ts, lon, lat in rows:
+        by_id.setdefault(eid, []).append((ts, lon, lat))
+    out = {}
+    for eid, pts in by_id.items():
+        pts.sort()
+        trip, prev = 0, None
+        for ts, lon, lat in pts:
+            if prev is None or ts - prev[0] > gap:
+                trip += 1
+                leg = 0
+            else:
+                leg = math.floor(_hav_m(prev[1], prev[2], lon, lat) * 1000)
+            k = (eid, trip)
+            s, e, n, ln = out.get(k, (ts, ts, 0, 0))
+            out[k] = (min(s, ts), max(e, ts), n + 1, ln + leg)
+            prev = (ts, lon, lat)
+    return out
+
+
+def _mk_rows(rng, n_entities=6, n_points=80):
+    rows = []
+    for eid in range(n_entities):
+        ts = rng.randrange(10**9)
+        lon, lat = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        for _ in range(n_points):
+            # mixture of small steps and occasional big time gaps
+            ts += rng.choice([MIN, 2 * MIN, 5 * MIN, 90 * MIN])
+            lon += rng.uniform(-0.01, 0.01)
+            lat += rng.uniform(-0.01, 0.01)
+            rows.append((eid, ts, lon, lat))
+    return rows
+
+
+def test_trips_match_python_oracle(spark):
+    rng = random.Random(21)
+    rows = _mk_rows(rng)
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    got = {
+        (r["entity_id"], r["trip_idx"]): (
+            r["start_us"], r["end_us"], r["n_points"], r["length_mm"]
+        )
+        for r in trajectory.trip_segments(df.repartition(5), gap_minutes=30).collect()
+    }
+    assert got == _py_trips(rows, 30)
+
+
+def test_trips_duration_and_single_point(spark):
+    rows = [
+        (1, 0, 0.0, 0.0),
+        (1, 10 * MIN, 0.1, 0.0),       # same trip (gap 10 <= 30)
+        (1, 100 * MIN, 0.2, 0.0),      # new trip (gap 90 > 30)
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    out = {r["trip_idx"]: r for r in trajectory.trip_segments(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_points"] == 2 and out[1]["duration_us"] == 10 * MIN
+    assert out[1]["length_mm"] == math.floor(_hav_m(0.0, 0.0, 0.1, 0.0) * 1000)
+    assert out[2]["n_points"] == 1 and out[2]["length_mm"] == 0
+    assert out[2]["duration_us"] == 0
+
+
+def test_trips_sql_twin_matches(spark):
+    import duckdb
+
+    rng = random.Random(22)
+    rows = _mk_rows(rng, n_entities=4, n_points=50)
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    got = sorted(
+        tuple(r) for r in trajectory.trip_segments(df, gap_minutes=45).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(entity_id BIGINT, ts_us BIGINT, lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            trajectory.trip_segments_sql("t", "entity_id", "ts_us", "lon", "lat", 45)
+        ).fetchall()
+    )
+    assert got == want  # exact, incl. the FLOOR-scaled length_mm
+
+
+def test_dwell_episode_detected(spark):
+    # stay 20 min at one spot (1 m jitter ~ slow), then jump 1 km per min
+    deg_1m = 1.0 / 111_320  # ~1 meter of latitude
+    rows = [(1, i * MIN, 0.0, i * deg_1m * 0.3) for i in range(21)]
+    rows += [(1, (21 + i) * MIN, 0.0, 0.01 * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    eps = trajectory.dwell_episodes(
+        df, speed_mps_max=0.5, min_duration_minutes=5
+    ).collect()
+    assert len(eps) == 1
+    ep = eps[0]
+    assert ep["start_us"] == 0
+    assert ep["end_us"] == 20 * MIN
+    assert ep["n_points"] == 21
+
+
+def test_dwell_short_stops_filtered(spark):
+    # 3-minute pause under a 5-minute floor: no episode
+    deg_1m = 1.0 / 111_320
+    rows = [(1, i * MIN, 0.0, i * deg_1m * 0.2) for i in range(4)]
+    rows += [(1, (4 + i) * MIN, 0.0, 0.02 * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    assert trajectory.dwell_episodes(
+        df, speed_mps_max=0.5, min_duration_minutes=5
+    ).count() == 0
+
+
+def test_dwell_zero_dt_counts_slow(spark):
+    # duplicate timestamps with tiny move: zero-dt legs are slow by definition
+    rows = [(1, 0, 0.0, 0.0), (1, 0, 0.0, 1e-9), (1, 10 * MIN, 0.0, 2e-9)]
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, lon double, lat double")
+    eps = trajectory.dwell_episodes(
+        df, speed_mps_max=0.5, min_duration_minutes=5
+    ).collect()
+    assert len(eps) == 1 and eps[0]["duration_us"] == 10 * MIN
