@@ -25,6 +25,18 @@ from engine import cells, joins, synth  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 
 
+def n_shuffles_of(plan: str) -> int:
+    """Count shuffle exchanges in a FORMATTED plan. Each operator prints a
+    detail header line "(7) Exchange"; broadcasts print "(7) BroadcastExchange"
+    and never match. (The old substring count looked for "Exchange
+    hashpartitioning", which formatted mode never emits as one string — every
+    section read 0 shuffles; regression caught against test_tiles.py's
+    simple-mode == 1 assertion.)"""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M))
+
+
 def formatted(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -96,12 +108,11 @@ def main() -> int:
     # do NOT ride per-cell in the cover, see joins.build_pip_cover) and exactly
     # 1 shuffle Exchange (the final groupBy) — the POINT side must never
     # shuffle. Each Exchange appears twice in formatted output (tree + detail).
-    n_shuffles = (p.count("Exchange hashpartitioning")
-                  + p.count("Exchange rangepartitioning")) // 2
+    n_shuffles = n_shuffles_of(p)
     n_bcast = p.count("BroadcastExchange") // 2
     print(f"  shuffle exchanges: {n_shuffles} (expect 1: final agg); "
           f"broadcasts: {n_bcast} (expect <=2: cover + ring dim)")
-    ok &= n_shuffles <= 1 and n_bcast <= 2
+    ok &= n_shuffles == 1 and n_bcast <= 2
 
     # 3. agg: partial + final hash aggregate
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
@@ -120,9 +131,9 @@ def main() -> int:
     print("\n## sessionize (lag + cumulative sum)")
     if args.full:
         print(p)
-    n_exchanges = p.count("Exchange") // 2
+    n_exchanges = n_shuffles_of(p)
     print(f"  exchanges in plan: {n_exchanges} (expect 1: the user_id shuffle)")
-    ok &= n_exchanges <= 1
+    ok &= n_exchanges == 1
     ok &= check("sessionize", p, must=["Window"], must_not=["CartesianProduct"])
 
     # 5. pairwise operators: sub-quadratic plans, no cartesian product
@@ -165,12 +176,94 @@ def main() -> int:
     print("\n## tile bundle (capped per-tile packing)")
     if args.full:
         print(p)
-    n_shuffles = p.count("Exchange hashpartitioning") // 2
+    n_shuffles = n_shuffles_of(p)
     print(f"  shuffle exchanges: {n_shuffles} (expect 1: window+groupBy share "
           f"the tile partitioning)")
-    ok &= n_shuffles <= 1
+    ok &= n_shuffles == 1
     ok &= check("tile_bundle", p, must=["Window", "HashAggregate"],
                 must_not=["CartesianProduct"])
+
+    # 7. heatmap tiles: two bounded aggs, map-side partial combine, no Python
+    from engine import raster
+
+    pts = images.select(
+        (F.col("phash") % 1000 / 10.0).alias("x"),
+        (F.pmod(F.col("phash"), 700) / 10.0).alias("y"),
+    )
+    hm = raster.heatmap_tiles(pts, tile_size=8.0, res=16)
+    p = formatted(hm)
+    print("\n## heatmap tiles (point rasterization)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 2: pixel agg + tile agg; "
+          f"the first is partial-combined map-side)")
+    ok &= n_shuffles == 2
+    ok &= check("heatmap_tiles", p,
+                must=["partial_sum", "HashAggregate"],
+                must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
+
+    # 8. trip segmentation: window + groupBy share ONE entity-key shuffle
+    # (HashPartitioning(_id) satisfies the (_id, trip_idx) clustering)
+    from engine import trajectory
+
+    fixes = images.select(
+        (F.col("phash") % 50).alias("entity_id"),
+        (F.col("phash") % 999_999_937).alias("ts_us"),
+        (F.col("phash") % 360 - 180.0).cast("double").alias("lon"),
+        (F.pmod(F.col("phash"), 170) - 85.0).cast("double").alias("lat"),
+    )
+    tr = trajectory.trip_segments(fixes)
+    p = formatted(tr)
+    print("\n## trip segmentation (trajectory gaps-and-islands)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: lag window, trip-idx "
+          f"window and per-trip groupBy all reuse the entity partitioning)")
+    ok &= n_shuffles == 1
+    ok &= check("trip_segments", p, must=["Window", "HashAggregate"],
+                must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
+
+    # 9. phash near-dup pair graph: distinct-code discipline, chunk equi-join,
+    # never a cartesian; all joins keyed (SortMergeJoin/ShuffledHashJoin ok)
+    from engine import imagesim
+
+    cp = imagesim.hamming_code_pairs(
+        images.select("phash"), "phash", max_hamming=2
+    )
+    p = formatted(cp)
+    print("\n## phash hamming pair graph (pigeonhole blocking)")
+    if args.full:
+        print(p)
+    ok &= check("hamming_code_pairs", p,
+                must=["HashAggregate"],
+                must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
+    # 10. polygon clip to tiles: generate + project ONLY — zero exchanges
+    from engine import clip as clipmod
+
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda i: F.struct(
+            (F.col("phash") % 100 + i).cast("double").alias("x"),
+            (F.pmod(F.col("phash"), 90) + i).cast("double").alias("y"),
+        ),
+    )
+    polys = images.select(F.col("image_id").alias("poly_id"), ring.alias("ring"))
+    pc = clipmod.polygon_clip_to_tiles(polys, tile_size=8.0)
+    p = formatted(pc)
+    print("\n## polygon clip to tiles (Sutherland-Hodgman, Column-only)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 0: bbox generate + "
+          f"projection, vertex arrays never shuffle)")
+    ok &= n_shuffles == 0
+    ok &= check("polygon_clip_to_tiles", p, must=["Generate"],
+                must_not=["CartesianProduct", "Exchange",
+                          "BatchEvalPython", "ArrowEvalPython"])
 
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
