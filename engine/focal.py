@@ -1,0 +1,276 @@
+"""Focal (neighborhood) raster operators over the tile grid — halo exchange.
+
+The missing third leg of the raster family (engine/raster.py rasterizes
+points INTO tiles, engine/tiles.py cuts vectors against tiles): compute, for
+every pixel of every tile, an aggregate over its (2r+1) x (2r+1) pixel
+neighborhood — the focal/convolution primitive behind smoothing, density
+surfaces, terrain derivatives and hotspot screens. The hard part at cluster
+scale is that a pixel's window crosses tile borders, so tiles are not
+independent. Two physical plans, identical exact-integer results:
+
+kernel='halo' (production): classic distributed-raster HALO EXCHANGE. Each
+tile sends only the r-pixel-wide border strips its 8 neighbors need (edges
+r*res values, corners r*r), then one groupBy(tile) assembles a
+(res+2r)^2 padded grid and an integral-image pass computes every window sum
+in O(res^2) regardless of radius. Shuffle volume per tile is
+res^2 + 4*r*res + 4*r^2 — a (1 + 4r/res + ...) factor over the raster
+itself (+26% at res=16 r=1, +3% at res=256 r=1), and the per-tile combine
+is numpy over Arrow batches.
+
+kernel='scatter' (twin / small-radius fallback): convolution by scatter at
+the sparse-cell level — every nonzero cell broadcasts its count to the
+(2r+1)^2 windows that see it, one groupBy(cell) sums. Column-only (explode
+over a constant offset sequence), whole-stage codegen, trivially correct —
+but it moves nnz*(2r+1)^2 rows through the shuffle (9x the raster at r=1),
+which is exactly the cost halo exchange avoids. Kept as the oracle twin
+(its algebra transliterates to the DuckDB twin focal_sum_sql) and
+parity-gate for the halo path.
+
+Both paths use ZERO padding outside the union of input tiles (absent
+neighbors contribute nothing) and emit one output row per INPUT tile —
+focal_sum does not invent tiles beyond the input extent, so output
+cardinality equals input cardinality.
+
+The reference has no raster operator; this extends the brief's raster x
+vector axis. Reference provenance: nearest analog is the cell-rollup
+aggregation (SURVEY.md section 2.7), which is pointwise — focal is the
+neighborhood generalization.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _focal_sum_scatter(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+    """Column-only scatter plan: explode nonzero cells to global coords,
+    re-emit each into every window that sees it, sum per cell, re-densify on
+    the input tile set."""
+    r = radius
+    cells = tiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "n")
+    ).filter(F.col("n") != 0)
+    cells = cells.select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + (F.col("pix") / res).cast("int")).alias("gy"),
+        "n",
+    )
+    offs = F.explode(F.sequence(F.lit(-r), F.lit(r)))
+    scattered = (
+        cells.select("gx", "gy", "n", offs.alias("dx"))
+        .select("gx", "gy", "n", "dx", offs.alias("dy"))
+        .groupBy(
+            (F.col("gx") + F.col("dx")).alias("gx"),
+            (F.col("gy") + F.col("dy")).alias("gy"),
+        )
+        .agg(F.sum("n").alias("fs"))
+    )
+    # re-densify per input tile (absent sums are zero); same map-lookup
+    # assembly as raster.heatmap_tiles
+    target = scattered.select(
+        (F.floor(F.col("gx") / res)).cast("long").alias("tx"),
+        (F.floor(F.col("gy") / res)).cast("long").alias("ty"),
+        (
+            F.pmod(F.col("gy"), res).cast("int") * res
+            + F.pmod(F.col("gx"), res).cast("int")
+        ).alias("pix"),
+        "fs",
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("pix", "fs")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
+    )
+    sums = target.groupBy("tx", "ty").agg(dense.alias("focal"))
+    return tiles.select("tx", "ty").join(sums, ["tx", "ty"], "left").select(
+        "tx",
+        "ty",
+        F.coalesce(
+            F.col("focal"),
+            F.array_repeat(F.lit(0).cast("long"), res * res),
+        ).alias("focal"),
+    )
+
+
+def _strip_exprs(res: int, r: int):
+    """(dx, dy) -> Column extracting the border strip of `counts` a neighbor
+    at that offset needs, as a flat row-major array. dx=dy=0 is the full
+    tile. A neighbor at (dx, dy) sees this tile's side OPPOSITE to the
+    offset direction: e.g. the neighbor to the east (dx=+1... of the target)
+    receives this tile's WEST columns. Here (dx, dy) is the offset FROM this
+    tile TO the target, so the strip is taken from the side facing the
+    target: dx=+1 -> this tile's east columns px in [res-r, res)."""
+    c = F.col("counts")
+
+    def pick(idx_cols):
+        return F.transform(idx_cols, lambda i: F.element_at(c, i + 1))
+
+    def xs(dx):
+        return range(res - r, res) if dx > 0 else range(0, r)
+
+    def ys(dy):
+        return range(res - r, res) if dy > 0 else range(0, r)
+
+    out = {}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                out[(0, 0)] = c
+            elif dx == 0:
+                # horizontal strip: r full rows, contiguous in row-major
+                start = (res - r) * res if dy > 0 else 0
+                out[(dx, dy)] = F.slice(c, start + 1, r * res)
+            elif dy == 0:
+                idx = [py * res + px for py in range(res) for px in xs(dx)]
+                out[(dx, dy)] = pick(F.array(*[F.lit(i) for i in idx]))
+            else:
+                idx = [py * res + px for py in ys(dy) for px in xs(dx)]
+                out[(dx, dy)] = pick(F.array(*[F.lit(i) for i in idx]))
+    return out
+
+
+def _focal_sum_halo(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+    """Halo-exchange plan. Stage 1 (no shuffle): per tile, generate <= 9
+    addressed contributions — the full grid to itself, border strips to the
+    8 neighbors. Stage 2 (the one shuffle): groupBy target tile; an Arrow
+    kernel scatters the strips into a zero-padded (res+2r)^2 grid and takes
+    box sums via an integral image. Tiles with no center contribution
+    (a strip addressed to a tile absent from the input) are dropped, so the
+    output tile set equals the input tile set."""
+    r = radius
+    strips = _strip_exprs(res, r)
+    contrib = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                strip.alias("vals"),
+            )
+            for (dx, dy), strip in strips.items()
+        ]
+    )
+    routed = tiles.select(
+        "tx", "ty", F.explode(contrib).alias("c")
+    ).select(
+        (F.col("tx") + F.col("c.dx")).alias("tx"),
+        (F.col("ty") + F.col("c.dy")).alias("ty"),
+        F.col("c.dx").alias("dx"),
+        F.col("c.dy").alias("dy"),
+        F.col("c.vals").alias("vals"),
+    )
+
+    pad = res + 2 * r
+    schema = T.StructType(
+        [
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("focal", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        dxs = pdf["dx"].to_numpy()
+        dys = pdf["dy"].to_numpy()
+        center = (dxs == 0) & (dys == 0)
+        if not center.any():
+            return pd.DataFrame({"tx": [], "ty": [], "focal": []}).astype(
+                {"tx": "int64", "ty": "int64", "focal": "object"}
+            )
+        halo = np.zeros((pad, pad), dtype=np.int64)
+        for dx, dy, vals in zip(dxs, dys, pdf["vals"]):
+            v = np.asarray(vals, dtype=np.int64)
+            # a contribution that travelled (dx, dy) lands on the OPPOSITE
+            # side of the target's halo: it came FROM tile (tx-dx, ty-dy)
+            if dx == 0 and dy == 0:
+                halo[r : r + res, r : r + res] = v.reshape(res, res)
+            elif dx == 0:
+                block = v.reshape(r, res)
+                rows = slice(r + res, pad) if dy < 0 else slice(0, r)
+                halo[rows, r : r + res] = block
+            elif dy == 0:
+                block = v.reshape(res, r)
+                cols = slice(r + res, pad) if dx < 0 else slice(0, r)
+                halo[r : r + res, cols] = block
+            else:
+                block = v.reshape(r, r)
+                rows = slice(r + res, pad) if dy < 0 else slice(0, r)
+                cols = slice(r + res, pad) if dx < 0 else slice(0, r)
+                halo[rows, cols] = block
+        # integral image: window sums for every interior pixel in O(pad^2)
+        ii = np.zeros((pad + 1, pad + 1), dtype=np.int64)
+        np.cumsum(halo, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        w = 2 * r + 1
+        focal = (
+            ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
+        ).reshape(-1)
+        return pd.DataFrame(
+            {"tx": [key[0]], "ty": [key[1]], "focal": [focal.tolist()]}
+        )
+
+    return routed.groupBy("tx", "ty").applyInPandas(assemble, schema)
+
+
+def focal_sum(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    kernel: str = "halo",
+) -> DataFrame:
+    """(tx, ty, counts: array<long>[res*res]) -> (tx, ty, focal:
+    array<long>[res*res]) where focal[py*res+px] = sum of counts over the
+    (2*radius+1)^2 global-pixel window centered there, zero-padded outside
+    the input tiles. Exact int64; kernel='halo' (border-strip exchange,
+    production) and kernel='scatter' (Column-only twin) agree exactly.
+    focal_mean = focal / (2r+1)^2 is left to the caller (exactness)."""
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    if kernel == "scatter":
+        return _focal_sum_scatter(tiles, res, radius)
+    if kernel == "halo":
+        return _focal_sum_halo(tiles, res, radius)
+    raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
+
+
+def focal_sum_sql(tiles_table: str, res: int, radius: int = 1) -> str:
+    """DuckDB twin of focal_sum (scatter algebra): unnest to global cells,
+    offset cross join, sum per cell, re-densify on the input tile set."""
+    r = radius
+    return f"""
+        WITH cells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS n
+          FROM {tiles_table}, range(0, {res * res}) t(i)
+          WHERE counts[i + 1] <> 0
+        ), offs AS (
+          SELECT dx.o AS dx, dy.o AS dy
+          FROM range(-{r}, {r + 1}) dx(o), range(-{r}, {r + 1}) dy(o)
+        ), sums AS (
+          SELECT gx + dx AS gx, gy + dy AS gy, SUM(n)::BIGINT AS fs
+          FROM cells, offs GROUP BY 1, 2
+        ), target AS (
+          SELECT CAST(FLOOR(gx / {res}.0) AS BIGINT) AS tx,
+                 CAST(FLOOR(gy / {res}.0) AS BIGINT) AS ty,
+                 CAST((gy % {res} + {res}) % {res} AS INT) * {res}
+                   + CAST((gx % {res} + {res}) % {res} AS INT) AS pix,
+                 fs
+          FROM sums
+        ), dense AS (
+          SELECT tx, ty, MAP(list(pix), list(fs)) AS m
+          FROM target GROUP BY 1, 2
+        )
+        SELECT t.tx, t.ty,
+               COALESCE(
+                 list_transform(range(0, {res * res}),
+                                i -> COALESCE(m[i][1], 0)::BIGINT),
+                 list_transform(range(0, {res * res}), i -> 0::BIGINT)
+               ) AS focal
+        FROM {tiles_table} t LEFT JOIN dense d USING (tx, ty)
+    """

@@ -1,0 +1,123 @@
+"""engine.focal: halo-exchange vs scatter vs Python + DuckDB oracles."""
+
+import random
+
+import pytest
+
+from engine import focal
+from tests.conftest import spark  # noqa: F401
+
+
+def _py_focal(tiles, res, r):
+    """tiles: {(tx, ty): [res*res ints]} -> same keys, box-window sums with
+    zero padding outside the tile union."""
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            if n:
+                cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for (tx, ty), _grid in tiles.items():
+        g = [0] * (res * res)
+        for py in range(res):
+            for px in range(res):
+                gx, gy = tx * res + px, ty * res + py
+                s = 0
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        s += cells.get((gx + dx, gy + dy), 0)
+                g[py * res + px] = s
+        out[(tx, ty)] = g
+    return out
+
+
+def _rand_tiles(rng, res, n_tiles, span=4, density=0.3):
+    """Sparse random tile set incl. negative coords, gaps, an all-zero tile."""
+    keys = set()
+    while len(keys) < n_tiles:
+        keys.add((rng.randint(-span, span), rng.randint(-span, span)))
+    tiles = {}
+    for k in keys:
+        grid = [
+            rng.randint(1, 99) if rng.random() < density else 0
+            for _ in range(res * res)
+        ]
+        tiles[k] = grid
+    # force one all-zero tile (left-join zero-fill path)
+    tiles[next(iter(tiles))] = [0] * (res * res)
+    return tiles
+
+
+def _mk_df(spark, tiles):
+    return spark.createDataFrame(
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+        "tx long, ty long, counts array<long>",
+    )
+
+
+def _collect(df):
+    return {(r["tx"], r["ty"]): list(r["focal"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_matches_python_oracle(spark, kernel, radius):
+    rng = random.Random(42 + radius)
+    res = 8
+    tiles = _rand_tiles(rng, res, 12)
+    df = _mk_df(spark, tiles).repartition(5)
+    got = _collect(focal.focal_sum(df, res, radius=radius, kernel=kernel))
+    want = _py_focal(tiles, res, radius)
+    assert got == want
+
+
+def test_halo_equals_scatter_bigger_grid(spark):
+    rng = random.Random(7)
+    res = 16
+    tiles = _rand_tiles(rng, res, 20, span=6, density=0.5)
+    df = _mk_df(spark, tiles).repartition(7)
+    a = _collect(focal.focal_sum(df, res, radius=1, kernel="halo"))
+    b = _collect(focal.focal_sum(df, res, radius=1, kernel="scatter"))
+    assert a == b
+    assert set(a) == set(tiles)
+
+
+def test_isolated_tile_interior_only(spark):
+    # a lone tile: the window never sees a neighbor, so focal == local conv
+    res, r = 4, 1
+    grid = list(range(16))
+    tiles = {(100, -100): grid}
+    df = _mk_df(spark, tiles)
+    got = _collect(focal.focal_sum(df, res, radius=r, kernel="halo"))
+    assert got == _py_focal(tiles, res, r)
+
+
+def test_sql_twin_matches_spark(spark):
+    import duckdb
+
+    rng = random.Random(99)
+    res = 8
+    tiles = _rand_tiles(rng, res, 10)
+    df = _mk_df(spark, tiles)
+    got = _collect(focal.focal_sum(df, res, radius=1, kernel="halo"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    want = {
+        (r[0], r[1]): list(r[2])
+        for r in con.execute(focal.focal_sum_sql("tiles", res, 1)).fetchall()
+    }
+    assert got == want
+
+
+def test_validation(spark):
+    df = _mk_df(spark, {(0, 0): [0] * 16})
+    with pytest.raises(ValueError):
+        focal.focal_sum(df, 4, radius=0)
+    with pytest.raises(ValueError):
+        focal.focal_sum(df, 4, radius=4)
+    with pytest.raises(ValueError):
+        focal.focal_sum(df, 4, kernel="nope")
