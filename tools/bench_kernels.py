@@ -666,9 +666,66 @@ def part_phash() -> None:
     print(_json.dumps(out))
 
 
+def part_traj() -> None:
+    """Trajectory ops at scale, local[32]: 16M fixes over 100k entities (160
+    points each, ~1 trip per ~8 points via gap mixture). One entity-key
+    shuffle drives lag + trip windows + the per-trip aggregate."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import trajectory
+
+    out = {}
+    spark = _spark("bench-traj")
+    n = int(os.environ.get("TRAJ_BENCH_ROWS", "16000000"))
+    n_ent = n // 160
+    key = F.col("id")
+    # per-entity monotone ts: base + cumulative-ish gaps from the key hash
+    # (each point's offset grows with its sequence index; every ~8th gap is
+    # > the 30-min split threshold)
+    # 5-min cadence with a 90-min bump every 16th point: exactly 10 trips
+    # per entity at the 30-min threshold (seq 0 starts; splits at 16,32..144)
+    seq = key % 160
+    ts = (seq * 5 + (seq / 16).cast("long") * 90).cast("long") * 60_000_000
+    fixes = spark.range(0, n, 1, 64).select(
+        (key / 160).cast("long").alias("entity_id"),
+        ts.alias("ts_us"),
+        ((F.pmod(F.xxhash64(key, F.lit(1)), 360000)) / 1000.0 - 180.0).alias("lon"),
+        ((F.pmod(F.xxhash64(key, F.lit(2)), 170000)) / 1000.0 - 85.0).alias("lat"),
+    ).persist()
+    fixes.count()
+    t0 = time.time()
+    trips = trajectory.trip_segments(fixes, gap_minutes=30.0)
+    agg = trips.agg(
+        F.count("*").alias("trips"),
+        F.sum("n_points").alias("pts"),
+        F.sum("length_mm").alias("mm"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["pts"] == n
+    assert agg["trips"] == 10 * n_ent  # the planted trip structure, exactly
+    out["trips"] = {
+        "wall_s": round(wall, 2), "fixes": n, "entities": n_ent,
+        "trips": agg["trips"], "total_km": round(agg["mm"] / 1e9),
+        "fixes_per_sec": round(n / wall),
+    }
+    t0 = time.time()
+    eps = trajectory.dwell_episodes(fixes, speed_mps_max=200.0,
+                                    min_duration_minutes=30.0)
+    n_eps = eps.count()
+    wall = time.time() - t0
+    out["dwells"] = {"wall_s": round(wall, 2), "episodes": n_eps,
+                     "fixes_per_sec": round(n / wall)}
+    fixes.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "traj": part_traj,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
