@@ -238,6 +238,90 @@ def focal_sum(
     raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
 
 
+def gi_star(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the tile raster: for every pixel,
+    how extreme its (2r+1)^2 window sum is against the global distribution
+    of cell values. Binary weights incl. self; the study area is the union
+    of input-tile pixels (n = n_tiles * res^2), and windows are truncated at
+    the study-area edge — the per-pixel in-area window size W comes from a
+    second focal pass over the constant-1 indicator raster, so edge pixels
+    get the correct (smaller) expectation instead of a zero-padding bias.
+
+        Gi* = (S_w - mean * W) / (sd * sqrt((n*W - W^2) / (n-1)))
+
+    with S_w the focal sum, mean/sd the global population moments. All
+    inputs to the formula (S_w, W, n, sum, sum of squares) are exact int64
+    from the two focal passes + one aggregate; only the final z is floating
+    point. Output (tx, ty, z array<double>[res^2]); z is null where the
+    denominator vanishes (constant raster, or W == n). Cost: two focal
+    passes + one broadcast of 4 global scalars."""
+    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_fs"
+    )
+    ones = tiles.select(
+        "tx",
+        "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_wn"
+    )
+    cell_sum = F.aggregate("counts", F.lit(0).cast("long"), lambda a, v: a + v)
+    cell_sq = F.aggregate(
+        "counts", F.lit(0).cast("long"), lambda a, v: a + v * v
+    )
+    g = tiles.agg(
+        F.count("*").alias("_tiles"),
+        F.sum(cell_sum).alias("_sum"),
+        F.sum(cell_sq).alias("_sumsq"),
+    ).collect()[0]
+    n = g["_tiles"] * res * res
+    if n < 2:
+        raise ValueError("gi_star needs a study area of >= 2 cells")
+    mean = g["_sum"] / n
+    var = g["_sumsq"] / n - mean * mean
+    sd = float(np.sqrt(max(var, 0.0)))
+    nn = float(n)
+
+    def z(fs: Column, wn: Column) -> Column:
+        denom = F.lit(sd) * F.sqrt(
+            (F.lit(nn) * wn - wn * wn) / F.lit(nn - 1.0)
+        )
+        return F.when(denom > 0.0, (fs - F.lit(mean) * wn) / denom)
+
+    return f.join(w, ["tx", "ty"]).select(
+        "tx", "ty", F.zip_with("_fs", "_wn", z).alias("z")
+    )
+
+
+def hot_cells(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    z_min: float = 2.576,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Sparse hotspot extraction: explode gi_star and keep global pixels
+    with z >= z_min (default: the 99% one-sided normal quantile). Returns
+    (gx, gy, z) — the operator a screening pipeline actually materializes,
+    bounded by the true hotspot count rather than raster size."""
+    zs = gi_star(tiles, res, radius=radius, kernel=kernel)
+    return (
+        zs.select("tx", "ty", F.posexplode("z").alias("pix", "z"))
+        .filter(F.col("z") >= z_min)
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + (F.col("pix") / res).cast("int")).alias("gy"),
+            "z",
+        )
+    )
+
+
 def focal_sum_sql(tiles_table: str, res: int, radius: int = 1) -> str:
     """DuckDB twin of focal_sum (scatter algebra): unnest to global cells,
     offset cross join, sum per cell, re-densify on the input tile set."""

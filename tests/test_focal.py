@@ -113,6 +113,67 @@ def test_sql_twin_matches_spark(spark):
     assert got == want
 
 
+def _py_gi_star(tiles, res, r):
+    import math
+
+    vals = [v for g in tiles.values() for v in g]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+    fs = _py_focal(tiles, res, r)
+    ones = {k: [1] * (res * res) for k in tiles}
+    wn = _py_focal(ones, res, r)
+    out = {}
+    for k in tiles:
+        zs = []
+        for i in range(res * res):
+            w = wn[k][i]
+            denom = sd * math.sqrt((n * w - w * w) / (n - 1))
+            zs.append(None if denom <= 0 else (fs[k][i] - mean * w) / denom)
+        out[k] = zs
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_gi_star_matches_python(spark, kernel):
+    rng = random.Random(17)
+    res = 6
+    tiles = _rand_tiles(rng, res, 8, span=3, density=0.6)
+    df = _mk_df(spark, tiles).repartition(3)
+    got = {
+        (r["tx"], r["ty"]): list(r["z"])
+        for r in focal.gi_star(df, res, radius=1, kernel=kernel).collect()
+    }
+    want = _py_gi_star(tiles, res, 1)
+    assert set(got) == set(want)
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-12), k
+
+
+def test_hot_cells_finds_planted_hotspot(spark):
+    # flat background of 1s with one planted 3x3 block of 500s: the block's
+    # pixels must dominate the returned hotspots
+    res = 8
+    tiles = {(tx, ty): [1] * (res * res) for tx in range(3) for ty in range(3)}
+    g = tiles[(1, 1)]
+    for py in range(3, 6):
+        for px in range(3, 6):
+            g[py * res + px] = 500
+    df = _mk_df(spark, tiles)
+    hot = focal.hot_cells(df, res, radius=1, z_min=2.576).collect()
+    got = {(r["gx"], r["gy"]) for r in hot}
+    planted = {(res + px, res + py) for px in range(3, 6) for py in range(3, 6)}
+    assert planted <= got
+    # everything returned is within one window radius of the planted block
+    for gx, gy in got:
+        assert min(abs(gx - x) for x, _ in planted) <= 1
+        assert min(abs(gy - y) for _, y in planted) <= 1
+
+
 def test_validation(spark):
     df = _mk_df(spark, {(0, 0): [0] * 16})
     with pytest.raises(ValueError):

@@ -722,10 +722,81 @@ def part_traj() -> None:
     print(_json.dumps(out))
 
 
+def part_focal() -> None:
+    """Focal + pyramid at raster scale, local[32]: 16M points rasterized
+    onto a 64x64-tile grid at res=64 (4096 tiles x 4096 px ~= 16.8M cells,
+    ~1 pt/px), then A/B interleaved halo-vs-scatter focal_sum (r=1 and
+    r=2) and a 3-level pyramid_sum. Min-of-2 per config."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import focal, pyramid, raster
+
+    out = {}
+    spark = _spark("bench-focal")
+    n = int(os.environ.get("FOCAL_BENCH_ROWS", "16000000"))
+    pts = spark.range(0, n, 1, 64).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), 4096000) / 1000.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 4096000) / 1000.0).alias("y"),
+    )
+    tiles = raster.heatmap_tiles(pts, tile_size=64.0, res=64).persist()
+    n_tiles = tiles.count()
+    out["tiles"] = {"n_tiles": n_tiles, "points": n}
+
+    def run(kernel, radius):
+        t0 = time.time()
+        got = focal.focal_sum(tiles, 64, radius=radius, kernel=kernel)
+        s = got.agg(F.sum(F.aggregate(
+            "focal", F.lit(0).cast("long"), lambda a, v: a + v
+        )).alias("s")).collect()[0]["s"]
+        return time.time() - t0, s
+
+    for radius in (1, 2):
+        walls = {"halo": [], "scatter": []}
+        sums = set()
+        for _ in range(2):
+            for kern in ("halo", "scatter"):
+                w, s = run(kern, radius)
+                walls[kern].append(round(w, 2))
+                sums.add(s)
+        assert len(sums) == 1, sums  # exact halo==scatter parity at scale
+        out[f"focal_r{radius}"] = {
+            "halo_walls": walls["halo"],
+            "scatter_walls": walls["scatter"],
+            "halo_min": min(walls["halo"]),
+            "scatter_min": min(walls["scatter"]),
+            "checksum": next(iter(sums)),
+        }
+    t0 = time.time()
+    lv = (
+        pyramid.pyramid_sum(tiles, 64, levels=3)
+        .groupBy("level")
+        .agg(
+            F.count("*").alias("tiles"),
+            F.sum(F.aggregate(
+                "counts", F.lit(0).cast("long"), lambda a, v: a + v
+            )).alias("mass"),
+        )
+        .collect()
+    )
+    wall = time.time() - t0
+    masses = {r["level"]: r["mass"] for r in lv}
+    assert set(masses.values()) == {n}, masses  # conservation at every level
+    out["pyramid_3lv"] = {
+        "wall_s": round(wall, 2),
+        "tiles_per_level": {r["level"]: r["tiles"] for r in lv},
+    }
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "traj": part_traj,
+        "focal": part_focal,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
