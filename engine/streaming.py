@@ -311,6 +311,161 @@ def streaming_sessionize(
     )
 
 
+TRIP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType(), False),
+        T.StructField("trip_idx", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+        T.StructField("duration_us", T.LongType(), False),
+        T.StructField("n_points", T.LongType(), False),
+        T.StructField("length_mm", T.LongType(), False),
+    ]
+)
+
+_TRIP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_idx", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_lat", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("length_mm", T.LongType()),
+    ]
+)
+
+
+def streaming_trip_segments(
+    stream: DataFrame,
+    key: str = "entity_id",
+    ts: str = "event_time",
+    lon: str = "lon",
+    lat: str = "lat",
+    gap_minutes: float = 30.0,
+    watermark: str | None = None,
+):
+    """Streaming twin of engine.trajectory.trip_segments: per-entity
+    gap-split trips over a fix stream, closed trips emitted as soon as the
+    closing gap is OBSERVED (a later fix arrives) or PROVEN (the event-time
+    timeout at last_fix + gap fires once the watermark passes it — the open
+    tail trip then flushes exactly like the batch twin's last trip, and the
+    state entry is removed, bounding the store by the watermark-active
+    entity set, same design as streaming_sessionize).
+
+    State per entity is seven scalars: (trip_idx, start_us, last_us,
+    last_lon, last_lat, n, length_mm). Legs accumulate as per-leg
+    FLOOR-scaled integer millimeters with the exact haversine expression
+    order of the batch twin (math.* is the same libm the JVM and DuckDB
+    call), so length_mm is bit-identical to batch — integer accumulation
+    makes it arrival-batching-invariant too.
+
+    Parity contract: batch == streaming (asserted in tests) when each
+    entity's fixes arrive in event-time order ACROSS micro-batches (fixes
+    within one batch are sorted before folding, so in-batch disorder is
+    fine). A cross-batch late fix cannot retro-split or re-measure already
+    folded legs: it is absorbed as a leg from the current trip head, the
+    documented divergence — widen the source's ordering guarantee, not this
+    operator, if that matters. Events later than `watermark` (default: the
+    gap) are dropped by the engine upstream, as with streaming_sessionize."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .joins import _DEG2RAD_F, EARTH_RADIUS_M
+
+    gap_us = int(gap_minutes * 60_000_000)
+    gap_ms = int(gap_minutes * 60_000)
+    if watermark is None:
+        mins = max(int(math.ceil(gap_minutes)), 1)
+        watermark = f"{mins} minutes"
+
+    def hav_mm(lon1, lat1, lon2, lat2) -> int:
+        dphi = (lat2 - lat1) * _DEG2RAD_F
+        dlam = (lon2 - lon1) * _DEG2RAD_F
+        a = (
+            math.sin(dphi / 2.0) * math.sin(dphi / 2.0)
+            + math.cos(lat1 * _DEG2RAD_F)
+            * math.cos(lat2 * _DEG2RAD_F)
+            * math.sin(dlam / 2.0)
+            * math.sin(dlam / 2.0)
+        )
+        return int(
+            math.floor(2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a)) * 1000.0)
+        )
+
+    def close_row(eid, st):
+        trip_idx, start, last, _lo, _la, n, mm = st
+        return (eid, trip_idx, start, last, last - start, n, mm)
+
+    def fn(key_t, pdfs, state: GroupState):
+        import pandas as pd
+
+        eid = key_t[0]
+        if state.hasTimedOut:
+            if state.exists:
+                st = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [close_row(eid, st)], columns=TRIP_OUT_SCHEMA.names
+                )
+            return
+        fixes = []
+        for pdf in pdfs:
+            t_us = (
+                pdf[ts].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()
+            fixes.extend(zip(t_us, pdf[lon].tolist(), pdf[lat].tolist()))
+        fixes.sort()
+        st = state.get if state.exists else None
+        closed = []
+        for t, lo, la in fixes:
+            if st is None:
+                st = (1, t, t, lo, la, 1, 0)
+            else:
+                trip_idx, start, last, plon, plat, n, mm = st
+                if t - last > gap_us:
+                    closed.append(close_row(eid, st))
+                    st = (trip_idx + 1, t, t, lo, la, 1, 0)
+                else:
+                    st = (
+                        trip_idx,
+                        min(start, t),
+                        max(last, t),
+                        lo,
+                        la,
+                        n + 1,
+                        mm + hav_mm(plon, plat, lo, la),
+                    )
+        state.update(st)
+        state.setTimeoutTimestamp(
+            max(
+                (st[2] + 999) // 1000 + gap_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if closed:
+            yield pd.DataFrame(closed, columns=TRIP_OUT_SCHEMA.names)
+
+    return (
+        stream.selectExpr(
+            f"CAST({key} AS LONG) AS entity_id",
+            f"{ts} AS {ts}",
+            f"CAST({lon} AS DOUBLE) AS {lon}",
+            f"CAST({lat} AS DOUBLE) AS {lat}",
+        )
+        .withWatermark(ts, watermark)
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            fn,
+            TRIP_OUT_SCHEMA,
+            _TRIP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def write_stream_to_table(
     stream: DataFrame,
     location: str,
