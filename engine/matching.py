@@ -1,0 +1,191 @@
+"""Map matching: snap GPS fixes to the nearest road segment, compress routes.
+
+The trajectory x road-network composition: geotagged fix streams
+(engine/trajectory.py) meet the polyline machinery (engine/lines.py). Two
+operators, all Column algebra (the only Python is in tests):
+
+- snap_to_segments: for every fix, the nearest polyline segment within
+  `radius` (planar), plus the perpendicular foot point and distance. The
+  candidate set comes from the same broadcast cell cover line_radius_join
+  uses (point side scanned ONCE, never shuffled — the fix table is the
+  100 TB side); the argmin is one window over candidates keyed by fix.
+  Deterministic tie-break: (dist2, line_id, seg_idx) — equidistant
+  segments resolve the same way in every engine.
+
+- match_routes: trips (engine.trajectory.trip_segments semantics) with each
+  fix snapped, compressed to the ordered sequence of DISTINCT consecutive
+  line ids (a route), plus match quality (share of fixes that snapped).
+  Unsnapped fixes (no segment within radius) keep the trip alive but
+  contribute no route step.
+
+This is nearest-feature matching, not HMM/Viterbi matching (no transition
+model): the right primitive for dense urban networks at petabyte fix volume,
+and the building block a Viterbi layer would rank candidates from (the
+emission set here IS the per-fix candidate list before the argmin).
+
+Scale: candidates = fixes x (covered cells' segments) via one broadcast
+join; the argmin window shuffles candidate rows by fix id once. Road
+networks (10^7 segments) broadcast at ~100 MB; beyond that, the cover join
+falls back to a shuffled equi-join — same plan shape as
+engine.joins.pip_join's fallback.
+
+The reference has no matching operator (SURVEY.md section 2 nearest analog:
+the propagation equi-join J1); this extends the brief's trajectory axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lines import _cell, line_cover, line_segments
+
+
+def _proj(px, py, ax, ay, bx, by):
+    """Clamped projection of p onto segment ab: (t, qx, qy, dist2) Columns.
+    Degenerate (a==b) segments project to a."""
+    vx, vy = bx - ax, by - ay
+    den = vx * vx + vy * vy
+    t_raw = F.when(den > 0.0, ((px - ax) * vx + (py - ay) * vy) / den).otherwise(
+        F.lit(0.0)
+    )
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    qx = ax + t * vx
+    qy = ay + t * vy
+    d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+    return t, qx, qy, d2
+
+
+def snap_to_segments(
+    fixes: DataFrame,
+    lines: DataFrame,
+    radius: float,
+    fix_id: str = "fix_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    line_id: str = "line_id",
+    pts_col: str = "pts",
+    cell_size: float | None = None,
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """(fix_id, x, y) x (line_id, pts) -> one row per fix that has at least
+    one segment within `radius`: (fix_id, line_id, seg_idx, t, snap_x,
+    snap_y, dist2). dist2 is the squared planar distance (exact argmin
+    currency — taking sqrt only weakens cross-engine reproducibility)."""
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    s = float(cell_size) if cell_size is not None else max(1.0, float(radius))
+    segs = line_segments(lines, id_col=line_id, pts_col=pts_col)
+    cover = line_cover(segs, radius, cell_size=s, keep_segments=True)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    p = fixes.select(
+        F.col(fix_id).alias("fix_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    ).withColumn("cell", _cell(F.col("_px"), F.col("_py"), s))
+    t, qx, qy, d2 = _proj(
+        F.col("_px"), F.col("_py"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+    )
+    cand = (
+        p.join(cover, "cell")
+        .select(
+            "fix_id", "line_id", "seg_idx",
+            t.alias("t"), qx.alias("snap_x"), qy.alias("snap_y"),
+            d2.alias("dist2"),
+        )
+        .filter(F.col("dist2") <= float(radius) * float(radius))
+    )
+    w = Window.partitionBy("fix_id").orderBy("dist2", "line_id", "seg_idx")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def match_routes(
+    fixes: DataFrame,
+    lines: DataFrame,
+    radius: float,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    x_col: str = "x",
+    y_col: str = "y",
+    gap_minutes: float = 30.0,
+    line_id: str = "line_id",
+    pts_col: str = "pts",
+) -> DataFrame:
+    """Per (entity, trip): the matched route. Fixes split into trips with
+    the exact trip_segments gap rule (same lag window), each fix snapped via
+    snap_to_segments; the route is the time-ordered line-id sequence with
+    consecutive duplicates collapsed (unsnapped fixes emit no step). Output:
+    (entity_id, trip_idx, route array<long-or-string>, n_points, n_matched,
+    steps). Deterministic: in-trip order is (ts, x, y)."""
+    gap_us = int(gap_minutes * 60_000_000)
+    pts = fixes.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    ow = Window.partitionBy("_id").orderBy("_ts", "_x", "_y")
+    run = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # deterministic fix key (mid() would not survive recomputation of the
+    # two plan branches that join back together below)
+    pts = pts.withColumn(
+        "_fid", F.struct(F.col("_id"), F.row_number().over(ow))
+    ).withColumn(
+        "trip_idx",
+        F.sum(
+            (
+                F.lag("_ts").over(ow).isNull()
+                | ((F.col("_ts") - F.lag("_ts").over(ow)) > gap_us)
+            ).cast("long")
+        ).over(run),
+    )
+    snapped = snap_to_segments(
+        pts,
+        lines,
+        radius,
+        fix_id="_fid",
+        x_col="_x",
+        y_col="_y",
+        line_id=line_id,
+        pts_col=pts_col,
+    ).select(F.col("fix_id").alias("_fid"), F.col("line_id").alias("_line"))
+    j = pts.join(snapped, "_fid", "left")
+    # collapse consecutive duplicate line ids within the trip (nulls emit
+    # nothing and do NOT break a run: a brief radius dropout on the same
+    # road is not a new route step)
+    tw = Window.partitionBy("_id", "trip_idx").orderBy("_ts", "_x", "_y")
+    lastline = F.last("_line", ignorenulls=True).over(
+        tw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    step = (
+        F.col("_line").isNotNull()
+        & (lastline.isNull() | (F.col("_line") != lastline))
+    ).cast("long")
+    stepped = j.withColumn("_step", step)
+    return (
+        stepped.groupBy(F.col("_id").alias(id_col), "trip_idx")
+        .agg(
+            F.array_compact(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_step") == 1,
+                                F.struct("_ts", "_x", "_y", "_line"),
+                            )
+                        )
+                    ),
+                    lambda st: st["_line"],
+                )
+            ).alias("route"),
+            F.count("*").alias("n_points"),
+            F.count("_line").alias("n_matched"),
+            F.sum("_step").alias("steps"),
+        )
+    )
