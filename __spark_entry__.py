@@ -662,6 +662,357 @@ def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOTSPOT_RES = 8
+_HOTSPOT_TILE = 90.0
+
+
+def _hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared raster input for hotspot_cells / tile_pyramid: document anchor
+    points binned onto a 90-degree tile grid at res=8 (engine.raster.
+    heatmap_tiles — half-open cells, dense int64 counts per nonempty tile)."""
+    from engine import raster
+
+    pts = _docs_points(spark, sf_dir)
+    return raster.heatmap_tiles(
+        pts, tile_size=_HOTSPOT_TILE, res=_HOTSPOT_RES, x_col="lon", y_col="lat"
+    )
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize -> focal -> Getis-Ord Gi* end to end on the PRODUCTION halo
+    kernel (engine.raster.heatmap_tiles + engine.focal.focal_sum/gi_star):
+    one row per global pixel of the study area with its count, exact-int64
+    3x3 focal sum, and FLOOR-scaled Gi* z (the oracle recomputes the whole
+    pipeline with the independent scatter algebra + SQL moments; z is
+    bit-stable because every input to the formula is exact int64 and the
+    double expression graphs match op for op)."""
+    from engine import focal
+
+    res = _HOTSPOT_RES
+    tiles = _hotspot_tiles(spark, sf_dir)
+    fs = focal.focal_sum(tiles, res, radius=1, kernel="halo").withColumnRenamed(
+        "focal", "_fs"
+    )
+    zs = focal.gi_star(tiles, res, radius=1, kernel="halo")
+    j = tiles.join(fs, ["tx", "ty"]).join(zs, ["tx", "ty"])
+    ex = j.select(
+        "tx", "ty",
+        F.posexplode(F.arrays_zip("counts", "_fs", "z")).alias("pix", "v"),
+    )
+    return ex.select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).cast("long").alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long").alias("gy"),
+        F.col("v.counts").cast("long").alias("n"),
+        F.col("v._fs").cast("long").alias("fs"),
+        F.floor(F.col("v.z") * 1000000.0).cast("long").alias("z_e6"),
+    )
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup (engine.pyramid.pyramid_sum): levels 1..2 of 2x2
+    count-grid aggregation over the heatmap raster, exploded to nonzero
+    level-k global pixels (level, gx, gy, n); level 0 is the base raster
+    itself. The oracle aggregates every level STRAIGHT from base pixels with
+    floor-shifted coordinates — an independent derivation of the iterated
+    2x2 rollup."""
+    from engine import pyramid
+
+    res = _HOTSPOT_RES
+    tiles = _hotspot_tiles(spark, sf_dir)
+    base = tiles.select(
+        F.lit(0).cast("long").alias("level"), "tx", "ty", "counts"
+    )
+    lv = pyramid.pyramid_sum(tiles, res, levels=2).select(
+        F.col("level").cast("long").alias("level"), "tx", "ty", "counts"
+    )
+    ex = base.unionByName(lv).select(
+        "level", "tx", "ty", F.posexplode("counts").alias("pix", "n")
+    ).filter(F.col("n") != 0)
+    return ex.select(
+        "level",
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).cast("long").alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long").alias("gy"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_ROADS = [
+    (10, [(0.0, 5.0), (100.0, 5.0)]),
+    (20, [(0.0, 25.0), (100.0, 25.0)]),
+    (30, [(0.0, 45.0), (50.0, 45.0), (100.0, 55.0)]),
+    (40, [(50.0, 0.0), (50.0, 60.0)]),
+]
+_SNAP_RADIUS = 4.0
+_SNAP_GAP_MIN = 240.0
+
+
+def q_snap_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching end to end (engine.matching.match_routes): the events
+    stream as device fixes (md5-derived planar coords in the road box),
+    snapped to the nearest segment of a literal 4-road network within
+    radius 4 (cell-cover candidates + deterministic (dist2, line, seg)
+    argmin), trips split at >240 min gaps, routes compressed to distinct
+    consecutive line ids. The oracle recomputes snap as a full cross join +
+    window argmin and the route as an ordered string_agg — candidate
+    generation (cover) vs exhaustive enumeration is exactly the
+    completeness property under test."""
+    from engine import matching, textops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    hx = textops.cross_hash(eid, "md5")
+    hy = textops.cross_hash(F.concat(eid, F.lit("y")), "md5")
+    fixes = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        (F.pmod(hx, F.lit(100000)) / F.lit(1000.0)).alias("x"),
+        (F.pmod(hy, F.lit(60000)) / F.lit(1000.0)).alias("y"),
+    )
+    roads = spark.createDataFrame(
+        [(lid, [{"x": x, "y": y} for x, y in pts]) for lid, pts in _ROADS],
+        "line_id long, pts array<struct<x:double,y:double>>",
+    )
+    out = matching.match_routes(
+        fixes, roads, radius=_SNAP_RADIUS,
+        id_col="user_id", ts_col="ts_us", gap_minutes=_SNAP_GAP_MIN,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("trip_idx").cast("long").alias("trip_idx"),
+        F.array_join(
+            F.transform(F.col("route"), lambda s: s.cast("string")), "-"
+        ).alias("route_str"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("steps").cast("long").alias("steps"),
+    )
+
+
+def q_union_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 + J5 in one registry row (merged round 4 to free a slot — VERDICT
+    r3 item 6 discipline): the multi-way union halves tagged 'union', the
+    broadcast dim-decode halves tagged 'decode'. Each half is unchanged from
+    its previously-green standalone row."""
+    mu = q_multiway_union(spark, sf_dir).select(
+        F.lit("union").alias("op"),
+        F.col("l_linestatus").alias("k"),
+        "n",
+        "depth",
+    )
+    dd = q_dim_decode_join(spark, sf_dir).select(
+        F.lit("decode").alias("op"),
+        F.col("label").alias("k"),
+        "n",
+        F.lit(-1).cast("long").alias("depth"),
+    )
+    return mu.unionByName(dd)
+
+
+def _anchor_lonlat_sql() -> tuple[str, str]:
+    """The documents anchor lon/lat as DuckDB expressions (same formulas the
+    oracle preamble derives from the synthetic phash)."""
+    phash = cells.synth_phash_sql("doc_id")
+    lon = f"(({phash}) % 4294967296) / 4294967296.0 * 360.0 - 180.0"
+    lat = f"((({phash}) // 4294967296) % 2147483648) / 2147483648.0 * 180.0 - 90.0"
+    return lon, lat
+
+
+def _hotspot_tiles_cte() -> str:
+    """DuckDB twin of _hotspot_tiles (engine.raster.heatmap_tiles_sql over
+    the anchor points)."""
+    from engine import raster
+
+    lon, lat = _anchor_lonlat_sql()
+    # parenthesized: heatmap_tiles_sql splices x_expr into "{x_expr} / {s}",
+    # and these expressions end in a low-precedence "- 180.0"
+    return raster.heatmap_tiles_sql(
+        "documents", _HOTSPOT_TILE, _HOTSPOT_RES,
+        x_expr=f"({lon})", y_expr=f"({lat})",
+    )
+
+
+def hotspot_cells_sql() -> str:
+    """DuckDB twin of q_hotspot_cells: heatmap raster + the INDEPENDENT
+    scatter focal algebra (engine.focal.focal_sum_sql, twice — values and
+    the constant-1 window-size raster) + SQL-computed global moments; the
+    Gi* double expression mirrors engine.focal.gi_star op for op (all
+    inputs exact int64, so the z bits match)."""
+    from engine import focal
+
+    res = _HOTSPOT_RES
+    n_px = res * res
+    fs = focal.focal_sum_sql("tiles", res, 1)
+    ws = focal.focal_sum_sql("ones", res, 1)
+    return f"""
+        WITH tiles AS ({_hotspot_tiles_cte()}),
+        ones AS (
+          SELECT tx, ty,
+                 list_transform(range(0, {n_px}), i -> 1::BIGINT) AS counts
+          FROM tiles
+        ),
+        fsq AS ({fs}),
+        wq AS ({ws}),
+        g AS (
+          SELECT CAST(COUNT(*) * {n_px} AS DOUBLE) AS nn,
+                 COUNT(*) * {n_px} AS n,
+                 SUM(n_points)::BIGINT AS s
+          FROM tiles
+        ),
+        g2 AS (
+          SELECT SUM(c * c)::BIGINT AS ss
+          FROM (SELECT unnest(counts) AS c FROM tiles)
+        ),
+        mo0 AS (SELECT nn, s / n AS mean, ss / n AS msq FROM g, g2),
+        mo AS (
+          SELECT nn, mean, sqrt(greatest(msq - mean * mean, 0.0)) AS sd
+          FROM mo0
+        ),
+        px AS (
+          SELECT t.tx, t.ty, i AS pix,
+                 t.counts[i + 1] AS cnt,
+                 f.focal[i + 1] AS fs,
+                 w.focal[i + 1] AS wn
+          FROM tiles t
+          JOIN fsq f USING (tx, ty)
+          JOIN wq w USING (tx, ty), range(0, {n_px}) r(i)
+        )
+        SELECT tx * {res} + pix % {res} AS gx,
+               ty * {res} + pix // {res} AS gy,
+               cnt AS n, fs,
+               CASE WHEN sd * sqrt((nn * wn - wn * wn) / (nn - 1.0)) > 0.0
+                    THEN CAST(FLOOR(
+                           (fs - mean * wn)
+                             / (sd * sqrt((nn * wn - wn * wn) / (nn - 1.0)))
+                             * 1000000.0) AS BIGINT)
+               END AS z_e6
+        FROM px, mo
+    """
+
+
+def tile_pyramid_sql() -> str:
+    """DuckDB twin of q_tile_pyramid, derived independently: every level k
+    aggregates straight from base-level global pixels with floor-shifted
+    coordinates, never via iterated 2x2 rollups."""
+    res = _HOTSPOT_RES
+    per = []
+    for k in (1, 2):
+        f = 1 << k
+        per.append(f"""
+          SELECT {k}::BIGINT AS level,
+                 CAST(FLOOR(gx / {f}.0) AS BIGINT) AS gx,
+                 CAST(FLOOR(gy / {f}.0) AS BIGINT) AS gy,
+                 SUM(n)::BIGINT AS n
+          FROM cells GROUP BY 1, 2, 3""")
+    levels = " UNION ALL ".join(per)
+    return f"""
+        WITH tiles AS ({_hotspot_tiles_cte()}),
+        cells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS n
+          FROM tiles, range(0, {res * res}) t(i)
+          WHERE counts[i + 1] <> 0
+        )
+        SELECT 0::BIGINT AS level, gx, gy, n FROM cells
+        UNION ALL {levels}
+    """
+
+
+def snap_route_sql() -> str:
+    """DuckDB twin of q_snap_route: the snap argmin over the EXHAUSTIVE
+    fix x segment cross join (vs the engine's cell-cover candidates — cover
+    completeness is exactly what the hash check proves), projection algebra
+    mirroring engine.matching._proj op for op, then the same trip split +
+    consecutive-dup route compression as ordered string_agg."""
+    from engine import textops
+
+    hx = textops.cross_hash_sql("CAST(event_id AS VARCHAR)")
+    hy = textops.cross_hash_sql("CAST(event_id AS VARCHAR) || 'y'")
+    gap_us = int(_SNAP_GAP_MIN * 60_000_000)
+    r2 = repr(_SNAP_RADIUS * _SNAP_RADIUS)
+    rows = []
+    for lid, pts in _ROADS:
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            rows.append(
+                f"({lid}::BIGINT, {i}::BIGINT, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+            )
+    segs = ",\n            ".join(rows)
+    return f"""
+        WITH fixes AS (
+          SELECT CAST(user_id AS BIGINT) AS uid,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 (({hx}) % 100000) / 1000.0 AS x,
+                 (({hy}) % 60000) / 1000.0 AS y
+          FROM events
+        ), segs AS (
+          SELECT * FROM (VALUES
+            {segs}
+          ) AS t(line_id, seg_idx, ax, ay, bx, by)
+        ), cand0 AS (
+          SELECT uid, ts_us, x, y, line_id, seg_idx, ax, ay,
+                 bx - ax AS vx, by - ay AS vy
+          FROM fixes, segs
+        ), cand1 AS (
+          SELECT *, CASE WHEN vx * vx + vy * vy > 0.0
+                         THEN ((x - ax) * vx + (y - ay) * vy)
+                                / (vx * vx + vy * vy)
+                         ELSE 0.0 END AS t_raw
+          FROM cand0
+        ), cand2 AS (
+          SELECT *, ax + LEAST(GREATEST(t_raw, 0.0), 1.0) * vx AS qx,
+                    ay + LEAST(GREATEST(t_raw, 0.0), 1.0) * vy AS qy
+          FROM cand1
+        ), cand AS (
+          SELECT uid, ts_us, x, y, line_id, seg_idx,
+                 (x - qx) * (x - qx) + (y - qy) * (y - qy) AS d2
+          FROM cand2
+        ), best AS (
+          SELECT uid, ts_us, x, y, line_id
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY uid, ts_us, x, y
+                            ORDER BY d2, line_id, seg_idx) AS rn
+                FROM cand WHERE d2 <= {r2})
+          WHERE rn = 1
+        ), j AS (
+          SELECT f.uid, f.ts_us, f.x, f.y, b.line_id AS line
+          FROM fixes f LEFT JOIN best b USING (uid, ts_us, x, y)
+        ), tr0 AS (
+          SELECT *, LAG(ts_us) OVER (PARTITION BY uid ORDER BY ts_us, x, y)
+                      AS prev_ts
+          FROM j
+        ), tr AS (
+          SELECT uid, ts_us, x, y, line,
+                 CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR ts_us - prev_ts > {gap_us}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY uid ORDER BY ts_us, x, y
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS trip_idx
+          FROM tr0
+        ), st0 AS (
+          SELECT *, LAST_VALUE(line IGNORE NULLS)
+                      OVER (PARTITION BY uid, trip_idx ORDER BY ts_us, x, y
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS lastline
+          FROM tr
+        ), st AS (
+          SELECT *, CASE WHEN line IS NOT NULL
+                           AND (lastline IS NULL OR line <> lastline)
+                         THEN 1 ELSE 0 END AS step
+          FROM st0
+        )
+        SELECT uid AS user_id, trip_idx,
+               COALESCE(string_agg(CASE WHEN step = 1
+                                        THEN CAST(line AS VARCHAR) END, '-'
+                                   ORDER BY ts_us, x, y), '') AS route_str,
+               COUNT(*) AS n_points,
+               COUNT(line) AS n_matched,
+               CAST(SUM(step) AS BIGINT) AS steps
+        FROM st GROUP BY 1, 2
+    """
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy on content: keep min doc_id per text, report
     duplicate multiplicity (md5 is standard — identical across engines)."""
@@ -1254,9 +1605,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r3 item 6 discipline): union of the two hash-checked method
     results tagged by a method column. Each half is unchanged from its
     previously-green standalone row (q_ann_lsh / q_ann_ivf)."""
+    exact = q_cosine_topk(spark, sf_dir).withColumn("method", F.lit("exact"))
     lsh = q_ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
     ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    return exact.unionByName(lsh).unionByName(ivf)
 
 
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,6 +1954,31 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation summary + distinct-cells surface in one registry row (merged
+    round 4 to free a slot for the new geo rows): the per-lang selection
+    stats tagged 'cur', the per-resolution distinct-cell counts tagged
+    'cells'. Both halves unchanged from their previously-green standalone
+    rows; the tagged union keeps each hash-checked."""
+    cur = q_curation(spark, sf_dir).select(
+        F.lit("cur").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("n_selected").alias("a"),
+        F.col("total_tokens").alias("b"),
+        F.col("min_doc_id").alias("c"),
+        F.col("max_doc_id").alias("d"),
+    )
+    cells_half = q_distinct_cells(spark, sf_dir).select(
+        F.lit("cells").alias("part"),
+        F.col("res").cast("string").alias("k"),
+        F.col("n_cells").alias("a"),
+        F.col("n_points").alias("b"),
+        F.lit(-1).cast("long").alias("c"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    return cur.unionByName(cells_half)
+
+
 def q_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count surface: exact count_distinct per resolution (the
     approx_count_distinct sketch swaps in at scale — same plan shape, one
@@ -1638,8 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_taxonomy": q_change_taxonomy,
         "coalesce_changes": q_coalesce_changes,
         "asof_join": q_asof_join,
-        "multiway_union": q_multiway_union,
-        "dim_decode_join": q_dim_decode_join,
+        "union_decode": q_union_decode,
         "pip_rect": q_pip_rect,
         "pip_holes": q_pip_holes,
         "poly_overlay": q_poly_overlay,
@@ -1650,6 +2026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "line_join": q_line_join,
         "knn_haversine": q_knn_haversine,
+        "hotspot_cells": q_hotspot_cells,
+        "tile_pyramid": q_tile_pyramid,
+        "snap_route": q_snap_route,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
         "rollup_chain": q_rollup_chain,
@@ -1661,7 +2040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
         "tfidf": q_tfidf,
-        "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "phash_neardup": q_phash_neardup,
         "ann_recall": q_ann_recall,
@@ -1674,8 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "rel_window_ops": q_rel_window_ops,
         "sessionize": q_sessionize,
-        "curation": q_curation,
-        "distinct_cells": q_distinct_cells,
+        "curation": q_curation_cells,
         "streaming_suite": q_streaming_suite,
         "image_pipeline": q_image_pipeline,
     }
@@ -2218,24 +2595,30 @@ def oracle_sql() -> dict[str, str]:
               ) u
             ) t WHERE side = 1
         """,
-        "multiway_union": """
-            SELECT l_linestatus, COUNT(*) AS n, CAST(0 AS BIGINT) AS depth
-            FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus
+        "union_decode": """
+            SELECT 'union' AS op, l_linestatus AS k, n, depth FROM (
+              SELECT l_linestatus, COUNT(*) AS n, CAST(0 AS BIGINT) AS depth
+              FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus
+              UNION ALL
+              SELECT l_linestatus, COUNT(*) AS n, CAST(1 AS BIGINT) AS depth
+              FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_linestatus
+              UNION ALL
+              SELECT l_linestatus, COUNT(*) AS n, CAST(2 AS BIGINT) AS depth
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+            )
             UNION ALL
-            SELECT l_linestatus, COUNT(*) AS n, CAST(1 AS BIGINT) AS depth
-            FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_linestatus
-            UNION ALL
-            SELECT l_linestatus, COUNT(*) AS n, CAST(2 AS BIGINT) AS depth
-            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+            SELECT 'decode' AS op, label AS k, n, CAST(-1 AS BIGINT) AS depth FROM (
+              SELECT d.label AS label, COUNT(*) AS n
+              FROM events e
+              LEFT JOIN (VALUES ('click','Click'),('view','View'),('login','Login'),
+                                ('purchase','Purchase'),('error','Error')) AS d(event_type, label)
+                ON e.event_type = d.event_type
+              GROUP BY d.label
+            )
         """,
-        "dim_decode_join": """
-            SELECT d.label AS label, COUNT(*) AS n
-            FROM events e
-            LEFT JOIN (VALUES ('click','Click'),('view','View'),('login','Login'),
-                              ('purchase','Purchase'),('error','Error')) AS d(event_type, label)
-              ON e.event_type = d.event_type
-            GROUP BY d.label
-        """,
+        "hotspot_cells": hotspot_cells_sql(),
+        "tile_pyramid": tile_pyramid_sql(),
+        "snap_route": snap_route_sql(),
         "pip_rect": f"""
             SELECT CAST(r.rect_id AS BIGINT) AS rect_id, COUNT(*) AS n_points
             FROM (SELECT {lon} AS lon, {lat} AS lat FROM documents) p
@@ -2512,20 +2895,6 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
         """,
-        "cosine_topk": """
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(vec_id AS BIGINT) AS vec_id,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                                c.vec_id) AS rank
-              FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-              CROSS JOIN embeddings c
-            ) t WHERE rank <= 5
-        """,
         "rollup_chain": f"""
             WITH c11 AS (
               SELECT {cells.grid_encode_phash_sql(cells.synth_phash_sql('doc_id'), 11)} AS cell,
@@ -2636,7 +3005,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(us) AS BIGINT) AS end_us
             FROM s GROUP BY 1, 2
         """,
-        "curation": """
+        "curation": f"""
+            SELECT 'cur' AS part, lang AS k, n_selected AS a,
+                   total_tokens AS b, min_doc_id AS c, max_doc_id AS d
+            FROM (
             WITH scored AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, md5(text) AS fp,
                      len(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -2657,14 +3029,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
             FROM kept GROUP BY lang
-        """,
-        "distinct_cells": f"""
+        )
+            UNION ALL
+            SELECT 'cells' AS part, CAST(res AS VARCHAR) AS k, n_cells AS a,
+                   n_points AS b, CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d
+            FROM (
             SELECT CAST(7 AS BIGINT) AS res, COUNT(DISTINCT (7 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 33554432) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 16777216))) AS n_cells,
                    COUNT(*) AS n_points FROM documents
             UNION ALL
             SELECT CAST(9 AS BIGINT), COUNT(DISTINCT (9 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 8388608) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 4194304))), COUNT(*) FROM documents
             UNION ALL
             SELECT CAST(11 AS BIGINT), COUNT(DISTINCT (11 * 288230376151711744 + (((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) % 4294967296) // 2097152) * 536870912 + ((((((CAST(doc_id AS BIGINT) * 134775813 + 1) % 2147483648) * 4294967296 + ((CAST(doc_id AS BIGINT) * 1103515245 + 12345) % 4294967296)) // 4294967296) % 2147483648) // 1048576))), COUNT(*) FROM documents
+        )
         """,
         "change_firstorder": change_firstorder_sql(),
         "change_pipeline": change_pipeline_sql(),
@@ -2695,6 +3071,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_ann": _geo_ann_oracle_sql(),
         "ann_topk": f"""
+            SELECT 'exact' AS method, query_id, vec_id, rank FROM (
+              SELECT CAST(query_id AS BIGINT) AS query_id,
+                     CAST(vec_id AS BIGINT) AS vec_id,
+                     CAST(rank AS BIGINT) AS rank
+              FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                  c.vec_id) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+                CROSS JOIN embeddings c
+              ) t WHERE rank <= 5
+            )
+            UNION ALL
             SELECT 'lsh' AS method, query_id, vec_id, rank
             FROM ({embedops_sql_ann_lsh()})
             UNION ALL

@@ -267,13 +267,13 @@ def main() -> None:
         "cell_grid", "trip_stats", "rollup_chain", "pip_rect", "pip_holes",
         "zonal_stats", "tile_assign", "tile_bundle", "geom_measures",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
-        "asof_join", "dedup_exact", "text_metrics", "tfidf", "cosine_topk", "knn",
-        "knn_haversine",
+        "asof_join", "dedup_exact", "text_metrics", "tfidf", "knn",
+        "knn_haversine", "hotspot_cells", "tile_pyramid", "snap_route",
         # dedup_cluster is registry-checked but excluded here for the same
         # reason as minhash_dedup: its md5 oracle-path pair generation is the
         # cost, not the CC rounds (CC scale evidence: BENCH/BASELINE.md)
         "sessionize", "rel_window_ops", "cosine_neardup",
-        "ngram_jaccard", "curation", "distinct_cells",
+        "ngram_jaccard", "curation",
     ]
     all_queries = entry_mod.queries()
     if os.environ.get("SPARK_GRAFT_BENCH_ALL_QUERIES", "0") != "1":
