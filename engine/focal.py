@@ -43,7 +43,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -320,6 +320,123 @@ def hot_cells(
             "z",
         )
     )
+
+
+def morans_i(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the tile raster under
+    binary (2r+1)^2 window weights EXCLUDING self, study area = the union of
+    input-tile pixels, windows truncated at the study-area edge (same
+    in-area W accounting as gi_star).
+
+        I = (n / W) * sum_i (x_i - m)(S_i - W_i m) / sum_i (x_i - m)^2
+
+    with S_i the window sum over neighbors of i, W_i its in-area neighbor
+    count, W = sum W_i, m the global mean. Everything reduces to SEVEN exact
+    int64 aggregates (n, sum x, sum x^2, sum x*S, sum x*W_i, sum S, sum W_i)
+    from two focal passes + one zipped fold, so the final double is
+    bit-stable across engines:
+
+        num = C - m*D - m*E + m*m*G     (C=sum xS, D=sum xW, E=sum S, G=sum W)
+        den = B - n*m*m                 (B=sum x^2)
+        I   = (n / G) * num / den
+
+    Returns one row (n_cells, w_sum, moran_i) — moran_i null on a constant
+    raster (den == 0) or when no pixel has any neighbor (G == 0). Cost: two
+    focal passes + one aggregate; scales exactly like focal_sum."""
+    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_fs"
+    )
+    ones = tiles.select(
+        "tx",
+        "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_wn"
+    )
+    j = tiles.join(f, ["tx", "ty"]).join(w, ["tx", "ty"])
+
+    def fold(pair_expr: Column) -> Column:
+        return F.aggregate(pair_expr, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    # neighbor-only window sums: S = fs - x, W_i = wn - 1 (self always in-area)
+    x, fs, wn = F.col("counts"), F.col("_fs"), F.col("_wn")
+    s_arr = F.zip_with(fs, x, lambda a, b: a - b)
+    wi_arr = F.transform(wn, lambda v: v - F.lit(1).cast("long"))
+    g = j.select(
+        fold(x).alias("_a"),
+        fold(F.zip_with(x, x, lambda a, b: a * b)).alias("_b"),
+        fold(F.zip_with(x, s_arr, lambda a, b: a * b)).alias("_c"),
+        fold(F.zip_with(x, wi_arr, lambda a, b: a * b)).alias("_d"),
+        fold(s_arr).alias("_e"),
+        fold(wi_arr).alias("_g"),
+    ).agg(
+        F.count("*").alias("_tiles"),
+        F.sum("_a").alias("a"),
+        F.sum("_b").alias("b"),
+        F.sum("_c").alias("c"),
+        F.sum("_d").alias("d"),
+        F.sum("_e").alias("e"),
+        F.sum("_g").alias("g"),
+    )
+    n = (F.col("_tiles") * (res * res)).cast("double")
+    m = F.col("a") / n
+    num = F.col("c") - m * F.col("d") - m * F.col("e") + m * m * F.col("g")
+    den = F.col("b") - n * m * m
+    gg = F.col("g").cast("double")
+    moran = F.when((den > 0.0) & (F.col("g") > 0), (n / gg) * num / den)
+    return g.select(
+        (F.col("_tiles") * (res * res)).cast("long").alias("n_cells"),
+        F.col("g").alias("w_sum"),
+        moran.alias("moran_i"),
+    )
+
+
+def morans_i_sql(tiles_table: str, res: int, radius: int = 1) -> str:
+    """DuckDB twin of morans_i: the same seven int64 aggregates from the
+    scatter focal algebra, the same double expression graph."""
+    n_px = res * res
+    fs = focal_sum_sql("t_in", res, radius)
+    ws = focal_sum_sql("t_ones", res, radius)
+    return f"""
+        WITH t_in AS (SELECT * FROM {tiles_table}),
+        t_ones AS (
+          SELECT tx, ty,
+                 list_transform(range(0, {n_px}), i -> 1::BIGINT) AS counts
+          FROM t_in
+        ),
+        fsq AS ({fs}),
+        wq AS ({ws}),
+        px AS (
+          SELECT t.counts[i + 1] AS x,
+                 f.focal[i + 1] - t.counts[i + 1] AS s,
+                 w.focal[i + 1] - 1 AS wi
+          FROM t_in t
+          JOIN fsq f USING (tx, ty)
+          JOIN wq w USING (tx, ty), range(0, {n_px}) r(i)
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n_int,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x)::BIGINT AS a, SUM(x * x)::BIGINT AS b,
+                 SUM(x * s)::BIGINT AS c, SUM(x * wi)::BIGINT AS d,
+                 SUM(s)::BIGINT AS e, SUM(wi)::BIGINT AS g
+          FROM px
+        )
+        SELECT n_int::BIGINT AS n_cells, g AS w_sum,
+               CASE WHEN (b - n * (a / n) * (a / n) > 0.0) AND g > 0
+                    THEN (n / CAST(g AS DOUBLE))
+                           * (c - (a / n) * d - (a / n) * e
+                              + (a / n) * (a / n) * g)
+                           / (b - n * (a / n) * (a / n))
+               END AS moran_i
+        FROM agg
+    """
 
 
 def focal_sum_sql(tiles_table: str, res: int, radius: int = 1) -> str:

@@ -154,6 +154,78 @@ def test_gi_star_matches_python(spark, kernel):
                 assert a == pytest.approx(b, rel=1e-12), k
 
 
+def _py_morans(tiles, res, r):
+    fs = _py_focal(tiles, res, r)
+    ones = {k: [1] * (res * res) for k in tiles}
+    wn = _py_focal(ones, res, r)
+    xs = [
+        (tiles[k][i], fs[k][i] - tiles[k][i], wn[k][i] - 1)
+        for k in tiles
+        for i in range(res * res)
+    ]
+    n = len(xs)
+    a = sum(x for x, _, _ in xs)
+    b = sum(x * x for x, _, _ in xs)
+    c = sum(x * s for x, s, _ in xs)
+    d = sum(x * w for x, _, w in xs)
+    e = sum(s for _, s, _ in xs)
+    g = sum(w for _, _, w in xs)
+    m = a / n
+    num = c - m * d - m * e + m * m * g
+    den = b - n * m * m
+    moran = None if den <= 0 or g <= 0 else (n / g) * num / den
+    return n, g, moran
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_morans_i_matches_python(spark, kernel):
+    rng = random.Random(23)
+    res = 6
+    tiles = _rand_tiles(rng, res, 7, span=3, density=0.5)
+    (row,) = focal.morans_i(
+        _mk_df(spark, tiles).repartition(3), res, radius=1, kernel=kernel
+    ).collect()
+    n, g, moran = _py_morans(tiles, res, 1)
+    assert (row["n_cells"], row["w_sum"]) == (n, g)
+    assert row["moran_i"] == pytest.approx(moran, rel=1e-12)
+
+
+def test_morans_i_duckdb_twin_exact(spark):
+    import duckdb
+
+    rng = random.Random(41)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9)
+    (got,) = focal.morans_i(_mk_df(spark, tiles), res, radius=2).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    (want,) = con.execute(focal.morans_i_sql("tiles", res, 2)).fetchall()
+    # bit-exact double: the hash-stability claim, not an approx comparison
+    assert (got["n_cells"], got["w_sum"], got["moran_i"]) == want
+
+
+def test_morans_i_sign_and_edge_cases(spark):
+    res = 4
+    # clustered surface (one hot quadrant) -> strong positive autocorrelation
+    hot = {(0, 0): [100 if (i % 4 < 2 and i < 8) else 0 for i in range(16)]}
+    (r1,) = focal.morans_i(_mk_df(spark, hot), res).collect()
+    assert r1["moran_i"] > 0.3
+    # perfect checkerboard -> negative autocorrelation (queen weights damp
+    # it: the 4 diagonal neighbors AGREE on a checkerboard, so |I| is small
+    # but the sign is unambiguous; rook-only weights would give I ~= -1)
+    checker = {(0, 0): [(ix + iy) % 2 for iy in range(4) for ix in range(4)]}
+    (r2,) = focal.morans_i(_mk_df(spark, checker), res).collect()
+    assert r2["moran_i"] < -0.1
+    # constant raster -> null (den == 0)
+    flat = {(0, 0): [5] * 16}
+    (r3,) = focal.morans_i(_mk_df(spark, flat), res).collect()
+    assert r3["moran_i"] is None
+
+
 def test_hot_cells_finds_planted_hotspot(spark):
     # flat background of 1s with one planted 3x3 block of 500s: the block's
     # pixels must dominate the returned hotspots
