@@ -792,11 +792,84 @@ def part_focal() -> None:
     print(_json.dumps(out))
 
 
+def part_matching() -> None:
+    """Map matching at scale, local[32]: 16M fixes over 100k entities with
+    the planted 10-trips/entity gap structure (same as part_traj), snapped
+    to a 250-road network (4 segments each, 1000 segments total) with every
+    fix within radius of its road (y jitter +-0.3 < radius 0.5). Times
+    snap_to_segments alone and match_routes end to end; asserts the planted
+    structure: all 16M fixes match, exactly 10 trips/entity."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import matching
+
+    out = {}
+    spark = _spark("bench-matching")
+    n = int(os.environ.get("MATCH_BENCH_ROWS", "16000000"))
+    n_ent = n // 160
+    n_roads = 250
+    key = F.col("id")
+    seq = key % 160
+    ts = (seq * 5 + (seq / 16).cast("long") * 90).cast("long") * 60_000_000
+    road = F.pmod(F.xxhash64(key, F.lit(1)), n_roads)  # y = 4*road
+    fixes = spark.range(0, n, 1, 64).select(
+        key.alias("fix_id"),
+        (key / 160).cast("long").alias("entity_id"),
+        ts.alias("ts_us"),
+        (F.pmod(F.xxhash64(key, F.lit(2)), 1000000) / 1000.0).alias("x"),
+        (road * 4 + (F.pmod(F.xxhash64(key, F.lit(3)), 600) - 300) / 1000.0)
+        .cast("double").alias("y"),
+    ).persist()
+    fixes.count()
+    roads = spark.createDataFrame(
+        [
+            (r, [{"x": 250.0 * i, "y": 4.0 * r} for i in range(5)])
+            for r in range(n_roads)
+        ],
+        "line_id long, pts array<struct<x:double,y:double>>",
+    )
+    t0 = time.time()
+    snapped = matching.snap_to_segments(
+        fixes.select("fix_id", "x", "y"), roads, radius=0.5
+    )
+    n_snap = snapped.count()
+    wall = time.time() - t0
+    assert n_snap == n, (n_snap, n)  # every fix within radius by construction
+    out["snap"] = {
+        "wall_s": round(wall, 2), "fixes": n, "segments": 4 * n_roads,
+        "snapped": n_snap, "fixes_per_sec": round(n / wall),
+    }
+    t0 = time.time()
+    routes = matching.match_routes(
+        fixes, roads, radius=0.5, id_col="entity_id", ts_col="ts_us",
+        gap_minutes=30.0,
+    )
+    agg = routes.agg(
+        F.count("*").alias("trips"),
+        F.sum("n_points").alias("pts"),
+        F.sum("n_matched").alias("matched"),
+        F.sum("steps").alias("steps"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["pts"] == n and agg["matched"] == n
+    assert agg["trips"] == 10 * n_ent
+    out["routes"] = {
+        "wall_s": round(wall, 2), "trips": agg["trips"],
+        "route_steps": agg["steps"], "fixes_per_sec": round(n / wall),
+    }
+    fixes.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "traj": part_traj,
         "focal": part_focal,
+        "matching": part_matching,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
