@@ -265,6 +265,55 @@ def main() -> int:
                 must_not=["CartesianProduct", "Exchange",
                           "BatchEvalPython", "ArrowEvalPython"])
 
+    # 11. focal halo: strips union into ONE tile-key shuffle feeding the
+    # Arrow grouped-map assembly; never a cartesian, never row-Python
+    from engine import focal as focalmod
+
+    tiles16 = raster.heatmap_tiles(pts, tile_size=8.0, res=16)
+    fo = focalmod.focal_sum(tiles16, 16, radius=1, kernel="halo")
+    p = formatted(fo)
+    print("\n## focal sum (halo exchange)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 3: the 2 heatmap aggs "
+          f"+ ONE tile-key shuffle for all 9 strip streams; the halo design "
+          f"point is that radius never adds exchanges)")
+    ok &= n_shuffles == 3
+    ok &= check("focal_halo", p, must=["FlatMapGroupsInPandas"],
+                must_not=["CartesianProduct", "BatchEvalPython"])
+
+    # 12. nearest-segment snap: broadcast cover + ONE fix-key argmin window
+    from engine import matching
+
+    roads = spark.createDataFrame(
+        [(r, [{"x": 250.0 * i, "y": 4.0 * r} for i in range(5)])
+         for r in range(10)],
+        "line_id long, pts array<struct<x:double,y:double>>",
+    )
+    fixes_m = images.select(
+        F.col("image_id").alias("fix_id"),
+        (F.col("phash") % 1000 / 10.0).alias("x"),
+        (F.pmod(F.col("phash"), 400) / 10.0).alias("y"),
+    )
+    sn = matching.snap_to_segments(fixes_m, roads, radius=0.5)
+    p = formatted(sn)
+    print("\n## nearest-segment snap (map matching)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 2: the per-fix argmin "
+          f"window + the cover-side (cell,segment) dedup feeding the "
+          f"BroadcastExchange — bounded by NETWORK size, not fix volume; "
+          f"the fix scan itself never shuffles pre-join)")
+    ok &= n_shuffles == 2
+    # WindowGroupLimit: Spark pushes the rn=1 filter into a per-group top-1
+    # limit BEFORE the argmin shuffle — candidates collapse map-side
+    ok &= check("snap", p, must=["BroadcastHashJoin", "Window",
+                                 "WindowGroupLimit"],
+                must_not=["CartesianProduct", "SortMergeJoin",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
