@@ -689,21 +689,19 @@ def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import focal
 
     res = _HOTSPOT_RES
-    tiles = _hotspot_tiles(spark, sf_dir)
-    fs = focal.focal_sum(tiles, res, radius=1, kernel="halo").withColumnRenamed(
-        "focal", "_fs"
-    )
-    zs = focal.gi_star(tiles, res, radius=1, kernel="halo")
-    j = tiles.join(fs, ["tx", "ty"]).join(zs, ["tx", "ty"])
+    # persisted: the raster feeds gi_star's three consumers + the join below
+    tiles = _hotspot_tiles(spark, sf_dir).persist()
+    zs = focal.gi_star(tiles, res, radius=1, kernel="halo", keep_fs=True)
+    j = tiles.join(zs, ["tx", "ty"])
     ex = j.select(
         "tx", "ty",
-        F.posexplode(F.arrays_zip("counts", "_fs", "z")).alias("pix", "v"),
+        F.posexplode(F.arrays_zip("counts", "fs", "z")).alias("pix", "v"),
     )
     return ex.select(
         (F.col("tx") * res + F.pmod(F.col("pix"), res)).cast("long").alias("gx"),
         (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long").alias("gy"),
         F.col("v.counts").cast("long").alias("n"),
-        F.col("v._fs").cast("long").alias("fs"),
+        F.col("v.fs").cast("long").alias("fs"),
         F.floor(F.col("v.z") * 1000000.0).cast("long").alias("z_e6"),
     )
 

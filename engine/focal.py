@@ -243,6 +243,7 @@ def gi_star(
     res: int,
     radius: int = 1,
     kernel: str = "halo",
+    keep_fs: bool = False,
 ) -> DataFrame:
     """Getis-Ord Gi* hotspot z-scores over the tile raster: for every pixel,
     how extreme its (2r+1)^2 window sum is against the global distribution
@@ -258,8 +259,11 @@ def gi_star(
     inputs to the formula (S_w, W, n, sum, sum of squares) are exact int64
     from the two focal passes + one aggregate; only the final z is floating
     point. Output (tx, ty, z array<double>[res^2]); z is null where the
-    denominator vanishes (constant raster, or W == n). Cost: two focal
-    passes + one broadcast of 4 global scalars."""
+    denominator vanishes (constant raster, or W == n); keep_fs=True adds the
+    focal-sum array as `fs` so callers needing both never pay a third focal
+    pass. Cost: two focal passes + one broadcast of 4 global scalars; the
+    input is consumed three times, so persist `tiles` when it is itself the
+    product of a pipeline."""
     f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
         "focal", "_fs"
     )
@@ -294,9 +298,10 @@ def gi_star(
         )
         return F.when(denom > 0.0, (fs - F.lit(mean) * wn) / denom)
 
-    return f.join(w, ["tx", "ty"]).select(
-        "tx", "ty", F.zip_with("_fs", "_wn", z).alias("z")
-    )
+    out = [F.col("tx"), F.col("ty"), F.zip_with("_fs", "_wn", z).alias("z")]
+    if keep_fs:
+        out.insert(2, F.col("_fs").alias("fs"))
+    return f.join(w, ["tx", "ty"]).select(*out)
 
 
 def hot_cells(
