@@ -135,15 +135,15 @@ def _strip_exprs(res: int, r: int):
     return out
 
 
-def _focal_sum_halo(tiles: DataFrame, res: int, radius: int) -> DataFrame:
-    """Halo-exchange plan. Stage 1 (no shuffle): per tile, generate <= 9
-    addressed contributions — the full grid to itself, border strips to the
-    8 neighbors. Stage 2 (the one shuffle): groupBy target tile; an Arrow
-    kernel scatters the strips into a zero-padded (res+2r)^2 grid and takes
-    box sums via an integral image. Tiles with no center contribution
-    (a strip addressed to a tile absent from the input) are dropped, so the
-    output tile set equals the input tile set."""
-    r = radius
+def _halo_apply(tiles: DataFrame, res: int, r: int, finish) -> DataFrame:
+    """Shared halo-exchange machinery. Stage 1 (no shuffle): per tile,
+    generate <= 9 addressed contributions — the full grid to itself, border
+    strips to the 8 neighbors. Stage 2 (the one shuffle): groupBy target
+    tile; an Arrow kernel scatters the strips into a zero-padded (res+2r)^2
+    grid and hands it to `finish(halo) -> int64[res*res]` (integral-image
+    box sums for focal_sum, weighted shifts for focal_stencil). Tiles with
+    no center contribution (a strip addressed to a tile absent from the
+    input) are dropped, so the output tile set equals the input tile set."""
     strips = _strip_exprs(res, r)
     contrib = F.array(
         *[
@@ -202,19 +202,28 @@ def _focal_sum_halo(tiles: DataFrame, res: int, radius: int) -> DataFrame:
                 rows = slice(r + res, pad) if dy < 0 else slice(0, r)
                 cols = slice(r + res, pad) if dx < 0 else slice(0, r)
                 halo[rows, cols] = block
-        # integral image: window sums for every interior pixel in O(pad^2)
-        ii = np.zeros((pad + 1, pad + 1), dtype=np.int64)
-        np.cumsum(halo, axis=0, out=ii[1:, 1:])
-        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
-        w = 2 * r + 1
-        focal = (
-            ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
-        ).reshape(-1)
         return pd.DataFrame(
-            {"tx": [key[0]], "ty": [key[1]], "focal": [focal.tolist()]}
+            {"tx": [key[0]], "ty": [key[1]], "focal": [finish(halo).tolist()]}
         )
 
     return routed.groupBy("tx", "ty").applyInPandas(assemble, schema)
+
+
+def _focal_sum_halo(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+    """Halo plan for focal_sum: integral-image box sums — O(pad^2) for any
+    radius."""
+    r = radius
+
+    def finish(halo: np.ndarray) -> np.ndarray:
+        ii = np.zeros((res + 2 * r + 1,) * 2, dtype=np.int64)
+        np.cumsum(halo, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        w = 2 * r + 1
+        return (
+            ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
+        ).reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
 
 
 def focal_sum(
@@ -236,6 +245,151 @@ def focal_sum(
     if kernel == "halo":
         return _focal_sum_halo(tiles, res, radius)
     raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
+
+
+def _norm_weights(weights) -> dict[tuple[int, int], int]:
+    w = {(int(dx), int(dy)): int(v) for (dx, dy), v in dict(weights).items()}
+    w = {k: v for k, v in w.items() if v != 0}
+    if not w:
+        raise ValueError("weights must contain at least one nonzero entry")
+    return w
+
+
+def focal_stencil(
+    tiles: DataFrame,
+    res: int,
+    weights,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Integer-weighted focal CORRELATION over the tile raster: for every
+    pixel p, out[p] = sum over (dx, dy) of weights[(dx, dy)] * x[p + (dx,
+    dy)], zero-padded outside the input tiles — the generalization of
+    focal_sum (all-ones weights) to arbitrary integer kernels: Sobel /
+    Prewitt gradients, Laplacians, unsharp masks, asymmetric drift stencils.
+    `weights` is a {(dx, dy): int} mapping; radius = max |offset|. Exact
+    int64; kernel='halo' reuses the strip-exchange machinery with a
+    shift-and-accumulate finish (O(res^2 * nnz(weights)) per tile),
+    kernel='scatter' is the Column-only twin (each cell emits weight * value
+    to the pixels whose window sees it) and transliterates to the DuckDB
+    twin focal_stencil_sql."""
+    w = _norm_weights(weights)
+    r = max(max(abs(dx), abs(dy)) for dx, dy in w)
+    if not (1 <= r < res):
+        raise ValueError(f"stencil radius must be in [1, res); got {r}")
+    if kernel == "scatter":
+        return _focal_stencil_scatter(tiles, res, w, r)
+    if kernel != "halo":
+        raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
+
+    items = sorted(w.items())
+
+    def finish(halo: np.ndarray) -> np.ndarray:
+        out = np.zeros((res, res), dtype=np.int64)
+        for (dx, dy), wt in items:
+            out += wt * halo[r + dy : r + dy + res, r + dx : r + dx + res]
+        return out.reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
+
+
+def _focal_stencil_scatter(
+    tiles: DataFrame, res: int, w: dict, r: int
+) -> DataFrame:
+    """Column-only scatter twin: out[p] = sum w[d] x[p+d] means the cell at
+    g adds w[d] * x[g] to out[g - d] for every weight offset d."""
+    cells = tiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "n")
+    ).filter(F.col("n") != 0)
+    cells = cells.select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + (F.col("pix") / res).cast("int")).alias("gy"),
+        "n",
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(wt).cast("long").alias("wt"),
+                )
+                for (dx, dy), wt in sorted(w.items())
+            ]
+        )
+    )
+    scattered = (
+        cells.select("gx", "gy", "n", offs.alias("o"))
+        .groupBy(
+            (F.col("gx") - F.col("o.dx")).alias("gx"),
+            (F.col("gy") - F.col("o.dy")).alias("gy"),
+        )
+        .agg(F.sum(F.col("n") * F.col("o.wt")).alias("fs"))
+    )
+    target = scattered.select(
+        (F.floor(F.col("gx") / res)).cast("long").alias("tx"),
+        (F.floor(F.col("gy") / res)).cast("long").alias("ty"),
+        (
+            F.pmod(F.col("gy"), res).cast("int") * res
+            + F.pmod(F.col("gx"), res).cast("int")
+        ).alias("pix"),
+        "fs",
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("pix", "fs")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
+    )
+    sums = target.groupBy("tx", "ty").agg(dense.alias("focal"))
+    return tiles.select("tx", "ty").join(sums, ["tx", "ty"], "left").select(
+        "tx",
+        "ty",
+        F.coalesce(
+            F.col("focal"),
+            F.array_repeat(F.lit(0).cast("long"), res * res),
+        ).alias("focal"),
+    )
+
+
+def focal_stencil_sql(tiles_table: str, res: int, weights) -> str:
+    """DuckDB twin of focal_stencil (scatter algebra with a weights VALUES
+    table)."""
+    w = _norm_weights(weights)
+    rows = ",\n            ".join(
+        f"({dx}, {dy}, {wt}::BIGINT)" for (dx, dy), wt in sorted(w.items())
+    )
+    return f"""
+        WITH cells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS n
+          FROM {tiles_table}, range(0, {res * res}) t(i)
+          WHERE counts[i + 1] <> 0
+        ), offs AS (
+          SELECT * FROM (VALUES
+            {rows}
+          ) AS t(dx, dy, wt)
+        ), sums AS (
+          SELECT gx - dx AS gx, gy - dy AS gy, SUM(n * wt)::BIGINT AS fs
+          FROM cells, offs GROUP BY 1, 2
+        ), target AS (
+          SELECT CAST(FLOOR(gx / {res}.0) AS BIGINT) AS tx,
+                 CAST(FLOOR(gy / {res}.0) AS BIGINT) AS ty,
+                 CAST((gy % {res} + {res}) % {res} AS INT) * {res}
+                   + CAST((gx % {res} + {res}) % {res} AS INT) AS pix,
+                 fs
+          FROM sums
+        ), dense AS (
+          SELECT tx, ty, MAP(list(pix), list(fs)) AS m
+          FROM target GROUP BY 1, 2
+        )
+        SELECT t.tx, t.ty,
+               COALESCE(
+                 list_transform(range(0, {res * res}),
+                                i -> COALESCE(m[i][1], 0)::BIGINT),
+                 list_transform(range(0, {res * res}), i -> 0::BIGINT)
+               ) AS focal
+        FROM {tiles_table} t LEFT JOIN dense d USING (tx, ty)
+    """
 
 
 def gi_star(

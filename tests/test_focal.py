@@ -113,6 +113,104 @@ def test_sql_twin_matches_spark(spark):
     assert got == want
 
 
+SOBEL_X = {
+    (-1, -1): -1, (0, -1): 0, (1, -1): 1,
+    (-1, 0): -2, (0, 0): 0, (1, 0): 2,
+    (-1, 1): -1, (0, 1): 0, (1, 1): 1,
+}
+
+
+def _py_stencil(tiles, res, w):
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for tx, ty in tiles:
+        g = []
+        for i in range(res * res):
+            gx, gy = tx * res + i % res, ty * res + i // res
+            g.append(
+                sum(
+                    wt * cells.get((gx + dx, gy + dy), 0)
+                    for (dx, dy), wt in w.items()
+                )
+            )
+        out[(tx, ty)] = g
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_stencil_matches_python(spark, kernel):
+    # asymmetric kernel with negative weights and radius 2: exercises strip
+    # routing in every direction and the sign algebra of the scatter twin
+    w = {(2, 0): 3, (-1, 1): -2, (0, -2): 5, (0, 0): 1, (1, 1): -7}
+    rng = random.Random(13)
+    res = 6
+    tiles = _rand_tiles(rng, res, 8, span=3, density=0.5)
+    got = _collect(
+        focal.focal_stencil(_mk_df(spark, tiles).repartition(3), res, w,
+                            kernel=kernel)
+    )
+    assert got == _py_stencil(tiles, res, w)
+
+
+def test_stencil_all_ones_equals_focal_sum(spark):
+    rng = random.Random(77)
+    res = 5
+    tiles = _rand_tiles(rng, res, 6)
+    ones = {(dx, dy): 1 for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    df = _mk_df(spark, tiles)
+    assert _collect(focal.focal_stencil(df, res, ones)) == _collect(
+        focal.focal_sum(df, res, radius=1)
+    )
+
+
+def test_stencil_sobel_edge_response(spark):
+    # vertical step edge (dark left half, bright right half): Sobel-x fires
+    # positive exactly along the edge column pair, zero in flat regions
+    res = 8
+    tiles = {(0, 0): [100 if i % res >= 4 else 0 for i in range(res * res)]}
+    got = _collect(focal.focal_stencil(_mk_df(spark, tiles), res, SOBEL_X))
+    g = got[(0, 0)]
+    for py in range(1, res - 1):  # interior rows
+        row = [g[py * res + px] for px in range(res)]
+        assert row[3] == 400 and row[4] == 400  # edge columns
+        assert row[1] == 0 and row[6] == 0  # flat interior
+    assert got == _py_stencil(tiles, res, SOBEL_X)
+
+
+def test_stencil_duckdb_twin(spark):
+    import duckdb
+
+    w = {(1, 0): 2, (-1, 0): -2, (0, 1): 1, (0, -1): -1}
+    rng = random.Random(5)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9)
+    got = _collect(focal.focal_stencil(_mk_df(spark, tiles), res, w))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    want = {
+        (r[0], r[1]): list(r[2])
+        for r in con.execute(focal.focal_stencil_sql("tiles", res, w)).fetchall()
+    }
+    assert got == want
+
+
+def test_stencil_validation(spark):
+    df = _mk_df(spark, {(0, 0): [0] * 16})
+    with pytest.raises(ValueError):
+        focal.focal_stencil(df, 4, {})  # no nonzero weights
+    with pytest.raises(ValueError):
+        focal.focal_stencil(df, 4, {(0, 0): 1})  # radius 0
+    with pytest.raises(ValueError):
+        focal.focal_stencil(df, 4, {(4, 0): 1})  # radius >= res
+
+
 def _py_gi_star(tiles, res, r):
     import math
 
