@@ -67,23 +67,96 @@ def snap_to_segments(
     pts_col: str = "pts",
     cell_size: float | None = None,
     broadcast_cover: bool = True,
+    plan: str = "auto",
 ) -> DataFrame:
     """(fix_id, x, y) x (line_id, pts) -> one row per fix that has at least
     one segment within `radius`: (fix_id, line_id, seg_idx, t, snap_x,
     snap_y, dist2). dist2 is the squared planar distance (exact argmin
-    currency — taking sqrt only weakens cross-engine reproducibility)."""
+    currency — taking sqrt only weakens cross-engine reproducibility).
+
+    plan='window' (batch default): one candidate row per (fix, segment) +
+    a fix-keyed row_number window. Spark's WindowGroupLimit pushes the rn=1
+    filter map-side (partial top-1 BEFORE the exchange), so the argmin
+    shuffle moves <= 1 row per fix per input partition — measured 5x FASTER
+    than the array plan at 16M fixes (2.7 vs 14.1 s, BENCH/BASELINE.md: the
+    whole-stage-codegen'd projection beats the interpreted HOF lambdas,
+    and the "avoided" shuffle was already tiny after the partial limit).
+    plan='array': the cover packed ONE ROW PER CELL with a segment array;
+    a fix joins exactly one broadcast row and the argmin is an in-row
+    filter + array_sort + head. Slower per core, but the only STREAMING-
+    legal shape (stateless stream-static join + projection — windows are
+    illegal on streams), and the fix table genuinely never shuffles.
+    plan='auto': window for batch inputs, array when `fixes.isStreaming`.
+    Identical output either way, including the (dist2, line_id, seg_idx)
+    tie-break: array_sort on the struct sorts by fields left to right."""
     if radius <= 0:
         raise ValueError("radius must be > 0")
+    if plan == "auto":
+        plan = "array" if fixes.isStreaming else "window"
+    if plan not in ("array", "window"):
+        raise ValueError(f"plan must be 'array', 'window' or 'auto', got {plan!r}")
     s = float(cell_size) if cell_size is not None else max(1.0, float(radius))
     segs = line_segments(lines, id_col=line_id, pts_col=pts_col)
     cover = line_cover(segs, radius, cell_size=s, keep_segments=True)
-    if broadcast_cover:
-        cover = F.broadcast(cover)
     p = fixes.select(
         F.col(fix_id).alias("fix_id"),
         F.col(x_col).cast("double").alias("_px"),
         F.col(y_col).cast("double").alias("_py"),
     ).withColumn("cell", _cell(F.col("_px"), F.col("_py"), s))
+    r2 = float(radius) * float(radius)
+
+    if plan == "array":
+        packed = cover.groupBy("cell").agg(
+            F.collect_list(
+                F.struct("line_id", "seg_idx", "ax", "ay", "bx", "by")
+            ).alias("_segs")
+        )
+        if broadcast_cover:
+            packed = F.broadcast(packed)
+
+        def cand(seg):
+            t, qx, qy, d2 = _proj(
+                F.col("_px"), F.col("_py"),
+                seg["ax"], seg["ay"], seg["bx"], seg["by"],
+            )
+            return F.struct(
+                d2.alias("dist2"),
+                seg["line_id"].alias("line_id"),
+                seg["seg_idx"].alias("seg_idx"),
+                t.alias("t"),
+                qx.alias("snap_x"),
+                qy.alias("snap_y"),
+            )
+
+        # in-row argmin: keep candidates within radius, sort by the struct
+        # (field order IS the tie-break), take the head — order-invariant in
+        # the collect_list ordering, so the result is deterministic
+        best = F.get(
+            F.array_sort(
+                F.filter(
+                    F.transform(F.col("_segs"), cand),
+                    lambda c: c["dist2"] <= F.lit(r2),
+                )
+            ),
+            0,
+        )
+        return (
+            p.join(packed, "cell")
+            .select("fix_id", best.alias("_b"))
+            .filter(F.col("_b").isNotNull())
+            .select(
+                "fix_id",
+                F.col("_b.line_id").alias("line_id"),
+                F.col("_b.seg_idx").alias("seg_idx"),
+                F.col("_b.t").alias("t"),
+                F.col("_b.snap_x").alias("snap_x"),
+                F.col("_b.snap_y").alias("snap_y"),
+                F.col("_b.dist2").alias("dist2"),
+            )
+        )
+
+    if broadcast_cover:
+        cover = F.broadcast(cover)
     t, qx, qy, d2 = _proj(
         F.col("_px"), F.col("_py"),
         F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
@@ -95,7 +168,7 @@ def snap_to_segments(
             t.alias("t"), qx.alias("snap_x"), qy.alias("snap_y"),
             d2.alias("dist2"),
         )
-        .filter(F.col("dist2") <= float(radius) * float(radius))
+        .filter(F.col("dist2") <= r2)
     )
     w = Window.partitionBy("fix_id").orderBy("dist2", "line_id", "seg_idx")
     return (

@@ -42,7 +42,8 @@ def _mk_lines(spark, lines):
     )
 
 
-def test_snap_matches_python_oracle(spark):
+@pytest.mark.parametrize("plan", ["array", "window"])
+def test_snap_matches_python_oracle(spark, plan):
     rng = random.Random(8)
     lines = []
     for lid in range(12):
@@ -67,6 +68,7 @@ def test_snap_matches_python_oracle(spark):
             .repartition(5),
             _mk_lines(spark, lines),
             radius,
+            plan=plan,
         ).collect()
     }
     segs = _segs_of(lines)
@@ -153,9 +155,58 @@ def test_match_routes_dropout_does_not_split_run(spark):
     assert row["steps"] == 1 and row["n_matched"] == 2
 
 
+def test_streaming_snap_equals_batch(spark, tmp_path):
+    """plan='array' is stateless (stream-static join + projection, no
+    window), so snap_to_segments runs UNCHANGED on a streaming fix source
+    and must emit exactly the batch rows."""
+    from engine import streaming
+
+    rng = random.Random(15)
+    lines = [(7, [(0.0, 0.0), (50.0, 10.0), (100.0, 0.0)]),
+             (9, [(0.0, 30.0), (100.0, 30.0)])]
+    fixes = [
+        (i, rng.uniform(-5, 105), rng.uniform(-5, 40)) for i in range(300)
+    ]
+    schema = "fix_id long, x double, y double"
+    d = str(tmp_path / "fixes_in")
+    third = len(fixes) // 3
+    for part in (fixes[:third], fixes[third:]):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    snapped = matching.snap_to_segments(
+        stream, _mk_lines(spark, lines), radius=6.0
+    )
+    q = streaming.run_to_memory(snapped, "t_snap", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM t_snap").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        tuple(r)
+        for r in matching.snap_to_segments(
+            spark.createDataFrame(fixes, schema), _mk_lines(spark, lines),
+            radius=6.0,
+        ).collect()
+    }
+    assert got == want and len(got) > 50
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "fix_id long, x double, y double")
     with pytest.raises(ValueError):
         matching.snap_to_segments(
             df, _mk_lines(spark, [(1, [(0.0, 0.0), (1.0, 1.0)])]), 0.0
+        )
+    with pytest.raises(ValueError):
+        matching.snap_to_segments(
+            df, _mk_lines(spark, [(1, [(0.0, 0.0), (1.0, 1.0)])]), 1.0,
+            plan="nope",
         )

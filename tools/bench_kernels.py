@@ -830,16 +830,20 @@ def part_matching() -> None:
         ],
         "line_id long, pts array<struct<x:double,y:double>>",
     )
-    t0 = time.time()
-    snapped = matching.snap_to_segments(
-        fixes.select("fix_id", "x", "y"), roads, radius=0.5
-    )
-    n_snap = snapped.count()
-    wall = time.time() - t0
-    assert n_snap == n, (n_snap, n)  # every fix within radius by construction
+    walls = {"array": [], "window": []}
+    for _ in range(2):  # A/B interleaved, min-of-2 per plan
+        for plan in ("array", "window"):
+            t0 = time.time()
+            n_snap = matching.snap_to_segments(
+                fixes.select("fix_id", "x", "y"), roads, radius=0.5, plan=plan
+            ).count()
+            walls[plan].append(round(time.time() - t0, 2))
+            assert n_snap == n, (plan, n_snap, n)  # all fixes within radius
     out["snap"] = {
-        "wall_s": round(wall, 2), "fixes": n, "segments": 4 * n_roads,
-        "snapped": n_snap, "fixes_per_sec": round(n / wall),
+        "fixes": n, "segments": 4 * n_roads,
+        "array_walls": walls["array"], "window_walls": walls["window"],
+        "array_min": min(walls["array"]), "window_min": min(walls["window"]),
+        "fixes_per_sec_array": round(n / min(walls["array"])),
     }
     t0 = time.time()
     routes = matching.match_routes(
