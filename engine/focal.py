@@ -135,15 +135,31 @@ def _strip_exprs(res: int, r: int):
     return out
 
 
-def _halo_apply(tiles: DataFrame, res: int, r: int, finish) -> DataFrame:
+def _box_sums(grid: np.ndarray, res: int, r: int) -> np.ndarray:
+    """(res+2r)^2 padded grid -> res^2 window sums via an integral image —
+    O(pad^2) for any radius."""
+    ii = np.zeros((res + 2 * r + 1,) * 2, dtype=np.int64)
+    np.cumsum(grid, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    w = 2 * r + 1
+    return ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
+
+
+def _halo_apply(
+    tiles: DataFrame, res: int, r: int, finish, fields=None
+) -> DataFrame:
     """Shared halo-exchange machinery. Stage 1 (no shuffle): per tile,
     generate <= 9 addressed contributions — the full grid to itself, border
     strips to the 8 neighbors. Stage 2 (the one shuffle): groupBy target
     tile; an Arrow kernel scatters the strips into a zero-padded (res+2r)^2
-    grid and hands it to `finish(halo) -> int64[res*res]` (integral-image
-    box sums for focal_sum, weighted shifts for focal_stencil). Tiles with
-    no center contribution (a strip addressed to a tile absent from the
-    input) are dropped, so the output tile set equals the input tile set."""
+    grid plus a same-shape 0/1 PRESENCE mask (which pixels belong to tiles
+    that exist in the input — free in-area accounting for edge-aware stats)
+    and hands both to `finish(halo, mask)`. With fields=None, finish
+    returns int64[res*res] emitted as `focal`; otherwise fields is a list
+    of (name, sparkType) and finish returns a dict of per-name lists.
+    Tiles with no center contribution (a strip addressed to a tile absent
+    from the input) are dropped, so the output tile set equals the input
+    tile set."""
     strips = _strip_exprs(res, r)
     contrib = F.array(
         *[
@@ -166,64 +182,64 @@ def _halo_apply(tiles: DataFrame, res: int, r: int, finish) -> DataFrame:
     )
 
     pad = res + 2 * r
-    schema = T.StructType(
-        [
-            T.StructField("tx", T.LongType()),
-            T.StructField("ty", T.LongType()),
-            T.StructField("focal", T.ArrayType(T.LongType())),
-        ]
+    out_fields = (
+        [("focal", T.ArrayType(T.LongType()))] if fields is None else fields
     )
+    schema = T.StructType(
+        [T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType())]
+        + [T.StructField(n, t) for n, t in out_fields]
+    )
+    names = [n for n, _ in out_fields]
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         dxs = pdf["dx"].to_numpy()
         dys = pdf["dy"].to_numpy()
         center = (dxs == 0) & (dys == 0)
         if not center.any():
-            return pd.DataFrame({"tx": [], "ty": [], "focal": []}).astype(
-                {"tx": "int64", "ty": "int64", "focal": "object"}
+            return pd.DataFrame(
+                {"tx": [], "ty": [], **{n: [] for n in names}}
+            ).astype(
+                {"tx": "int64", "ty": "int64", **{n: "object" for n in names}}
             )
         halo = np.zeros((pad, pad), dtype=np.int64)
+        mask = np.zeros((pad, pad), dtype=np.int64)
         for dx, dy, vals in zip(dxs, dys, pdf["vals"]):
             v = np.asarray(vals, dtype=np.int64)
             # a contribution that travelled (dx, dy) lands on the OPPOSITE
             # side of the target's halo: it came FROM tile (tx-dx, ty-dy)
             if dx == 0 and dy == 0:
-                halo[r : r + res, r : r + res] = v.reshape(res, res)
+                rows = cols = slice(r, r + res)
+                block = v.reshape(res, res)
             elif dx == 0:
                 block = v.reshape(r, res)
                 rows = slice(r + res, pad) if dy < 0 else slice(0, r)
-                halo[rows, r : r + res] = block
+                cols = slice(r, r + res)
             elif dy == 0:
                 block = v.reshape(res, r)
+                rows = slice(r, r + res)
                 cols = slice(r + res, pad) if dx < 0 else slice(0, r)
-                halo[r : r + res, cols] = block
             else:
                 block = v.reshape(r, r)
                 rows = slice(r + res, pad) if dy < 0 else slice(0, r)
                 cols = slice(r + res, pad) if dx < 0 else slice(0, r)
-                halo[rows, cols] = block
+            halo[rows, cols] = block
+            mask[rows, cols] = 1
+        result = finish(halo, mask)
+        if fields is None:
+            result = {"focal": result.tolist()}
         return pd.DataFrame(
-            {"tx": [key[0]], "ty": [key[1]], "focal": [finish(halo).tolist()]}
+            {"tx": [key[0]], "ty": [key[1]], **{n: [result[n]] for n in names}}
         )
 
     return routed.groupBy("tx", "ty").applyInPandas(assemble, schema)
 
 
 def _focal_sum_halo(tiles: DataFrame, res: int, radius: int) -> DataFrame:
-    """Halo plan for focal_sum: integral-image box sums — O(pad^2) for any
-    radius."""
-    r = radius
-
-    def finish(halo: np.ndarray) -> np.ndarray:
-        ii = np.zeros((res + 2 * r + 1,) * 2, dtype=np.int64)
-        np.cumsum(halo, axis=0, out=ii[1:, 1:])
-        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
-        w = 2 * r + 1
-        return (
-            ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
-        ).reshape(-1)
-
-    return _halo_apply(tiles, res, r, finish)
+    """Halo plan for focal_sum: integral-image box sums."""
+    return _halo_apply(
+        tiles, res, radius,
+        lambda halo, _mask: _box_sums(halo, res, radius).reshape(-1),
+    )
 
 
 def focal_sum(
@@ -283,7 +299,7 @@ def focal_stencil(
 
     items = sorted(w.items())
 
-    def finish(halo: np.ndarray) -> np.ndarray:
+    def finish(halo: np.ndarray, _mask: np.ndarray) -> np.ndarray:
         out = np.zeros((res, res), dtype=np.int64)
         for (dx, dy), wt in items:
             out += wt * halo[r + dy : r + dy + res, r + dx : r + dx + res]
@@ -414,21 +430,15 @@ def gi_star(
     from the two focal passes + one aggregate; only the final z is floating
     point. Output (tx, ty, z array<double>[res^2]); z is null where the
     denominator vanishes (constant raster, or W == n); keep_fs=True adds the
-    focal-sum array as `fs` so callers needing both never pay a third focal
-    pass. Cost: two focal passes + one broadcast of 4 global scalars; the
-    input is consumed three times, so persist `tiles` when it is itself the
-    product of a pipeline."""
-    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
-        "focal", "_fs"
-    )
-    ones = tiles.select(
-        "tx",
-        "ty",
-        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
-    )
-    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
-        "focal", "_wn"
-    )
+    focal-sum array as `fs`. Cost on the halo kernel: ONE fused halo pass —
+    the in-area window size W comes free from the strip PRESENCE mask
+    (_halo_apply builds it anyway), and z is vectorized numpy inside the
+    same Arrow kernel (r4 A/B: the original two-pass + interpreted zip_with
+    shape measured ~3x slower at 16.8M cells) — plus one moments aggregate.
+    The scatter kernel keeps the two-pass Column formula as the
+    cross-checkable twin; both produce bit-identical doubles (exact int64
+    inputs, matching IEEE expression graphs). The input is consumed twice,
+    so persist `tiles` when it is itself the product of a pipeline."""
     cell_sum = F.aggregate("counts", F.lit(0).cast("long"), lambda a, v: a + v)
     cell_sq = F.aggregate(
         "counts", F.lit(0).cast("long"), lambda a, v: a + v * v
@@ -445,6 +455,40 @@ def gi_star(
     var = g["_sumsq"] / n - mean * mean
     sd = float(np.sqrt(max(var, 0.0)))
     nn = float(n)
+
+    if kernel == "halo":
+        r = radius
+
+        def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+            fs = _box_sums(halo, res, r).reshape(-1)
+            wn = _box_sums(mask, res, r).reshape(-1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = sd * np.sqrt((nn * wn - wn * wn) / (nn - 1.0))
+                zv = (fs - mean * wn) / denom
+            ok = denom > 0.0
+            zo = zv.astype(object)
+            zo[~ok] = None
+            out = {"z": zo.tolist()}
+            if keep_fs:
+                out["fs"] = fs.tolist()
+            return out
+
+        fields = ([("fs", T.ArrayType(T.LongType()))] if keep_fs else []) + [
+            ("z", T.ArrayType(T.DoubleType()))
+        ]
+        return _halo_apply(tiles, res, r, finish, fields=fields)
+
+    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_fs"
+    )
+    ones = tiles.select(
+        "tx",
+        "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_wn"
+    )
 
     def z(fs: Column, wn: Column) -> Column:
         denom = F.lit(sd) * F.sqrt(
@@ -505,44 +549,71 @@ def morans_i(
         I   = (n / G) * num / den
 
     Returns one row (n_cells, w_sum, moran_i) — moran_i null on a constant
-    raster (den == 0) or when no pixel has any neighbor (G == 0). Cost: two
-    focal passes + one aggregate; scales exactly like focal_sum."""
-    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
-        "focal", "_fs"
-    )
-    ones = tiles.select(
-        "tx",
-        "ty",
-        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
-    )
-    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
-        "focal", "_wn"
-    )
-    j = tiles.join(f, ["tx", "ty"]).join(w, ["tx", "ty"])
+    raster (den == 0) or when no pixel has any neighbor (G == 0). Cost on
+    the halo kernel: ONE fused halo pass emitting the seven per-tile partial
+    sums as scalars (numpy inside the Arrow kernel; W from the strip
+    presence mask) + one 7-column aggregate — the two-pass + interpreted-
+    HOF-fold shape is kept on the scatter kernel as the twin (r4 A/B: the
+    fused shape measured ~5x faster at 16.8M cells)."""
+    if kernel == "halo":
+        r = radius
 
-    def fold(pair_expr: Column) -> Column:
-        return F.aggregate(pair_expr, F.lit(0).cast("long"), lambda a, v: a + v)
+        def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+            x = halo[r : r + res, r : r + res]
+            s = _box_sums(halo, res, r) - x  # neighbor-only window sums
+            wi = _box_sums(mask, res, r) - 1  # in-area neighbor counts
+            return {
+                "a": int(x.sum()), "b": int((x * x).sum()),
+                "c": int((x * s).sum()), "d": int((x * wi).sum()),
+                "e": int(s.sum()), "g": int(wi.sum()),
+            }
 
-    # neighbor-only window sums: S = fs - x, W_i = wn - 1 (self always in-area)
-    x, fs, wn = F.col("counts"), F.col("_fs"), F.col("_wn")
-    s_arr = F.zip_with(fs, x, lambda a, b: a - b)
-    wi_arr = F.transform(wn, lambda v: v - F.lit(1).cast("long"))
-    g = j.select(
-        fold(x).alias("_a"),
-        fold(F.zip_with(x, x, lambda a, b: a * b)).alias("_b"),
-        fold(F.zip_with(x, s_arr, lambda a, b: a * b)).alias("_c"),
-        fold(F.zip_with(x, wi_arr, lambda a, b: a * b)).alias("_d"),
-        fold(s_arr).alias("_e"),
-        fold(wi_arr).alias("_g"),
-    ).agg(
-        F.count("*").alias("_tiles"),
-        F.sum("_a").alias("a"),
-        F.sum("_b").alias("b"),
-        F.sum("_c").alias("c"),
-        F.sum("_d").alias("d"),
-        F.sum("_e").alias("e"),
-        F.sum("_g").alias("g"),
-    )
+        g = _halo_apply(
+            tiles, res, r, finish,
+            fields=[(c, T.LongType()) for c in "abcdeg"],
+        ).agg(
+            F.count("*").alias("_tiles"),
+            *[F.sum(c).alias(c) for c in "abcdeg"],
+        )
+    else:
+        f = focal_sum(
+            tiles, res, radius=radius, kernel=kernel
+        ).withColumnRenamed("focal", "_fs")
+        ones = tiles.select(
+            "tx",
+            "ty",
+            F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+        )
+        w = focal_sum(
+            ones, res, radius=radius, kernel=kernel
+        ).withColumnRenamed("focal", "_wn")
+        j = tiles.join(f, ["tx", "ty"]).join(w, ["tx", "ty"])
+
+        def fold(pair_expr: Column) -> Column:
+            return F.aggregate(
+                pair_expr, F.lit(0).cast("long"), lambda a, v: a + v
+            )
+
+        # neighbor-only sums: S = fs - x, W_i = wn - 1 (self always in-area)
+        x, fs, wn = F.col("counts"), F.col("_fs"), F.col("_wn")
+        s_arr = F.zip_with(fs, x, lambda a, b: a - b)
+        wi_arr = F.transform(wn, lambda v: v - F.lit(1).cast("long"))
+        g = j.select(
+            fold(x).alias("_a"),
+            fold(F.zip_with(x, x, lambda a, b: a * b)).alias("_b"),
+            fold(F.zip_with(x, s_arr, lambda a, b: a * b)).alias("_c"),
+            fold(F.zip_with(x, wi_arr, lambda a, b: a * b)).alias("_d"),
+            fold(s_arr).alias("_e"),
+            fold(wi_arr).alias("_g"),
+        ).agg(
+            F.count("*").alias("_tiles"),
+            F.sum("_a").alias("a"),
+            F.sum("_b").alias("b"),
+            F.sum("_c").alias("c"),
+            F.sum("_d").alias("d"),
+            F.sum("_e").alias("e"),
+            F.sum("_g").alias("g"),
+        )
     n = (F.col("_tiles") * (res * res)).cast("double")
     m = F.col("a") / n
     num = F.col("c") - m * F.col("d") - m * F.col("e") + m * m * F.col("g")

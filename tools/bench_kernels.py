@@ -792,6 +792,69 @@ def part_focal() -> None:
     print(_json.dumps(out))
 
 
+def part_hotspot() -> None:
+    """Focal ANALYTICS at raster scale (halo kernel only — the halo/scatter
+    A/B lives in part_focal): 16M points -> 16.8M-cell raster, then Gi*
+    z-scores, sparse hot-cell extraction, global Moran's I, and a Sobel-x
+    stencil. Single clean-window run each; structural asserts on every
+    output."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import focal, raster
+
+    out = {}
+    spark = _spark("bench-hotspot")
+    n = int(os.environ.get("FOCAL_BENCH_ROWS", "16000000"))
+    pts = spark.range(0, n, 1, 64).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), 4096000) / 1000.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 4096000) / 1000.0).alias("y"),
+    )
+    tiles = raster.heatmap_tiles(pts, tile_size=64.0, res=64).persist()
+    n_tiles = tiles.count()
+    out["tiles"] = {"n_tiles": n_tiles, "points": n}
+
+    t0 = time.time()
+    zs = focal.gi_star(tiles, 64, radius=1, kernel="halo")
+    stats = zs.select(F.explode("z").alias("z")).agg(
+        F.count("*").alias("cells"),
+        F.sum((F.col("z") >= 2.576).cast("long")).alias("hot"),
+    ).collect()[0]
+    out["gi_star"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "cells": stats["cells"], "hot_99pct": stats["hot"],
+        "cells_per_sec": round(stats["cells"] / (time.time() - t0)),
+    }
+    assert stats["cells"] == n_tiles * 64 * 64
+
+    t0 = time.time()
+    n_hot = focal.hot_cells(tiles, 64, radius=1, z_min=2.576).count()
+    out["hot_cells"] = {"wall_s": round(time.time() - t0, 2), "rows": n_hot}
+    assert n_hot == stats["hot"]
+
+    t0 = time.time()
+    (mi,) = focal.morans_i(tiles, 64, radius=1).collect()
+    out["morans_i"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "n_cells": mi["n_cells"], "moran_i": round(mi["moran_i"], 6),
+    }
+    assert mi["n_cells"] == n_tiles * 64 * 64
+
+    sobel_x = {(-1, -1): -1, (1, -1): 1, (-1, 0): -2, (1, 0): 2,
+               (-1, 1): -1, (1, 1): 1}
+    t0 = time.time()
+    g = focal.focal_stencil(tiles, 64, sobel_x, kernel="halo")
+    tot = g.agg(F.sum(F.aggregate(
+        "focal", F.lit(0).cast("long"), lambda a, v: a + v
+    )).alias("s")).collect()[0]["s"]
+    out["sobel_x"] = {"wall_s": round(time.time() - t0, 2),
+                      "gradient_mass": tot}
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_matching() -> None:
     """Map matching at scale, local[32]: 16M fixes over 100k entities with
     the planted 10-trips/entity gap structure (same as part_traj), snapped
@@ -874,6 +937,7 @@ if __name__ == "__main__":
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
+        "hotspot": part_hotspot,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
