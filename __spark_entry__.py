@@ -786,6 +786,150 @@ def q_snap_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMERGE_CELL = 10.0
+_EMERGE_BIN_US = 259_200_000_000  # 3-day bins over the ~30-day events span
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hotspot analysis (engine.spacetime.emerging_hotspots): the
+    events stream binned onto a 10x6-cell / 3-day space-time cube, per-bin
+    Gi* z-scores, per-cell tie-corrected Mann-Kendall trend + category.
+    Every stage (counts, focal scatter, in-area W, per-bin moments, z, MK
+    pair signs, tie groups) is value-checked — mk_z is FLOOR-scaled e6 and
+    hash-exact because all formula inputs are exact int64 and the double
+    graphs match op for op."""
+    from engine import spacetime, textops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    hx = textops.cross_hash(eid, "md5")
+    hy = textops.cross_hash(F.concat(eid, F.lit("y")), "md5")
+    pts = ev.select(
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        (F.pmod(hx, F.lit(100000)) / F.lit(1000.0)).alias("x"),
+        (F.pmod(hy, F.lit(60000)) / F.lit(1000.0)).alias("y"),
+    )
+    out = spacetime.emerging_hotspots(pts, _EMERGE_CELL, _EMERGE_BIN_US)
+    return out.select(
+        "gx", "gy", "n_bins", "n_events", "hot_bins", "last_hot", "mk_s",
+        F.floor(F.col("mk_z") * 1000000.0).cast("long").alias("mk_z_e6"),
+        "category",
+    )
+
+
+def emerging_hotspots_sql() -> str:
+    """DuckDB twin of q_emerging_hotspots: the whole space-time pipeline in
+    relational algebra (dense cube, scatter focal, per-bin moments, Gi* z,
+    MK as a pairwise self-join on bins, tie groups via GROUP BY z)."""
+    from engine import textops
+
+    hx = textops.cross_hash_sql("CAST(event_id AS VARCHAR)")
+    hy = textops.cross_hash_sql("CAST(event_id AS VARCHAR) || 'y'")
+    return f"""
+        WITH ev AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 (({hx}) % 100000) / 1000.0 AS x,
+                 (({hy}) % 60000) / 1000.0 AS y
+          FROM events
+        ), counts AS (
+          SELECT CAST(FLOOR(ts_us / {_EMERGE_BIN_US}) AS BIGINT) AS bin,
+                 CAST(FLOOR(x / {_EMERGE_CELL!r}) AS BIGINT) AS gx,
+                 CAST(FLOOR(y / {_EMERGE_CELL!r}) AS BIGINT) AS gy,
+                 COUNT(*) AS n
+          FROM ev GROUP BY 1, 2, 3
+        ), area AS (SELECT DISTINCT gx, gy FROM counts),
+        bins AS (SELECT DISTINCT bin FROM counts),
+        na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM area),
+        offs AS (
+          SELECT dx.o AS dx, dy.o AS dy
+          FROM range(-1, 2) dx(o), range(-1, 2) dy(o)
+        ), w AS (
+          SELECT t.gx, t.gy, COUNT(*) AS w
+          FROM (SELECT gx + dx AS gx, gy + dy AS gy FROM area, offs) t
+          JOIN area a ON t.gx = a.gx AND t.gy = a.gy
+          GROUP BY 1, 2
+        ), fsq AS (
+          SELECT bin, gx + dx AS gx, gy + dy AS gy, SUM(n)::BIGINT AS fs
+          FROM counts, offs GROUP BY 1, 2, 3
+        ), mo AS (
+          SELECT bin, SUM(n)::BIGINT AS s, SUM(n * n)::BIGINT AS ss
+          FROM counts GROUP BY 1
+        ), mo2 AS (
+          SELECT bin, s / nn AS mean,
+                 sqrt(greatest(ss / nn - (s / nn) * (s / nn), 0.0)) AS sd
+          FROM mo, na
+        ), dense AS (
+          SELECT b.bin, a.gx, a.gy,
+                 COALESCE(c.n, 0)::BIGINT AS n,
+                 COALESCE(f.fs, 0)::BIGINT AS fs,
+                 w.w AS w, m.mean AS mean, m.sd AS sd
+          FROM area a
+          CROSS JOIN bins b
+          LEFT JOIN counts c ON c.bin = b.bin AND c.gx = a.gx AND c.gy = a.gy
+          LEFT JOIN fsq f ON f.bin = b.bin AND f.gx = a.gx AND f.gy = a.gy
+          JOIN w ON w.gx = a.gx AND w.gy = a.gy
+          JOIN mo2 m ON m.bin = b.bin
+        ), zs AS (
+          SELECT bin, gx, gy, n,
+                 CASE WHEN sd * sqrt((nn * w - w * w) / (nn - 1.0)) > 0.0
+                      THEN (fs - mean * w)
+                             / (sd * sqrt((nn * w - w * w) / (nn - 1.0)))
+                 END AS z
+          FROM dense, na
+        ), pairs AS (
+          SELECT a.gx, a.gy,
+                 SUM(CASE WHEN b.z > a.z THEN 1
+                          WHEN b.z < a.z THEN -1 ELSE 0 END)::BIGINT AS mk_s
+          FROM zs a JOIN zs b
+            ON a.gx = b.gx AND a.gy = b.gy AND b.bin > a.bin
+          GROUP BY 1, 2
+        ), tie AS (
+          SELECT gx, gy,
+                 SUM(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_sum
+          FROM (SELECT gx, gy, z, COUNT(*)::BIGINT AS c
+                FROM zs GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ), flags AS (
+          SELECT gx, gy, COUNT(*)::BIGINT AS n_bins,
+                 SUM(n)::BIGINT AS n_events,
+                 SUM(CASE WHEN z IS NOT NULL AND z >= 1.645
+                          THEN 1 ELSE 0 END)::BIGINT AS hot_bins,
+                 MAX(CASE WHEN bin = (SELECT MAX(bin) FROM bins) THEN
+                       CASE WHEN z IS NOT NULL AND z >= 1.645
+                            THEN 1 ELSE 0 END END) AS last_hot_i
+          FROM zs GROUP BY 1, 2
+        ), scored AS (
+          SELECT f.gx, f.gy, f.n_bins, f.n_events, f.hot_bins,
+                 f.last_hot_i = 1 AS last_hot,
+                 COALESCE(p.mk_s, 0) AS mk_s,
+                 (f.n_bins * (f.n_bins - 1) * (2 * f.n_bins + 5)
+                   - t.tie_sum)::DOUBLE / 18.0 AS var_s
+          FROM flags f
+          LEFT JOIN pairs p ON p.gx = f.gx AND p.gy = f.gy
+          JOIN tie t ON t.gx = f.gx AND t.gy = f.gy
+        ), mk AS (
+          SELECT *,
+                 CASE WHEN mk_s > 0 AND var_s > 0.0
+                        THEN (mk_s - 1) / sqrt(var_s)
+                      WHEN mk_s < 0 AND var_s > 0.0
+                        THEN (mk_s + 1) / sqrt(var_s)
+                      ELSE 0.0 END AS mk_z
+          FROM scored
+        )
+        SELECT gx, gy, n_bins, n_events, hot_bins, last_hot, mk_s,
+               CAST(FLOOR(mk_z * 1000000.0) AS BIGINT) AS mk_z_e6,
+               CASE WHEN hot_bins = 0 THEN 'none'
+                    WHEN last_hot AND hot_bins = 1 THEN 'new'
+                    WHEN hot_bins * 2 >= n_bins AND mk_z >= 1.96
+                      THEN 'intensifying'
+                    WHEN hot_bins * 2 >= n_bins AND mk_z <= -1.96
+                      THEN 'diminishing'
+                    WHEN hot_bins * 10 >= n_bins * 9 THEN 'persistent'
+                    ELSE 'sporadic' END AS category
+        FROM mk
+    """
+
+
 def q_union_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 + J5 in one registry row (merged round 4 to free a slot — VERDICT
     r3 item 6 discipline): the multi-way union halves tagged 'union', the
@@ -2014,7 +2158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_changes": q_coalesce_changes,
         "asof_join": q_asof_join,
         "union_decode": q_union_decode,
-        "pip_rect": q_pip_rect,
         "pip_holes": q_pip_holes,
         "poly_overlay": q_poly_overlay,
         "zonal_stats": q_zonal_stats,
@@ -2027,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells": q_hotspot_cells,
         "tile_pyramid": q_tile_pyramid,
         "snap_route": q_snap_route,
+        "emerging_hotspots": q_emerging_hotspots,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
         "rollup_chain": q_rollup_chain,
@@ -2617,15 +2761,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cells": hotspot_cells_sql(),
         "tile_pyramid": tile_pyramid_sql(),
         "snap_route": snap_route_sql(),
-        "pip_rect": f"""
-            SELECT CAST(r.rect_id AS BIGINT) AS rect_id, COUNT(*) AS n_points
-            FROM (SELECT {lon} AS lon, {lat} AS lat FROM documents) p
-            JOIN (SELECT i AS rect_id, -180.0 + i * 45.0 AS lon0, -90.0 + i * 20.0 AS lat0,
-                         -180.0 + i * 45.0 + 60.0 AS lon1, -90.0 + i * 20.0 + 50.0 AS lat1
-                  FROM (SELECT unnest(range(8)) AS i)) r
-              ON p.lon >= r.lon0 AND p.lon < r.lon1 AND p.lat >= r.lat0 AND p.lat < r.lat1
-            GROUP BY 1
-        """,
+        "emerging_hotspots": emerging_hotspots_sql(),
         "pip_holes": f"""
             SELECT CAST(r.poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_points
             FROM (SELECT {lon} AS lon, {lat} AS lat FROM documents) p

@@ -269,6 +269,7 @@ def main() -> None:
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "text_metrics", "tfidf", "knn",
         "knn_haversine", "hotspot_cells", "tile_pyramid", "snap_route",
+        "emerging_hotspots",
         # dedup_cluster is registry-checked but excluded here for the same
         # reason as minhash_dedup: its md5 oracle-path pair generation is the
         # cost, not the CC rounds (CC scale evidence: BENCH/BASELINE.md)

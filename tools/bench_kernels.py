@@ -855,6 +855,70 @@ def part_hotspot() -> None:
     print(_json.dumps(out))
 
 
+def part_emerging() -> None:
+    """Emerging hotspot analysis at scale, local[32]: 16M events on a
+    512x512-cell / 32-bin space-time cube (8.4M dense cube rows), with a
+    planted 3x3 block whose intensity ramps linearly over the bins — it
+    must classify 'intensifying' with MK S near the maximum."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import spacetime
+
+    out = {}
+    spark = _spark("bench-emerging")
+    n = int(os.environ.get("EMERGE_BENCH_ROWS", "16000000"))
+    n_bins, side = 32, 512
+    bin_us = 1_000_000_000
+    key = F.col("id")
+    base = spark.range(0, n, 1, 64).select(
+        (F.pmod(F.xxhash64(key, F.lit(1)), n_bins) * bin_us + 500).alias("ts_us"),
+        (F.pmod(F.xxhash64(key, F.lit(2)), side * 1000) / 1000.0).alias("x"),
+        (F.pmod(F.xxhash64(key, F.lit(3)), side * 1000) / 1000.0).alias("y"),
+    )
+    # planted riser: bin b adds 400*b events spread over the 3x3 block at
+    # (100..102, 100..102) -> ~100 sigma above the ~1.9/cell/bin background
+    # planted ids: bin b owns ids [200*b*(b-1), 200*b*(b+1)) -> 400*b events;
+    # invert the triangular cumulative with b = floor((1+sqrt(1+4k))/2),
+    # k = id/200 (exact at these magnitudes)
+    planted = spark.range(0, 200 * n_bins * (n_bins - 1), 1, 8)
+    pid = F.col("id")
+    tri = F.floor((F.lit(1.0) + F.sqrt(F.lit(1.0) + 4.0 * (pid / 200))) / 2.0)
+    planted = planted.select(
+        (tri * bin_us + 500).cast("long").alias("ts_us"),
+        (F.lit(100.0) + F.pmod(pid, 3) + 0.5).alias("x"),
+        (F.lit(100.0) + F.pmod((pid / 3).cast("long"), 3) + 0.5).alias("y"),
+    )
+    events = base.unionByName(planted).persist()
+    n_total = events.count()
+    t0 = time.time()
+    res = spacetime.emerging_hotspots(events, 1.0, bin_us).persist()
+    agg = res.agg(
+        F.count("*").alias("cells"),
+        F.sum("n_events").alias("ev"),
+        F.max("n_bins").alias("bins"),
+        F.sum((F.col("category") == "intensifying").cast("long")).alias("ints"),
+    ).collect()[0]
+    wall = time.time() - t0
+    (center,) = res.filter(
+        (F.col("gx") == 101) & (F.col("gy") == 101)
+    ).collect()
+    assert agg["ev"] == n_total and agg["bins"] == n_bins
+    assert center["category"] == "intensifying", center
+    out["emerging"] = {
+        "wall_s": round(wall, 2), "events": n_total, "cube_cells": agg["cells"],
+        "bins": agg["bins"], "events_per_sec": round(n_total / wall),
+        "intensifying_cells": agg["ints"],
+        "center_mk_s": center["mk_s"],
+        "center_mk_z": round(center["mk_z"], 2),
+    }
+    res.unpersist()
+    events.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_matching() -> None:
     """Map matching at scale, local[32]: 16M fixes over 100k entities with
     the planted 10-trips/entity gap structure (same as part_traj), snapped
@@ -938,6 +1002,7 @@ if __name__ == "__main__":
         "focal": part_focal,
         "matching": part_matching,
         "hotspot": part_hotspot,
+        "emerging": part_emerging,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
