@@ -176,6 +176,30 @@ def test_mk_rising_riser_with_variance_floor(spark):
     assert got[(2, 2)][4] == 6  # strictly rising z: S = 4*3/2
 
 
+def test_null_z_bins(spark):
+    """A bin whose raster is CONSTANT over the study area has sd == 0 ->
+    null z for every cell that bin; null pairs contribute no MK trend and
+    nulls form one tie group."""
+    events = []
+    # bins 0 and 2 constant (1 event/cell over the 3x3 area), bins 1, 3 varied
+    for b in (0, 2):
+        for gx in range(3):
+            for gy in range(3):
+                events.append((b * 100 + 1, gx + 0.5, gy + 0.5))
+    for b in (1, 3):
+        for gx in range(3):
+            for gy in range(3):
+                for _ in range(1 + (gx + gy + b) % 3):
+                    events.append((b * 100 + 1, gx + 0.5, gy + 0.5))
+    got = _run(spark, events, s=1.0, bin_us=100)
+    want = _py_emerging(events, 1.0, 100)
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][:5] == want[c][:5], c
+        assert got[c][5] == pytest.approx(want[c][5], abs=1e-12), c
+        assert got[c][6] == want[c][6], c
+
+
 def test_single_bin_and_validation(spark):
     events = [(5, 0.5, 0.5), (7, 1.5, 0.5)]
     got = _run(spark, events, s=1.0, bin_us=1000)
