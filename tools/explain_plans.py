@@ -314,6 +314,28 @@ def main() -> int:
                 must_not=["CartesianProduct", "SortMergeJoin",
                           "BatchEvalPython", "ArrowEvalPython"])
 
+    # 13. emerging hotspots: keyed/broadcast joins only — the lone
+    # BroadcastNestedLoopJoin is the area x bins cube densification (bins is
+    # the broadcast tiny side); MK is in-row, never a pairwise self-join
+    from engine import spacetime
+
+    ev2 = images.select(
+        ((F.col("phash") % 8) * 1000 + 5).alias("ts_us"),
+        (F.col("phash") % 400 / 10.0).alias("x"),
+        (F.pmod(F.col("phash"), 300) / 10.0).alias("y"),
+    )
+    eh = spacetime.emerging_hotspots(ev2, 10.0, 1000)
+    p = formatted(eh)
+    print("\n## emerging hotspots (space-time cube)")
+    if args.full:
+        print(p)
+    n_bnlj = p.count("BroadcastNestedLoopJoin")
+    print(f"  BroadcastNestedLoopJoin occurrences: {n_bnlj} (the area x "
+          f"bins densification only — bins is broadcast-tiny)")
+    ok &= check("emerging", p, must=["HashAggregate"],
+                must_not=["CartesianProduct", "BatchEvalPython",
+                          "ArrowEvalPython"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
