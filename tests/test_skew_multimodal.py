@@ -141,6 +141,71 @@ def test_resize_roundtrip(spark, images):
         assert px.shape == (8, 8, 3)
 
 
+def test_image_convolve_matches_numpy(spark, images):
+    import numpy as np
+
+    from engine import image_codec
+
+    out = {
+        r["image_id"]: r
+        for r in multimodal.image_convolve(images, "sharpen").collect()
+    }
+    assert len(out) == 40 and all(r["error"] is None for r in out.values())
+    src = {r["image_id"]: r for r in images.collect()}
+    for iid in list(out)[:6]:
+        s = src[iid]
+        px = image_codec.decode_image(bytes(s["bytes"]), s["fmt"], s["w"], s["h"])
+        kw, kd, ko = multimodal.KERNELS["sharpen"]
+        want = multimodal.np_convolve_rgb(px, kw, kd, ko)
+        got = image_codec.decode_image(
+            bytes(out[iid]["bytes"]), out[iid]["fmt"], out[iid]["w"], out[iid]["h"]
+        )
+        assert np.array_equal(got, want), iid
+
+
+def test_image_convolve_identity_and_box(spark, images):
+    import numpy as np
+
+    from engine import image_codec
+
+    # identity kernel must return byte-identical pixels
+    ident = multimodal.image_convolve(images, {(0, 0): 1})
+    src = {r["image_id"]: r for r in images.collect()}
+    for r in ident.collect():
+        px0 = image_codec.decode_image(
+            bytes(src[r["image_id"]]["bytes"]), r["fmt"], r["w"], r["h"]
+        )
+        px1 = image_codec.decode_image(bytes(r["bytes"]), r["fmt"], r["w"], r["h"])
+        assert np.array_equal(px0, px1)
+    # box blur flattens: per-image pixel std must not increase
+    blurred = {
+        r["image_id"]: r for r in multimodal.image_convolve(images, "box3").collect()
+    }
+    for iid, s in list(src.items())[:6]:
+        px0 = image_codec.decode_image(bytes(s["bytes"]), s["fmt"], s["w"], s["h"])
+        px1 = image_codec.decode_image(
+            bytes(blurred[iid]["bytes"]), s["fmt"], s["w"], s["h"]
+        )
+        assert px1.astype(float).std() <= px0.astype(float).std() + 1e-9
+
+
+def test_image_convolve_errors_and_validation(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00"), 4, 4, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = multimodal.image_convolve(df, "box3").first()
+    assert r["error"] is not None and r["bytes"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.image_convolve(df, "nope")
+    with _pytest.raises(ValueError):
+        multimodal.image_convolve(df, {})
+    with _pytest.raises(ValueError):
+        multimodal.image_convolve(df, {(0, 0): 1}, divisor=0)
+
+
 def test_frame_sample_stub_plumbing(spark):
     df = spark.createDataFrame(
         [("v1", bytearray(b"\x00"), "mp4")],
