@@ -264,7 +264,7 @@ def main() -> None:
     # representative subset by default (keeps the whole bench under ~5 min);
     # SPARK_GRAFT_BENCH_ALL_QUERIES=1 times every registered query
     fast_subset = [
-        "cell_grid", "trip_stats", "rollup_chain", "pip_rect", "pip_holes",
+        "cell_grid", "trip_stats", "rollup_chain", "pip_holes",
         "zonal_stats", "tile_assign", "tile_bundle", "geom_measures",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "asof_join", "dedup_exact", "text_metrics", "tfidf", "knn",
