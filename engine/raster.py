@@ -135,6 +135,100 @@ def tile_areal_interp(
     )
 
 
+def raster_regions(
+    tiles: DataFrame,
+    res: int,
+    classify=None,
+    connectivity: int = 4,
+    min_cells: int = 1,
+) -> DataFrame:
+    """Raster -> vector region extraction (the GIS "raster to polygons"
+    step): group CONNECTED same-class pixels of the tile raster into
+    regions via the distributed connected-components machinery
+    (engine.graph.connected_components — alternating large-star/small-star,
+    O(log n) rounds), and emit one row per region with its class, cell
+    count, mass and integer bbox.
+
+    `classify` is a Column function count -> class (long); cells whose
+    class is NULL are background and excluded. Default: presence (every
+    nonzero cell is class 1). connectivity=4 (rook) or 8 (queen).
+
+    Scale: edges are generated by ONE equi-join of the cell frame against
+    itself on (neighbor coordinate, class) — 2 (or 4) probes per cell, no
+    window explosion; CC rounds are the O(log n) star algebra already
+    load-tested at 16M nodes (BENCH/BASELINE.md). Output region_id is the
+    component's minimum packed cell id — deterministic.
+
+    The reference has no raster operator; this closes the raster->vector
+    direction of the tile axis (tile_assign / heatmap_tiles go
+    vector->raster)."""
+    from .graph import connected_components
+
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    if res < 1:
+        raise ValueError("res must be >= 1")
+    off, k = 1 << 30, 1 << 31
+    cells = tiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "n")
+    ).filter(F.col("n") != 0)
+    cells = cells.select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + (F.col("pix") / res).cast("int")).alias("gy"),
+        "n",
+    )
+    cls = (
+        classify(F.col("n")) if classify is not None else F.lit(1)
+    ).cast("long")
+    cells = (
+        cells.withColumn("cls", cls).filter(F.col("cls").isNotNull())
+    )
+    nid = (F.col("gx") + off) * k + (F.col("gy") + off)
+    cells = cells.withColumn("id", nid)
+    nbrs = [(1, 0), (0, 1)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
+    probe = cells.select(
+        F.col("id").alias("u"),
+        "cls",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in nbrs
+                ]
+            )
+        ).alias("o"),
+        "gx",
+        "gy",
+    ).select(
+        "u", "cls",
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    )
+    edges = probe.join(
+        cells.select(
+            F.col("id").alias("v"), "gx", "gy", F.col("cls").alias("cls2")
+        ),
+        ["gx", "gy"],
+    ).filter(F.col("cls") == F.col("cls2")).select("u", "v")
+    comp = connected_components(
+        edges, "u", "v", nodes=cells.select("id"), id_col="id"
+    )
+    return (
+        cells.join(comp, "id")
+        .groupBy(F.col("comp").alias("region_id"))
+        .agg(
+            F.max("cls").alias("cls"),
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("total"),
+            F.min("gx").alias("min_gx"),
+            F.max("gx").alias("max_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gy").alias("max_gy"),
+        )
+        .filter(F.col("n_cells") >= int(min_cells))
+    )
+
+
 def heatmap_tiles_sql(
     table: str,
     tile_size: float,

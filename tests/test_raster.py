@@ -159,3 +159,130 @@ def test_areal_degenerate_polygon_dropped(spark):
     out = raster.tile_areal_interp(df, 5.0).collect()
     assert len(out) == 1
     assert out[0]["value"] == pytest.approx(7.0)
+
+
+# ---------------------------------------------------------------------------
+# raster_regions (raster -> vector region extraction)
+# ---------------------------------------------------------------------------
+_OFF, _K = 1 << 30, 1 << 31
+
+
+def _mk_tiles(spark, tiles):
+    return spark.createDataFrame(
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+        "tx long, ty long, counts array<long>",
+    )
+
+
+def _py_regions(tiles, res, classify, conn=4, min_cells=1):
+    cells = {}
+    for (tx, ty), g in tiles.items():
+        for i, v in enumerate(g):
+            if v:
+                c = classify(v)
+                if c is not None:
+                    cells[(tx * res + i % res, ty * res + i // res)] = (v, c)
+    nbrs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    if conn == 8:
+        nbrs += [(1, 1), (-1, -1), (1, -1), (-1, 1)]
+    seen, out = set(), {}
+    for start in cells:
+        if start in seen:
+            continue
+        seen.add(start)
+        stack, members = [start], [start]
+        while stack:
+            cur = stack.pop()
+            for dx, dy in nbrs:
+                nxt = (cur[0] + dx, cur[1] + dy)
+                if (nxt in cells and nxt not in seen
+                        and cells[nxt][1] == cells[cur][1]):
+                    seen.add(nxt)
+                    stack.append(nxt)
+                    members.append(nxt)
+        if len(members) < min_cells:
+            continue
+        rid = min((gx + _OFF) * _K + (gy + _OFF) for gx, gy in members)
+        xs = [c[0] for c in members]
+        ys = [c[1] for c in members]
+        out[rid] = (
+            cells[members[0]][1], len(members),
+            sum(cells[c][0] for c in members),
+            min(xs), max(xs), min(ys), max(ys),
+        )
+    return out
+
+
+def _collect_regions(df):
+    return {
+        r["region_id"]: (
+            r["cls"], r["n_cells"], r["total"],
+            r["min_gx"], r["max_gx"], r["min_gy"], r["max_gy"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_regions_match_flood_fill(spark, conn):
+    rng = random.Random(29)
+    res = 6
+    tiles = {}
+    for tx in range(-1, 2):
+        for ty in range(-1, 2):
+            tiles[(tx, ty)] = [
+                rng.randint(0, 9) if rng.random() < 0.55 else 0
+                for _ in range(res * res)
+            ]
+    classify = lambda v: (1 if v >= 5 else 0) if v else None  # noqa: E731
+    got = _collect_regions(
+        raster.raster_regions(
+            _mk_tiles(spark, tiles).repartition(3), res,
+            classify=lambda c: F.when(c >= 5, 1).otherwise(0),
+            connectivity=conn,
+        )
+    )
+    assert got == _py_regions(tiles, res, classify, conn=conn)
+
+
+def test_regions_rook_vs_queen_and_min_cells(spark):
+    res = 4
+    # two diagonal blobs: separate under rook, one region under queen
+    g = [0] * 16
+    g[0] = 7          # (0,0)
+    g[1 * res + 1] = 7  # (1,1) diagonal neighbor
+    g[3 * res + 3] = 2  # isolated far cell
+    tiles = {(0, 0): g}
+    rook = _collect_regions(raster.raster_regions(_mk_tiles(spark, tiles), res))
+    assert len(rook) == 3
+    queen = _collect_regions(
+        raster.raster_regions(_mk_tiles(spark, tiles), res, connectivity=8)
+    )
+    assert len(queen) == 2
+    (big,) = [v for v in queen.values() if v[1] == 2]
+    assert big == (1, 2, 14, 0, 1, 0, 1)
+    filtered = _collect_regions(
+        raster.raster_regions(_mk_tiles(spark, tiles), res, connectivity=8,
+                              min_cells=2)
+    )
+    assert len(filtered) == 1
+
+
+def test_regions_class_boundary_not_merged(spark):
+    res = 4
+    g = [0] * 16
+    g[5], g[6] = 3, 9  # adjacent cells, different classes under >=5 split
+    tiles = {(0, 0): g}
+    out = _collect_regions(
+        raster.raster_regions(
+            _mk_tiles(spark, tiles), res,
+            classify=lambda c: F.when(c >= 5, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    assert len(out) == 2  # same-adjacency but class wall keeps them apart
+
+
+def test_regions_validation(spark):
+    df = _mk_tiles(spark, {(0, 0): [1] * 16})
+    with pytest.raises(ValueError):
+        raster.raster_regions(df, 4, connectivity=6)
