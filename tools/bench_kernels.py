@@ -919,6 +919,55 @@ def part_emerging() -> None:
     print(_json.dumps(out))
 
 
+def part_regions() -> None:
+    """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
+    (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
+    so regions stay region-sized instead of one percolating blob), regions
+    via distributed CC. Conservation asserts: node count and mass equal
+    the thresholded raster's."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import raster
+
+    out = {}
+    spark = _spark("bench-regions")
+    n = int(os.environ.get("FOCAL_BENCH_ROWS", "16000000"))
+    pts = spark.range(0, n, 1, 64).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), 4096000) / 1000.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 4096000) / 1000.0).alias("y"),
+    )
+    tiles = raster.heatmap_tiles(pts, tile_size=64.0, res=64).persist()
+    want = tiles.select(
+        F.explode("counts").alias("n")
+    ).filter(F.col("n") >= 2).agg(
+        F.count("*").alias("cells"), F.sum("n").alias("mass")
+    ).collect()[0]
+    t0 = time.time()
+    regions = raster.raster_regions(
+        tiles, 64, classify=lambda c: F.when(c >= 2, 1)
+    ).persist()
+    agg = regions.agg(
+        F.count("*").alias("regions"),
+        F.sum("n_cells").alias("cells"),
+        F.sum("total").alias("mass"),
+        F.max("n_cells").alias("biggest"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["cells"] == want["cells"] and agg["mass"] == want["mass"]
+    out["regions"] = {
+        "wall_s": round(wall, 2), "raster_cells": 4096 * 4096,
+        "class_cells": agg["cells"], "regions": agg["regions"],
+        "biggest_region": agg["biggest"],
+        "cells_per_sec": round(agg["cells"] / wall),
+    }
+    regions.unpersist()
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_matching() -> None:
     """Map matching at scale, local[32]: 16M fixes over 100k entities with
     the planted 10-trips/entity gap structure (same as part_traj), snapped
@@ -1003,6 +1052,7 @@ if __name__ == "__main__":
         "matching": part_matching,
         "hotspot": part_hotspot,
         "emerging": part_emerging,
+        "regions": part_regions,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
