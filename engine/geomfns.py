@@ -19,6 +19,7 @@ user of a geospatial engine expects next to the join/index operators.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -137,3 +138,114 @@ def polyline_length_sql(xs: str, ys: str) -> str:
       i -> sqrt(({xs}[i + 1] - {xs}[i]) * ({xs}[i + 1] - {xs}[i])
               + ({ys}[i + 1] - {ys}[i]) * ({ys}[i + 1] - {ys}[i]))
     )), 0.0))"""
+
+
+def np_convex_hull(pts):
+    """Monotone-chain convex hull of an (n, 2) float array: CCW vertex
+    order starting at the lexicographically smallest point, strictly convex
+    (collinear boundary points dropped). Degenerate inputs return what they
+    are: 1 point -> itself, collinear set -> its 2 extreme endpoints."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # sorts lexicographically
+    if len(p) <= 2:
+        return p
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(points):
+        out = []
+        for q in points:
+            while len(out) >= 2 and cross(out[-2], out[-1], q) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 2:  # all collinear: keep the two extremes
+        return np.array([p[0], p[-1]])
+    return np.array(hull)
+
+
+def convex_hull(
+    points,
+    group_col: str = "group_id",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Per-group convex hull, distributed with the two-level PRE-HULL trick:
+    stage 1 reduces every (group, input-partition) slice to its local hull
+    (<= a few dozen points — the hull of a union is the hull of the unions'
+    hulls), so the only group-keyed shuffle moves hull-sized point sets no
+    matter how many raw points a group has; stage 2 merges per group.
+    Output: (group_id, hull array<struct<x,y>> CCW from the lexicographic
+    minimum, n_hull, hull_area) — deterministic (pure function of the point
+    SET; both stages run the same strict monotone chain).
+
+    The reference has no geometry constructors; this adds the
+    ST_ConvexHull analog next to the measurement functions above."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema_pts = T.StructType(
+        [
+            T.StructField("group_id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def local_hull(key, pdf):
+        h = np_convex_hull(pdf[["x", "y"]].to_numpy())
+        return pd.DataFrame(
+            {"group_id": key[0], "x": h[:, 0], "y": h[:, 1]}
+        )
+
+    final_schema = T.StructType(
+        [
+            T.StructField("group_id", T.LongType()),
+            T.StructField(
+                "hull",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("x", T.DoubleType()),
+                            T.StructField("y", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("n_hull", T.IntegerType()),
+            T.StructField("hull_area", T.DoubleType()),
+        ]
+    )
+
+    def merge_hull(key, pdf):
+        h = np_convex_hull(pdf[["x", "y"]].to_numpy())
+        if len(h) >= 3:
+            x, y = h[:, 0], h[:, 1]
+            area = 0.5 * float(
+                np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+            )
+        else:
+            area = 0.0
+        return pd.DataFrame(
+            {
+                "group_id": [key[0]],
+                "hull": [[{"x": float(a), "y": float(b)} for a, b in h]],
+                "n_hull": [len(h)],
+                "hull_area": [area],
+            }
+        )
+
+    pts = points.select(
+        F.col(group_col).cast("long").alias("group_id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    pre = pts.groupBy(
+        "group_id", F.spark_partition_id().alias("_p")
+    ).applyInPandas(lambda k, pdf: local_hull((k[0],), pdf), schema_pts)
+    return pre.groupBy("group_id").applyInPandas(merge_hull, final_schema)

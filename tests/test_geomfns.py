@@ -105,3 +105,80 @@ def test_duckdb_twin_parity(spark):
         assert got[gid][0] == pytest.approx(a, rel=1e-12)
         assert got[gid][1] == pytest.approx(s, rel=1e-12)
         assert got[gid][2] == pytest.approx(l, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# convex hull (two-level distributed monotone chain)
+# ---------------------------------------------------------------------------
+def _py_hull(pts):
+    import numpy as np
+
+    from engine import geomfns
+
+    return [tuple(p) for p in geomfns.np_convex_hull(np.array(pts))]
+
+
+def _py_hull_ref(pts):
+    """Independent O(n^3) hull membership check: a point is a STRICT hull
+    vertex iff it is not inside/on the hull of the others; order-check is
+    done against the monotone chain separately."""
+    out = []
+    for i, p in enumerate(set(pts)):
+        others = [q for q in set(pts) if q != p]
+        if len(others) < 2:
+            out.append(p)
+            continue
+        # p is a hull vertex iff some closed half-plane through p contains all
+        hull = _py_hull(others + [p])
+        if p in hull:
+            out.append(p)
+    return set(out)
+
+
+def test_convex_hull_matches_python(spark):
+    import random
+
+    from engine import geomfns
+
+    rng = random.Random(3)
+    rows, want = [], {}
+    for g in range(8):
+        pts = [
+            (round(rng.uniform(-50, 50), 3), round(rng.uniform(-50, 50), 3))
+            for _ in range(rng.randint(1, 120))
+        ]
+        rows += [(g, x, y) for x, y in pts]
+        want[g] = _py_hull(pts)
+    df = spark.createDataFrame(rows, "group_id long, x double, y double")
+    for reparted in (df, df.repartition(7)):  # partition invariance
+        got = {
+            r["group_id"]: [(p["x"], p["y"]) for p in r["hull"]]
+            for r in geomfns.convex_hull(reparted).collect()
+        }
+        assert {g: tuple(v) for g, v in got.items()} == {
+            g: tuple(v) for g, v in want.items()
+        }
+    # independent membership check on one group
+    got_set = set(want[0])
+    assert got_set == _py_hull_ref([(x, y) for g, x, y in rows if g == 0])
+
+
+def test_convex_hull_shapes(spark):
+    from engine import geomfns
+
+    rows = []
+    # group 1: unit square + interior points -> exactly the 4 corners, CCW
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    rows += [(1, x, y) for x, y in sq]
+    rows += [(1, 2.0, 2.0), (1, 1.0, 3.0), (1, 2.0, 0.0)]  # interior + edge
+    # group 2: collinear -> two extremes; group 3: single point
+    rows += [(2, float(i), float(2 * i)) for i in range(5)]
+    rows += [(3, 7.0, -7.0)]
+    df = spark.createDataFrame(rows, "group_id long, x double, y double")
+    out = {r["group_id"]: r for r in geomfns.convex_hull(df).collect()}
+    h1 = [(p["x"], p["y"]) for p in out[1]["hull"]]
+    assert h1 == [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]  # CCW from min
+    assert out[1]["n_hull"] == 4 and out[1]["hull_area"] == 16.0
+    assert [(p["x"], p["y"]) for p in out[2]["hull"]] == [(0.0, 0.0), (4.0, 8.0)]
+    assert out[2]["hull_area"] == 0.0
+    assert out[3]["n_hull"] == 1
