@@ -919,6 +919,51 @@ def part_emerging() -> None:
     print(_json.dumps(out))
 
 
+def part_hull() -> None:
+    """Distributed convex hull at scale, local[32]: 16M points in 1000
+    groups, each uniform over its own unit box — every group's hull area
+    must approach 1.0 from below (16k uniform points leave ~O(log n / n)
+    boundary slack) and the pre-hull shuffle moves only hull-sized sets."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import geomfns
+
+    out = {}
+    spark = _spark("bench-hull")
+    n = int(os.environ.get("HULL_BENCH_ROWS", "16000000"))
+    g = F.pmod(F.col("id"), 1000)
+    pts = spark.range(0, n, 1, 64).select(
+        g.alias("group_id"),
+        (g * 2 + F.pmod(F.xxhash64("id", F.lit(1)), 1000000) / 1000000.0)
+        .alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 1000000) / 1000000.0).alias("y"),
+    ).persist()
+    pts.count()
+    t0 = time.time()
+    hulls = geomfns.convex_hull(pts).persist()
+    agg = hulls.agg(
+        F.count("*").alias("groups"),
+        F.min("hull_area").alias("amin"),
+        F.max("hull_area").alias("amax"),
+        F.max("n_hull").alias("max_hull"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["groups"] == 1000
+    assert 0.95 <= agg["amin"] and agg["amax"] <= 1.0, agg
+    out["hull"] = {
+        "wall_s": round(wall, 2), "points": n, "groups": 1000,
+        "points_per_sec": round(n / wall),
+        "area_min": round(agg["amin"], 4), "area_max": round(agg["amax"], 4),
+        "max_hull_vertices": agg["max_hull"],
+    }
+    hulls.unpersist()
+    pts.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1053,6 +1098,7 @@ if __name__ == "__main__":
         "hotspot": part_hotspot,
         "emerging": part_emerging,
         "regions": part_regions,
+        "hull": part_hull,
         "tilecut": part_tilecut,
         "phash": part_phash,
         "graph": part_graph,
