@@ -73,6 +73,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            spark.catalog.clearCache()  # queries may persist intermediates
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows-only: {len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
