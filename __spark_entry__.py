@@ -335,6 +335,95 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 both variants in one registry row (merged round 4 to free a slot
+    for `colocation`): the as-of assignment rows tagged 'asof', the
+    interval-bucket counts tagged 'interval'. Each half unchanged from its
+    previously-green standalone row."""
+    asof = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("tag"),
+        F.col("event_id").alias("a"),
+        F.col("user_id").alias("b"),
+        F.col("ts_us").alias("c"),
+        F.col("login_event_id").alias("d"),
+    )
+    iv = q_interval_join(spark, sf_dir).select(
+        F.lit("interval").alias("tag"),
+        F.col("year").alias("a"),
+        F.col("n_items").alias("b"),
+        F.lit(-1).cast("long").alias("c"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    return asof.unionByName(iv)
+
+
+_COLOC_RADIUS = 3.0
+_COLOC_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal co-location join (engine.trajectory.colocation_pairs):
+    events as device fixes (md5-derived planar coords), entity pairs with
+    fixes within 3 planar units and 1 hour — forward-offset space-time
+    blocking generates each qualifying fix pair exactly once; the oracle is
+    the brute-force O(n^2) self-join (blocking completeness is exactly the
+    property under test). min_d2 rides FLOOR-scaled."""
+    from engine import textops, trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    hx = textops.cross_hash(eid, "md5")
+    hy = textops.cross_hash(F.concat(eid, F.lit("y")), "md5")
+    fixes = ev.select(
+        F.col("user_id").cast("long").alias("entity_id"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        (F.pmod(hx, F.lit(100000)) / F.lit(1000.0)).alias("x"),
+        (F.pmod(hy, F.lit(60000)) / F.lit(1000.0)).alias("y"),
+    )
+    out = trajectory.colocation_pairs(
+        fixes, _COLOC_RADIUS, _COLOC_GAP_US
+    )
+    return out.select(
+        "entity_a", "entity_b",
+        F.col("n_meetings").cast("long").alias("n_meetings"),
+        "first_us", "last_us",
+        F.floor(F.col("min_d2") * 1000000.0).cast("long").alias("min_d2_e6"),
+    )
+
+
+def colocation_sql() -> str:
+    """DuckDB twin of q_colocation: the exhaustive fix self-join with
+    a.uid < b.uid ordering (each cross-entity unordered fix pair exactly
+    once, mirroring the blocked plan's uniqueness guarantee)."""
+    from engine import textops
+
+    hx = textops.cross_hash_sql("CAST(event_id AS VARCHAR)")
+    hy = textops.cross_hash_sql("CAST(event_id AS VARCHAR) || 'y'")
+    r2 = repr(_COLOC_RADIUS * _COLOC_RADIUS)
+    return f"""
+        WITH f AS (
+          SELECT CAST(user_id AS BIGINT) AS uid,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 (({hx}) % 100000) / 1000.0 AS x,
+                 (({hy}) % 60000) / 1000.0 AS y
+          FROM events
+        ), hits AS (
+          SELECT a.uid AS entity_a, b.uid AS entity_b,
+                 LEAST(a.ts_us, b.ts_us) AS t0,
+                 GREATEST(a.ts_us, b.ts_us) AS t1,
+                 (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+          FROM f a JOIN f b ON a.uid < b.uid
+          WHERE ABS(a.ts_us - b.ts_us) <= {_COLOC_GAP_US}
+            AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                  <= {r2}
+        )
+        SELECT entity_a, entity_b, COUNT(*) AS n_meetings,
+               MIN(t0) AS first_us, MAX(t1) AS last_us,
+               CAST(FLOOR(MIN(d2) * 1000000.0) AS BIGINT) AS min_d2_e6
+        FROM hits GROUP BY 1, 2
+    """
+
+
 def q_multiway_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — multi-way union of per-depth frames (SparkJobs.scala:73-76 analog)."""
     from functools import reduce
@@ -2156,7 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consecutive_diff": q_consecutive_diff,
         "change_taxonomy": q_change_taxonomy,
         "coalesce_changes": q_coalesce_changes,
-        "asof_join": q_asof_join,
+        "temporal_joins": q_temporal_joins,
+        "colocation": q_colocation,
         "union_decode": q_union_decode,
         "pip_holes": q_pip_holes,
         "poly_overlay": q_poly_overlay,
@@ -2179,7 +2269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_pipeline": q_change_pipeline,
         "olap_aggs": q_olap_aggs,
         "cell_compact": q_cell_compact,
-        "interval_join": q_interval_join,
         "sql_surface": q_sql_surface,
         "tfidf": q_tfidf,
         "ann_topk": q_ann_topk,
@@ -2719,7 +2808,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
             FROM events GROUP BY user_id, event_type
         """,
-        "asof_join": """
+        "temporal_joins": """
+            SELECT 'asof' AS tag, event_id AS a, user_id AS b,
+                   ts_us AS c, login_event_id AS d
+            FROM (
             SELECT CAST(event_id AS BIGINT) AS event_id,
                    CAST(user_id AS BIGINT) AS user_id,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -2736,8 +2828,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, 1 AS side, event_id FROM events WHERE event_type = 'click'
               ) u
             ) t WHERE side = 1
+        )
+            UNION ALL
+            SELECT 'interval' AS tag, year AS a, n_items AS b,
+                   CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d
+            FROM (
+            SELECT CAST(y.year AS BIGINT) AS year, COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN (SELECT y AS year,
+                         make_timestamp(y, 1, 1, 0, 0, 0.0) AS t_from,
+                         make_timestamp(y + 1, 1, 1, 0, 0, 0.0) AS t_to
+                  FROM (SELECT unnest(range(1992, 2000)) AS y)) y
+              ON l.l_shipdate >= y.t_from AND l.l_shipdate < y.t_to
+            GROUP BY 1
+        )
         """,
-        "union_decode": """
+        "colocation": colocation_sql(),        "union_decode": """
             SELECT 'union' AS op, l_linestatus AS k, n, depth FROM (
               SELECT l_linestatus, COUNT(*) AS n, CAST(0 AS BIGINT) AS depth
               FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus
@@ -2984,17 +3090,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'roundtrip' AS part, cell FROM ({cell5_cte}) b
         """,
-        "interval_join": """
-            SELECT CAST(y.year AS BIGINT) AS year, COUNT(*) AS n_items
-            FROM lineitem l
-            JOIN (SELECT y AS year,
-                         make_timestamp(y, 1, 1, 0, 0, 0.0) AS t_from,
-                         make_timestamp(y + 1, 1, 1, 0, 0, 0.0) AS t_to
-                  FROM (SELECT unnest(range(1992, 2000)) AS y)) y
-              ON l.l_shipdate >= y.t_from AND l.l_shipdate < y.t_to
-            GROUP BY 1
-        """,
-        "sql_surface": """
+                "sql_surface": """
             SELECT n.n_name AS nation,
                    CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
                        AS BIGINT)) AS BIGINT) AS revenue_e4,

@@ -267,7 +267,7 @@ def main() -> None:
         "cell_grid", "trip_stats", "rollup_chain", "pip_holes",
         "zonal_stats", "tile_assign", "tile_bundle", "geom_measures",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
-        "asof_join", "dedup_exact", "text_metrics", "tfidf", "knn",
+        "temporal_joins", "colocation", "dedup_exact", "text_metrics", "tfidf", "knn",
         "knn_haversine", "hotspot_cells", "tile_pyramid", "snap_route",
         "emerging_hotspots",
         # dedup_cluster is registry-checked but excluded here for the same

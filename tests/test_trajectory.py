@@ -140,3 +140,91 @@ def test_dwell_zero_dt_counts_slow(spark):
         df, speed_mps_max=0.5, min_duration_minutes=5
     ).collect()
     assert len(eps) == 1 and eps[0]["duration_us"] == 10 * MIN
+
+
+# ---------------------------------------------------------------------------
+# colocation_pairs (spatiotemporal rendezvous join)
+# ---------------------------------------------------------------------------
+def _py_coloc(fixes, r, gap):
+    out = {}
+    for i in range(len(fixes)):
+        for j in range(i + 1, len(fixes)):
+            (ea, ta, xa, ya), (eb, tb, xb, yb) = fixes[i], fixes[j]
+            if ea == eb or abs(ta - tb) > gap:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 > r * r:
+                continue
+            k = (min(ea, eb), max(ea, eb))
+            e = out.setdefault(k, [0, 1 << 62, -1, float("inf")])
+            e[0] += 1
+            e[1] = min(e[1], min(ta, tb))
+            e[2] = max(e[2], max(ta, tb))
+            e[3] = min(e[3], d2)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def _run_coloc(spark, fixes, r, gap):
+    df = spark.createDataFrame(
+        fixes, "entity_id long, ts_us long, x double, y double"
+    ).repartition(5)
+    return {
+        (row["entity_a"], row["entity_b"]): (
+            row["n_meetings"], row["first_us"], row["last_us"], row["min_d2"],
+        )
+        for row in trajectory.colocation_pairs(df, r, gap).collect()
+    }
+
+
+def test_colocation_matches_brute_force(spark):
+    rng = random.Random(19)
+    fixes = [
+        (rng.randint(1, 6), rng.randint(0, 5000),
+         round(rng.uniform(0, 20), 3), round(rng.uniform(0, 20), 3))
+        for _ in range(300)
+    ]
+    got = _run_coloc(spark, fixes, 2.5, 700)
+    want = _py_coloc(fixes, 2.5, 700)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], k
+        assert got[k][3] == pytest.approx(want[k][3], rel=1e-12)
+
+
+def test_colocation_boundaries_and_blocks(spark):
+    # exactly at radius and exactly at gap both count (<=); one tick over
+    # does not; pairs crossing block boundaries are found exactly once
+    fixes = [
+        (1, 1000, 0.0, 0.0),
+        (2, 2000, 3.0, 4.0),   # d = 5.0 exactly, dt = 1000 exactly
+        (3, 3001, 0.0, 0.0),   # dt to e1 = 2001 > 2000: excluded
+        (4, 1000, -5.0001, 0.0),  # d > 5 from e1 (and far from e2)
+    ]
+    got = _run_coloc(spark, fixes, 5.0, 1000)
+    # only e1-e2 qualifies: e2-e3 dt=1001 and e1-e4 d=5.0001 are one tick over
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == (1, 1000, 2000, 25.0)
+
+
+def test_colocation_planted_rendezvous(spark):
+    # two entities walk together for 5 fixes, a third is far away
+    fixes = []
+    for i in range(5):
+        fixes.append((10, i * 100, float(i), 0.0))
+        fixes.append((20, i * 100 + 1, float(i) + 0.1, 0.1))
+        fixes.append((30, i * 100, float(i) + 1000.0, 0.0))
+    got = _run_coloc(spark, fixes, 1.0, 50)
+    assert set(got) == {(10, 20)}
+    n, first, last, d2 = got[(10, 20)]
+    assert n == 5 and first == 0 and last == 401
+    assert d2 == pytest.approx(0.02)
+
+
+def test_colocation_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0)], "entity_id long, ts_us long, x double, y double"
+    )
+    with pytest.raises(ValueError):
+        trajectory.colocation_pairs(df, 0.0, 10)
+    with pytest.raises(ValueError):
+        trajectory.colocation_pairs(df, 1.0, 0)

@@ -964,6 +964,65 @@ def part_hull() -> None:
     print(_json.dumps(out))
 
 
+def part_coloc() -> None:
+    """Co-location at scale, local[32]: 16M background fixes over a 1e6 x
+    1e6 plane / 32 time bins (sparse enough that background meetings are
+    incidental) + 1000 planted entity pairs with 10 same-time co-fixes each.
+    Every planted pair must be recovered with n_meetings >= 10."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import trajectory
+
+    out = {}
+    spark = _spark("bench-coloc")
+    n = int(os.environ.get("COLOC_BENCH_ROWS", "16000000"))
+    gap_us = 1_000_000_000
+    key = F.col("id")
+    base = spark.range(0, n, 1, 64).select(
+        (F.pmod(key, 100000) + 10000).alias("entity_id"),  # ids >= 10000
+        (F.pmod(F.xxhash64(key, F.lit(1)), 32) * gap_us + 500).alias("ts_us"),
+        (F.pmod(F.xxhash64(key, F.lit(2)), 1000000000) / 1000.0).alias("x"),
+        (F.pmod(F.xxhash64(key, F.lit(3)), 1000000000) / 1000.0).alias("y"),
+    )
+    # planted: entities (2i, 2i+1), i < 1000, meet 10 times at distinct spots
+    pl = spark.range(0, 20000, 1, 8)
+    pid = F.col("id")
+    pair = (pid / 20).cast("long")          # 0..999
+    k = F.pmod(pid, 20)                      # 20 fixes: 10 per entity
+    planted = pl.select(
+        (pair * 2 + F.pmod(k, 2)).alias("entity_id"),
+        (F.pmod(k / 2, 10).cast("long") * gap_us + 700).alias("ts_us"),
+        (pair * 900.0 + (k / 2).cast("long") * 37.0).alias("x"),
+        (F.pmod(k, 2) * 1.5).cast("double").alias("y"),
+    )
+    fixes = base.unionByName(planted).persist()
+    n_total = fixes.count()
+    t0 = time.time()
+    pairs = trajectory.colocation_pairs(fixes, 5.0, gap_us).persist()
+    found = pairs.filter(
+        (F.col("entity_a") < 2000) & (F.col("entity_b") < 2000)
+    )
+    planted_ok = found.filter(
+        (F.col("entity_b") == F.col("entity_a") + 1)
+        & (F.pmod(F.col("entity_a"), 2) == 0)
+        & (F.col("n_meetings") >= 10)
+    ).count()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    assert planted_ok == 1000, planted_ok
+    out["coloc"] = {
+        "wall_s": round(wall, 2), "fixes": n_total,
+        "pairs_found": n_pairs, "planted_recovered": planted_ok,
+        "fixes_per_sec": round(n_total / wall),
+    }
+    pairs.unpersist()
+    fixes.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1098,6 +1157,7 @@ if __name__ == "__main__":
         "hotspot": part_hotspot,
         "emerging": part_emerging,
         "regions": part_regions,
+        "coloc": part_coloc,
         "hull": part_hull,
         "tilecut": part_tilecut,
         "phash": part_phash,
