@@ -1,21 +1,14 @@
 """Kernel-table measurements for BENCH/BASELINE.md (run ONE part at a time —
-never two Spark processes concurrently on this host).
+never two Spark processes concurrently on this host; every part prints one
+JSON line and asserts its planted structure, so each is a correctness check
+at bench scale, not just a timing).
 
-Parts:
-  rebatch   — cosine_topk gemm at 1M x 32q: in-task Arrow rebatch (65536) vs
-              pass-through scan batches (4096) — the VERDICT r3 item 7 delta.
-  recall    — capped ('auto' margin-ordered) vs uncapped LSH recall at
-              n_planes=14, bits=2 on a 1M-row corpus (the regime where the
-              cap drops 59 of 106 probes).
-  ivf       — auto-sized (sqrt-N) vs fixed-16 IVF recall + candidate volume
-              at 1M corpus, with and without one Lloyd pass.
-  knn_geo   — knn_geo_join at 10k queries x 1M points (geodesic twin of the
-              planar kNN BENCH row).
-  int8      — int8 quantization lever at 1M x 64: parquet bytes f64 vs codes,
-              code-scan vs float-GEMM wall, code-rank + rerank recall.
-
-Usage: python tools/bench_kernels.py {rebatch|recall|ivf|knn_geo|int8}
-Prints one JSON line per part.
+Usage: python tools/bench_kernels.py <part>   — see the dispatch table at
+the bottom of this file for the full part list (embedding kernels, LSH/IVF
+recall, geodesic kNN, int8 quantization, tile cutting, phash clustering,
+connected components, trajectories, focal/hotspot rasters, map matching,
+emerging hotspots, raster regions, co-location, convex hulls). Numbers and
+their interpretation live in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
