@@ -7,10 +7,12 @@ operators, all Column algebra (the only Python is in tests):
 - snap_to_segments: for every fix, the nearest polyline segment within
   `radius` (planar), plus the perpendicular foot point and distance. The
   candidate set comes from the same broadcast cell cover line_radius_join
-  uses (point side scanned ONCE, never shuffled — the fix table is the
-  100 TB side); the argmin is one window over candidates keyed by fix.
-  Deterministic tie-break: (dist2, line_id, seg_idx) — equidistant
-  segments resolve the same way in every engine.
+  uses (the fix table is the 100 TB side and is scanned once); the argmin
+  is a fix-keyed window (batch default — WindowGroupLimit collapses it
+  map-side) or an in-row array fold (the streaming plan; see the
+  snap_to_segments docstring for the measured A/B). Deterministic
+  tie-break: (dist2, line_id, seg_idx) — equidistant segments resolve the
+  same way in every engine.
 
 - match_routes: trips (engine.trajectory.trip_segments semantics) with each
   fix snapped, compressed to the ordered sequence of DISTINCT consecutive
