@@ -1,0 +1,260 @@
+"""Network routing: multi-source shortest paths + isochrones over edge frames.
+
+The road-network counterpart to engine/matching.py: matching snaps fixes to
+segments; this module answers "how far is everything from here along the
+network" — the primitive under isochrones (reachability within a distance
+budget), catchment/coverage analysis, and network-distance joins.
+
+Operator: `shortest_paths` — frontier Bellman-Ford as iterative Column
+algebra (the same bounded-iteration discipline as engine/propagate.py O5 and
+engine/graph.py's star rounds):
+
+- each round is TWO bounded shuffles: frontier ⋈ edges (equi-join on the
+  source node) + a (source, node) min-aggregation; no driver-side adjacency,
+  no Python in the loop;
+- the frontier carries only IMPROVED labels, so work per round tracks the
+  wavefront, not the graph (for a distance-cutoff query the wavefront is the
+  isochrone ring — the frontier never exceeds the reachable set);
+- lineage is truncated per round (localCheckpoint, eager) so plan depth is
+  O(1) no matter how many rounds run; early exit on an empty frontier;
+- labels are packed integers dist*HOPS_BASE + hops, so the lexicographic
+  (dist, hops) minimum — shortest distance, fewest edges among ties — is a
+  plain BIGINT min: engine-independent, exactly reproducible in DuckDB.
+
+Round count is the hop diameter of the REACHED subgraph: ~log n rounds on
+random/small-world graphs, O(radius/min_edge) for distance-cutoff queries on
+planar road grids. Unbounded continental-network point-to-point queries want
+a contraction-hierarchy layer on top (out of scope; the frontier loop here is
+the primitive such a layer relaxes within shortcuts). At 100 TB scale every
+round's join shuffles on the node key — AQE handles frontier skew (a hub node
+relaxing many labels), and `max_dist` keeps isochrone frontiers bounded by
+the query radius rather than the graph.
+
+Oracle: `shortest_paths_sql` unrolls k relaxation rounds as nested DuckDB
+CTEs (the same unrolled-per-depth pattern as the change-pipeline oracle) —
+exact label parity whenever k >= the hop diameter, which tests assert via
+LAST_ROUNDS.
+
+The reference has no routing operator (its propagation walk, SparkJobs.scala
+:10-82, is a bounded-depth TREE walk rebuilt in engine/propagate.py; this is
+the general-graph, weighted generalization). New surface for the brief's
+trajectory/network axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# packed label = dist * HOPS_BASE + hops. dist and hops are both
+# non-negative; hops < HOPS_BASE is guaranteed by max_rounds <= HOPS_BASE-1,
+# and dist < 2^63 / HOPS_BASE ~= 8.8e12 is checked against max_dist when
+# given (callers with mm-integer weights stay exact up to ~8800 km paths).
+HOPS_BASE = 1 << 20
+
+# diagnostics: rounds the last shortest_paths call ran (read by benches)
+LAST_ROUNDS = 0
+
+
+def _prep_edges(
+    edges: DataFrame, src: str, dst: str, w: str, directed: bool
+) -> DataFrame:
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(w).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    # parallel edges: keep the cheapest (fewer rows through every round);
+    # negative weights are a contract violation (Bellman-Ford would need the
+    # full |V|-1 rounds and a negative-cycle check — not a road network)
+    return e.groupBy("u", "v").agg(F.min("w").alias("w"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    source_id: str = "source_id",
+    node: str = "node",
+    directed: bool = False,
+    max_dist: int | None = None,
+    max_rounds: int = 64,
+    check_negative: bool = True,
+) -> DataFrame:
+    """Multi-source shortest paths over a weighted edge frame.
+
+    edges: (src, dst, w) with NON-NEGATIVE integer weights (use scaled
+    integers — mm lengths from engine/trajectory.py — not floats: the label
+    min must be exact across engines). directed=False symmetrizes.
+    sources: (source_id, node) — each source relaxes independently (the
+    label key is the pair), so one call serves many origins.
+    max_dist: prune every label > max_dist — the isochrone query. Bounds
+    both the answer AND the wavefront (rounds <= max_dist/min_edge_weight).
+    max_rounds: hard round cap; raises RuntimeError if the frontier is still
+    non-empty after it (hop diameter exceeded the cap — raise it, or set
+    max_dist to bound the query).
+
+    Returns (source_id, node, dist, hops): dist = network distance of the
+    shortest path, hops = edge count of the fewest-edge path among the
+    shortest (the deterministic tie-break). Sources appear with dist=0,
+    hops=0; unreachable (or beyond max_dist) nodes are absent.
+
+    Each round: frontier ⋈ edges -> candidate labels -> (source, node) min
+    -> keep strict improvements vs settled -> merge. 3 shuffles/round (join,
+    candidate min, improvement anti-semi), frontier-sized except the merge,
+    lineage truncated per round."""
+    if max_rounds >= HOPS_BASE:
+        raise ValueError(f"max_rounds must be < {HOPS_BASE}")
+    if max_dist is not None and max_dist >= (1 << 62) // HOPS_BASE:
+        raise ValueError("max_dist too large for exact packed labels")
+    e = _prep_edges(edges, src, dst, w, directed)
+    if check_negative:
+        neg = e.filter(F.col("w") < 0).limit(1).count()
+        if neg:
+            raise ValueError("shortest_paths requires non-negative weights")
+    e = e.localCheckpoint(eager=True)
+
+    s = sources.select(
+        F.col(source_id).cast("long").alias("sid"),
+        F.col(node).cast("long").alias("n"),
+    ).distinct()
+    # settled: best packed label per (sid, n) found so far
+    settled = s.withColumn("key", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    frontier = settled
+
+    global LAST_ROUNDS
+    LAST_ROUNDS = 0
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["n"] == e["u"])
+            # packed arithmetic: (d + w, h + 1) == key + w*HOPS_BASE + 1
+            .select(
+                "sid",
+                e["v"].alias("n"),
+                (F.col("key") + F.col("w") * HOPS_BASE + 1).alias("key"),
+            )
+        )
+        if max_dist is not None:
+            cand = cand.filter(F.col("key") < (max_dist + 1) * HOPS_BASE)
+        cand = cand.groupBy("sid", "n").agg(F.min("key").alias("key"))
+        improved = (
+            cand.join(
+                settled.withColumnRenamed("key", "_old"), ["sid", "n"], "left"
+            )
+            .filter(F.col("_old").isNull() | (F.col("key") < F.col("_old")))
+            .select("sid", "n", "key")
+            .localCheckpoint(eager=True)
+        )
+        LAST_ROUNDS += 1
+        if improved.limit(1).count() == 0:
+            break
+        settled = (
+            settled.unionByName(improved)
+            .groupBy("sid", "n")
+            .agg(F.min("key").alias("key"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"shortest_paths: frontier non-empty after {max_rounds} rounds; "
+            "raise max_rounds or bound the query with max_dist"
+        )
+    return settled.select(
+        F.col("sid").alias("source_id"),
+        F.col("n").alias("node"),
+        # exact integer division: `/` on longs is double division in Spark
+        # (lossy past 2^53); HOPS_BASE is 2^20 so shift instead
+        F.shiftright(F.col("key"), 20).alias("dist"),
+        (F.col("key") % HOPS_BASE).alias("hops"),
+    )
+
+
+def isochrone_cells(
+    edges: DataFrame,
+    sources: DataFrame,
+    nodes: DataFrame,
+    budgets: list[int],
+    node_id: str = "node",
+    x_col: str = "x",
+    y_col: str = "y",
+    cell_size: float = 1.0,
+    **kwargs,
+) -> DataFrame:
+    """Isochrone rasterization: network-reachability rings as cell sets.
+    Runs shortest_paths with max_dist = max(budgets), joins node coordinates,
+    and buckets every reached node into the SMALLEST budget that covers it;
+    output (source_id, budget, cell, n_nodes, min_dist) — the tile/choropleth
+    feed. One extra equi-join + agg over the SSSP output."""
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    bs = sorted(set(int(b) for b in budgets))
+    d = shortest_paths(edges, sources, max_dist=bs[-1], **kwargs)
+    pts = nodes.select(
+        F.col(node_id).cast("long").alias("node"),
+        (F.floor(F.col(x_col) / cell_size)).cast("long").alias("_cx"),
+        (F.floor(F.col(y_col) / cell_size)).cast("long").alias("_cy"),
+    )
+    budget = F.lit(None).cast("long")
+    for b in reversed(bs):
+        budget = F.when(F.col("dist") <= b, F.lit(b)).otherwise(budget)
+    return (
+        d.join(pts, "node")
+        .withColumn("budget", budget)
+        .groupBy("source_id", "budget", "_cx", "_cy")
+        .agg(F.count("*").alias("n_nodes"), F.min("dist").alias("min_dist"))
+        .select(
+            "source_id",
+            "budget",
+            F.concat_ws(":", "_cx", "_cy").alias("cell"),
+            "n_nodes",
+            "min_dist",
+        )
+    )
+
+
+def shortest_paths_sql(
+    edges_sql: str,
+    sources_sql: str,
+    rounds: int,
+    directed: bool = False,
+    max_dist: int | None = None,
+) -> str:
+    """DuckDB twin of shortest_paths: `rounds` relaxation rounds unrolled as
+    nested CTEs (exact parity whenever rounds >= the Spark call's
+    LAST_ROUNDS). edges_sql -> (src, dst, w); sources_sql -> (source_id,
+    node). Same packed-label min, so dist AND hops tie-breaks match."""
+    sym = (
+        "SELECT src AS u, dst AS v, w FROM e0"
+        if directed
+        else "SELECT src AS u, dst AS v, w FROM e0 "
+        "UNION ALL SELECT dst AS u, src AS v, w FROM e0"
+    )
+    cap = (
+        f" WHERE key < {(max_dist + 1) * HOPS_BASE}"
+        if max_dist is not None
+        else ""
+    )
+    ctes = [
+        f"e0 AS ({edges_sql})",
+        f"e AS (SELECT u, v, MIN(w) AS w FROM ({sym}) GROUP BY u, v)",
+        f"d0 AS (SELECT DISTINCT CAST(source_id AS BIGINT) AS sid, "
+        f"CAST(node AS BIGINT) AS n, CAST(0 AS BIGINT) AS key "
+        f"FROM ({sources_sql}))",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT sid, n, MIN(key) AS key FROM ("
+            f"SELECT sid, n, key FROM d{i-1} UNION ALL "
+            f"SELECT d.sid, e.v AS n, d.key + e.w * {HOPS_BASE} + 1 AS key "
+            f"FROM d{i-1} d JOIN e ON e.u = d.n{cap}) GROUP BY sid, n)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT sid AS source_id, n AS node, "
+        f"CAST(key // {HOPS_BASE} AS BIGINT) AS dist, "
+        f"CAST(key % {HOPS_BASE} AS BIGINT) AS hops FROM d{rounds}"
+    )

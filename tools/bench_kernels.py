@@ -1016,6 +1016,131 @@ def part_coloc() -> None:
     print(_json.dumps(out))
 
 
+def part_routing() -> None:
+    """Network routing at scale, local[32], two regimes, both with exact
+    verification:
+
+    1. SSSP over a ring+chords small-world graph (1M nodes, 8M edges,
+       weights 1..10, 4 sources): wavefront covers the whole graph in
+       ~O(log n) rounds — the throughput regime. Verified by exact
+       (count, sum dist, sum hops) equality with a driver-side
+       lexicographic Dijkstra for one source.
+    2. Isochrone on a unit-weight 2048x2048 grid (4.2M nodes, 8.4M edges),
+       source at center, max_dist=64: the bounded-query regime (64 tiny
+       ring frontiers — measures per-round overhead). Closed-form diamond
+       check: count = 2D^2+2D+1, sum dist = 4*sum k^2.
+    """
+    import heapq
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import routing
+
+    out = {}
+    spark = _spark("bench-routing")
+
+    # --- regime 1: small-world SSSP ---
+    n = int(os.environ.get("ROUTE_BENCH_NODES", "1000000"))
+    m_chords = 7 * n
+    ring = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, n).alias("dst"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 10) + 1).alias("w"),
+    )
+    chords = spark.range(0, m_chords, 1, 64).select(
+        F.pmod(F.xxhash64("id", F.lit(2)), n).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(3)), n).alias("dst"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), 10) + 1).alias("w"),
+    )
+    edges = ring.unionByName(chords).persist()
+    n_edges = edges.count()
+    sources = spark.createDataFrame(
+        [(i, i * 1000) for i in range(4)], ["source_id", "node"]
+    )
+    t0 = time.time()
+    d = routing.shortest_paths(edges, sources).persist()
+    got = (
+        d.filter(F.col("source_id") == 0)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("dist").alias("sd"),
+            F.sum("hops").alias("sh"),
+        )
+        .collect()[0]
+    )
+    n_labels = d.count()
+    wall = time.time() - t0
+    rounds = routing.LAST_ROUNDS
+
+    # driver oracle for source 0 (exact lexicographic Dijkstra)
+    t1 = time.time()
+    ep = edges.toPandas()
+    adj = {}
+    for u, v, w in zip(
+        ep["src"].to_numpy(), ep["dst"].to_numpy(), ep["w"].to_numpy()
+    ):
+        adj.setdefault(int(u), []).append((int(v), int(w)))
+        adj.setdefault(int(v), []).append((int(u), int(w)))
+    best = {0: (0, 0)}
+    pq = [(0, 0, 0)]
+    while pq:
+        dd, hh, x = heapq.heappop(pq)
+        if best.get(x) != (dd, hh):
+            continue
+        for y, ww in adj.get(x, []):
+            nd, nh = dd + ww, hh + 1
+            if y not in best or (nd, nh) < best[y]:
+                best[y] = (nd, nh)
+                heapq.heappush(pq, (nd, nh, y))
+    oracle_wall = time.time() - t1
+    assert got["cnt"] == len(best), (got["cnt"], len(best))
+    assert got["sd"] == sum(v[0] for v in best.values())
+    assert got["sh"] == sum(v[1] for v in best.values())
+    out["sssp"] = {
+        "nodes": n, "edges": n_edges, "sources": 4, "rounds": rounds,
+        "labels": n_labels, "wall_s": round(wall, 2),
+        "labels_per_sec": round(n_labels / wall),
+        "driver_dijkstra_oracle_s": round(oracle_wall, 2),
+        "oracle_match": True,
+    }
+    d.unpersist()
+    edges.unpersist()
+
+    # --- regime 2: grid isochrone ---
+    side = int(os.environ.get("ROUTE_BENCH_SIDE", "2048"))
+    dmax = 64
+    ids = spark.range(0, side * side, 1, 64)
+    x = (F.col("id") / side).cast("long")
+    y = F.pmod(F.col("id"), side)
+    right = ids.filter(x < side - 1).select(
+        F.col("id").alias("src"), (F.col("id") + side).alias("dst"), F.lit(1).alias("w")
+    )
+    up = ids.filter(y < side - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"), F.lit(1).alias("w")
+    )
+    grid = right.unionByName(up).persist()
+    ge = grid.count()
+    c = side // 2
+    src = spark.createDataFrame([(0, c * side + c)], ["source_id", "node"])
+    t0 = time.time()
+    iso = routing.shortest_paths(grid, src, max_dist=dmax).agg(
+        F.count("*").alias("cnt"), F.sum("dist").alias("sd")
+    ).collect()[0]
+    wall_iso = time.time() - t0
+    assert iso["cnt"] == 2 * dmax * dmax + 2 * dmax + 1, iso["cnt"]
+    assert iso["sd"] == 4 * sum(k * k for k in range(1, dmax + 1))
+    out["isochrone"] = {
+        "grid": f"{side}x{side}", "edges": ge, "max_dist": dmax,
+        "rounds": routing.LAST_ROUNDS, "reached": iso["cnt"],
+        "wall_s": round(wall_iso, 2),
+        "sec_per_round": round(wall_iso / routing.LAST_ROUNDS, 3),
+    }
+    grid.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1163,4 +1288,5 @@ if __name__ == "__main__":
         "clustered": part_clustered,
         "nprobe": part_nprobe,
         "knn_geo": part_knn_geo,
+        "routing": part_routing,
     }[sys.argv[1]]()
