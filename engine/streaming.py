@@ -506,3 +506,113 @@ def write_stream_to_table(
         )
         .start()
     )
+
+
+GEOFENCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("zone", T.LongType(), False),
+        T.StructField("event", T.StringType(), False),
+    ]
+)
+
+_GEOFENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("zones_csv", T.StringType()),
+    ]
+)
+
+
+def streaming_geofence(
+    stream: DataFrame,
+    rects: list[tuple[int, float, float, float, float]],
+    key: str = "entity_id",
+    ts: str = "event_time",
+    x_col: str = "x",
+    y_col: str = "y",
+    expire_minutes: float = 60.0,
+    watermark: str = "10 minutes",
+):
+    """Streaming twin of engine.trajectory.geofence_transitions over a rect
+    zone layer: per-entity enter/exit events as fixes arrive. Zone labeling
+    runs BEFORE the stateful step as the same rect_zones_expr Column HOF the
+    batch twin uses (stateless, no stream-static join needed — the zone
+    layer inlines as a literal), so the kernel only diffs consecutive zone
+    SETS; state per entity is two scalars (last ts + the zone set as a csv
+    string).
+
+    Expiry: a track that goes dark `expire_minutes` past its last fix (by
+    event time, proven by the watermark) is GC'd WITHOUT emitting exits —
+    same contract as the batch twin, where departure is only proven by a
+    later fix ('stale track', not 'left the zone'). If the entity
+    reappears, its next fix re-enters whatever zones it is in (matching a
+    fresh batch run over the post-gap fixes). Cross-batch out-of-order
+    fixes: in-batch disorder is sorted away; a fix older than the last
+    folded fix is folded in arrival order (documented divergence, as with
+    streaming_trip_segments — the transition stream is order-sensitive by
+    nature)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .trajectory import rect_zones_expr
+
+    expire_ms = int(expire_minutes * 60_000)
+
+    def fn(key_t, pdfs, state: GroupState):
+        import pandas as pd
+
+        eid = key_t[0]
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        fixes = []
+        for pdf in pdfs:
+            t_us = (
+                pdf[ts].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()
+            fixes.extend(zip(t_us, pdf["_zones"].tolist()))
+        fixes.sort(key=lambda f: f[0])
+        if state.exists:
+            last_us, zones_csv = state.get
+            cur = set(int(z) for z in zones_csv.split(",") if z != "")
+        else:
+            last_us, cur = None, set()
+        out = []
+        for t, zl in fixes:
+            nxt = set(int(z) for z in zl)
+            for z in sorted(nxt - cur):
+                out.append((eid, t, z, "enter"))
+            for z in sorted(cur - nxt):
+                out.append((eid, t, z, "exit"))
+            cur = nxt
+            last_us = t
+        state.update((last_us, ",".join(str(z) for z in sorted(cur))))
+        state.setTimeoutTimestamp(
+            max(
+                (last_us + 999) // 1000 + expire_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=GEOFENCE_OUT_SCHEMA.names)
+
+    return (
+        stream.select(
+            F.col(key).cast("long").alias("entity_id"),
+            F.col(ts).alias(ts),
+            rect_zones_expr(
+                rects, F.col(x_col).cast("double"), F.col(y_col).cast("double")
+            ).alias("_zones"),
+        )
+        .withWatermark(ts, watermark)
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            fn,
+            GEOFENCE_OUT_SCHEMA,
+            _GEOFENCE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

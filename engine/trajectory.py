@@ -329,3 +329,126 @@ def colocation_pairs(
         F.max("_t1").alias("last_us"),
         F.min("_d2").alias("min_d2"),
     )
+
+
+def rect_zones_expr(
+    rects: list[tuple[int, float, float, float, float]],
+    x: "F.Column | str" = "x",
+    y: "F.Column | str" = "y",
+) -> "F.Column":
+    """Column expr: the SORTED array of zone ids whose rect [x0,x1] x
+    [y0,y1] contains the point (closed boundaries) — the zone-labeling step
+    of geofencing, as a pure HOF over an inlined zone literal (zero joins,
+    zero shuffles; the zone layer is a broadcast-bounded dim by the same
+    contract as the PIP rect dims; polygon zones go through
+    engine.joins.pip_join + collect_set instead). rects: (zone_id, x0, y0,
+    x1, y1)."""
+    xs = F.col(x) if isinstance(x, str) else x
+    ys = F.col(y) if isinstance(y, str) else y
+    if not rects:
+        return F.array().cast("array<long>")
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(z)).alias("z"),
+                F.lit(float(x0)).alias("x0"), F.lit(float(y0)).alias("y0"),
+                F.lit(float(x1)).alias("x1"), F.lit(float(y1)).alias("y1"),
+            )
+            for z, x0, y0, x1, y1 in rects
+        ]
+    )
+    return F.array_sort(
+        F.transform(
+            F.filter(
+                lit,
+                lambda r: (xs >= r["x0"]) & (xs <= r["x1"])
+                & (ys >= r["y0"]) & (ys <= r["y1"]),
+            ),
+            lambda r: r["z"],
+        )
+    )
+
+
+def geofence_transitions(
+    labeled: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    zones_col: str = "zones",
+) -> DataFrame:
+    """Geofence enter/exit events from a zone-labeled fix stream: input one
+    row per fix with `zones_col` = array<long> of zone ids the fix is inside
+    (rect_zones_expr or a PIP join + collect_set builds it; null counts as
+    empty). For each consecutive fix pair of an entity (ordered by ts), a
+    zone in cur minus prev emits 'enter', one in prev minus cur emits
+    'exit', both stamped at the LATER fix's timestamp; an entity's first
+    fix enters all its zones. Output (entity_id, ts_us, zone, event),
+    multi-zone overlap handled per zone independently.
+
+    One shuffle (the entity window); the array set-difference is in-row HOF
+    algebra. Exits are only emitted when a later fix proves departure — a
+    track that goes dark stays 'inside' (the streaming twin GCs such state
+    by event-time timeout without fabricating exits; see
+    streaming_geofence)."""
+    zs = F.array_sort(
+        F.coalesce(F.col(zones_col), F.array().cast("array<long>"))
+    )
+    w = Window.partitionBy("_id").orderBy("_ts")
+    d = labeled.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        zs.alias("_cur"),
+    ).withColumn(
+        "_prev",
+        F.coalesce(F.lag("_cur").over(w), F.array().cast("array<long>")),
+    )
+    ev = d.select(
+        "_id", "_ts",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.array_except("_cur", "_prev"),
+                    lambda z: F.struct(z.alias("zone"), F.lit("enter").alias("event")),
+                ),
+                F.transform(
+                    F.array_except("_prev", "_cur"),
+                    lambda z: F.struct(z.alias("zone"), F.lit("exit").alias("event")),
+                ),
+            )
+        ).alias("_e"),
+    )
+    return ev.select(
+        F.col("_id").alias("entity_id"),
+        F.col("_ts").alias("ts_us"),
+        F.col("_e.zone").alias("zone"),
+        F.col("_e.event").alias("event"),
+    )
+
+
+def geofence_transitions_sql(labeled_sql: str) -> str:
+    """DuckDB twin of geofence_transitions: labeled_sql -> (entity_id,
+    ts_us, zones LIST). Same lag + list-difference + unnest shape."""
+    return f"""
+        WITH lab AS ({labeled_sql}),
+        seq AS (
+          SELECT CAST(entity_id AS BIGINT) AS entity_id,
+                 CAST(ts_us AS BIGINT) AS ts_us,
+                 COALESCE(zones, []) AS cur,
+                 COALESCE(LAG(COALESCE(zones, [])) OVER (
+                   PARTITION BY entity_id ORDER BY ts_us), []) AS prev
+          FROM lab
+        ),
+        ev AS (
+          SELECT entity_id, ts_us,
+                 UNNEST(list_filter(cur, z -> NOT list_contains(prev, z)))
+                   AS zone,
+                 'enter' AS event
+          FROM seq
+          UNION ALL
+          SELECT entity_id, ts_us,
+                 UNNEST(list_filter(prev, z -> NOT list_contains(cur, z)))
+                   AS zone,
+                 'exit' AS event
+          FROM seq
+        )
+        SELECT entity_id, ts_us, CAST(zone AS BIGINT) AS zone, event FROM ev
+    """

@@ -1124,7 +1124,7 @@ def part_routing() -> None:
     c = side // 2
     src = spark.createDataFrame([(0, c * side + c)], ["source_id", "node"])
     t0 = time.time()
-    iso = routing.shortest_paths(grid, src, max_dist=dmax).agg(
+    iso = routing.shortest_paths(grid, src, max_dist=dmax, max_rounds=dmax + 2).agg(
         F.count("*").alias("cnt"), F.sum("dist").alias("sd")
     ).collect()[0]
     wall_iso = time.time() - t0
@@ -1135,6 +1135,29 @@ def part_routing() -> None:
         "rounds": routing.LAST_ROUNDS, "reached": iso["cnt"],
         "wall_s": round(wall_iso, 2),
         "sec_per_round": round(wall_iso / routing.LAST_ROUNDS, 3),
+    }
+
+    # the round cost amortizes across sources: 128 far-apart centers (each
+    # diamond independent: spacing 256 > 2*64) through the SAME rounds
+    k = 12  # 12x12 = 144 candidate centers; keep 128
+    spacing = side // k
+    centers = [
+        (i, (spacing // 2 + (i % k) * spacing) * side
+            + (spacing // 2 + (i // k) * spacing))
+        for i in range(128)
+    ]
+    srcs = spark.createDataFrame(centers, ["source_id", "node"])
+    t0 = time.time()
+    iso2 = routing.shortest_paths(
+        grid, srcs, max_dist=dmax, max_rounds=dmax + 2
+    ).agg(F.count("*").alias("cnt"), F.sum("dist").alias("sd")).collect()[0]
+    wall2 = time.time() - t0
+    assert iso2["cnt"] == 128 * (2 * dmax * dmax + 2 * dmax + 1), iso2["cnt"]
+    assert iso2["sd"] == 128 * 4 * sum(k2 * k2 for k2 in range(1, dmax + 1))
+    out["isochrone_128src"] = {
+        "sources": 128, "rounds": routing.LAST_ROUNDS,
+        "reached": iso2["cnt"], "wall_s": round(wall2, 2),
+        "speedup_vs_serial": round(128 * wall_iso / wall2, 1),
     }
     grid.unpersist()
     spark.stop()
