@@ -142,7 +142,10 @@ def nms_boxes(
         .filter(F.col("_rn") <= max_boxes)
         .drop("_rn")
     )
-    extra = ", ".join(f"_k_{k} string" for k in group_cols)
+    extra = ", ".join(
+        f"_k_{k} {d.schema[f'_k_{k}'].dataType.simpleString()}"
+        for k in group_cols
+    )
     out = d.groupBy("group_key").applyInPandas(
         _kernel(iou_threshold), schema=NMS_SCHEMA + ", " + extra
     )

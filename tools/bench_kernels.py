@@ -1164,6 +1164,95 @@ def part_routing() -> None:
     print(_json.dumps(out))
 
 
+def part_nms() -> None:
+    """Detection-box NMS at scale, local[32], both operators with planted
+    structure:
+
+    1. per-image NMS: 16M boxes over 160k images (100 boxes each: 20
+       planted 5-box stacks per image, every stack collapses to its best
+       box) -> exactly 20 survivors/image.
+    2. global map-space NMS: 8M boxes as 1.6M well-separated 5-box clusters
+       -> exactly 1.6M survivors, each its cluster's top score.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import nms
+
+    out = {}
+    spark = _spark("bench-nms")
+
+    # --- regime 1: per-image NMS ---
+    n = int(os.environ.get("NMS_BENCH_ROWS", "16000000"))
+    ids = spark.range(0, n, 1, 64)
+    img = (F.col("id") / 100).cast("long")          # 160k images x 100 boxes
+    stack = F.pmod((F.col("id") / 5).cast("long"), 20)  # 20 stacks/image
+    j = F.pmod(F.col("id"), 5)                      # 5 boxes per stack
+    x0 = stack * 100.0 + j * 0.5                    # stacks 100 apart; worst
+    y0 = j * 0.5                                    # intra-stack IoU 18^2/476=0.68
+    dets = ids.select(
+        img.alias("image_id"),
+        F.col("id").alias("box_id"),
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + 20.0).alias("x1"), (y0 + 20.0).alias("y1"),
+        (0.5 + 0.01 * j.cast("double")).alias("score"),
+        F.lit(0).alias("cls"),
+    ).persist()
+    n_boxes = dets.count()
+    t0 = time.time()
+    surv = nms.nms_boxes(dets, iou_threshold=0.5)
+    agg = surv.agg(
+        F.count("*").alias("kept"),
+        F.sum(F.pmod(F.col("box_id"), 5)).alias("jsum"),
+    ).collect()[0]
+    wall = time.time() - t0
+    n_img = n // 100
+    assert agg["kept"] == 20 * n_img, agg["kept"]       # 20 survivors/image
+    assert agg["jsum"] == 4 * 20 * n_img, agg["jsum"]   # each is its stack's j=4
+    out["per_image"] = {
+        "boxes": n_boxes, "images": n_img, "survivors": agg["kept"],
+        "wall_s": round(wall, 2), "boxes_per_sec": round(n_boxes / wall),
+    }
+    dets.unpersist()
+
+    # --- regime 2: global map-space NMS ---
+    m = int(os.environ.get("NMS_GLOBAL_ROWS", "8000000"))
+    ids = spark.range(0, m, 1, 64)
+    cl = (F.col("id") / 5).cast("long")             # 1.6M clusters
+    j = F.pmod(F.col("id"), 5)
+    # clusters on a 1265x1265 grid of 1000-unit spacing (boxes are 20 wide
+    # -> clusters never interact)
+    gx = F.pmod(cl, 1265) * 1000.0
+    gy = (cl / 1265).cast("long") * 1000.0
+    x0 = gx + j * 0.5
+    y0 = gy + j * 0.5
+    dets = ids.select(
+        F.col("id").alias("box_id"),
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + 20.0).alias("x1"), (y0 + 20.0).alias("y1"),
+        (0.5 + 0.01 * j.cast("double")).alias("score"),
+    ).persist()
+    m_boxes = dets.count()
+    t0 = time.time()
+    surv = nms.nms_global(dets, iou_threshold=0.5, cell_size=64.0)
+    agg = surv.agg(
+        F.count("*").alias("kept"),
+        F.sum(F.pmod(F.col("box_id"), 5)).alias("jsum"),
+    ).collect()[0]
+    wall = time.time() - t0
+    n_cl = m // 5
+    assert agg["kept"] == n_cl, agg["kept"]
+    assert agg["jsum"] == 4 * n_cl, agg["jsum"]
+    out["global"] = {
+        "boxes": m_boxes, "clusters": n_cl, "survivors": agg["kept"],
+        "wall_s": round(wall, 2), "boxes_per_sec": round(m_boxes / wall),
+    }
+    dets.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1312,4 +1401,5 @@ if __name__ == "__main__":
         "nprobe": part_nprobe,
         "knn_geo": part_knn_geo,
         "routing": part_routing,
+        "nms": part_nms,
     }[sys.argv[1]]()
