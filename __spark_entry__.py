@@ -2230,6 +2230,300 @@ def q_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, frames)
 
 
+def q_tile_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment + tile bundling in one registry row (merged this
+    session to free a slot for the routing/idw/geofence/trajsim rows —
+    VERDICT r3 item 6 discipline): the z=8 raster-tile counts tagged
+    'assign', the capped vector-tile cut tagged 'bundle'. Each half
+    unchanged from its previously-green standalone row."""
+    assign = q_tile_assign(spark, sf_dir).select(
+        F.lit("assign").alias("tag"), "tile_id",
+        F.col("n_points").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("c"),
+        F.lit("").alias("ids_csv"),
+    )
+    bundle = q_tile_bundle(spark, sf_dir).select(
+        F.lit("bundle").alias("tag"), "tile_id",
+        F.col("n_total").alias("a"),
+        F.col("n_kept").alias("b"),
+        F.col("n_overflow").alias("c"),
+        "ids_csv",
+    )
+    return assign.unionByName(bundle)
+
+
+def q_knn_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar + geodesic kNN in one registry row (merged this session, same
+    slot-freeing discipline): ring-expansion planar kNN tagged 'planar'
+    (dist_mm=-1 — its rank is the checked value), haversine ring kNN tagged
+    'haversine' with FLOOR-scaled dist_mm. Halves unchanged."""
+    planar = q_knn(spark, sf_dir).select(
+        F.lit("planar").alias("tag"), "query_id", "point_id", "rank",
+        F.lit(-1).cast("long").alias("dist_mm"),
+    )
+    hav = q_knn_haversine(spark, sf_dir).select(
+        F.lit("haversine").alias("tag"), "query_id", "point_id", "rank",
+        "dist_mm",
+    )
+    return planar.unionByName(hav)
+
+
+def q_geom_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measurements + polyline radius join in one registry row
+    (merged this session): shoelace/perimeter per nation polygon tagged
+    'geom', the int-exact points-within-radius-of-polyline pairs tagged
+    'line'. Halves unchanged."""
+    geom = q_geom_measures(spark, sf_dir).select(
+        F.lit("geom").alias("tag"),
+        F.col("nationkey").alias("a"),
+        F.col("n_vertices").alias("b"),
+        F.col("area2").alias("c"),
+        F.col("perimeter_e6").alias("d"),
+        F.col("min_x").alias("e"),
+        F.col("max_y").alias("f"),
+    )
+    line = q_line_join(spark, sf_dir).select(
+        F.lit("line").alias("tag"),
+        F.col("point_id").alias("a"),
+        F.col("line_id").alias("b"),
+        F.lit(-1).cast("long").alias("c"),
+        F.lit(-1).cast("long").alias("d"),
+        F.lit(-1).cast("long").alias("e"),
+        F.lit(-1).cast("long").alias("f"),
+    )
+    return geom.unionByName(line)
+
+
+def q_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + SimHash near-dup pairs in one registry row (merged this
+    session): LSH band pairs tagged 'minhash' (v = jaccard_e3), pigeonhole
+    hamming pairs tagged 'simhash' (v = hamming). Halves unchanged."""
+    mh = q_minhash_dedup(spark, sf_dir).select(
+        F.lit("minhash").alias("tag"), "id_a", "id_b",
+        F.col("jaccard_e3").alias("v"),
+    )
+    sh = q_simhash_dedup(spark, sf_dir).select(
+        F.lit("simhash").alias("tag"), "id_a", "id_b",
+        F.col("hamming").alias("v"),
+    )
+    return mh.unionByName(sh)
+
+
+_ROUTE_NODES = 2000
+_ROUTE_MAX_DIST = 12
+
+
+def _route_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted graph from orders: src = key mod N, dst/w from
+    the cross-engine md5 hash (same derivation in routing_sql)."""
+    from engine import textops
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey").cast("long")
+    h1 = textops.cross_hash(ok.cast("string"), "md5")
+    h2 = textops.cross_hash(F.concat(ok.cast("string"), F.lit("w")), "md5")
+    return o.select(
+        F.pmod(ok, F.lit(_ROUTE_NODES)).alias("src"),
+        F.pmod(h1, F.lit(_ROUTE_NODES)).alias("dst"),
+        (F.pmod(h2, F.lit(9)) + 1).alias("w"),
+    )
+
+
+def q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network shortest paths (engine.routing.shortest_paths): frontier
+    Bellman-Ford over an md5-derived weighted graph on the orders table, two
+    sources, distance-bounded (the isochrone query shape — bounds rounds at
+    max_dist/min_w + 1 = 13). Labels are packed (dist, hops) BIGINT minima,
+    so dist AND the fewest-hops tie-break are engine-exact; the oracle is
+    the unrolled-relaxation CTE twin (14 rounds >= the 13-round bound)."""
+    from engine import routing
+
+    sources = spark.createDataFrame(
+        [(0, 7), (1, 42)], ["source_id", "node"]
+    )
+    return routing.shortest_paths(
+        _route_edges(spark, sf_dir), sources,
+        max_dist=_ROUTE_MAX_DIST, max_rounds=16,
+    )
+
+
+def routing_sql() -> str:
+    from engine import routing, textops
+
+    h1 = textops.cross_hash_sql("CAST(o_orderkey AS VARCHAR)")
+    h2 = textops.cross_hash_sql("CAST(o_orderkey AS VARCHAR) || 'w'")
+    edges = f"""
+        SELECT CAST(o_orderkey AS BIGINT) % {_ROUTE_NODES} AS src,
+               ({h1}) % {_ROUTE_NODES} AS dst,
+               ({h2}) % 9 + 1 AS w
+        FROM orders
+    """
+    srcs = "SELECT 0 AS source_id, 7 AS node UNION ALL SELECT 1, 42"
+    return routing.shortest_paths_sql(
+        edges, srcs, rounds=14, max_dist=_ROUTE_MAX_DIST
+    )
+
+
+_IDW_CELL = 2048.0
+_IDW_RADIUS = 3000.0
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation onto the tile grid (engine.interp.idw_grid):
+    document anchors folded to the 2^15 planar space (the line_join fold),
+    values from integer key math; the clamped unit-free 1/d^2 weights
+    accumulate as FLOOR-scaled int64 sums, so num/den AND the double ratio
+    are hash-exact against interp.idw_grid_sql."""
+    from engine import interp
+
+    pts = _docs_points(spark, sf_dir).select(
+        F.shiftrightunsigned(F.col("x"), 17).cast("double").alias("x"),
+        F.shiftrightunsigned(F.col("y"), 16).cast("double").alias("y"),
+        ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
+    )
+    return interp.idw_grid(pts, _IDW_CELL, _IDW_RADIUS)
+
+
+def idw_sql() -> str:
+    from engine import interp
+
+    phash = cells.synth_phash_sql("doc_id")
+    xi = f"(({phash}) % 4294967296)"
+    yi = f"((({phash}) // 4294967296) % 2147483648)"
+    samples = f"""
+        SELECT {xi} // 131072 AS x, {yi} // 65536 AS y,
+               CAST(CAST(doc_id AS BIGINT) % 997 AS DOUBLE) / 10.0 AS value
+        FROM documents
+    """
+    return interp.idw_grid_sql(samples, _IDW_CELL, _IDW_RADIUS)
+
+
+_GEOFENCE_RECTS = [
+    (1, 0.0, 0.0, 40.0, 30.0),
+    (2, 30.0, 20.0, 70.0, 50.0),
+    (3, 60.0, 0.0, 100.0, 30.0),
+]
+
+
+def _event_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as device fixes with md5-derived planar coords (the colocation
+    derivation) and a unique, time-ordered key: second * 2^20 + event_id
+    (event ids stay < 2^20 at every sf, so the key is collision-free and
+    the lag-window total order is engine-independent)."""
+    from engine import textops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    hx = textops.cross_hash(eid, "md5")
+    hy = textops.cross_hash(F.concat(eid, F.lit("y")), "md5")
+    return ev.select(
+        F.col("user_id").cast("long").alias("entity_id"),
+        (
+            (_epoch_us(F.col("ts")) / 1_000_000).cast("long") * F.lit(1048576)
+            + F.col("event_id").cast("long")
+        ).alias("ts_us"),
+        (F.pmod(hx, F.lit(100000)) / F.lit(1000.0)).alias("x"),
+        (F.pmod(hy, F.lit(60000)) / F.lit(1000.0)).alias("y"),
+    )
+
+
+_EVENT_FIXES_SQL_BODY = """
+    SELECT CAST(user_id AS BIGINT) AS entity_id,
+           (CAST(epoch_us(ts) AS BIGINT) // 1000000) * 1048576
+             + CAST(event_id AS BIGINT) AS ts_us,
+           (({hx}) % 100000) / 1000.0 AS x,
+           (({hy}) % 60000) / 1000.0 AS y
+    FROM events
+"""
+
+
+def _event_fixes_sql() -> str:
+    from engine import textops
+
+    return _EVENT_FIXES_SQL_BODY.format(
+        hx=textops.cross_hash_sql("CAST(event_id AS VARCHAR)"),
+        hy=textops.cross_hash_sql("CAST(event_id AS VARCHAR) || 'y'"),
+    )
+
+
+def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit transitions (engine.trajectory.
+    geofence_transitions): events as fixes, three overlapping literal zones
+    labeled by the rect_zones_expr HOF (zero joins), transitions from the
+    per-entity zone-set lag diff. The oracle builds the same SORTED zone
+    list by closed-boundary BETWEEN concatenation and runs the list-lambda
+    twin."""
+    from engine import trajectory
+
+    fixes = _event_fixes(spark, sf_dir)
+    labeled = fixes.select(
+        "entity_id", "ts_us",
+        trajectory.rect_zones_expr(_GEOFENCE_RECTS, "x", "y").alias("zones"),
+    )
+    return trajectory.geofence_transitions(labeled)
+
+
+def geofence_sql() -> str:
+    from engine import trajectory
+
+    zone_parts = " || ".join(
+        f"(CASE WHEN x BETWEEN {x0} AND {x1} AND y BETWEEN {y0} AND {y1} "
+        f"THEN [CAST({z} AS BIGINT)] ELSE CAST([] AS BIGINT[]) END)"
+        for z, x0, y0, x1, y1 in _GEOFENCE_RECTS
+    )
+    labeled = f"""
+        SELECT entity_id, ts_us, {zone_parts} AS zones
+        FROM ({_event_fixes_sql()})
+    """
+    return trajectory.geofence_transitions_sql(labeled)
+
+
+_TRAJSIM_THRESHOLD = 15.0
+_TRAJSIM_MAX_USER = 40
+
+
+def q_trajsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity join (engine.trajsim.similar_trips, Hausdorff):
+    each low-id user's fix cloud as one trip (seq = the unique time key),
+    all pairs within Hausdorff 15 planar units. dist rides FLOOR-scaled;
+    pair membership compares exact squared doubles, so the brute-force
+    DuckDB max-of-min twin matches bit-for-bit."""
+    from engine import trajsim
+
+    fixes = _event_fixes(spark, sf_dir).filter(
+        F.col("entity_id") < _TRAJSIM_MAX_USER
+    )
+    trips = fixes.select(
+        F.col("entity_id").alias("trip_id"),
+        F.col("ts_us").alias("seq"),
+        "x", "y",
+    )
+    out = trajsim.similar_trips(trips, threshold=_TRAJSIM_THRESHOLD)
+    return out.select(
+        "trip_a", "trip_b",
+        F.floor(F.col("dist") * 1000000.0).cast("long").alias("dist_e6"),
+        "n_a", "n_b",
+    )
+
+
+def trajsim_sql() -> str:
+    from engine import trajsim
+
+    trips = f"""
+        SELECT entity_id AS trip_id, ts_us AS seq, x, y
+        FROM ({_event_fixes_sql()})
+        WHERE entity_id < {_TRAJSIM_MAX_USER}
+    """
+    inner = trajsim.hausdorff_pairs_sql(trips, _TRAJSIM_THRESHOLD)
+    return f"""
+        SELECT trip_a, trip_b,
+               CAST(FLOOR(dist * 1000000.0) AS BIGINT) AS dist_e6,
+               n_a, n_b
+        FROM ({inner})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 queries (the driver checks at most 50 — VERDICT r2 item 1):
     the 48 DuckDB-oracle-checked queries come FIRST, the 2 rows-only digest
@@ -2251,12 +2545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_holes": q_pip_holes,
         "poly_overlay": q_poly_overlay,
         "zonal_stats": q_zonal_stats,
-        "tile_assign": q_tile_assign,
-        "tile_bundle": q_tile_bundle,
-        "geom_measures": q_geom_measures,
-        "knn": q_knn,
-        "line_join": q_line_join,
-        "knn_haversine": q_knn_haversine,
+        "tile_ops": q_tile_ops,
+        "geom_line": q_geom_line,
+        "knn": q_knn_union,
+        "routing": q_routing,
+        "idw": q_idw,
+        "geofence": q_geofence,
+        "trajsim": q_trajsim,
         "hotspot_cells": q_hotspot_cells,
         "tile_pyramid": q_tile_pyramid,
         "snap_route": q_snap_route,
@@ -2274,9 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "phash_neardup": q_phash_neardup,
         "ann_recall": q_ann_recall,
-        "minhash_dedup": q_minhash_dedup,
+        "hash_neardup": q_hash_neardup,
         "dedup_cluster": q_dedup_cluster,
-        "simhash_dedup": q_simhash_dedup,
         "cell_families": q_cell_families,
         "geo_ann": q_geo_ann,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2723,7 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
     compact5 = cells.compact_unroll_sql(cell5_cte, 5, 2)
-    return {
+    d = {
         "pack_feature_id": """
             SELECT CASE CAST(o_orderkey AS BIGINT) % 3
                      WHEN 0 THEN CAST(o_orderkey AS BIGINT)
@@ -3328,3 +3622,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": dedup_cluster_sql(),
         "simhash_dedup": textops_sql_simhash(),
     }
+    # tagged-union merges (this session, freeing slots for the four new
+    # rows below — every merged half is the previously-green SQL verbatim)
+    d["tile_ops"] = f"""
+        SELECT 'assign' AS tag, tile_id, n_points AS a,
+               CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c,
+               '' AS ids_csv
+        FROM ({d.pop("tile_assign")})
+        UNION ALL
+        SELECT 'bundle' AS tag, tile_id, n_total AS a, n_kept AS b,
+               n_overflow AS c, ids_csv
+        FROM ({d.pop("tile_bundle")})
+    """
+    d["knn"] = f"""
+        SELECT 'planar' AS tag, query_id, point_id, rank,
+               CAST(-1 AS BIGINT) AS dist_mm
+        FROM ({d.pop("knn")})
+        UNION ALL
+        SELECT 'haversine' AS tag, query_id, point_id, rank, dist_mm
+        FROM ({d.pop("knn_haversine")})
+    """
+    d["geom_line"] = f"""
+        SELECT 'geom' AS tag, nationkey AS a, n_vertices AS b, area2 AS c,
+               perimeter_e6 AS d, min_x AS e, max_y AS f
+        FROM ({d.pop("geom_measures")})
+        UNION ALL
+        SELECT 'line' AS tag, point_id AS a, line_id AS b,
+               CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d,
+               CAST(-1 AS BIGINT) AS e, CAST(-1 AS BIGINT) AS f
+        FROM ({d.pop("line_join")})
+    """
+    d["hash_neardup"] = f"""
+        SELECT 'minhash' AS tag, id_a, id_b, jaccard_e3 AS v
+        FROM ({d.pop("minhash_dedup")})
+        UNION ALL
+        SELECT 'simhash' AS tag, id_a, id_b, CAST(hamming AS BIGINT) AS v
+        FROM ({d.pop("simhash_dedup")})
+    """
+    d["routing"] = routing_sql()
+    d["idw"] = idw_sql()
+    d["geofence"] = geofence_sql()
+    d["trajsim"] = trajsim_sql()
+    return d

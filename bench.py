@@ -265,10 +265,11 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ALL_QUERIES=1 times every registered query
     fast_subset = [
         "cell_grid", "trip_stats", "rollup_chain", "pip_holes",
-        "zonal_stats", "tile_assign", "tile_bundle", "geom_measures",
+        "zonal_stats", "tile_ops", "geom_line",
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "temporal_joins", "colocation", "dedup_exact", "text_metrics", "tfidf", "knn",
-        "knn_haversine", "hotspot_cells", "tile_pyramid", "snap_route",
+        "routing", "idw", "geofence", "trajsim",
+        "hotspot_cells", "tile_pyramid", "snap_route",
         "emerging_hotspots",
         # dedup_cluster is registry-checked but excluded here for the same
         # reason as minhash_dedup: its md5 oracle-path pair generation is the

@@ -116,8 +116,12 @@ def nms_boxes(
     y1, score, cls). per_class=True adds cls to the group key (standard
     detector post-processing). min_score pre-filters JVM-side; max_boxes
     caps every group at the top-scoring rows via a window BEFORE the Python
-    kernel (WindowGroupLimit makes the cap map-side partial). Output: the
-    surviving rows, original columns."""
+    kernel. When max_boxes < spark.sql.window.group.limit.threshold
+    (default 1000) Spark compiles the cap to a map-side WindowGroupLimit
+    (partial top-k before the exchange); above it the cap is a plain
+    post-shuffle filter — still bounds the kernel, without the map-side
+    collapse (PLANS.md section 17 asserts the tight-cap shape). Output:
+    the surviving rows, original columns."""
     keys = list(group_cols) + ([cls_col] if per_class else [])
     d = dets.select(
         F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]).alias(

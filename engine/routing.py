@@ -234,21 +234,29 @@ def shortest_paths_sql(
         else "SELECT src AS u, dst AS v, w FROM e0 "
         "UNION ALL SELECT dst AS u, src AS v, w FROM e0"
     )
+    # the cap must test the CANDIDATE label, spelled out as the full
+    # expression: a bare `key` in WHERE resolves to the input column d.key
+    # (the predecessor's label), which silently caps one hop too late
     cap = (
-        f" WHERE key < {(max_dist + 1) * HOPS_BASE}"
+        f" WHERE d.key + e.w * {HOPS_BASE} + 1 < {(max_dist + 1) * HOPS_BASE}"
         if max_dist is not None
         else ""
     )
+    # MATERIALIZED: every unrolled round references e — without it DuckDB
+    # re-plans (and re-opens) the base scan per round and can exhaust file
+    # handles on parquet-backed views (same fix as connected_components_sql)
     ctes = [
-        f"e0 AS ({edges_sql})",
-        f"e AS (SELECT u, v, MIN(w) AS w FROM ({sym}) GROUP BY u, v)",
-        f"d0 AS (SELECT DISTINCT CAST(source_id AS BIGINT) AS sid, "
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        f"e AS MATERIALIZED (SELECT u, v, MIN(w) AS w FROM ({sym}) GROUP BY u, v)",
+        f"d0 AS MATERIALIZED (SELECT DISTINCT CAST(source_id AS BIGINT) AS sid, "
         f"CAST(node AS BIGINT) AS n, CAST(0 AS BIGINT) AS key "
         f"FROM ({sources_sql}))",
     ]
     for i in range(1, rounds + 1):
+        # each round references the previous one TWICE; without MATERIALIZED
+        # the inlined plan doubles per round (2^rounds blowup)
         ctes.append(
-            f"d{i} AS (SELECT sid, n, MIN(key) AS key FROM ("
+            f"d{i} AS MATERIALIZED (SELECT sid, n, MIN(key) AS key FROM ("
             f"SELECT sid, n, key FROM d{i-1} UNION ALL "
             f"SELECT d.sid, e.v AS n, d.key + e.w * {HOPS_BASE} + 1 AS key "
             f"FROM d{i-1} d JOIN e ON e.u = d.n{cap}) GROUP BY sid, n)"

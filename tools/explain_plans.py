@@ -336,6 +336,122 @@ def main() -> int:
                 must_not=["CartesianProduct", "BatchEvalPython",
                           "ArrowEvalPython"])
 
+    # 14. IDW grid: bounded scatter (Generate) + ONE map-side-combined hash
+    # agg — no join, no Python, radius never adds exchanges
+    from engine import interp
+
+    samples = images.select(
+        (F.col("phash") % 1000 / 10.0).alias("x"),
+        (F.pmod(F.col("phash"), 700) / 10.0).alias("y"),
+        (F.col("phash") % 97 / 10.0).alias("value"),
+    )
+    iw = interp.idw_grid(samples, cell_size=8.0, radius=12.0)
+    p = formatted(iw)
+    print("\n## IDW interpolation (bounded scatter + one agg)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: the cell agg; the "
+          f"(2r+1)^2 scatter is a Generate, partial-combined map-side)")
+    ok &= n_shuffles == 1
+    ok &= check("idw", p, must=["Generate", "partial_count", "HashAggregate"],
+                must_not=["CartesianProduct", "Exchange hashpartitioning(_sx",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
+    # 15. geofence transitions: zone labeling is in-row HOF algebra over an
+    # inlined literal; ONE entity-key window shuffle total
+    from engine import trajectory as trajmod
+
+    rects = [(1, 0.0, 0.0, 40.0, 30.0), (2, 30.0, 20.0, 70.0, 50.0)]
+    labeled = fixes.select(
+        "entity_id", F.col("ts_us").cast("long").alias("ts_us"),
+        trajmod.rect_zones_expr(rects, F.col("lon"), F.col("lat")).alias("zones"),
+    )
+    gf = trajmod.geofence_transitions(labeled)
+    p = formatted(gf)
+    print("\n## geofence transitions (zone-set lag diff)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: the entity window; "
+          f"zone labeling and the set diffs are in-row)")
+    ok &= n_shuffles == 1
+    ok &= check("geofence", p, must=["Window", "Generate"],
+                must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
+    # 16. trajectory similarity: the candidate join is a cell equi-join over
+    # slim bbox rows (point arrays attach AFTER the pair filter); never a
+    # cartesian, the only Python is the per-pair Arrow kernel
+    from engine import trajsim as trajsimmod
+
+    trips_in = fixes.select(
+        F.col("entity_id").alias("trip_id"),
+        F.col("ts_us").cast("long").alias("seq"),
+        (F.col("lon") + 180.0).alias("x"), (F.col("lat") + 85.0).alias("y"),
+    )
+    tsym = trajsimmod.similar_trips(trips_in, threshold=5.0)
+    p = formatted(tsym)
+    print("\n## trajectory similarity (Hausdorff blocking)")
+    if args.full:
+        print(p)
+    ok &= check("trajsim", p,
+                must=["MapInPandas"],
+                must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython"])
+
+    # 17. per-image NMS: window pre-cap (WindowGroupLimit map-side) -> ONE
+    # group shuffle into the bounded Arrow kernel
+    from engine import nms as nmsmod
+
+    dets = images.select(
+        (F.col("phash") % 1000).alias("image_id"),
+        F.col("image_id").cast("long").alias("box_id"),
+        (F.col("phash") % 97).cast("double").alias("x0"),
+        (F.pmod(F.col("phash"), 89)).cast("double").alias("y0"),
+        (F.col("phash") % 97 + 10).cast("double").alias("x1"),
+        (F.pmod(F.col("phash"), 89) + 10).cast("double").alias("y1"),
+        (F.col("phash") % 1000 / 1000.0).alias("score"),
+        F.lit(0).alias("cls"),
+    )
+    # max_boxes below spark.sql.window.group.limit.threshold (1000): the
+    # pre-cap compiles to a map-side WindowGroupLimit; above it, a plain
+    # Window + filter (still bounds the kernel, without the partial limit)
+    nm = nmsmod.nms_boxes(dets, iou_threshold=0.5, max_boxes=512)
+    p = formatted(nm)
+    print("\n## per-image NMS (pre-capped greedy kernel)")
+    if args.full:
+        print(p)
+    ok &= check("nms", p,
+                must=["WindowGroupLimit", "FlatMapGroupsInPandas"],
+                must_not=["CartesianProduct", "BatchEvalPython"])
+
+    # 18. one routing round: frontier x edges equi-join + label min — keyed
+    # joins and hash aggs only (the loop repeats this shape per round over
+    # checkpointed inputs)
+    from engine import routing as routingmod
+
+    edges = images.select(
+        (F.col("phash") % 500).alias("src"),
+        (F.pmod(F.col("phash"), 499)).alias("dst"),
+        (F.col("phash") % 9 + 1).alias("w"),
+    )
+    e = routingmod._prep_edges(edges, "src", "dst", "w", directed=False)
+    frontier = spark.createDataFrame([(0, 1, 0)], ["sid", "n", "key"])
+    cand = (
+        frontier.join(e, frontier["n"] == e["u"])
+        .select("sid", e["v"].alias("n"),
+                (F.col("key") + F.col("w") * routingmod.HOPS_BASE + 1).alias("key"))
+        .groupBy("sid", "n").agg(F.min("key").alias("key"))
+    )
+    p = formatted(cand)
+    print("\n## routing round (frontier relax + label min)")
+    if args.full:
+        print(p)
+    ok &= check("routing_round", p, must=["HashAggregate"],
+                must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
