@@ -266,3 +266,43 @@ def shortest_paths_sql(
         f"CAST(key // {HOPS_BASE} AS BIGINT) AS dist, "
         f"CAST(key % {HOPS_BASE} AS BIGINT) AS hops FROM d{rounds}"
     )
+
+
+def closest_facility(
+    edges: DataFrame,
+    facilities: DataFrame,
+    facility_id: str = "facility_id",
+    node: str = "node",
+    max_dist: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Nearest facility by NETWORK distance for every reachable node —
+    catchment assignment / service-area analysis. One multi-source
+    shortest_paths pass (each facility is a source; the rounds amortize
+    across ALL facilities, the measured 100.9x win in BENCH/BASELINE.md)
+    followed by a per-node argmin window. Ties break to the smallest
+    (dist, hops, facility_id) — deterministic in every engine.
+
+    Returns (node, facility_id, dist, hops). max_dist bounds the catchment
+    radius (nodes farther than it from every facility are absent)."""
+    from pyspark.sql import Window
+
+    d = shortest_paths(
+        edges,
+        facilities,
+        source_id=facility_id,
+        node=node,
+        max_dist=max_dist,
+        **kwargs,
+    )
+    w = Window.partitionBy("node").orderBy("dist", "hops", "source_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "node",
+            F.col("source_id").alias("facility_id"),
+            "dist",
+            "hops",
+        )
+    )

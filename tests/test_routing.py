@@ -184,3 +184,33 @@ def test_isochrone_cells(spark):
     # budget-4 ring: diamond(4) minus diamond(2)
     assert by_budget[4]["n_nodes"] == (2 * 16 + 8 + 1) - 13
     assert by_budget[2]["min_dist"] == 0 and by_budget[4]["min_dist"] == 3
+
+
+def test_closest_facility(spark):
+    # chain 0-1-2-3-4-5 with unit weights; facilities at nodes 0 and 5:
+    # nodes 0,1,2 -> facility 0; 3,4,5 -> facility 5; the midpoint tie at
+    # node 2/3 does not exist (2 is dist 2 from 0, dist 3 from 5)
+    from engine.routing import closest_facility
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)], ["src", "dst", "w"]
+    )
+    fac = spark.createDataFrame([(0, 0), (5, 5)], ["facility_id", "node"])
+    got = {
+        r["node"]: (r["facility_id"], r["dist"])
+        for r in closest_facility(edges, fac).collect()
+    }
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (5, 2), 4: (5, 1), 5: (5, 0)}
+
+
+def test_closest_facility_tie_breaks_to_smaller_id(spark):
+    # node 1 equidistant (dist 1) from facilities 7 and 3 -> picks 3
+    from engine.routing import closest_facility
+
+    edges = spark.createDataFrame([(0, 1, 1), (1, 2, 1)], ["src", "dst", "w"])
+    fac = spark.createDataFrame([(7, 0), (3, 2)], ["facility_id", "node"])
+    got = {
+        r["node"]: r["facility_id"]
+        for r in closest_facility(edges, fac).collect()
+    }
+    assert got[1] == 3

@@ -1253,6 +1253,149 @@ def part_nms() -> None:
     print(_json.dumps(out))
 
 
+def part_trajsim() -> None:
+    """Trajectory similarity at scale, local[32]: 100k trips x 160 points =
+    16M fixes. Trips live in distinct 1000-unit neighborhoods (50k of
+    them); each even trip has a jittered twin at id+1 (jitter 0.05 <<
+    threshold 2.0), so blocking must surface exactly the 50k twin pairs and
+    the kernel must accept every one (planted Hausdorff <= 0.05*sqrt(2))."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import trajsim
+
+    out = {}
+    spark = _spark("bench-trajsim")
+    n_trips = int(os.environ.get("TRAJSIM_BENCH_TRIPS", "100000"))
+    pts_per = 160
+    ids = spark.range(0, n_trips * pts_per, 1, 64)
+    trip = (F.col("id") / pts_per).cast("long")
+    seq = F.pmod(F.col("id"), pts_per)
+    pair = (trip / 2).cast("long")              # neighborhood index
+    is_twin = F.pmod(trip, 2)                    # 0 = base, 1 = twin
+    # random-walk-ish path via hashed step offsets, shared by the pair;
+    # twin adds a deterministic jitter < 0.05
+    bx = F.pmod(pair, 1000) * 1000.0
+    by = (pair / 1000).cast("long") * 1000.0
+    step = F.pmod(F.xxhash64(pair, seq), 100) / 100.0
+    jit = is_twin * (F.pmod(F.xxhash64(trip, seq), 100) - 50) / 2000.0
+    fixes = ids.select(
+        trip.alias("trip_id"),
+        seq.alias("seq"),
+        (bx + seq * 2.0 + step + jit).alias("x"),
+        (by + step * 40.0 + jit).alias("y"),
+    ).persist()
+    n = fixes.count()
+    t0 = time.time()
+    pairs = trajsim.similar_trips(fixes, threshold=2.0, cell_size=400.0).persist()
+    n_pairs = pairs.count()
+    twins = pairs.filter(
+        (F.col("trip_b") == F.col("trip_a") + 1)
+        & (F.pmod(F.col("trip_a"), 2) == 0)
+    ).count()
+    wall = time.time() - t0
+    assert twins == n_trips // 2, (twins, n_trips // 2)
+    assert n_pairs == n_trips // 2, n_pairs  # neighborhoods are independent
+    out["trajsim"] = {
+        "fixes": n, "trips": n_trips, "pairs": n_pairs,
+        "planted_twins_recovered": twins, "wall_s": round(wall, 2),
+        "fixes_per_sec": round(n / wall),
+    }
+    pairs.unpersist()
+    fixes.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
+def part_geo_misc() -> None:
+    """Geofence transitions + IDW at 16M rows, local[32], planted checks:
+
+    - geofence: 100k entities x 160 fixes ping-ponging between two zone
+      rects (x alternates 5 <-> 55 every 8 fixes across a zone boundary at
+      x=30) -> every entity emits exactly 160/8 enter+exit events for zone
+      2 and one enter for zone 1... structure asserted by exact counts.
+    - idw: 16M samples on a 4096-cell-wide plane, value = f(cell) constant
+      per cell -> every cell's interpolated value equals that constant
+      exactly (weighted mean of a constant is the constant, independent of
+      weights) — a closed-form full-field check.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import interp, trajectory
+
+    out = {}
+    spark = _spark("bench-geomisc")
+    n = int(os.environ.get("GEOMISC_BENCH_ROWS", "16000000"))
+
+    # --- geofence ---
+    ids = spark.range(0, n, 1, 64)
+    ent = F.pmod(F.col("id"), 100000)
+    k = (F.col("id") / 100000).cast("long")       # 160 fixes per entity
+    phase = F.pmod((k / 8).cast("long"), 2)       # flips every 8 fixes
+    fixes = ids.select(
+        ent.alias("entity_id"),
+        k.alias("ts_us"),
+        (5.0 + phase * 50.0).alias("x"),          # 5 (zone 1) <-> 55 (zone 2)
+        F.lit(10.0).alias("y"),
+    )
+    rects = [(1, 0.0, 0.0, 30.0, 20.0), (2, 40.0, 0.0, 70.0, 20.0)]
+    labeled = fixes.select(
+        "entity_id", "ts_us",
+        trajectory.rect_zones_expr(rects, "x", "y").alias("zones"),
+    )
+    t0 = time.time()
+    ev = trajectory.geofence_transitions(labeled)
+    agg = ev.groupBy("zone", "event").count().collect()
+    wall = time.time() - t0
+    got = {(r["zone"], r["event"]): r["count"] for r in agg}
+    # per entity: 160 fixes, phase 0 for k in [0,8), 1 in [8,16), ... ->
+    # 10 enters of each zone, 10 exits of zone 1, 9 of zone 2 (tail open)
+    n_ent = 100000
+    assert got[(1, "enter")] == 10 * n_ent, got
+    assert got[(1, "exit")] == 10 * n_ent, got
+    assert got[(2, "enter")] == 10 * n_ent, got
+    assert got[(2, "exit")] == 9 * n_ent, got
+    out["geofence"] = {
+        "fixes": n, "entities": n_ent, "events": sum(got.values()),
+        "wall_s": round(wall, 2), "fixes_per_sec": round(n / wall),
+    }
+
+    # --- idw ---
+    # constant field: the IDW estimate of a constant is the constant for
+    # EVERY covered cell regardless of weights (floor-scale rounding bounds
+    # the deviation by N/den < 1e-9) — a closed-form full-field check.
+    # Every sample lies within 7.08 < 9 of its own cell center, so covered
+    # cells >= occupied cells and contributions >= n.
+    side = 4096
+    cellw = F.pmod(F.xxhash64("id"), side)
+    cellh = F.pmod(F.xxhash64("id", F.lit(1)), side)
+    samples = spark.range(0, n, 1, 64).select(
+        (cellw * 10.0 + F.pmod(F.xxhash64("id", F.lit(2)), 10)).alias("x"),
+        (cellh * 10.0 + F.pmod(F.xxhash64("id", F.lit(3)), 10)).alias("y"),
+        F.lit(42.0).alias("value"),
+    )
+    t0 = time.time()
+    grid = interp.idw_grid(samples, cell_size=10.0, radius=9.0)
+    chk = grid.agg(
+        F.count("*").alias("cells"),
+        F.sum("n_samples").alias("contrib"),
+        F.sum((F.abs(F.col("value") - 42.0) > 1e-6).cast("long")).alias("bad"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert chk["bad"] == 0, chk["bad"]
+    assert chk["contrib"] >= n
+    out["idw"] = {
+        "samples": n, "cells": chk["cells"], "contributions": chk["contrib"],
+        "bad_cells": chk["bad"],
+        "wall_s": round(wall, 2), "samples_per_sec": round(n / wall),
+    }
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1402,4 +1545,6 @@ if __name__ == "__main__":
         "knn_geo": part_knn_geo,
         "routing": part_routing,
         "nms": part_nms,
+        "trajsim": part_trajsim,
+        "geo_misc": part_geo_misc,
     }[sys.argv[1]]()
