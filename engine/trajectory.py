@@ -452,3 +452,107 @@ def geofence_transitions_sql(labeled_sql: str) -> str:
         )
         SELECT entity_id, ts_us, CAST(zone AS BIGINT) AS zone, event FROM ev
     """
+
+
+def od_matrix(
+    fixes: DataFrame,
+    cell_size: float,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    x_col: str = "x",
+    y_col: str = "y",
+    gap_minutes: float = 30.0,
+    min_trips: int = 1,
+) -> DataFrame:
+    """Origin-destination flow matrix: trips (the exact trip_segments gap
+    rule) reduced to their first and last fix, each snapped to a grid zone,
+    aggregated to flows — the commute/flow-map primitive. Output
+    (o_zone, d_zone, n_trips, n_entities, avg_duration_us-as-exact-sums:
+    sum_duration_us) with zones as "cx:cy" strings of the cell_size grid.
+
+    One entity-key window shuffle (trip split + first/last pick ride the
+    same partitioning) + one (o,d) hash agg. Durations sum as exact int64
+    (no float means — the oracle rule); callers divide. Deterministic:
+    in-trip order is (ts, x, y)."""
+    gap_us = int(gap_minutes * 60_000_000)
+    pts = fixes.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    ow = Window.partitionBy("_id").orderBy("_ts", "_x", "_y")
+    run = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = pts.withColumn(
+        "trip_idx",
+        F.sum(
+            (
+                F.lag("_ts").over(ow).isNull()
+                | ((F.col("_ts") - F.lag("_ts").over(ow)) > gap_us)
+            ).cast("long")
+        ).over(run),
+    )
+    zone = lambda xc, yc: F.concat_ws(  # noqa: E731
+        ":",
+        F.floor(xc / cell_size).cast("long"),
+        F.floor(yc / cell_size).cast("long"),
+    )
+    trips = pts.groupBy("_id", "trip_idx").agg(
+        F.min(F.struct("_ts", "_x", "_y")).alias("_o"),
+        F.max(F.struct("_ts", "_x", "_y")).alias("_d"),
+    )
+    return (
+        trips.select(
+            "_id",
+            zone(F.col("_o._x"), F.col("_o._y")).alias("o_zone"),
+            zone(F.col("_d._x"), F.col("_d._y")).alias("d_zone"),
+            (F.col("_d._ts") - F.col("_o._ts")).alias("_dur"),
+        )
+        .groupBy("o_zone", "d_zone")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.count_distinct("_id").alias("n_entities"),
+            F.sum("_dur").alias("sum_duration_us"),
+        )
+        .filter(F.col("n_trips") >= min_trips)
+    )
+
+
+def od_matrix_sql(
+    fixes_sql: str, cell_size: float, gap_minutes: float = 30.0,
+    min_trips: int = 1,
+) -> str:
+    """DuckDB twin of od_matrix (fixes_sql -> (entity_id, ts_us, x, y))."""
+    gap_us = int(gap_minutes * 60_000_000)
+    return f"""
+        WITH pts AS (
+          SELECT CAST(entity_id AS BIGINT) AS id, CAST(ts_us AS BIGINT) AS ts,
+                 CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+          FROM ({fixes_sql})
+        ), marked AS (
+          SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w > {gap_us}
+                         THEN 1 ELSE 0 END AS brk
+          FROM pts WINDOW w AS (PARTITION BY id ORDER BY ts, x, y)
+        ), trips AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY id ORDER BY ts, x, y
+                                   ROWS UNBOUNDED PRECEDING) AS trip_idx
+          FROM marked
+        ), ends AS (
+          SELECT id, trip_idx,
+                 MIN(struct_pack(ts := ts, x := x, y := y)) AS o,
+                 MAX(struct_pack(ts := ts, x := x, y := y)) AS d
+          FROM trips GROUP BY id, trip_idx
+        )
+        SELECT
+          CAST(FLOOR((o).x / {cell_size}) AS BIGINT) || ':' ||
+            CAST(FLOOR((o).y / {cell_size}) AS BIGINT) AS o_zone,
+          CAST(FLOOR((d).x / {cell_size}) AS BIGINT) || ':' ||
+            CAST(FLOOR((d).y / {cell_size}) AS BIGINT) AS d_zone,
+          COUNT(*) AS n_trips,
+          CAST(COUNT(DISTINCT id) AS BIGINT) AS n_entities,
+          CAST(SUM((d).ts - (o).ts) AS BIGINT) AS sum_duration_us
+        FROM ends
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_trips}
+    """

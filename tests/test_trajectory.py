@@ -228,3 +228,54 @@ def test_colocation_validation(spark):
         trajectory.colocation_pairs(df, 0.0, 10)
     with pytest.raises(ValueError):
         trajectory.colocation_pairs(df, 1.0, 0)
+
+
+def test_od_matrix_matches_duckdb_twin(spark):
+    import duckdb
+    import random
+
+    from engine import trajectory
+
+    rng = random.Random(17)
+    rows = []
+    for eid in range(1, 9):
+        t = 0
+        for _ in range(30):
+            t += rng.choice([60, 120, 40 * 60_000_000])  # some gap breaks
+            rows.append(
+                (eid, t, round(rng.uniform(0, 100), 3), round(rng.uniform(0, 60), 3))
+            )
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, x double, y double")
+    got = {
+        (r["o_zone"], r["d_zone"]): (r["n_trips"], r["n_entities"], r["sum_duration_us"])
+        for r in trajectory.od_matrix(df, cell_size=25.0, gap_minutes=30.0).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({e}, {t}, {x}, {y})" for e, t, x, y in rows)
+    want = {
+        (o, d): (nt, ne, sd)
+        for o, d, nt, ne, sd in con.execute(
+            trajectory.od_matrix_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(entity_id, ts_us, x, y)",
+                25.0, gap_minutes=30.0,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 3
+
+
+def test_od_matrix_structure(spark):
+    from engine import trajectory
+
+    # one entity, two trips: (0,0) -> (26,0) then after a gap (60,0) -> (0,0)
+    rows = [
+        (1, 0, 0.0, 0.0), (1, 60_000_000, 26.0, 0.0),
+        (1, 10**12, 60.0, 0.0), (1, 10**12 + 60_000_000, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, ts_us long, x double, y double")
+    got = {
+        (r["o_zone"], r["d_zone"]): r["n_trips"]
+        for r in trajectory.od_matrix(df, cell_size=25.0).collect()
+    }
+    assert got == {("0:0", "1:0"): 1, ("2:0", "0:0"): 1}
