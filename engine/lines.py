@@ -246,3 +246,150 @@ def line_length(lines: DataFrame, id_col: str = "line_id",
         + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
     )
     return segs.groupBy("line_id").agg(F.sum(d).alias("length"))
+
+
+def _orient(px, py, qx, qy, rx, ry) -> Column:
+    """Signed orientation of r relative to directed segment p->q (the classic
+    cross-product test). Exact when coordinates are integers-in-doubles
+    within 2^26 (products stay exact); otherwise deterministic IEEE."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def segments_intersect_expr(ax, ay, bx, by, cx, cy, dx, dy) -> Column:
+    """Boolean Column: closed segment ab intersects closed segment cd
+    (proper crossing, endpoint touch, or collinear overlap) — the standard
+    orientation + on-segment test, all Column algebra."""
+    o1 = _orient(ax, ay, bx, by, cx, cy)
+    o2 = _orient(ax, ay, bx, by, dx, dy)
+    o3 = _orient(cx, cy, dx, dy, ax, ay)
+    o4 = _orient(cx, cy, dx, dy, bx, by)
+
+    def between(px, py, qx, qy, rx, ry):
+        # r within the bbox of pq (used only when collinear)
+        return (
+            (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx))
+            & (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+        )
+
+    proper = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+    touch = (
+        ((o1 == 0) & between(ax, ay, bx, by, cx, cy))
+        | ((o2 == 0) & between(ax, ay, bx, by, dx, dy))
+        | ((o3 == 0) & between(cx, cy, dx, dy, ax, ay))
+        | ((o4 == 0) & between(cx, cy, dx, dy, bx, by))
+    )
+    return proper | touch
+
+
+def segments_intersect_sql(ax, ay, bx, by, cx, cy, dx, dy) -> str:
+    """DuckDB twin of segments_intersect_expr over the named columns."""
+    def o(px, py, qx, qy, rx, ry):
+        return f"(({qx})-({px}))*(({ry})-({py})) - (({qy})-({py}))*(({rx})-({px}))"
+
+    o1 = o(ax, ay, bx, by, cx, cy)
+    o2 = o(ax, ay, bx, by, dx, dy)
+    o3 = o(cx, cy, dx, dy, ax, ay)
+    o4 = o(cx, cy, dx, dy, bx, by)
+
+    def btw(px, py, qx, qy, rx, ry):
+        return (
+            f"(LEAST({px},{qx}) <= ({rx}) AND ({rx}) <= GREATEST({px},{qx})"
+            f" AND LEAST({py},{qy}) <= ({ry}) AND ({ry}) <= GREATEST({py},{qy}))"
+        )
+
+    return f"""(
+        (((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
+         AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0)))
+        OR (({o1}) = 0 AND {btw(ax, ay, bx, by, cx, cy)})
+        OR (({o2}) = 0 AND {btw(ax, ay, bx, by, dx, dy)})
+        OR (({o3}) = 0 AND {btw(cx, cy, dx, dy, ax, ay)})
+        OR (({o4}) = 0 AND {btw(cx, cy, dx, dy, bx, by)})
+    )"""
+
+
+def line_intersection_join(
+    lines_a: DataFrame,
+    lines_b: DataFrame,
+    cell_size: float = 64.0,
+    id_a: str = "line_id",
+    id_b: str = "line_id",
+    pts_col: str = "pts",
+) -> DataFrame:
+    """All (a_id, b_id) polyline pairs that INTERSECT (any segment pair
+    crossing, touching, or collinearly overlapping), with the crossing
+    count: (a_id, b_id, n_seg_pairs) — the network-crossing join (road x
+    rail, route x boundary, cable x pipeline).
+
+    Plan: segments explode (line_segments), each segment emits its BBOX's
+    grid cells (pure sequence/transform HOFs, fan-out bounded by segment
+    extent / cell_size), candidate segment pairs meet in shared cells and
+    survive only in the min shared cell of their bbox INTERSECTION (the
+    dedup-free ownership rule: each qualifying segment pair counted exactly
+    once, no distinct over pairs), then the exact orientation test refines.
+    One equi-join + one hash agg; never a cartesian. Choose cell_size near
+    the typical segment extent; self-join use (a IS b) stays correct —
+    pairs filter a_id < b_id."""
+    sa = line_segments(lines_a, id_col=id_a, pts_col=pts_col).select(
+        F.col("line_id").alias("a_id"), F.col("seg_idx").alias("a_seg"),
+        F.col("ax").alias("aax"), F.col("ay").alias("aay"),
+        F.col("bx").alias("abx"), F.col("by").alias("aby"),
+    )
+    sb = line_segments(lines_b, id_col=id_b, pts_col=pts_col).select(
+        F.col("line_id").alias("b_id"), F.col("seg_idx").alias("b_seg"),
+        F.col("ax").alias("bax"), F.col("ay").alias("bay"),
+        F.col("bx").alias("bbx"), F.col("by").alias("bby"),
+    )
+    s = float(cell_size)
+
+    def bbox_cells(x0, y0, x1, y1):
+        cx0 = F.floor(F.least(x0, x1) / s).cast("long")
+        cx1 = F.floor(F.greatest(x0, x1) / s).cast("long")
+        cy0 = F.floor(F.least(y0, y1) / s).cast("long")
+        cy1 = F.floor(F.greatest(y0, y1) / s).cast("long")
+        return F.flatten(
+            F.transform(
+                F.sequence(cx0, cx1),
+                lambda cx: F.transform(
+                    F.sequence(cy0, cy1),
+                    lambda cy: F.concat_ws(":", cx, cy),
+                ),
+            )
+        )
+
+    ea = sa.withColumn(
+        "cell",
+        F.explode(bbox_cells(F.col("aax"), F.col("aay"), F.col("abx"), F.col("aby"))),
+    )
+    eb = sb.withColumn(
+        "cell",
+        F.explode(bbox_cells(F.col("bax"), F.col("bay"), F.col("bbx"), F.col("bby"))),
+    )
+    j = ea.join(eb, "cell")
+    # min shared cell of the bbox intersection (non-empty for candidates
+    # whose bboxes overlap; pairs with disjoint bboxes cannot intersect)
+    ix0 = F.greatest(
+        F.least("aax", "abx"), F.least("bax", "bbx")
+    )
+    iy0 = F.greatest(
+        F.least("aay", "aby"), F.least("bay", "bby")
+    )
+    ix1 = F.least(F.greatest("aax", "abx"), F.greatest("bax", "bbx"))
+    iy1 = F.least(F.greatest("aay", "aby"), F.greatest("bay", "bby"))
+    own = F.concat_ws(
+        ":", F.floor(ix0 / s).cast("long"), F.floor(iy0 / s).cast("long")
+    )
+    hit = segments_intersect_expr(
+        F.col("aax"), F.col("aay"), F.col("abx"), F.col("aby"),
+        F.col("bax"), F.col("bay"), F.col("bbx"), F.col("bby"),
+    )
+    pairs = (
+        j.filter((ix0 <= ix1) & (iy0 <= iy1))
+        .filter(F.col("cell") == own)
+        .filter(hit)
+    )
+    return pairs.groupBy("a_id", "b_id").agg(
+        F.count("*").alias("n_seg_pairs")
+    )

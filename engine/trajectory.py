@@ -556,3 +556,40 @@ def od_matrix_sql(
         GROUP BY 1, 2
         HAVING COUNT(*) >= {min_trips}
     """
+
+
+def geofence_transitions_pip(
+    fixes: DataFrame,
+    polygons: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    **pip_kwargs,
+) -> DataFrame:
+    """Geofence transitions against POLYGON zones: the rect path's
+    composition with the real PIP machinery — fixes run through
+    engine.joins.pip_join (cover broadcast equi-join + exact ray-cast
+    refine; polygons = (poly_id, ring, bbox) as everywhere), per-fix zone
+    sets assemble with one (entity, ts) collect_set aggregation (fixes in
+    no polygon keep an empty set — they drive exits), and the transition
+    derivation is geofence_transitions unchanged. Cost over the rect path:
+    the PIP candidate join + one extra fix-keyed aggregation shuffle."""
+    from .joins import pip_join
+
+    base = fixes.select(
+        F.col(id_col).cast("long").alias("_gid"),
+        F.col(ts_col).cast("long").alias("_gts"),
+        F.col(lon_col).cast("double").alias(lon_col),
+        F.col(lat_col).cast("double").alias(lat_col),
+    )
+    hits = pip_join(base, polygons, lon_col=lon_col, lat_col=lat_col, **pip_kwargs)
+    zs = hits.groupBy("_gid", "_gts").agg(
+        F.array_sort(F.collect_set("poly_id")).alias("zones")
+    )
+    labeled = (
+        base.select("_gid", "_gts").distinct().join(zs, ["_gid", "_gts"], "left")
+    )
+    return geofence_transitions(
+        labeled, id_col="_gid", ts_col="_gts", zones_col="zones"
+    )

@@ -170,3 +170,52 @@ def test_expiry_gc_no_exit_and_reenter(spark, tmp_path):
     assert not [e for e in got if e[0] == 1 and e[3] == "exit"]
     # re-enter after GC: zone 1 enters again at t3
     assert (1, t3, 1, "enter") in got
+
+
+def test_polygon_zone_geofence_matches_rect_semantics(spark):
+    # two rectangular POLYGON zones equivalent to rects; an entity walks
+    # in -> overlap -> out; the pip-backed path must emit exactly what the
+    # python oracle over rect membership says
+    from engine import trajectory
+
+    def rect_poly(pid, x0, y0, x1, y1):
+        ring = [
+            {"lon": x0, "lat": y0}, {"lon": x1, "lat": y0},
+            {"lon": x1, "lat": y1}, {"lon": x0, "lat": y1},
+        ]
+        return (
+            pid, ring,
+            {"min": {"lon": x0, "lat": y0}, "max": {"lon": x1, "lat": y1}},
+        )
+
+    schema = (
+        "poly_id long, ring array<struct<lon:double,lat:double>>, "
+        "bbox struct<min:struct<lon:double,lat:double>,"
+        "max:struct<lon:double,lat:double>>"
+    )
+    polys = spark.createDataFrame(
+        [rect_poly(1, 0.0, 0.0, 10.0, 10.0), rect_poly(2, 5.0, 5.0, 15.0, 15.0)],
+        schema,
+    )
+    walk = [
+        (1, 100, -5.0, 2.0),   # outside
+        (1, 200, 2.0, 2.0),    # zone 1
+        (1, 300, 7.0, 7.0),    # zones 1+2
+        (1, 400, 12.0, 12.0),  # zone 2
+        (1, 500, 20.0, 20.0),  # outside
+    ]
+    fixes = spark.createDataFrame(
+        walk, "entity_id long, ts_us long, lon double, lat double"
+    )
+    got = {
+        tuple(r)
+        for r in trajectory.geofence_transitions_pip(
+            fixes, polys, res_min=2, res_max=5
+        ).collect()
+    }
+    assert got == {
+        (1, 200, 1, "enter"),
+        (1, 300, 2, "enter"),
+        (1, 400, 1, "exit"),
+        (1, 500, 2, "exit"),
+    }

@@ -103,3 +103,95 @@ class TestJoin:
         with pytest.raises(ValueError):
             L.line_radius_join(points_df(spark, [(0, 0)]), ld, 1.0,
                                arithmetic="decimal")
+
+
+def _py_seg_intersect(a, b):
+    (ax, ay), (bx, by) = a
+    (cx, cy), (dx, dy) = b
+
+    def o(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    o1 = o(ax, ay, bx, by, cx, cy)
+    o2 = o(ax, ay, bx, by, dx, dy)
+    o3 = o(cx, cy, dx, dy, ax, ay)
+    o4 = o(cx, cy, dx, dy, bx, by)
+    if ((o1 > 0) != (o2 > 0)) and o1 != 0 and o2 != 0 and \
+       ((o3 > 0) != (o4 > 0)) and o3 != 0 and o4 != 0:
+        return True
+
+    def btw(px, py, qx, qy, rx, ry):
+        return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+
+    return (
+        (o1 == 0 and btw(ax, ay, bx, by, cx, cy))
+        or (o2 == 0 and btw(ax, ay, bx, by, dx, dy))
+        or (o3 == 0 and btw(cx, cy, dx, dy, ax, ay))
+        or (o4 == 0 and btw(cx, cy, dx, dy, bx, by))
+    )
+
+
+def _rand_lines(rng, n, span=200.0, steps=4):
+    out = []
+    for i in range(n):
+        x, y = rng.uniform(0, span), rng.uniform(0, span)
+        pts = [{"x": round(x, 1), "y": round(y, 1)}]
+        for _ in range(steps):
+            x += rng.uniform(-40, 40)
+            y += rng.uniform(-40, 40)
+            pts.append({"x": round(x, 1), "y": round(y, 1)})
+        out.append((i, pts))
+    return out
+
+
+@pytest.mark.parametrize("seed,cell", [(1, 32.0), (2, 64.0), (3, 17.0)])
+def test_line_intersection_join_matches_bruteforce(spark, seed, cell):
+    import random
+
+    rng = random.Random(seed)
+    la = _rand_lines(rng, 25)
+    lb = _rand_lines(rng, 25)
+    schema = "line_id long, pts array<struct<x:double,y:double>>"
+    got = {
+        (r["a_id"], r["b_id"]): r["n_seg_pairs"]
+        for r in L.line_intersection_join(
+            spark.createDataFrame(la, schema),
+            spark.createDataFrame(lb, schema),
+            cell_size=cell,
+        ).collect()
+    }
+    want = {}
+    for aid, apts in la:
+        for bid, bpts in lb:
+            n = 0
+            for i in range(len(apts) - 1):
+                for j in range(len(bpts) - 1):
+                    a = ((apts[i]["x"], apts[i]["y"]), (apts[i + 1]["x"], apts[i + 1]["y"]))
+                    b = ((bpts[j]["x"], bpts[j]["y"]), (bpts[j + 1]["x"], bpts[j + 1]["y"]))
+                    if _py_seg_intersect(a, b):
+                        n += 1
+            if n:
+                want[(aid, bid)] = n
+    assert got == want
+    assert len(want) > 5
+
+
+def test_line_intersection_touch_and_collinear(spark):
+    schema = "line_id long, pts array<struct<x:double,y:double>>"
+    la = spark.createDataFrame(
+        [(1, [{"x": 0.0, "y": 0.0}, {"x": 10.0, "y": 0.0}])], schema
+    )
+    lb = spark.createDataFrame(
+        [
+            (10, [{"x": 5.0, "y": -5.0}, {"x": 5.0, "y": 5.0}]),   # proper cross
+            (11, [{"x": 10.0, "y": 0.0}, {"x": 20.0, "y": 7.0}]),  # endpoint touch
+            (12, [{"x": 3.0, "y": 0.0}, {"x": 7.0, "y": 0.0}]),    # collinear overlap
+            (13, [{"x": 0.0, "y": 1.0}, {"x": 10.0, "y": 1.0}]),   # parallel, no touch
+        ],
+        schema,
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["n_seg_pairs"]
+        for r in L.line_intersection_join(la, lb, cell_size=8.0).collect()
+    }
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 1}
