@@ -330,8 +330,9 @@ def line_intersection_join(
     dedup-free ownership rule: each qualifying segment pair counted exactly
     once, no distinct over pairs), then the exact orientation test refines.
     One equi-join + one hash agg; never a cartesian. Choose cell_size near
-    the typical segment extent; self-join use (a IS b) stays correct —
-    pairs filter a_id < b_id."""
+    the typical segment extent. A SELF-join (lines_a is lines_b) emits each
+    unordered pair in both orientations plus the trivial (id, id) rows —
+    filter a_id < b_id at the call site (the bench does)."""
     sa = line_segments(lines_a, id_col=id_a, pts_col=pts_col).select(
         F.col("line_id").alias("a_id"), F.col("seg_idx").alias("a_seg"),
         F.col("ax").alias("aax"), F.col("ay").alias("aay"),

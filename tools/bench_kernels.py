@@ -1396,6 +1396,62 @@ def part_geo_misc() -> None:
     print(_json.dumps(out))
 
 
+def part_xing() -> None:
+    """Polyline intersection join at scale, local[32]: 100k blocks 1000
+    apart, each with 8 horizontal and 8 vertical 2-segment polylines
+    crossing in a 64x64 square -> exactly 64 crossing pairs per block
+    (every H meets every V once; H-H and V-V are parallel/disjoint).
+    16M segments through the join, 6.4M crossing pairs."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import lines as L
+
+    out = {}
+    spark = _spark("bench-xing")
+    n_blocks = int(os.environ.get("XING_BENCH_BLOCKS", "100000"))
+    per = 8
+    ids = spark.range(0, n_blocks * per * 2, 1, 64)
+    line = F.col("id")
+    blk = (line / (per * 2)).cast("long")
+    k = F.pmod(line, per * 2)           # 0..7 horizontal, 8..15 vertical
+    horiz = k < per
+    off = F.pmod(k, per).cast("double") * 8.0 + 2.0   # 2,10,...,58 within 64
+    bx = F.pmod(blk, 1000) * 1000.0
+    by = (blk / 1000).cast("long") * 1000.0
+    # 3-point polylines (2 segments each): H spans x in [0,64] at y=off,
+    # V spans y in [0,64] at x=off
+    mk = lambda x, y: F.struct(x.alias("x"), y.alias("y"))  # noqa: E731
+    pts = F.when(
+        horiz,
+        F.array(mk(bx + 0.0, by + off), mk(bx + 32.0, by + off), mk(bx + 64.0, by + off)),
+    ).otherwise(
+        F.array(mk(bx + off, by + 0.0), mk(bx + off, by + 32.0), mk(bx + off, by + 64.0))
+    )
+    lns = ids.select(line.alias("line_id"), pts.alias("pts")).persist()
+    n_lines = lns.count()
+    t0 = time.time()
+    pairs = L.line_intersection_join(lns, lns, cell_size=64.0).filter(
+        F.col("a_id") < F.col("b_id")  # self-join emits both orientations
+    )
+    agg = pairs.agg(
+        F.count("*").alias("pairs"), F.sum("n_seg_pairs").alias("segpairs")
+    ).collect()[0]
+    wall = time.time() - t0
+    want = n_blocks * per * per
+    assert agg["pairs"] == want, (agg["pairs"], want)
+    out["xing"] = {
+        "lines": n_lines, "segments": 2 * n_lines,
+        "crossing_pairs": agg["pairs"], "seg_pairs": agg["segpairs"],
+        "wall_s": round(wall, 2),
+        "segments_per_sec": round(2 * n_lines / wall),
+    }
+    lns.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_regions() -> None:
     """Raster->vector regions at scale, local[32]: the 16.8M-cell raster
     (16M points, ~1/px), class = count >= 2 (~25% of cells — subcritical,
@@ -1547,4 +1603,5 @@ if __name__ == "__main__":
         "nms": part_nms,
         "trajsim": part_trajsim,
         "geo_misc": part_geo_misc,
+        "xing": part_xing,
     }[sys.argv[1]]()
