@@ -60,6 +60,26 @@ def test_numpy_kernels_match_python(seed):
     )
 
 
+def test_frechet_diag_exact_parity_with_scalar_dp():
+    """The shipped anti-diagonal wavefront kernel must equal the scalar
+    Eiter-Mannila DP bit-for-bit (both compute the same max/min over the
+    same float64 d2 values — no tolerance needed), including degenerate
+    1-point trips."""
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        n, m = rng.integers(1, 60, 2)
+        A = rng.normal(size=(int(n), 2)).cumsum(axis=0)
+        B = rng.normal(size=(int(m), 2)).cumsum(axis=0)
+        if n >= 2 and m >= 2:
+            assert trajsim.np_frechet2(A, B) == trajsim.np_frechet2_dp(A, B)
+        else:
+            # scalar DP twin assumes >=2 points; check the degenerate
+            # running-max closed form against the recursive oracle
+            got = math.sqrt(trajsim.np_frechet2(A, B))
+            want = _py_frechet([tuple(p) for p in A], [tuple(p) for p in B])
+            assert got == pytest.approx(want, abs=1e-12)
+
+
 def _make_trips(rng, n_trips=14, jitter=0.05):
     """Random-walk trips; every even trip has a jittered near-duplicate at
     id+1 (planted similar pairs) placed in distinct neighborhoods."""
