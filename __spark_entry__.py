@@ -2068,22 +2068,47 @@ def q_rel_window_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering end-to-end: MinHash+LSH pairs (md5 oracle path) ->
-    distributed connected components (engine.graph, alternating large-star/
-    small-star) -> (doc_id, cluster_id = min doc in component). The operator
-    that turns pairwise near-dup evidence into the canonical keep-one-per-
-    cluster decision a corpus dedup actually ships; hash-checked against a
-    DuckDB recursive-CTE walk over the identical pair set."""
+    """Clustering family, tagged union (merged this session to give DBSCAN a
+    driver-checked row at the 50-row cap, same consolidation pattern as knn /
+    geom_line):
+
+    tag='neardup' — the previous dedup_cluster row verbatim: MinHash+LSH
+    pairs (md5 oracle path) -> distributed connected components ->
+    (id=doc_id, label=cluster_id = min doc in component, flag=-1);
+    hash-checked against a DuckDB recursive-CTE walk over the same pairs.
+
+    tag='dbscan' — engine.cluster.dbscan over the phash-derived anchor
+    points folded to a 4096^2 integer planar space (x>>20, y>>19): eps=180,
+    min_pts=5 (at sf0.01: 186 cores in 96 clusters, 281 border, 33 noise —
+    every code path live). All distance/blocking math is integer-valued in
+    doubles (exact), so the brute-force DuckDB twin reproduces core sets,
+    min-label components (recursive CTE), border min-assignment and noise
+    bit-for-bit. (id, label = cluster min core id or -1, flag = is_core)."""
     from engine import graph, textops
+    from engine.cluster import dbscan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = textops.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.8, ngram=3, hash_impl="md5"
     )
-    return graph.neardup_clusters(pairs).select(
-        F.col("id").cast("long").alias("doc_id"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
+    nd = graph.neardup_clusters(pairs).select(
+        F.lit("neardup").alias("tag"),
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("label"),
+        F.lit(-1).cast("long").alias("flag"),
     )
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        F.shiftrightunsigned(F.col("x"), 20).alias("x"),
+        F.shiftrightunsigned(F.col("y"), 19).alias("y"),
+    )
+    db = dbscan(pts, eps=180.0, min_pts=5, id_col="doc_id").select(
+        F.lit("dbscan").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("label"),
+        F.col("is_core").cast("long").alias("flag"),
+    )
+    return nd.unionByName(db)
 
 
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,13 +2621,63 @@ def textops_sql_minhash() -> str:
 
 
 def dedup_cluster_sql() -> str:
-    """DuckDB twin of q_dedup_cluster: recursive min-label walk over the exact
-    minhash pair set (engine.graph.connected_components_sql wrapping the
-    minhash_lsh_pairs_sql twin)."""
+    """DuckDB twin of q_dedup_cluster (tagged union): the previous recursive
+    min-label walk over the exact minhash pair set ('neardup'), plus a
+    brute-force integer-exact DBSCAN ('dbscan') — eps-ball counts via cross
+    join (500 rows at sf0.01; the quarantined-oracle O(n^2) is the point),
+    core-core components via the same recursive-CTE walk, border = min core
+    neighbor label, noise = -1. Every compared value is integer arithmetic;
+    no float crosses the engine boundary."""
     from engine import graph
 
     inner = graph.connected_components_sql(textops_sql_minhash())
-    return f"SELECT id AS doc_id, cluster_id FROM ({inner})"
+    ph = cells.synth_phash_sql("doc_id")
+    core_pairs = """
+        SELECT p.ia AS id_a, p.ib AS id_b
+        FROM dbpairs p
+        JOIN dbcore c1 ON p.ia = c1.id
+        JOIN dbcore c2 ON p.ib = c2.id
+    """
+    cc = graph.connected_components_sql(core_pairs)
+    return f"""
+        SELECT 'neardup' AS tag, id, cluster_id AS label,
+               CAST(-1 AS BIGINT) AS flag
+        FROM ({inner})
+        UNION ALL
+        SELECT tag, id, label, flag FROM (
+          WITH dbpts AS MATERIALIZED (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   (({ph}) % 4294967296) // 1048576 AS x,
+                   ((({ph}) // 4294967296) % 2147483648) // 524288 AS y
+            FROM documents
+          ), dbpairs AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib
+            FROM dbpts a, dbpts b
+            WHERE (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= 32400
+          ), dbcore AS MATERIALIZED (
+            SELECT ia AS id FROM dbpairs GROUP BY ia HAVING COUNT(*) >= 5
+          ), dbcc AS MATERIALIZED (
+            {cc}
+          ), dbborder AS (
+            SELECT p.ia AS id, MIN(cc.cluster_id) AS label
+            FROM dbpairs p
+            JOIN dbcore c ON p.ib = c.id
+            JOIN dbcc cc ON cc.id = p.ib
+            WHERE p.ia NOT IN (SELECT id FROM dbcore)
+            GROUP BY p.ia
+          ), dblab AS (
+            SELECT id, cluster_id AS label, CAST(1 AS BIGINT) AS flag
+            FROM dbcc
+            UNION ALL
+            SELECT id, label, CAST(0 AS BIGINT) AS flag FROM dbborder
+          )
+          SELECT 'dbscan' AS tag, pts.id AS id,
+                 CAST(COALESCE(l.label, -1) AS BIGINT) AS label,
+                 COALESCE(l.flag, CAST(0 AS BIGINT)) AS flag
+          FROM dbpts pts LEFT JOIN dblab l ON pts.id = l.id
+        )
+    """
 
 
 def textops_sql_simhash() -> str:

@@ -130,3 +130,168 @@ def cluster_sample(
         .filter(F.col("_rn") <= n_per_cluster)
         .drop("_rn")
     )
+
+
+def _planar_eps_pairs(pts: DataFrame, eps: float) -> DataFrame:
+    """All (_ida, _idb) pairs at planar euclidean distance <= eps, including
+    the self pair (a, a): grid-blocked self-join at cell size = eps, so any
+    qualifying pair shares one of A's 3x3 exploded cells and B's single home
+    cell — each pair joins exactly once (B's home cell is unique). Pure
+    Column algebra; the only wide op is the (cx, cy) equi-join."""
+    e = float(eps)
+    cx = F.floor(F.col("_px") / e).cast("long")
+    cy = F.floor(F.col("_py") / e).cast("long")
+    b = pts.select(
+        F.col("_id").alias("_idb"),
+        F.col("_px").alias("_bx"),
+        F.col("_py").alias("_by"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pts.select(
+            F.col("_id").alias("_ida"),
+            F.col("_px").alias("_ax"),
+            F.col("_py").alias("_ay"),
+            cx.alias("_acx"),
+            cy.alias("_acy"),
+        )
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            "_ida",
+            "_ax",
+            "_ay",
+            (F.col("_acx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_acy") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    return (
+        a.join(b, ["_cx", "_cy"])
+        .filter(dx * dx + dy * dy <= F.lit(e * e))
+        .select("_ida", "_idb")
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    metric: str = "planar",
+    res: int | None = None,
+) -> DataFrame:
+    """Distributed DBSCAN over a point table -> (id, label, is_core).
+
+    Semantics (the deterministic parallel formulation, e.g. MR-DBSCAN /
+    RDD-DBSCAN): a point is CORE iff its eps-neighborhood (incl. itself)
+    has >= min_pts points (sklearn's min_samples convention); clusters are
+    the connected components of the core-core eps graph, labeled by the
+    MINIMUM core id (engine-independent, reproducible); a BORDER point
+    (non-core with >= 1 core neighbor) joins the minimum label among its
+    core neighbors — deterministic where the classic sequential scan is
+    visit-order-dependent, and identical cluster SETS over cores either
+    way; everything else is noise, label = -1.
+
+    metric='planar': euclidean over (x_col, y_col); blocking is a cell grid
+    at cell size eps (3x3 neighborhood cover — sound and exact).
+    metric='haversine': x_col/y_col are lon/lat degrees, eps in meters;
+    pair generation rides geo_radius_join's sound radius cover (shuffled
+    cell equi-join, wrap/pole-safe).
+
+    Plan shape at scale: ONE blocked self-join builds the eps-pair frame
+    (O(n x eps-density) rows, materialized once via localCheckpoint since
+    degree/edges/border all read it); degree is a map-side-combined count;
+    components run engine.graph.connected_components (O(log^2) rounds,
+    lineage-truncated). No driver collect anywhere; skew in a mega-dense
+    cell is the same skew the pair frame's equi-join inherits from AQE.
+
+    Reference: no clustering surface (reference core = OSM change pipeline);
+    this extends the training-data curation family (SURVEY.md §2 additions)
+    with the density-based spatial clustering a geotagged corpus needs."""
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"unknown metric {metric!r}")
+
+    pts = points.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    )
+    if metric == "planar":
+        pairs = _planar_eps_pairs(pts, eps)
+    else:
+        from engine.geoann import geo_radius_join
+
+        a = pts.select(
+            F.col("_id").alias("_ida"),
+            F.col("_px").alias("lon"),
+            F.col("_py").alias("lat"),
+        )
+        b = pts.select(
+            F.col("_id").alias("_idb"),
+            F.col("_px").alias("lon"),
+            F.col("_py").alias("lat"),
+        )
+        pairs = geo_radius_join(
+            a, b, eps, res=res, id_a="_ida", id_b="_idb", broadcast_a=False
+        ).select("_ida", "_idb")
+    pairs = pairs.localCheckpoint(eager=True)
+
+    from engine.graph import connected_components
+
+    deg = pairs.groupBy("_ida").agg(F.count("*").alias("_n"))
+    core = deg.filter(F.col("_n") >= int(min_pts)).select(
+        F.col("_ida").alias("_id")
+    )
+    core_edges = (
+        pairs.filter(F.col("_ida") < F.col("_idb"))
+        .join(core.select(F.col("_id").alias("_ida")), "_ida", "left_semi")
+        .join(core.select(F.col("_id").alias("_idb")), "_idb", "left_semi")
+    )
+    comp = connected_components(
+        core_edges, src="_ida", dst="_idb", nodes=core, id_col="_id"
+    )
+    core_out = comp.select(
+        F.col("id").alias("_id"),
+        F.col("comp").alias("label"),
+        F.lit(True).alias("is_core"),
+    )
+    border = (
+        pairs.join(core.select(F.col("_id").alias("_ida")), "_ida", "left_anti")
+        .join(
+            comp.select(F.col("id").alias("_idb"), F.col("comp").alias("_lbl")),
+            "_idb",
+        )
+        .groupBy("_ida")
+        .agg(F.min("_lbl").alias("label"))
+        .select(
+            F.col("_ida").alias("_id"),
+            "label",
+            F.lit(False).alias("is_core"),
+        )
+    )
+    labeled = core_out.unionByName(border)
+    out = (
+        pts.select("_id")
+        .join(labeled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label"),
+            F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
+        )
+    )
+    return out
