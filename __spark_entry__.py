@@ -833,6 +833,59 @@ _SNAP_RADIUS = 4.0
 _SNAP_GAP_MIN = 240.0
 
 
+def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-field family, tagged union (merged this session to free a slot
+    for `contours` at the 50-row cap — both halves are the previously-green
+    rows verbatim, same consolidation pattern as knn / geom_line):
+
+    tag='hot' — q_hotspot_cells: (a=gx, b=gy, c=n, d=fs, e=z_e6; z_e6 stays
+    nullable where the Gi* denominator is 0, exactly as before).
+    tag='pyr' — q_tile_pyramid: (a=level, b=gx, c=gy, d=n, e=-1)."""
+    hot = q_hotspot_cells(spark, sf_dir).select(
+        F.lit("hot").alias("tag"),
+        F.col("gx").alias("a"),
+        F.col("gy").alias("b"),
+        F.col("n").alias("c"),
+        F.col("fs").alias("d"),
+        F.col("z_e6").alias("e"),
+    )
+    pyr = q_tile_pyramid(spark, sf_dir).select(
+        F.lit("pyr").alias("tag"),
+        F.col("level").alias("a"),
+        F.col("gx").alias("b"),
+        F.col("gy").alias("c"),
+        F.col("n").alias("d"),
+        F.lit(-1).cast("long").alias("e"),
+    )
+    return hot.unionByName(pyr)
+
+
+_CONTOUR_LEVEL = 1
+
+
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-line extraction (engine.contour.contour_segments)
+    at z = 1 over the shared document-anchor heatmap raster: raster -> vector
+    contour segments with exact rational edge crossings (sign-normalized
+    num/den int64 pairs — no float crosses the engine boundary). The oracle
+    replays the identical corner-scatter + case-table algebra in SQL
+    (contour_segments_sql), so rows hash-match bit for bit."""
+    res = _HOTSPOT_RES
+    tiles = _hotspot_tiles(spark, sf_dir)
+    cells = (
+        tiles.select("tx", "ty", F.posexplode("counts").alias("pix", "n"))
+        .filter(F.col("n") != 0)
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+            F.col("n").alias("z"),
+        )
+    )
+    from engine.contour import contour_segments
+
+    return contour_segments(cells, _CONTOUR_LEVEL)
+
+
 def q_snap_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map matching end to end (engine.matching.match_routes): the events
     stream as device fixes (md5-derived planar coords in the road box),
@@ -1147,6 +1200,36 @@ def tile_pyramid_sql() -> str:
         SELECT 0::BIGINT AS level, gx, gy, n FROM cells
         UNION ALL {levels}
     """
+
+
+def raster_field_sql() -> str:
+    """DuckDB twin of q_raster_field: the two previously-green twins verbatim,
+    re-projected onto the tagged-union columns."""
+    return f"""
+        SELECT 'hot' AS tag, gx AS a, gy AS b, n AS c, fs AS d, z_e6 AS e
+        FROM ({hotspot_cells_sql()})
+        UNION ALL
+        SELECT 'pyr' AS tag, level AS a, gx AS b, gy AS c, n AS d,
+               CAST(-1 AS BIGINT) AS e
+        FROM ({tile_pyramid_sql()})
+    """
+
+
+def contours_sql() -> str:
+    """DuckDB twin of q_contours: the base-raster cells CTE (same derivation
+    as tile_pyramid_sql's `cells`) fed through contour_segments_sql."""
+    from engine.contour import contour_segments_sql
+
+    res = _HOTSPOT_RES
+    cells = f"""
+        WITH tiles AS ({_hotspot_tiles_cte()})
+        SELECT tx * {res} + i % {res} AS gx,
+               ty * {res} + i // {res} AS gy,
+               counts[i + 1] AS z
+        FROM tiles, range(0, {res * res}) t(i)
+        WHERE counts[i + 1] <> 0
+    """
+    return contour_segments_sql(cells, _CONTOUR_LEVEL)
 
 
 def snap_route_sql() -> str:
@@ -2577,8 +2660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "geofence": q_geofence,
         "trajsim": q_trajsim,
-        "hotspot_cells": q_hotspot_cells,
-        "tile_pyramid": q_tile_pyramid,
+        "raster_field": q_raster_field,
+        "contours": q_contours,
         "snap_route": q_snap_route,
         "emerging_hotspots": q_emerging_hotspots,
         "dedup_exact": q_dedup_exact,
@@ -3233,8 +3316,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.label
             )
         """,
-        "hotspot_cells": hotspot_cells_sql(),
-        "tile_pyramid": tile_pyramid_sql(),
+        "raster_field": raster_field_sql(),
+        "contours": contours_sql(),
         "snap_route": snap_route_sql(),
         "emerging_hotspots": emerging_hotspots_sql(),
         "pip_holes": f"""
