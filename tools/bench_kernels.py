@@ -1577,9 +1577,77 @@ def part_matching() -> None:
     print(_json.dumps(out))
 
 
+def part_contour() -> None:
+    """Marching-squares contouring at scale, local[32]: 16M cells as 62 500
+    disjoint 16x16 solid z=2 rectangles on a 20-cell grid, contoured at
+    level 1 — closed form: every rectangle's iso-line ring is exactly
+    4w = 64 segments (4(w-1) edge blocks + 4 corner blocks, one segment
+    each; no saddles in a solid square), every crossing is the rational
+    1/2 (num = |1-0| = |1-2| = 1, den = |2-0| = 2 sign-normalized), and
+    contour_lines links each ring into exactly one component. Asserts all
+    three exactly, then times segment extraction and line linking apart."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.contour import contour_lines, contour_segments
+
+    out = {}
+    spark = _spark("bench-contour")
+    n = int(os.environ.get("CONTOUR_BENCH_ROWS", "16000000"))
+    w = 16  # rect side in cells
+    k_rects = n // (w * w)
+    n = k_rects * w * w  # whole rects only — a partial rect breaks the closed form
+    side = int(np.ceil(np.sqrt(k_rects)))  # rect-grid side, spacing 20
+    rect = (F.col("id") / (w * w)).cast("long")
+    off = F.col("id") % (w * w)
+    cells = spark.range(0, n, 1, 64).select(
+        (F.pmod(rect, side) * 20 + off % w).alias("gx"),
+        ((rect / side).cast("long") * 20 + (off / w).cast("long")).alias("gy"),
+        F.lit(2).cast("long").alias("z"),
+    )
+    t0 = time.time()
+    segs = contour_segments(cells, level=1).persist()
+    agg = segs.agg(
+        F.count("*").alias("segs"),
+        F.min("a_num").alias("mn_an"), F.max("a_num").alias("mx_an"),
+        F.min("b_num").alias("mn_bn"), F.max("b_num").alias("mx_bn"),
+        F.min("a_den").alias("mn_ad"), F.max("a_den").alias("mx_ad"),
+        F.min("b_den").alias("mn_bd"), F.max("b_den").alias("mx_bd"),
+    ).collect()[0]
+    wall_seg = time.time() - t0
+    assert agg["segs"] == 4 * w * k_rects, agg["segs"]
+    assert agg["mn_an"] == agg["mx_an"] == agg["mn_bn"] == agg["mx_bn"] == 1
+    assert agg["mn_ad"] == agg["mx_ad"] == agg["mn_bd"] == agg["mx_bd"] == 2
+    out["segments"] = {
+        "cells": n, "rects": k_rects, "segments": agg["segs"],
+        "wall_s": round(wall_seg, 2),
+        "cells_per_sec": round(n / wall_seg),
+    }
+    t0 = time.time()
+    lines = contour_lines(segs)
+    per = lines.groupBy("line_id").agg(F.count("*").alias("m"))
+    lagg = per.agg(
+        F.count("*").alias("lines"),
+        F.min("m").alias("mn"), F.max("m").alias("mx"),
+    ).collect()[0]
+    wall_ln = time.time() - t0
+    assert lagg["lines"] == k_rects, lagg["lines"]
+    assert lagg["mn"] == lagg["mx"] == 4 * w, (lagg["mn"], lagg["mx"])
+    out["lines"] = {
+        "lines": lagg["lines"], "segs_per_line": lagg["mx"],
+        "wall_s": round(wall_ln, 2),
+        "segments_per_sec": round(agg["segs"] / wall_ln),
+    }
+    segs.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "contour": part_contour,
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
