@@ -452,6 +452,30 @@ def main() -> int:
                 must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                           "BatchEvalPython", "ArrowEvalPython"])
 
+    # 19. contour segments: explode(4) corner scatter -> ONE map-side-combined
+    # hash agg -> literal case-table lookup (element_at on an array literal —
+    # no join, no Python); output is Column math end to end
+    from engine import contour as contourmod
+
+    cc = images.select(
+        (F.col("phash") % 512).alias("gx"),
+        (F.pmod(F.col("phash"), 511)).alias("gy"),
+        (F.col("phash") % 7 + 1).alias("z"),
+    )
+    seg = contourmod.contour_segments(cc, level=2)
+    p = formatted(seg)
+    print("\n## contour segments (corner scatter + case table)")
+    if args.full:
+        print(p)
+    ok &= check("contour", p,
+                must=["Generate", "HashAggregate"],
+                must_not=["CartesianProduct", "SortMergeJoin",
+                          "BroadcastHashJoin", "BatchEvalPython",
+                          "ArrowEvalPython"])
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: the corner-quad agg)")
+    ok &= n_shuffles == 1
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
