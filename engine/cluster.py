@@ -249,7 +249,18 @@ def dbscan(
         pairs = geo_radius_join(
             a, b, eps, res=res, id_a="_ida", id_b="_idb", broadcast_a=False
         ).select("_ida", "_idb")
-    pairs = pairs.localCheckpoint(eager=True)
+    # the pair frame feeds three consumers (degree, core edges, border);
+    # materialize ONCE — and RELIABLY (disk, checkpoint dir): at bench scale
+    # the pair frame is O(n x eps-density) rows (128M at 16M points of
+    # density 8) and a localCheckpoint holds the blocks DESERIALIZED in
+    # executor memory — measured Java-heap OOM at the shipped 8g/local[32]
+    # exactly there. Disk blocks cost one extra scan per consumer and are
+    # released by the ContextCleaner when the frame is GC'd (same pattern
+    # and rationale as textops' inverted-index checkpoint).
+    if pairs.sparkSession.sparkContext.getCheckpointDir() is not None:
+        pairs = pairs.checkpoint(eager=True)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
 
     from engine.graph import connected_components
 

@@ -1644,10 +1644,78 @@ def part_contour() -> None:
     print(_json.dumps(out))
 
 
+def part_dbscan() -> None:
+    """Distributed DBSCAN at scale, local[32]: 16M points as 2M planted
+    8-point clusters (3x3-lattice offsets, diameter 2.83 < eps=3, so every
+    point sees all 8 — all core at min_pts=5, one component per cluster)
+    on a 10-unit grid (inter-cluster gap 8 > eps), plus 100k isolated
+    noise points. Closed form asserted exactly: 2M clusters of 8 cores
+    each, every label the cluster's minimum id (ids are sequential per
+    cluster, so sum(label) has a closed form), 100k noise at -1."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.cluster import dbscan
+
+    from engine.session import get_spark
+
+    out = {}
+    # the eps-pair frame is ~8x the input (128M rows at 16M points of planted
+    # density 8): size shuffle partitions by the reference heuristic
+    # (rows/1.5M -> ~96) instead of the helper's 32 — at 32 the degree agg
+    # hits AGGREGATE_OUT_OF_MEMORY on the 8g/local[32] heap (measured)
+    spark = get_spark("bench-dbscan", cores=32, shuffle_partitions=128)
+    n = int(os.environ.get("DBSCAN_BENCH_ROWS", "16000000"))
+    c = 8  # points per cluster
+    k = n // c
+    n = k * c
+    side = int(np.ceil(np.sqrt(k)))
+    n_noise = 100_000
+    rect = (F.col("id") / c).cast("long")
+    off = F.col("id") % c
+    clustered = spark.range(0, n, 1, 64).select(
+        F.col("id"),
+        (F.pmod(rect, side) * 10 + off % 3).cast("double").alias("x"),
+        ((rect / side).cast("long") * 10 + (off / 3).cast("long"))
+        .cast("double").alias("y"),
+    )
+    noise = spark.range(n, n + n_noise, 1, 8).select(
+        F.col("id"),
+        ((F.col("id") - n) * 10).cast("double").alias("x"),
+        F.lit(-100.0).alias("y"),
+    )
+    pts = clustered.unionByName(noise)
+    t0 = time.time()
+    labels = dbscan(pts, eps=3.0, min_pts=5, id_col="id").persist()
+    agg = labels.filter(F.col("label") >= 0).agg(
+        F.count("*").alias("members"),
+        F.countDistinct("label").alias("clusters"),
+        F.sum(F.col("is_core").cast("long")).alias("cores"),
+        F.sum("label").alias("label_sum"),
+    ).collect()[0]
+    n_noise_got = labels.filter(F.col("label") < 0).count()
+    wall = time.time() - t0
+    assert agg["members"] == n and agg["cores"] == n
+    assert agg["clusters"] == k, agg["clusters"]
+    # label = min id of cluster r = c*r; every one of the c members carries it
+    assert agg["label_sum"] == c * c * k * (k - 1) // 2, agg["label_sum"]
+    assert n_noise_got == n_noise, n_noise_got
+    out["dbscan"] = {
+        "points": n + n_noise, "clusters": agg["clusters"],
+        "noise": n_noise_got, "wall_s": round(wall, 2),
+        "points_per_sec": round((n + n_noise) / wall),
+    }
+    labels.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "contour": part_contour,
+        "dbscan": part_dbscan,
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
