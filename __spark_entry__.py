@@ -840,7 +840,31 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag='hot' — q_hotspot_cells: (a=gx, b=gy, c=n, d=fs, e=z_e6; z_e6 stays
     nullable where the Gi* denominator is 0, exactly as before).
-    tag='pyr' — q_tile_pyramid: (a=level, b=gx, c=gy, d=n, e=-1)."""
+    tag='pyr' — q_tile_pyramid: (a=level, b=gx, c=gy, d=n, e=-1).
+    tag='ter' — engine.terrain.terrain_gradients (Horn slope/aspect core)
+    over the same raster, counts read as elevations: per nonflat pixel
+    (a=gx, b=gy, c=dzdx8, d=dzdy8, e=0) — the gradient NUMERATORS are exact
+    int64, so the production fused-halo pass hash-matches the DuckDB twin
+    (two focal_stencil_sql scatter passes joined on the tile key)."""
+    from engine import terrain
+
+    res = _HOTSPOT_RES
+    grads = terrain.terrain_gradients(_hotspot_tiles(spark, sf_dir), res)
+    ter = (
+        grads.select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("dzdx8", "dzdy8")).alias("pix", "g"),
+        )
+        .filter((F.col("g.dzdx8") != 0) | (F.col("g.dzdy8") != 0))
+        .select(
+            F.lit("ter").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long").alias("b"),
+            F.col("g.dzdx8").alias("c"),
+            F.col("g.dzdy8").alias("d"),
+            F.lit(0).cast("long").alias("e"),
+        )
+    )
     hot = q_hotspot_cells(spark, sf_dir).select(
         F.lit("hot").alias("tag"),
         F.col("gx").alias("a"),
@@ -857,7 +881,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("d"),
         F.lit(-1).cast("long").alias("e"),
     )
-    return hot.unionByName(pyr)
+    return hot.unionByName(pyr).unionByName(ter)
 
 
 _CONTOUR_LEVEL = 1
@@ -1204,7 +1228,13 @@ def tile_pyramid_sql() -> str:
 
 def raster_field_sql() -> str:
     """DuckDB twin of q_raster_field: the two previously-green twins verbatim,
-    re-projected onto the tagged-union columns."""
+    re-projected onto the tagged-union columns, plus the 'ter' half — Horn
+    gradient numerators via two focal_stencil_sql scatter passes (engine.
+    terrain.HORN_* are plain stencil weight maps) joined on the tile key."""
+    from engine.focal import focal_stencil_sql
+    from engine.terrain import HORN_DZDX, HORN_DZDY
+
+    res = _HOTSPOT_RES
     return f"""
         SELECT 'hot' AS tag, gx AS a, gy AS b, n AS c, fs AS d, z_e6 AS e
         FROM ({hotspot_cells_sql()})
@@ -1212,6 +1242,20 @@ def raster_field_sql() -> str:
         SELECT 'pyr' AS tag, level AS a, gx AS b, gy AS c, n AS d,
                CAST(-1 AS BIGINT) AS e
         FROM ({tile_pyramid_sql()})
+        UNION ALL
+        SELECT 'ter' AS tag,
+               g1.tx * {res} + i % {res} AS a,
+               g1.ty * {res} + i // {res} AS b,
+               g1.focal[i + 1] AS c,
+               g2.focal[i + 1] AS d,
+               CAST(0 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({focal_stencil_sql('tiles', res, HORN_DZDX)}) s1) g1
+        JOIN (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({focal_stencil_sql('tiles', res, HORN_DZDY)}) s2) g2
+          USING (tx, ty),
+             range(0, {res * res}) t(i)
+        WHERE g1.focal[i + 1] <> 0 OR g2.focal[i + 1] <> 0
     """
 
 
