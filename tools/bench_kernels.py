@@ -1711,11 +1711,126 @@ def part_dbscan() -> None:
     print(_json.dumps(out))
 
 
+def part_terrain() -> None:
+    """Terrain derivatives at raster scale, local[32]: a 4096x4096 dense
+    elevation plane z = 3x + 5y (64x64 tiles at res=64, 16.8M cells,
+    Column-generated), Horn gradients closed-form exact on the interior
+    (dzdx8 = 24, dzdy8 = 40 everywhere except the raster's 1px global
+    boundary -> exactly 4094^2 interior cells), hillshade constant there.
+    A/B: the fused one-pass halo kernel vs two separate focal_stencil halo
+    passes (what fusion saves), interleaved min-of-2."""
+    import json as _json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    out = {}
+    spark = _spark("bench-terrain")
+    res = 64
+    side = int(os.environ.get("TERRAIN_BENCH_TILES", "64"))
+    w = side * res
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    def cells(grads):
+        return grads.select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("dzdx8", "dzdy8")).alias("pix", "g"),
+        ).select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+            F.col("g.dzdx8").alias("dzdx8"),
+            F.col("g.dzdy8").alias("dzdy8"),
+        )
+
+    walls = {"fused": [], "two-pass": []}
+    for _ in range(2):
+        for mode in ("fused", "two-pass"):
+            t0 = time.time()
+            if mode == "fused":
+                g = terrain.terrain_gradients(tiles, res)
+            else:
+                from engine.focal import focal_stencil
+
+                g = focal_stencil(
+                    tiles, res, terrain.HORN_DZDX, kernel="halo"
+                ).select("tx", "ty", F.col("focal").alias("dzdx8")).join(
+                    focal_stencil(
+                        tiles, res, terrain.HORN_DZDY, kernel="halo"
+                    ).select("tx", "ty", F.col("focal").alias("dzdy8")),
+                    ["tx", "ty"],
+                )
+            agg = cells(g).agg(
+                F.count("*").alias("cells"),
+                F.sum(
+                    (
+                        (F.col("dzdx8") == 24) & (F.col("dzdy8") == 40)
+                        & F.col("gx").between(1, w - 2)
+                        & F.col("gy").between(1, w - 2)
+                    ).cast("long")
+                ).alias("interior_ok"),
+            ).collect()[0]
+            walls[mode].append(round(time.time() - t0, 2))
+            assert agg["cells"] == w * w
+            assert agg["interior_ok"] == (w - 2) * (w - 2), agg["interior_ok"]
+    out["gradients"] = {
+        "cells": w * w,
+        "fused_walls": walls["fused"], "two_pass_walls": walls["two-pass"],
+        "fused_min": min(walls["fused"]),
+        "two_pass_min": min(walls["two-pass"]),
+        "cells_per_sec_fused": round(w * w / min(walls["fused"])),
+    }
+    # float view: constant closed-form hillshade on the interior plane
+    t0 = time.time()
+    shade = terrain.slope_aspect_hillshade(
+        terrain.terrain_gradients(tiles, res), azimuth_deg=135.0
+    )  # SE sun: the SW-descending plane shades ~73.5, not clamped-0 —
+    # a zero interior would also pass under a sign bug, 73.5 won't
+    sc = shade.select(
+        "tx", "ty", F.posexplode("hillshade").alias("pix", "h")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+        "h",
+    ).filter(
+        F.col("gx").between(1, w - 2) & F.col("gy").between(1, w - 2)
+    ).agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    wall = time.time() - t0
+    p, q = 24 / 8.0, 40 / 8.0
+    az, alt = math.radians(135.0), math.radians(45.0)
+    want = 255.0 * max(
+        0.0,
+        (math.sin(alt) - math.cos(alt) * (p * math.sin(az) + q * math.cos(az)))
+        / math.sqrt(1.0 + p * p + q * q),
+    )
+    assert abs(sc["mn"] - want) < 1e-9 and abs(sc["mx"] - want) < 1e-9
+    out["hillshade"] = {
+        "wall_s": round(wall, 2), "interior_value": round(want, 6),
+        "cells_per_sec": round(w * w / wall),
+    }
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "contour": part_contour,
         "dbscan": part_dbscan,
+        "terrain": part_terrain,
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
