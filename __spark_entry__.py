@@ -845,11 +845,36 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same raster, counts read as elevations: per nonflat pixel
     (a=gx, b=gy, c=dzdx8, d=dzdy8, e=0) — the gradient NUMERATORS are exact
     int64, so the production fused-halo pass hash-matches the DuckDB twin
-    (two focal_stencil_sql scatter passes joined on the tile key)."""
+    (two focal_stencil_sql scatter passes joined on the tile key).
+    tag='d8' — engine.terrain.d8_flow + basins over the same raster: per
+    pixel (a=gx, b=gy, c=d8_dir, d=d8_key, e=basin) — steepest-descent
+    direction (exact 2*drop^2 rational-slope key, presence-masked edges,
+    compass-priority ties) AND the basin label (min packed cell id of the
+    flow forest's component, engine.graph CC). The twin replays the argmax
+    as a max-over-packed-key group and the basins via the recursive-CTE CC
+    walk — the whole hydrology pipeline is hash-checked."""
     from engine import terrain
+    from engine.graph import connected_components
 
     res = _HOTSPOT_RES
-    grads = terrain.terrain_gradients(_hotspot_tiles(spark, sf_dir), res)
+    tiles_r = _hotspot_tiles(spark, sf_dir)
+    grads = terrain.terrain_gradients(tiles_r, res)
+    ed = terrain.flow_edges(terrain.d8_flow(tiles_r, res), res).persist()
+    comp = connected_components(
+        ed.filter(F.col("dst").isNotNull()).select("src", "dst"),
+        src="src", dst="dst", nodes=ed.select("src"), id_col="src",
+    )
+    d8 = (
+        ed.join(comp, ed["src"] == comp["id"])
+        .select(
+            F.lit("d8").alias("tag"),
+            F.col("gx").alias("a"),
+            F.col("gy").alias("b"),
+            F.col("d8_dir").alias("c"),
+            F.col("d8_key").alias("d"),
+            F.col("comp").alias("e"),
+        )
+    )
     ter = (
         grads.select(
             "tx", "ty",
@@ -881,7 +906,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("d"),
         F.lit(-1).cast("long").alias("e"),
     )
-    return hot.unionByName(pyr).unionByName(ter)
+    return hot.unionByName(pyr).unionByName(ter).unionByName(d8)
 
 
 _CONTOUR_LEVEL = 1
@@ -1256,6 +1281,73 @@ def raster_field_sql() -> str:
           USING (tx, ty),
              range(0, {res * res}) t(i)
         WHERE g1.focal[i + 1] <> 0 OR g2.focal[i + 1] <> 0
+        UNION ALL
+        SELECT 'd8' AS tag, a, b, c, d, e FROM ({_d8_sql()})
+    """
+
+
+def _d8_sql() -> str:
+    """DuckDB twin of the raster_field 'd8' half: per pixel of the hotspot
+    raster, steepest-descent D8 direction + exact rational-slope key +
+    basin label. The argmax replays as MAX over a packed (key, priority)
+    int (key * 16 + (15 - dir): highest key wins, then LOWEST dir — the
+    engine's compass-priority tie-break); basins via the recursive-CTE CC
+    walk (engine.graph.connected_components_sql) over the (src -> dst)
+    pointer forest with sinks coalescing to themselves."""
+    from engine.graph import connected_components_sql
+
+    res = _HOTSPOT_RES
+    # (dir, dx, dy, orth) in the engine's priority order E,NE,N,NW,W,S,SW,SE
+    nbrs = [
+        (0, 1, 0, 2), (1, 1, 1, 1), (2, 0, 1, 2), (3, -1, 1, 1),
+        (4, -1, 0, 2), (5, 0, -1, 2), (6, -1, -1, 1), (7, 1, -1, 1),
+    ]
+    nbr_rows = ", ".join(f"({d}, {dx}, {dy}, {m})" for d, dx, dy, m in nbrs)
+    pack = "(({x}) + 1048576) * 4294967296 + (({y}) + 1048576)"
+
+    def base(sfx: str) -> str:
+        # the CTE chain is needed both in the outer query and inside the CC
+        # walk's pairs CTE; DuckDB rejects duplicate CTE aliases across the
+        # nesting, so each copy gets its own suffix
+        return f"""
+        WITH tiles{sfx} AS ({_hotspot_tiles_cte()}),
+        d8_cells{sfx} AS MATERIALIZED (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM tiles{sfx}, range(0, {res * res}) t(i)
+        ), d8_nbrs{sfx}(dir, dx, dy, mult) AS (
+          SELECT * FROM (VALUES {nbr_rows})
+        ), d8_best{sfx} AS MATERIALIZED (
+          SELECT c.gx, c.gy,
+                 MAX((c.z - n.z) * (c.z - n.z) * o.mult * 16
+                     + (15 - o.dir)) AS packed
+          FROM d8_cells{sfx} c
+          JOIN d8_nbrs{sfx} o ON TRUE
+          JOIN d8_cells{sfx} n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+          WHERE c.z - n.z > 0
+          GROUP BY c.gx, c.gy
+        )
+    """
+
+    edges = f"""
+        {base('_e')}
+        SELECT {pack.format(x='b.gx', y='b.gy')} AS src,
+               {pack.format(x='b.gx + o.dx', y='b.gy + o.dy')} AS dst
+        FROM d8_best_e b JOIN d8_nbrs_e o ON o.dir = 15 - (b.packed % 16)
+    """
+    return f"""
+        {base('')}
+        SELECT c.gx AS a, c.gy AS b,
+               CAST(COALESCE(15 - (bst.packed % 16), -1) AS BIGINT) AS c,
+               CAST(COALESCE(bst.packed // 16, 0) AS BIGINT) AS d,
+               CAST(COALESCE(cc.cluster_id,
+                             {pack.format(x='c.gx', y='c.gy')}) AS BIGINT) AS e
+        FROM d8_cells c
+        LEFT JOIN d8_best bst ON bst.gx = c.gx AND bst.gy = c.gy
+
+        LEFT JOIN ({connected_components_sql(edges, 'src', 'dst')}) cc
+          ON cc.id = {pack.format(x='c.gx', y='c.gy')}
     """
 
 

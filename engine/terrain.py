@@ -143,6 +143,120 @@ def _shade_exprs(
     return slope, aspect, shade
 
 
+def d8_flow(tiles: DataFrame, res: int) -> DataFrame:
+    """D8 flow direction over the tile raster, exact int64: for every pixel,
+    the steepest-DESCENT neighbor among the 8 (standard drop/distance
+    steepness, compared exactly: slope_orth = drop/1 vs slope_diag =
+    drop/sqrt(2) <=> 2*drop_orth^2 vs drop_diag^2 on positive drops — no
+    float enters the comparison; |z| < 2^31 keeps drop^2 in int64).
+    Neighbors OUTSIDE the input tile union never receive flow (the halo
+    presence mask gates them — zero padding would otherwise read as a cliff
+    off the raster edge). Ties break by fixed compass priority
+    E, NE, N, NW, W, S, SW, SE, encoded dir = 0..7 in that order; a pixel
+    with no strictly positive drop is a SINK / plateau member, dir = -1.
+
+    Output per pixel (flat arrays per tile, like every halo op): `d8_dir`
+    and `d8_key` (the winning 2*drop^2-scaled steepness key, 0 for sinks) —
+    the key rides along so the DuckDB twin can hash-check the argmax
+    itself, not just the chosen arm.
+
+    `flow_edges` turns this into the (cell -> downhill cell) pointer forest;
+    basins are its connected components (z strictly decreases along flow, so
+    the forest is acyclic and every undirected component contains exactly
+    one sink): `basin_label` = engine.graph.connected_components min-id —
+    the same deterministic labeling contract as DBSCAN/dedup clusters."""
+    from engine.focal import _halo_apply
+
+    r = 1
+    # (dx, dy, orth) in priority order; dir index = position
+    nbrs = [
+        (1, 0, True), (1, 1, False), (0, 1, True), (-1, 1, False),
+        (-1, 0, True), (0, -1, True), (-1, -1, False), (1, -1, False),
+    ]
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+        c = halo[r : r + res, r : r + res]
+        best_key = np.zeros((res, res), dtype=np.int64)
+        best_dir = np.full((res, res), -1, dtype=np.int64)
+        for i, (dx, dy, orth) in enumerate(nbrs):
+            nz = halo[r + dy : r + dy + res, r + dx : r + dx + res]
+            nm = mask[r + dy : r + dy + res, r + dx : r + dx + res]
+            drop = c - nz
+            key = drop * drop * (2 if orth else 1)
+            better = (drop > 0) & (nm > 0) & (key > best_key)
+            best_key[better] = key[better]
+            best_dir[better] = i
+        return {
+            "d8_dir": best_dir.reshape(-1).tolist(),
+            "d8_key": best_key.reshape(-1).tolist(),
+        }
+
+    return _halo_apply(
+        tiles, res, r, finish,
+        fields=[
+            ("d8_dir", T.ArrayType(T.LongType())),
+            ("d8_key", T.ArrayType(T.LongType())),
+        ],
+    )
+
+
+_D8_OFFSETS = [
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (0, -1), (-1, -1), (1, -1),
+]
+
+
+def flow_edges(flow: DataFrame, res: int) -> DataFrame:
+    """d8_flow frame -> (gx, gy, d8_dir, src, dst): one row per pixel with
+    cell ids packed as src = gx * 2^32 + gy on SHIFTED coords (gx+2^20,
+    gy+2^20 — keeps ids positive for tile coords within +-2^20); dst is
+    null for sinks."""
+    cells = flow.select(
+        "tx", "ty",
+        F.posexplode(F.arrays_zip("d8_dir", "d8_key")).alias("pix", "g"),
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long").alias("gy"),
+        F.col("g.d8_dir").alias("d8_dir"),
+        F.col("g.d8_key").alias("d8_key"),
+    )
+    off = F.lit(1 << 20)
+    dir_col = F.col("d8_dir")
+    dx = F.element_at(
+        F.array(*[F.lit(d[0]) for d in _D8_OFFSETS]), dir_col.cast("int") + 1
+    )
+    dy = F.element_at(
+        F.array(*[F.lit(d[1]) for d in _D8_OFFSETS]), dir_col.cast("int") + 1
+    )
+    pack = lambda x, y: (x + off) * F.lit(1 << 32) + (y + off)  # noqa: E731
+    return cells.select(
+        "gx", "gy", "d8_dir", "d8_key",
+        pack(F.col("gx"), F.col("gy")).alias("src"),
+        F.when(dir_col >= 0, pack(F.col("gx") + dx, F.col("gy") + dy)).alias(
+            "dst"
+        ),
+    )
+
+
+def basins(flow: DataFrame, res: int) -> DataFrame:
+    """d8_flow frame -> (gx, gy, basin): connected components of the flow
+    pointer forest, labeled by minimum packed cell id (deterministic).
+    Plateau/sink cells with no inflow become singleton basins of
+    themselves."""
+    from engine.graph import connected_components
+
+    ed = flow_edges(flow, res)
+    comp = connected_components(
+        ed.filter(F.col("dst").isNotNull()).select("src", "dst"),
+        src="src", dst="dst",
+        nodes=ed.select("src"), id_col="src",
+    )
+    return (
+        ed.select("gx", "gy", "src")
+        .join(comp, ed["src"] == comp["id"])
+        .select("gx", "gy", F.col("comp").alias("basin"))
+    )
+
+
 def slope_aspect_hillshade(
     grads: DataFrame,
     cellsize: float = 1.0,

@@ -200,3 +200,101 @@ def test_hillshade_range_and_sun_direction(spark):
     assert all(0.0 <= v <= 255.0 for v in r_e["hillshade"])
     assert all(r_e["hillshade"][i] > flat for i in mid)
     assert all(r_w["hillshade"][i] < flat for i in mid)
+
+
+def _py_d8(tiles, res):
+    """Python oracle for d8_flow: presence-masked steepest descent with the
+    exact 2*drop^2 / drop^2 key and E,NE,N,NW,W,S,SW,SE priority."""
+    nbrs = [
+        (1, 0, True), (1, 1, False), (0, 1, True), (-1, 1, False),
+        (-1, 0, True), (0, -1, True), (-1, -1, False), (1, -1, False),
+    ]
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for (tx, ty), grid in tiles.items():
+        dirs = [0] * (res * res)
+        keys = [0] * (res * res)
+        for py in range(res):
+            for px in range(res):
+                x, y = tx * res + px, ty * res + py
+                z = cells[(x, y)]
+                bk, bd = 0, -1
+                for i, (dx, dy, orth) in enumerate(nbrs):
+                    if (x + dx, y + dy) not in cells:
+                        continue
+                    drop = z - cells[(x + dx, y + dy)]
+                    key = drop * drop * (2 if orth else 1)
+                    if drop > 0 and key > bk:
+                        bk, bd = key, i
+                dirs[py * res + px] = bd
+                keys[py * res + px] = bk
+        out[(tx, ty)] = (dirs, keys)
+    return out
+
+
+def test_d8_matches_python_oracle(spark):
+    rng = random.Random(414)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9, span=3, density=0.6)
+    df = _mk_df(spark, tiles).repartition(5)
+    got = {
+        (r["tx"], r["ty"]): (list(r["d8_dir"]), list(r["d8_key"]))
+        for r in terrain.d8_flow(df, res).collect()
+    }
+    assert got == _py_d8(tiles, res)
+
+
+def test_d8_plane_flows_sw(spark):
+    """z = 3x + 5y: interior steepest descent is the SW diagonal (key 64
+    beats W's 18 and S's 50)."""
+    res = 8
+    tiles = {
+        (tx, ty): [
+            3 * (tx * res + pix % res) + 5 * (ty * res + pix // res)
+            for pix in range(res * res)
+        ]
+        for tx in (0, 1, 2)
+        for ty in (0, 1, 2)
+    }
+    df = _mk_df(spark, tiles)
+    r = {
+        (row["tx"], row["ty"]): row
+        for row in terrain.d8_flow(df, res).collect()
+    }[(1, 1)]
+    assert all(v == 6 for v in r["d8_dir"])  # SW is priority index 6
+    assert all(v == 64 for v in r["d8_key"])
+
+
+def test_d8_mask_no_flow_off_raster(spark):
+    """A single constant tile: zero padding outside would read as a cliff,
+    but the presence mask forbids flowing off the raster -> all sinks."""
+    res = 8
+    df = _mk_df(spark, {(0, 0): [400] * (res * res)})
+    r = terrain.d8_flow(df, res).collect()[0]
+    assert all(v == -1 for v in r["d8_dir"])
+    assert all(v == 0 for v in r["d8_key"])
+
+
+def test_basins_two_valleys(spark):
+    """z = 5*|2x - 7| on one tile: columns 0-2 flow E toward the x=3 sink
+    column, 5-7 flow W toward x=4; rows never link (flat in y), so each row
+    splits into exactly 2 basins of 4 cells -> 16 basins, labels = the
+    packed ids of the (0, y) / (4, y) cells (min id in each chain)."""
+    res = 8
+    grid = [5 * abs(2 * (pix % res) - 7) for pix in range(res * res)]
+    df = _mk_df(spark, {(0, 0): grid})
+    flow = terrain.d8_flow(df, res)
+    b = terrain.basins(flow, res).collect()
+    assert len(b) == res * res
+    from collections import Counter
+
+    sizes = Counter(r["basin"] for r in b)
+    assert len(sizes) == 16 and set(sizes.values()) == {4}
+    pack = lambda x, y: (x + (1 << 20)) * (1 << 32) + (y + (1 << 20))  # noqa: E731
+    want_labels = {pack(0, y) for y in range(res)} | {
+        pack(4, y) for y in range(res)
+    }
+    assert set(sizes) == want_labels

@@ -1820,6 +1820,45 @@ def part_terrain() -> None:
         "wall_s": round(wall, 2), "interior_value": round(want, 6),
         "cells_per_sec": round(w * w / wall),
     }
+    # D8 flow + basins: on z = 3x + 5y every interior cell flows SW (key 64
+    # beats W 18 / S 50); the y=0 row flows W and the x=0 column S, so every
+    # SW diagonal chain drains through the boundary into ONE basin rooted at
+    # (0,0) — a planted single-giant-component stress for the CC kernel at
+    # w*w nodes with a closed-form label
+    t0 = time.time()
+    flow = terrain.d8_flow(tiles, res)
+    fagg = cells(flow.withColumnRenamed("d8_dir", "dzdx8")
+                 .withColumnRenamed("d8_key", "dzdy8")).agg(
+        F.count("*").alias("cells"),
+        F.sum(
+            (
+                (F.col("dzdx8") == 6) & (F.col("dzdy8") == 64)
+                & (F.col("gx") > 0) & (F.col("gy") > 0)
+            ).cast("long")
+        ).alias("sw_ok"),
+    ).collect()[0]
+    wall_d8 = time.time() - t0
+    assert fagg["cells"] == w * w
+    assert fagg["sw_ok"] == (w - 1) * (w - 1), fagg["sw_ok"]
+    t0 = time.time()
+    b = terrain.basins(flow, res)
+    bagg = b.agg(
+        F.count("*").alias("cells"),
+        F.countDistinct("basin").alias("basins"),
+        F.min("basin").alias("label"),
+    ).collect()[0]
+    wall_b = time.time() - t0
+    assert bagg["cells"] == w * w
+    assert bagg["basins"] == 1, bagg["basins"]
+    assert bagg["label"] == (1 << 20) * (1 << 32) + (1 << 20)  # pack(0, 0)
+    out["d8"] = {
+        "wall_s": round(wall_d8, 2),
+        "cells_per_sec": round(w * w / wall_d8),
+    }
+    out["basins_giant"] = {
+        "wall_s": round(wall_b, 2), "nodes": w * w,
+        "cells_per_sec": round(w * w / wall_b),
+    }
     tiles.unpersist()
     spark.stop()
     print(_json.dumps(out))
