@@ -298,3 +298,37 @@ def test_basins_two_valleys(spark):
         pack(4, y) for y in range(res)
     }
     assert set(sizes) == want_labels
+
+
+def test_basins_jump_matches_cc_partition(spark):
+    """Pointer-jumping basins produce the IDENTICAL partition into basins
+    as the CC kernel (labels differ by convention: sink id vs min id)."""
+    rng = random.Random(415)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=2, density=0.8)
+    df = _mk_df(spark, tiles)
+    flow = terrain.d8_flow(df, res)
+
+    def parts(method):
+        groups = {}
+        for r in terrain.basins(flow, res, method=method).collect():
+            groups.setdefault(r["basin"], set()).add((r["gx"], r["gy"]))
+        return set(frozenset(g) for g in groups.values())
+
+    assert parts("jump") == parts("cc")
+
+
+def test_basins_jump_sink_labels(spark):
+    """Jump labels are the basin's SINK cell: the two-valley tile's rows
+    drain to (3, y) and (4, y)."""
+    res = 8
+    grid = [5 * abs(2 * (pix % res) - 7) for pix in range(res * res)]
+    df = _mk_df(spark, {(0, 0): grid})
+    b = terrain.basins(terrain.d8_flow(df, res), res, method="jump").collect()
+    pack = lambda x, y: (x + (1 << 20)) * (1 << 32) + (y + (1 << 20))  # noqa: E731
+    want = {pack(3, y) for y in range(res)} | {pack(4, y) for y in range(res)}
+    assert {r["basin"] for r in b} == want
+    # every cell's label is its own row's sink column
+    for r in b:
+        sink_x = 3 if r["gx"] <= 3 else 4
+        assert r["basin"] == pack(sink_x, r["gy"])

@@ -1840,25 +1840,28 @@ def part_terrain() -> None:
     wall_d8 = time.time() - t0
     assert fagg["cells"] == w * w
     assert fagg["sw_ok"] == (w - 1) * (w - 1), fagg["sw_ok"]
-    t0 = time.time()
-    b = terrain.basins(flow, res)
-    bagg = b.agg(
-        F.count("*").alias("cells"),
-        F.countDistinct("basin").alias("basins"),
-        F.min("basin").alias("label"),
-    ).collect()[0]
-    wall_b = time.time() - t0
-    assert bagg["cells"] == w * w
-    assert bagg["basins"] == 1, bagg["basins"]
-    assert bagg["label"] == (1 << 20) * (1 << 32) + (1 << 20)  # pack(0, 0)
     out["d8"] = {
         "wall_s": round(wall_d8, 2),
         "cells_per_sec": round(w * w / wall_d8),
     }
-    out["basins_giant"] = {
-        "wall_s": round(wall_b, 2), "nodes": w * w,
-        "cells_per_sec": round(w * w / wall_b),
-    }
+    # both basin kernels against the same closed form — the giant basin's
+    # sink IS the global min (0,0), so cc's min-id label == jump's sink id
+    for method in ("jump", "cc"):
+        t0 = time.time()
+        b = terrain.basins(flow, res, method=method)
+        bagg = b.agg(
+            F.count("*").alias("cells"),
+            F.countDistinct("basin").alias("basins"),
+            F.min("basin").alias("label"),
+        ).collect()[0]
+        wall_b = time.time() - t0
+        assert bagg["cells"] == w * w
+        assert bagg["basins"] == 1, bagg["basins"]
+        assert bagg["label"] == (1 << 20) * (1 << 32) + (1 << 20)  # pack(0,0)
+        out[f"basins_giant_{method}"] = {
+            "wall_s": round(wall_b, 2), "nodes": w * w,
+            "cells_per_sec": round(w * w / wall_b),
+        }
     tiles.unpersist()
     spark.stop()
     print(_json.dumps(out))
