@@ -1,0 +1,175 @@
+"""engine.warp: rational-affine raster resample — Python oracle parity,
+linear-reproduction and identity/shift/zoom closed forms, DuckDB twin."""
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from engine import warp
+from tests.conftest import spark  # noqa: F401
+
+
+def _rand_tiles(rng, res, n_tiles, span=3, density=0.5):
+    keys = set()
+    while len(keys) < n_tiles:
+        keys.add((rng.randint(-span, span), rng.randint(-span, span)))
+    tiles = {}
+    for k in keys:
+        tiles[k] = [
+            rng.randint(1, 999) if rng.random() < density else 0
+            for _ in range(res * res)
+        ]
+    return tiles
+
+
+def _mk_df(spark, tiles):
+    return spark.createDataFrame(
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+        "tx long, ty long, counts array<long>",
+    )
+
+
+def _collect(df):
+    return {(r["tx"], r["ty"]): list(r["val_num"]) for r in df.collect()}
+
+
+def _py_warp(tiles, res, coeffs, den, out_keys, method):
+    """Brute-force oracle with Fraction arithmetic (then exactness checked
+    by integer equality of the den^2-scaled result)."""
+    a, b, c, d, e, f = coeffs
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            if n:
+                cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for (tx, ty) in out_keys:
+        g = [0] * (res * res)
+        for pix in range(res * res):
+            X, Y = tx * res + pix % res, ty * res + pix // res
+            sxn = a * X + b * Y + c
+            syn = d * X + e * Y + f
+            if method == "nearest":
+                gx = (2 * sxn + den) // (2 * den)
+                gy = (2 * syn + den) // (2 * den)
+                g[pix] = cells.get((gx, gy), 0)
+            else:
+                gx0, fx = sxn // den, sxn % den
+                gy0, fy = syn // den, syn % den
+                v = 0
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        w = (fx if dx else den - fx) * (fy if dy else den - fy)
+                        v += w * cells.get((gx0 + dx, gy0 + dy), 0)
+                g[pix] = v
+        out[(tx, ty)] = g
+    return out
+
+
+IDENT = (1, 0, 0, 0, 1, 0)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "nearest"])
+@pytest.mark.parametrize(
+    "coeffs,den",
+    [
+        (IDENT, 1),                       # identity
+        ((1, 0, 3, 0, 1, -2), 1),         # integer shift
+        ((2, 0, 1, 0, 2, 1), 2),          # half-pixel shift
+        ((2, 0, 0, 0, 2, 0), 1),          # 2x downscale
+        ((1, 0, 0, 0, 1, 0), 3),          # 3x upscale (sx = X/3)
+        ((0, -1, 0, 1, 0, 0), 1),         # 90-degree rotation
+        ((3, 1, -2, -1, 2, 5), 4),        # general rational affine w/ shear
+    ],
+)
+def test_matches_python_oracle(spark, method, coeffs, den):
+    rng = random.Random(hash((coeffs, den, method)) & 0xFFFF)
+    res = 8
+    tiles = _rand_tiles(rng, res, 8)
+    df = _mk_df(spark, tiles).repartition(5)
+    got = _collect(
+        warp.affine_resample(df, res, coeffs, den=den, method=method)
+    )
+    want = _py_warp(tiles, res, coeffs, den, set(tiles), method)
+    assert got == want
+
+
+def test_identity_reproduces_input(spark):
+    rng = random.Random(77)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6)
+    df = _mk_df(spark, tiles)
+    for method in ("bilinear", "nearest"):
+        got = _collect(warp.affine_resample(df, res, IDENT, method=method))
+        assert got == tiles
+
+
+def test_bilinear_reproduces_linear_ramp(spark):
+    """Bilinear interpolation is exact on linear fields: warping z = 3x + 5y
+    by a half-pixel shift gives den^2 * z(sx, sy) wherever all 4 source
+    neighbors exist."""
+    res = 8
+    tiles = {
+        (tx, ty): [
+            3 * (tx * res + pix % res) + 5 * (ty * res + pix // res)
+            for pix in range(res * res)
+        ]
+        for tx in (0, 1, 2)
+        for ty in (0, 1, 2)
+    }
+    df = _mk_df(spark, tiles)
+    den = 2
+    got = _collect(
+        warp.affine_resample(df, res, (2, 0, 1, 0, 2, 1), den=den)
+    )
+    g = got[(1, 1)]
+    for pix in range(res * res):
+        X, Y = res + pix % res, res + pix // res
+        sx = Fraction(2 * X + 1, den)
+        sy = Fraction(2 * Y + 1, den)
+        want = den * den * (3 * sx + 5 * sy)
+        assert want.denominator == 1
+        # interior of the 3x3 block: all four neighbors exist (z=0 cells of
+        # the ramp at the origin corner are absent from the sparse set, so
+        # skip the two lattice lines that touch (0, y)/(x, 0) zeros)
+        assert g[pix] == int(want)
+
+
+def test_out_tiles_extent(spark):
+    """An explicit target tile set is honored, absent sources read 0."""
+    res = 4
+    tiles = {(0, 0): list(range(1, res * res + 1))}
+    df = _mk_df(spark, tiles)
+    out = spark.createDataFrame([(5, 5)], "tx long, ty long")
+    got = _collect(
+        warp.affine_resample(df, res, IDENT, out_tiles=out)
+    )
+    assert got == {(5, 5): [0] * (res * res)}
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(78)
+    res = 8
+    tiles = _rand_tiles(rng, res, 8)
+    df = _mk_df(spark, tiles)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    for method in ("bilinear", "nearest"):
+        for coeffs, den in ((IDENT, 1), ((3, 1, -2, -1, 2, 5), 4)):
+            got = _collect(
+                warp.affine_resample(df, res, coeffs, den=den, method=method)
+            )
+            want = {
+                (r[0], r[1]): list(r[2])
+                for r in con.execute(
+                    warp.warp_sql("tiles", res, coeffs, den=den, method=method)
+                ).fetchall()
+            }
+            assert got == want, (method, coeffs, den)

@@ -1867,12 +1867,88 @@ def part_terrain() -> None:
     print(_json.dumps(out))
 
 
+def part_warp() -> None:
+    """Affine raster warp at scale, local[32]: the 4096^2 dense plane
+    z = 3x + 5y (16.8M cells), warped by the half-pixel-shift zoom
+    (sx, sy) = ((2X+1)/2, (2Y+1)/2). Bilinear reproduces linear fields
+    exactly, so every target pixel whose 4 source neighbors exist has the
+    closed form val_num = den^2 * (3 sx + 5 sy) = 2*(3*(2X+1) + 5*(2Y+1))
+    ... = 12X + 20Y + 16; the raster's top/right edge rows probe missing
+    neighbors and fall off the form — exactly 4095^2 interior pixels match.
+    Nearest timed on the same input (probe volume 1/4 of bilinear's)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import warp
+
+    out = {}
+    spark = _spark("bench-warp")
+    res = 64
+    side = int(os.environ.get("TERRAIN_BENCH_TILES", "64"))
+    w = side * res
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    def run(method, form):
+        t0 = time.time()
+        r = warp.affine_resample(
+            tiles, res, (2, 0, 1, 0, 2, 1), den=2, method=method
+        )
+        cells = r.select(
+            "tx", "ty", F.posexplode("val_num").alias("pix", "v")
+        ).select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+            "v",
+        )
+        agg = cells.agg(
+            F.count("*").alias("cells"),
+            F.sum(
+                (
+                    (F.col("v") == form)
+                    & (F.col("gx") < w - 1) & (F.col("gy") < w - 1)
+                ).cast("long")
+            ).alias("interior_ok"),
+        ).collect()[0]
+        return time.time() - t0, agg
+
+    forms = {
+        # bilinear: den^2 * (3 sx + 5 sy) = 12X + 20Y + 16
+        "bilinear": 12 * F.col("gx") + 20 * F.col("gy") + F.lit(16),
+        # nearest: half-up rounds (X+.5, Y+.5) to (X+1, Y+1) -> 3X + 5Y + 8
+        "nearest": 3 * F.col("gx") + 5 * F.col("gy") + F.lit(8),
+    }
+    for method in ("bilinear", "nearest"):
+        wall, agg = run(method, forms[method])
+        assert agg["cells"] == w * w
+        assert agg["interior_ok"] == (w - 1) * (w - 1), (method, agg)
+        out[method] = {
+            "cells": w * w, "wall_s": round(wall, 2),
+            "cells_per_sec": round(w * w / wall),
+        }
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "contour": part_contour,
         "dbscan": part_dbscan,
         "terrain": part_terrain,
+        "warp": part_warp,
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
