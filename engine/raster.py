@@ -7,16 +7,18 @@ density/heatmap tile layer. Pure integer Column math end to end:
 
     point (x, y) -> tile (tx, ty) and in-tile pixel (px, py)   [floor division]
     groupBy (tile, pixel) count                                 [shuffle 1]
-    groupBy tile, scatter pixels into a dense row-major array   [shuffle 2]
+    complete the pixel set per nonempty tile (explode + join)   [narrow-ish]
+    groupBy tile, sorted-struct fold into the dense array       [shuffle 2]
 
 Scale: the first aggregation is the only one that sees point-table
 cardinality, and it map-side combines (partial counts per partition) before
-shuffling at most tiles x res^2 rows; the second aggregation's groups are
-bounded by res^2 <= 65536 entries of 16 bytes — far under any executor
-budget, no applyInPandas needed. Dense assembly uses aggregate() over a
-zeroed array (no UDF). Skewed megacity tiles are absorbed by the map-side
-combine: a billion points on one tile still reach the shuffle as <= res^2
-rows per upstream partition.
+shuffling at most tiles x res^2 rows; everything after is bounded by the
+OUTPUT size (tiles x res^2 slots), and the dense assembly is an
+array_sort(collect_list(struct)) fold — O(res^2 log res^2) per tile, no
+applyInPandas, no per-slot map scans (see the in-function note for the
+measured pathology the map idiom had at dense tiles). Skewed megacity
+tiles are absorbed by the map-side combine: a billion points on one tile
+still reach the shuffle as <= res^2 rows per upstream partition.
 
 The reference has no raster operator (its tiling is implicit in cell ids);
 this serves the raster <-> vector axis of the brief alongside tile_assign.
@@ -70,18 +72,36 @@ def heatmap_tiles(
         .groupBy("tx", "ty", "pix")
         .agg(F.sum("w").alias("n"))
     )
-    # dense assembly: pix -> n map per tile, then ONE transform over the
-    # pixel range with a map lookup per slot (O(res^2), vs O(res^4) for an
-    # aggregate() fold that rewrites one slot per step)
-    m = F.map_from_entries(F.collect_list(F.struct("pix", "n")))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(res * res - 1)),
-        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
+    # dense assembly: complete the pixel set per nonempty tile (explode +
+    # left join), then ONE array_sort(collect_list(struct)) fold — O(res^2
+    # log res^2) per tile, bounded by the output arrays themselves. The
+    # previous map_from_entries + per-slot element_at idiom is O(res^2 * k)
+    # — Spark's map element_at linearly scans the keys — which is fine for
+    # sparse tiles but catastrophic at production density: a 16M-point /
+    # 4096-tile / res=64 build (k ~= 2600 nonzero pixels per tile) ran >10
+    # minutes before this assembly and 8-15 s after. n_points/max_count keep
+    # their exact pre-change semantics (aggregates over the SPARSE cell
+    # sums only) via the presence flag, not over the zero-filled slots.
+    keys = sparse.select("tx", "ty").distinct()
+    full = (
+        keys.select(
+            "tx", "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(res * res - 1))).alias("pix"),
+        )
+        .join(sparse, ["tx", "ty", "pix"], "left")
+        .select(
+            "tx", "ty", "pix",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            F.col("n").isNotNull().alias("real"),
+        )
     )
-    return sparse.groupBy("tx", "ty").agg(
+    dense = F.transform(
+        F.array_sort(F.collect_list(F.struct("pix", "n"))), lambda s: s["n"]
+    )
+    return full.groupBy("tx", "ty").agg(
         dense.alias("counts"),
         F.sum("n").alias("n_points"),
-        F.max("n").alias("max_count"),
+        F.max(F.when(F.col("real"), F.col("n"))).alias("max_count"),
     )
 
 
