@@ -263,6 +263,78 @@ def focal_sum(
     raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
 
 
+def focal_extremum(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    op: str = "max",
+    pad=None,
+) -> DataFrame:
+    """Focal window MIN / MAX over the tile raster — the grayscale
+    MORPHOLOGY primitive (op='max' = dilation, op='min' = erosion; binary
+    0/1 rasters get the set-morphology semantics for free). Same halo
+    strip-exchange plan as focal_sum: shuffle O(perimeter) per tile, then a
+    numpy running-extremum over the (2r+1)^2 shifted window slices —
+    O(res^2 (2r+1)^2) per tile, exact int64, no UDF rows.
+
+    Padding outside the input tile union defaults to the operation's
+    IDENTITY (min: +inf-like int64 max; max: 0 — consistent with the
+    family's zero background where values are nonnegative counts). Pass
+    `pad` to override (e.g. pad=0 for erosion of a signed field where the
+    background really is 0).
+
+    erode/dilate/morph_open/morph_close below are the named compositions;
+    open/close pay two halo rounds (the intermediate raster must be
+    re-exchanged — neighborhood of neighborhood spans 2r)."""
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    if op not in ("min", "max"):
+        raise ValueError(f"op must be 'min' or 'max', got {op!r}")
+    r = radius
+    if pad is None:
+        pad_val = np.iinfo(np.int64).max if op == "min" else 0
+    else:
+        pad_val = int(pad)
+    reducer = np.minimum if op == "min" else np.maximum
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        g = np.where(mask > 0, halo, pad_val)
+        out = None
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                w = g[r + dy : r + dy + res, r + dx : r + dx + res]
+                out = w.copy() if out is None else reducer(out, w)
+        return out.reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
+
+
+def erode(tiles: DataFrame, res: int, radius: int = 1, pad=None) -> DataFrame:
+    """Grayscale erosion (focal min)."""
+    return focal_extremum(tiles, res, radius, op="min", pad=pad)
+
+
+def dilate(tiles: DataFrame, res: int, radius: int = 1, pad=None) -> DataFrame:
+    """Grayscale dilation (focal max)."""
+    return focal_extremum(tiles, res, radius, op="max", pad=pad)
+
+
+def _rename_focal(df: DataFrame) -> DataFrame:
+    return df.select("tx", "ty", F.col("focal").alias("counts"))
+
+
+def morph_open(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
+    """Morphological opening: erosion then dilation — removes speckles /
+    features thinner than the window without shrinking larger shapes."""
+    return dilate(_rename_focal(erode(tiles, res, radius)), res, radius)
+
+
+def morph_close(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
+    """Morphological closing: dilation then erosion — fills pinholes / gaps
+    narrower than the window without growing larger shapes."""
+    return erode(_rename_focal(dilate(tiles, res, radius)), res, radius)
+
+
 def _norm_weights(weights) -> dict[tuple[int, int], int]:
     w = {(int(dx), int(dy)): int(v) for (dx, dy), v in dict(weights).items()}
     w = {k: v for k, v in w.items() if v != 0}

@@ -352,3 +352,73 @@ def test_validation(spark):
         focal.focal_sum(df, 4, radius=4)
     with pytest.raises(ValueError):
         focal.focal_sum(df, 4, kernel="nope")
+
+
+def _py_extremum(tiles, res, r, op, pad):
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    ident = pad
+    out = {}
+    for (tx, ty), _g in tiles.items():
+        g = [0] * (res * res)
+        for py in range(res):
+            for px in range(res):
+                x, y = tx * res + px, ty * res + py
+                vals = [
+                    cells.get((x + dx, y + dy), ident)
+                    for dy in range(-r, r + 1)
+                    for dx in range(-r, r + 1)
+                ]
+                g[py * res + px] = min(vals) if op == "min" else max(vals)
+        out[(tx, ty)] = g
+    return out
+
+
+@pytest.mark.parametrize("op", ["min", "max"])
+@pytest.mark.parametrize("radius", [1, 2])
+def test_extremum_matches_python_oracle(spark, op, radius):
+    rng = random.Random(500 + radius)
+    res = 8
+    tiles = _rand_tiles(rng, res, 10)
+    df = _mk_df(spark, tiles).repartition(5)
+    got = _collect(focal.focal_extremum(df, res, radius, op=op))
+    ident = (1 << 63) - 1 if op == "min" else 0
+    assert got == _py_extremum(tiles, res, radius, op, ident)
+
+
+def test_extremum_pad_override(spark):
+    """pad=0 erosion: raster borders erode against the 0 background."""
+    res = 8
+    tiles = {(0, 0): [7] * (res * res)}
+    df = _mk_df(spark, tiles)
+    got = _collect(focal.focal_extremum(df, res, 1, op="min", pad=0))[(0, 0)]
+    for py in range(res):
+        for px in range(res):
+            border = px in (0, res - 1) or py in (0, res - 1)
+            assert got[py * res + px] == (0 if border else 7)
+
+
+def test_morphology_order_and_speckle(spark):
+    """erode <= x <= dilate pointwise; opening kills an isolated speckle and
+    closing fills an isolated pinhole, leaving the bulk untouched."""
+    res = 8
+    base = [1] * (res * res)
+    base[3 * res + 4] = 0  # pinhole in the middle of ones
+    speck = [0] * (res * res)
+    speck[5 * res + 2] = 1  # isolated speckle in zeros
+    tiles = {(0, 0): base, (2, 0): speck}  # gap tile between -> independent
+    df = _mk_df(spark, tiles)
+    x = {k: list(v) for k, v in tiles.items()}
+    er = _collect(focal.erode(df, res, 1, pad=0))
+    di = _collect(focal.dilate(df, res, 1))
+    for k in tiles:
+        for i in range(res * res):
+            assert er[k][i] <= x[k][i] <= di[k][i]
+    op = _collect(focal.morph_open(df, res, 1))
+    cl = _collect(focal.morph_close(df, res, 1))
+    assert all(v == 0 for v in op[(2, 0)])  # speckle gone
+    assert cl[(0, 0)][3 * res + 4] == 1  # pinhole filled
+    # closing never invents mass outside the dilation support of ones
+    assert all(v in (0, 1) for v in cl[(0, 0)] + cl[(2, 0)] + op[(0, 0)])
