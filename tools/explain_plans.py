@@ -452,6 +452,26 @@ def main() -> int:
                 must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                           "BatchEvalPython", "ArrowEvalPython"])
 
+    # 19b. raster warp: generated target pixels -> ONE (sgx, sgy) equi-join
+    # against sparse source cells -> hash agg + sorted-struct assembly; no
+    # cartesian, no Python
+    from engine import warp as warpmod
+
+    wtiles = images.limit(64).select(
+        (F.col("phash") % 8).alias("tx"),
+        (F.pmod(F.col("phash"), 7)).alias("ty"),
+        F.array_repeat((F.col("phash") % 97).cast("long"), 64).alias("counts"),
+    )
+    wr = warpmod.affine_resample(wtiles, 8, (2, 0, 1, 0, 2, 1), den=2)
+    p = formatted(wr)
+    print("\n## raster warp (probe equi-join + sorted assembly)")
+    if args.full:
+        print(p)
+    ok &= check("warp", p,
+                must=["HashAggregate", "Generate"],
+                must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
     # 19. contour segments: explode(4) corner scatter -> ONE map-side-combined
     # hash agg -> literal case-table lookup (element_at on an array literal —
     # no join, no Python); output is Column math end to end
