@@ -269,7 +269,9 @@ def main() -> None:
         "pricing_summary", "topk_per_group", "consecutive_diff", "coalesce_changes",
         "temporal_joins", "colocation", "dedup_exact", "text_metrics", "tfidf", "knn",
         "routing", "idw", "geofence", "trajsim",
-        "hotspot_cells", "tile_pyramid", "snap_route",
+        # raster_field subsumed hotspot_cells + tile_pyramid and now also
+        # carries the terrain-gradient and d8/basin halves
+        "raster_field", "contours", "snap_route",
         "emerging_hotspots",
         # dedup_cluster is registry-checked but excluded here for the same
         # reason as minhash_dedup: its md5 oracle-path pair generation is the
