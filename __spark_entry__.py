@@ -767,7 +767,9 @@ def _hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hotspot_cells(
+    spark: SparkSession, sf_dir: str, tiles: DataFrame | None = None
+) -> DataFrame:
     """Rasterize -> focal -> Getis-Ord Gi* end to end on the PRODUCTION halo
     kernel (engine.raster.heatmap_tiles + engine.focal.focal_sum/gi_star):
     one row per global pixel of the study area with its count, exact-int64
@@ -779,7 +781,9 @@ def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = _HOTSPOT_RES
     # persisted: the raster feeds gi_star's three consumers + the join below
-    tiles = _hotspot_tiles(spark, sf_dir).persist()
+    # (q_raster_field passes its own shared persisted raster instead)
+    if tiles is None:
+        tiles = _hotspot_tiles(spark, sf_dir).persist()
     zs = focal.gi_star(tiles, res, radius=1, kernel="halo", keep_fs=True)
     j = tiles.join(zs, ["tx", "ty"])
     ex = j.select(
@@ -795,7 +799,9 @@ def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tile_pyramid(
+    spark: SparkSession, sf_dir: str, tiles: DataFrame | None = None
+) -> DataFrame:
     """Tile-pyramid rollup (engine.pyramid.pyramid_sum): levels 1..2 of 2x2
     count-grid aggregation over the heatmap raster, exploded to nonzero
     level-k global pixels (level, gx, gy, n); level 0 is the base raster
@@ -805,7 +811,8 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import pyramid
 
     res = _HOTSPOT_RES
-    tiles = _hotspot_tiles(spark, sf_dir)
+    if tiles is None:
+        tiles = _hotspot_tiles(spark, sf_dir)
     base = tiles.select(
         F.lit(0).cast("long").alias("level"), "tx", "ty", "counts"
     )
@@ -857,7 +864,9 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.graph import connected_components
 
     res = _HOTSPOT_RES
-    tiles_r = _hotspot_tiles(spark, sf_dir)
+    # ONE raster build + persist feeds all four halves (hot, pyr, ter, d8)
+    # — previously each half re-rasterized the document anchors (4 scans)
+    tiles_r = _hotspot_tiles(spark, sf_dir).persist()
     grads = terrain.terrain_gradients(tiles_r, res)
     ed = terrain.flow_edges(terrain.d8_flow(tiles_r, res), res).persist()
     comp = connected_components(
@@ -890,7 +899,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("e"),
         )
     )
-    hot = q_hotspot_cells(spark, sf_dir).select(
+    hot = q_hotspot_cells(spark, sf_dir, tiles=tiles_r).select(
         F.lit("hot").alias("tag"),
         F.col("gx").alias("a"),
         F.col("gy").alias("b"),
@@ -898,7 +907,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fs").alias("d"),
         F.col("z_e6").alias("e"),
     )
-    pyr = q_tile_pyramid(spark, sf_dir).select(
+    pyr = q_tile_pyramid(spark, sf_dir, tiles=tiles_r).select(
         F.lit("pyr").alias("tag"),
         F.col("level").alias("a"),
         F.col("gx").alias("b"),
