@@ -71,8 +71,7 @@ def _focal_sum_scatter(tiles: DataFrame, res: int, radius: int) -> DataFrame:
         )
         .agg(F.sum("n").alias("fs"))
     )
-    # re-densify per input tile (absent sums are zero); same map-lookup
-    # assembly as raster.heatmap_tiles
+    # re-densify per input tile via the shared sorted-struct assembly
     target = scattered.select(
         (F.floor(F.col("gx") / res)).cast("long").alias("tx"),
         (F.floor(F.col("gy") / res)).cast("long").alias("ty"),
@@ -82,20 +81,32 @@ def _focal_sum_scatter(tiles: DataFrame, res: int, radius: int) -> DataFrame:
         ).alias("pix"),
         "fs",
     )
-    m = F.map_from_entries(F.collect_list(F.struct("pix", "fs")))
+    return _densify(target, tiles, res)
+
+
+def _densify(target: DataFrame, tiles: DataFrame, res: int) -> DataFrame:
+    """Re-densify sparse (tx, ty, pix, fs) sums onto the INPUT tile set
+    (absent sums are zero; scatter spill outside input tiles is dropped by
+    the join). Completed-pixel left join + sorted-struct fold — O(res^2
+    log res^2) per tile; the old map_from_entries + per-slot element_at
+    idiom is O(res^2 * k) (linear map scans) and was measured catastrophic
+    on dense tiles (see raster.heatmap_tiles and BENCH/BASELINE.md)."""
+    full = (
+        tiles.select("tx", "ty")
+        .select(
+            "tx", "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(res * res - 1))).alias("pix"),
+        )
+        .join(target, ["tx", "ty", "pix"], "left")
+        .select(
+            "tx", "ty", "pix",
+            F.coalesce(F.col("fs"), F.lit(0).cast("long")).alias("fs"),
+        )
+    )
     dense = F.transform(
-        F.sequence(F.lit(0), F.lit(res * res - 1)),
-        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
+        F.array_sort(F.collect_list(F.struct("pix", "fs"))), lambda s: s["fs"]
     )
-    sums = target.groupBy("tx", "ty").agg(dense.alias("focal"))
-    return tiles.select("tx", "ty").join(sums, ["tx", "ty"], "left").select(
-        "tx",
-        "ty",
-        F.coalesce(
-            F.col("focal"),
-            F.array_repeat(F.lit(0).cast("long"), res * res),
-        ).alias("focal"),
-    )
+    return full.groupBy("tx", "ty").agg(dense.alias("focal"))
 
 
 def _strip_exprs(res: int, r: int):
@@ -422,20 +433,7 @@ def _focal_stencil_scatter(
         ).alias("pix"),
         "fs",
     )
-    m = F.map_from_entries(F.collect_list(F.struct("pix", "fs")))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(res * res - 1)),
-        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
-    )
-    sums = target.groupBy("tx", "ty").agg(dense.alias("focal"))
-    return tiles.select("tx", "ty").join(sums, ["tx", "ty"], "left").select(
-        "tx",
-        "ty",
-        F.coalesce(
-            F.col("focal"),
-            F.array_repeat(F.lit(0).cast("long"), res * res),
-        ).alias("focal"),
-    )
+    return _densify(target, tiles, res)
 
 
 def focal_stencil_sql(tiles_table: str, res: int, weights) -> str:
