@@ -346,6 +346,60 @@ def morph_close(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
     return erode(_rename_focal(dilate(tiles, res, radius)), res, radius)
 
 
+def focal_mode(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal MAJORITY (mode) filter — the categorical-raster cleanup op
+    (smoothing a classified land-cover/segmentation raster): each pixel
+    takes the most frequent value among the IN-RASTER cells of its
+    (2r+1)^2 window (presence-masked — off-raster neighbors do not vote;
+    in-raster zeros are a real class and do vote). Ties break to the
+    SMALLEST value — deterministic and engine-independent. The center
+    pixel always votes, so the result is always defined on input tiles.
+
+    Same halo plan as every focal op; the kernel is an O(k^2) vectorized
+    candidate sweep over the k = (2r+1)^2 window slices (k^2 = 81 at r=1 —
+    cheaper than a per-pixel sort for the small radii mode filters use)."""
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    r = radius
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        ks = [
+            (dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ]
+        vals = [
+            halo[r + dy : r + dy + res, r + dx : r + dx + res] for dy, dx in ks
+        ]
+        ms = [
+            mask[r + dy : r + dy + res, r + dx : r + dx + res] for dy, dx in ks
+        ]
+        best_cnt = np.zeros((res, res), dtype=np.int64)
+        best_val = np.zeros((res, res), dtype=np.int64)
+        first = True
+        for vi, mi in zip(vals, ms):
+            cnt = np.zeros((res, res), dtype=np.int64)
+            for vj, mj in zip(vals, ms):
+                cnt += ((vj == vi) & (mj > 0)).astype(np.int64)
+            cnt = np.where(mi > 0, cnt, -1)  # absent candidates never win
+            if first:
+                better = cnt >= 0
+                first = False
+            else:
+                better = (cnt > best_cnt) | (
+                    (cnt == best_cnt) & (vi < best_val)
+                )
+            best_cnt = np.where(better, cnt, best_cnt)
+            best_val = np.where(better, vi, best_val)
+        return best_val.reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
+
+
 def _norm_weights(weights) -> dict[tuple[int, int], int]:
     w = {(int(dx), int(dy)): int(v) for (dx, dy), v in dict(weights).items()}
     w = {k: v for k, v in w.items() if v != 0}

@@ -422,3 +422,67 @@ def test_morphology_order_and_speckle(spark):
     assert cl[(0, 0)][3 * res + 4] == 1  # pinhole filled
     # closing never invents mass outside the dilation support of ones
     assert all(v in (0, 1) for v in cl[(0, 0)] + cl[(2, 0)] + op[(0, 0)])
+
+
+def _py_mode(tiles, res, r):
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for (tx, ty), _g in tiles.items():
+        g = [0] * (res * res)
+        for py in range(res):
+            for px in range(res):
+                x, y = tx * res + px, ty * res + py
+                votes = [
+                    cells[(x + dx, y + dy)]
+                    for dy in range(-r, r + 1)
+                    for dx in range(-r, r + 1)
+                    if (x + dx, y + dy) in cells
+                ]
+                from collections import Counter
+
+                c = Counter(votes)
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                g[py * res + px] = best[0]
+        out[(tx, ty)] = g
+    return out
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_mode_matches_python_oracle(spark, radius):
+    rng = random.Random(600 + radius)
+    res = 8
+    # few classes so modes are meaningful
+    tiles = {}
+    keys = set()
+    while len(keys) < 9:
+        keys.add((rng.randint(-2, 2), rng.randint(-2, 2)))
+    for k in keys:
+        tiles[k] = [rng.randint(0, 3) for _ in range(res * res)]
+    df = _mk_df(spark, tiles).repartition(5)
+    got = _collect_named(focal.focal_mode(df, res, radius), "focal")
+    assert got == _py_mode(tiles, res, radius)
+
+
+def _collect_named(df, col):
+    return {(r["tx"], r["ty"]): list(r[col]) for r in df.collect()}
+
+
+def test_mode_homogeneous_and_salt(spark):
+    """A constant field is a fixed point; isolated salt pixels are voted
+    away; a two-class tie breaks to the smaller class."""
+    res = 8
+    base = [5] * (res * res)
+    base[3 * res + 3] = 9  # salt
+    df = _mk_df(spark, {(0, 0): base})
+    got = _collect_named(focal.focal_mode(df, res, 1), "focal")[(0, 0)]
+    assert all(v == 5 for v in got)  # salt removed, field unchanged
+    # corner pixel of a checkerboard: 2x2 in-raster window = {a, b, b, a}
+    # tie -> smaller class
+    cb = [(1 if (pix % res + pix // res) % 2 == 0 else 2)
+          for pix in range(res * res)]
+    df2 = _mk_df(spark, {(0, 0): cb})
+    got2 = _collect_named(focal.focal_mode(df2, res, 1), "focal")[(0, 0)]
+    assert got2[0] == 1  # corner ties 2-2 between classes 1 and 2
