@@ -1942,6 +1942,122 @@ def part_warp() -> None:
     print(_json.dumps(out))
 
 
+def part_morph() -> None:
+    """Morphology at raster scale, local[32]: the 4096^2 plane z = 3x + 5y
+    again — closed forms: r=1 erosion takes each interior pixel to its SW
+    corner (z - 8), dilation to its NE corner (z + 8); the raster's 1px
+    global boundary differs (identity padding), so exactly 4094^2 interior
+    cells match each form. focal_mode on a 4-class checkerboard-of-blocks
+    field is its own fixed point away from block borders."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import focal
+
+    out = {}
+    spark = _spark("bench-morph")
+    res = 64
+    side = int(os.environ.get("TERRAIN_BENCH_TILES", "64"))
+    w = side * res
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    def cells(df):
+        return df.select(
+            "tx", "ty", F.posexplode("focal").alias("pix", "v")
+        ).select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+            "v",
+        )
+
+    for name, fn, form in (
+        ("erode", lambda: focal.erode(tiles, res, 1),
+         3 * F.col("gx") + 5 * F.col("gy") - F.lit(8)),
+        ("dilate", lambda: focal.dilate(tiles, res, 1),
+         3 * F.col("gx") + 5 * F.col("gy") + F.lit(8)),
+    ):
+        t0 = time.time()
+        agg = cells(fn()).agg(
+            F.count("*").alias("cells"),
+            F.sum(
+                (
+                    (F.col("v") == form)
+                    & F.col("gx").between(1, w - 2)
+                    & F.col("gy").between(1, w - 2)
+                ).cast("long")
+            ).alias("interior_ok"),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert agg["cells"] == w * w
+        assert agg["interior_ok"] == (w - 2) * (w - 2), (name, agg)
+        out[name] = {
+            "cells": w * w, "wall_s": round(wall, 2),
+            "cells_per_sec": round(w * w / wall),
+        }
+    # mode fixed point: 32px-block 4-class field, r=1 — every pixel >= 1px
+    # from a block border keeps its class (5+ same-class votes of 9)
+    ctiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select(
+        "tx", "ty",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(res * res - 1)),
+            lambda i: F.pmod(
+                F.floor((F.col("tx") * res + F.pmod(i, res)) / 32)
+                + F.floor((F.col("ty") * res + F.floor(i / res)) / 32), 4
+            ).cast("long"),
+        ).alias("counts"),
+    ).persist()
+    ctiles.count()
+    t0 = time.time()
+    got = focal.focal_mode(ctiles, res, 1)
+    base = ctiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "b")
+    )
+    modep = got.select(
+        "tx", "ty", F.posexplode("focal").alias("pix", "v")
+    )
+    diff = modep.join(base, ["tx", "ty", "pix"]).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+        (F.col("v") != F.col("b")).cast("long").alias("changed"),
+    )
+    agg = diff.agg(
+        F.count("*").alias("cells"),
+        F.sum(
+            F.when(
+                (F.pmod(F.col("gx"), 32) != 0) & (F.pmod(F.col("gx"), 32) != 31)
+                & (F.pmod(F.col("gy"), 32) != 0) & (F.pmod(F.col("gy"), 32) != 31),
+                F.col("changed"),
+            )
+        ).alias("interior_changed"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["cells"] == w * w
+    assert agg["interior_changed"] == 0, agg["interior_changed"]
+    out["mode"] = {
+        "cells": w * w, "wall_s": round(wall, 2),
+        "cells_per_sec": round(w * w / wall),
+    }
+    tiles.unpersist()
+    ctiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
@@ -1949,6 +2065,7 @@ if __name__ == "__main__":
         "dbscan": part_dbscan,
         "terrain": part_terrain,
         "warp": part_warp,
+        "morph": part_morph,
         "traj": part_traj,
         "focal": part_focal,
         "matching": part_matching,
