@@ -332,3 +332,120 @@ def test_basins_jump_sink_labels(spark):
     for r in b:
         sink_x = 3 if r["gx"] <= 3 else 4
         assert r["basin"] == pack(sink_x, r["gy"])
+
+
+def _py_flow_acc(tiles, res):
+    """Global flow-accumulation oracle: walk every cell's full flow path,
+    counting visits (O(n * depth) — oracle-only)."""
+    d8 = _py_d8(tiles, res)
+    nbr = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (0, -1), (-1, -1), (1, -1)]
+    down = {}
+    for (tx, ty), (dirs, _k) in d8.items():
+        for pix, d in enumerate(dirs):
+            x, y = tx * res + pix % res, ty * res + pix // res
+            down[(x, y)] = (x + nbr[d][0], y + nbr[d][1]) if d >= 0 else None
+    acc = {c: 0 for c in down}
+    for c in down:
+        cur = c
+        while cur is not None:
+            acc[cur] += 1
+            cur = down[cur]
+    return acc
+
+
+def _collect_acc(df, res):
+    out = {}
+    for r in df.collect():
+        for pix, a in enumerate(r["acc"]):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = a
+    return out
+
+
+@pytest.mark.parametrize("stage2", ["driver", "distributed"])
+def test_flow_accumulation_matches_python_oracle(spark, stage2):
+    """Both stage-2 regimes (driver-collected contracted forest vs the
+    distributed delta-push) against the global python oracle."""
+    rng = random.Random(416)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9, span=3, density=0.6)
+    df = _mk_df(spark, tiles).repartition(5)
+    acc = terrain.flow_accumulation(
+        terrain.d8_flow(df, res), res, stage2=stage2
+    )
+    assert _collect_acc(acc, res) == _py_flow_acc(tiles, res)
+
+
+def test_flow_accumulation_partition_invariance(spark):
+    """The same 32x32 global field tiled at res 8 vs res 16 accumulates
+    identically per global cell — the cross-tile stages are exact."""
+    rng = random.Random(417)
+    field = {
+        (x, y): rng.randint(1, 999) for x in range(32) for y in range(32)
+    }
+
+    def tiled(res):
+        span = 32 // res
+        return {
+            (tx, ty): [
+                field[(tx * res + pix % res, ty * res + pix // res)]
+                for pix in range(res * res)
+            ]
+            for tx in range(span)
+            for ty in range(span)
+        }
+
+    accs = {}
+    for res in (8, 16):
+        df = _mk_df(spark, tiled(res))
+        accs[res] = _collect_acc(
+            terrain.flow_accumulation(terrain.d8_flow(df, res), res), res
+        )
+    assert accs[8] == accs[16]
+
+
+def test_flow_accumulation_plane_closed_form(spark):
+    """z = 3x + 5y on a 32x32 raster: interior cells flow SW, so an interior
+    cell's upstream set is its NE diagonal chain — acc = min(31-x, 31-y)+1;
+    the single sink (0, 0) accumulates the whole raster."""
+    res = 8
+    tiles = {
+        (tx, ty): [
+            3 * (tx * res + pix % res) + 5 * (ty * res + pix // res)
+            for pix in range(res * res)
+        ]
+        for tx in range(4)
+        for ty in range(4)
+    }
+    acc = _collect_acc(
+        terrain.flow_accumulation(
+            terrain.d8_flow(_mk_df(spark, tiles), res), res
+        ),
+        res,
+    )
+    for x in range(1, 32):
+        for y in range(1, 32):
+            assert acc[(x, y)] == min(31 - x, 31 - y) + 1, (x, y)
+    assert acc[(0, 0)] == 32 * 32
+
+
+def test_flow_accumulation_all_sinks(spark):
+    """A constant lone tile is all sinks: every acc is exactly 1."""
+    res = 8
+    df = _mk_df(spark, {(0, 0): [400] * (res * res)})
+    acc = terrain.flow_accumulation(terrain.d8_flow(df, res), res)
+    assert [r["acc"] for r in acc.collect()] == [[1] * (res * res)]
+
+
+def test_stream_cells_threshold(spark):
+    rng = random.Random(418)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.7)
+    oracle = _py_flow_acc(tiles, res)
+    acc = terrain.flow_accumulation(
+        terrain.d8_flow(_mk_df(spark, tiles), res), res
+    )
+    got = {
+        (r["gx"], r["gy"]): r["acc"]
+        for r in terrain.stream_cells(acc, res, threshold=3).collect()
+    }
+    assert got == {c: a for c, a in oracle.items() if a >= 3}

@@ -2058,9 +2058,82 @@ def part_morph() -> None:
     print(_json.dumps(out))
 
 
+def part_flowacc() -> None:
+    """Flow accumulation at raster scale, local[32]: the 4096x4096
+    z = 3x + 5y plane as 16x16 tiles at res=256 (16.8M cells) —
+    deliberately a worst case for the two-level solver: ONE giant drainage
+    (every cell funnels into the (0, 0) sink via the x=0 / y=0 boundary
+    rows), maximal in-tile path lengths (256+-wave Kahn peels), and a
+    ~126-tile-crossing contracted path driving stage 2's round count.
+    Closed-form exact: interior-quadrant acc = min(4095-gx, 4095-gy) + 1 on
+    all 4095^2 cells with gx, gy >= 1 (each such cell's upstream set is its
+    NE diagonal chain), and the sink accumulates the entire raster."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    out = {}
+    spark = _spark("bench-flowacc")
+    res = int(os.environ.get("FLOWACC_BENCH_RES", "256"))
+    side = 4096 // res
+    w = side * res
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    want_interior = F.least(
+        F.lit(w - 1) - F.col("gx"), F.lit(w - 1) - F.col("gy")
+    ) + 1
+    for mode in ("driver", "distributed"):
+        t0 = time.time()
+        flow = terrain.d8_flow(tiles, res)
+        acc = terrain.flow_accumulation(flow, res, stage2=mode)
+        rows = terrain.stream_cells(acc, res, threshold=1)  # every cell
+        agg = rows.agg(
+            F.count("*").alias("cells"),
+            F.sum(
+                (
+                    (F.col("gx") >= 1) & (F.col("gy") >= 1)
+                    & (F.col("acc") == want_interior)
+                ).cast("long")
+            ).alias("interior_ok"),
+            F.sum(
+                F.when((F.col("gx") == 0) & (F.col("gy") == 0), F.col("acc"))
+            ).alias("sink_acc"),
+            F.sum((F.col("acc") >= F.lit(res)).cast("long")).alias(
+                "stream_cells"
+            ),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert agg["cells"] == w * w
+        assert agg["interior_ok"] == (w - 1) * (w - 1), agg["interior_ok"]
+        assert agg["sink_acc"] == w * w, agg["sink_acc"]
+        out[f"flowacc_{mode}"] = {
+            "cells": w * w, "res": res, "wall_s": round(wall, 2),
+            "cells_per_sec": round(w * w / wall),
+            "stream_cells_at_res": int(agg["stream_cells"]),
+        }
+        spark.catalog.clearCache()
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "flowacc": part_flowacc,
         "contour": part_contour,
         "dbscan": part_dbscan,
         "terrain": part_terrain,
