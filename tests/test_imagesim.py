@@ -151,3 +151,166 @@ def test_sql_twin_matches_spark(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SSIM verification
+# ---------------------------------------------------------------------------
+def _ssim_loop(a, b, win=8, L=255.0):
+    """Direct per-window SSIM oracle (the textbook double loop)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    vals = []
+    for y in range(a.shape[0] - win + 1):
+        for x in range(a.shape[1] - win + 1):
+            wa = a[y : y + win, x : x + win]
+            wb = b[y : y + win, x : x + win]
+            mu_a, mu_b = wa.mean(), wb.mean()
+            va = (wa * wa).mean() - mu_a * mu_a
+            vb = (wb * wb).mean() - mu_b * mu_b
+            cov = (wa * wb).mean() - mu_a * mu_b
+            vals.append(
+                ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+            )
+    import numpy as np
+
+    return float(np.mean(vals))
+
+
+def test_np_ssim_matches_loop_oracle():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 256, size=(17, 23)).astype(np.float64)
+    b = (a + rng.normal(0, 12, size=a.shape)).clip(0, 255)
+    got = imagesim.np_ssim(a, b)
+    want = _ssim_loop(a, b)
+    assert abs(got - want) < 1e-9
+
+
+def test_np_ssim_identity_and_ordering():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+    assert imagesim.np_ssim(a, a) == 1.0
+    near = (a + rng.normal(0, 4, size=a.shape)).clip(0, 255)
+    far = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+    s_near, s_far = imagesim.np_ssim(a, near), imagesim.np_ssim(a, far)
+    assert s_near > s_far
+    assert s_near > 0.8 and s_far < 0.3
+
+
+def _image_rows(rng, specs):
+    """(image_id, bytes, w, h, fmt) rows; specs = [(id, base_seed, noise)]:
+    same base_seed -> same underlying pixels, noise pixels flipped."""
+    import numpy as np
+
+    from engine import image_codec
+
+    rows = []
+    for image_id, seed, noise, fmt, size in specs:
+        r = np.random.default_rng(seed)
+        px = r.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        if noise:
+            rn = np.random.default_rng(seed + 1000 + noise)
+            yy = rn.integers(0, size, size=noise)
+            xx = rn.integers(0, size, size=noise)
+            px = px.copy()
+            px[yy, xx] = rn.integers(0, 256, size=(noise, 3), dtype=np.uint8)
+        data = (
+            image_codec.encode_png(px) if fmt == "png"
+            else image_codec.encode_raw(px)
+        )
+        rows.append((image_id, data, size, size, fmt))
+    return rows
+
+
+def test_ssim_pairs_spark_matches_numpy(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    rng = random.Random(9)
+    specs = [
+        ("a", 1, 0, "raw", 32),
+        ("a2", 1, 20, "raw", 32),   # near-dup of a
+        ("b", 2, 0, "png", 32),
+        ("c", 3, 0, "raw", 16),     # different size than a
+    ]
+    rows = _image_rows(rng, specs)
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "a2"), ("a", "b"), ("a", "c")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["ssim"]
+        for r in imagesim.ssim_pairs(pairs, images, resize_to=16).collect()
+    }
+    px = {}
+    for image_id, data, w, h, fmt in rows:
+        px[image_id] = image_codec.decode_image(data, fmt, w, h)
+    for ia, ib in [("a", "a2"), ("a", "b"), ("a", "c")]:
+        want = imagesim.np_ssim(
+            imagesim._gray_resized(px[ia], 16),
+            imagesim._gray_resized(px[ib], 16),
+        )
+        assert got[(ia, ib)] == pytest.approx(want, abs=1e-12)
+    assert got[("a", "a2")] > got[("a", "b")]
+
+
+def test_ssim_pairs_error_isolation(spark):
+    rng = random.Random(10)
+    rows = _image_rows(rng, [("a", 1, 0, "raw", 32), ("b", 2, 0, "raw", 32)])
+    rows.append(("bad", b"\x00\x01garbage", 32, 32, "raw"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "bad")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["ssim"], r["error"])
+        for r in imagesim.ssim_pairs(pairs, images).collect()
+    }
+    assert got[("a", "b")][1] is None and got[("a", "b")][0] is not None
+    assert got[("a", "bad")][0] is None and got[("a", "bad")][1]
+
+
+def test_phash_ssim_near_dups_confirms_planted(spark):
+    """Same pixels + 1-bit phash flip -> candidate confirmed by SSIM; a
+    different image whose phash ALSO lands 1 bit away (planted collision)
+    is proposed by blocking but rejected by the pixel verify."""
+    rng = random.Random(11)
+    rows = _image_rows(
+        rng,
+        [
+            ("dup1", 5, 0, "raw", 32),
+            ("dup2", 5, 6, "raw", 32),     # near-identical pixels
+            ("decoy", 6, 0, "raw", 32),    # unrelated pixels
+        ],
+    )
+    base = 0x0123456789ABCDEF
+    data = [
+        (ident, d, w, h, f, code)
+        for (ident, d, w, h, f), code in zip(
+            rows, [base, base ^ 1, base ^ 2]  # all within hamming 2
+        )
+    ]
+    images = spark.createDataFrame(
+        data,
+        "image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+    got = imagesim.phash_ssim_near_dups(
+        images, max_hamming=2, min_ssim=0.9
+    ).collect()
+    confirmed = {(r["code_a"], r["code_b"]) for r in got}
+    assert confirmed == {(min(base, base ^ 1), max(base, base ^ 1))}
+    (row,) = got
+    assert row["hamming"] == 1 and row["ssim"] >= 0.9

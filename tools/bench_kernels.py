@@ -2130,10 +2130,92 @@ def part_flowacc() -> None:
     print(_json.dumps(out))
 
 
+def part_ssim() -> None:
+    """phash-blocked + SSIM-verified image near-dup at scale, local[32]:
+    3*N images with real decoded bytes (64x64x3 raw) — N (base, twin) pairs
+    where the twin shares the base's pixels except 6 repainted ones and sits
+    1 phash bit away, plus N decoys with UNRELATED pixels planted 2 bits
+    away (so blocking must propose them and the pixel verify must reject
+    them; twin-decoy pairs land at hamming 2 as well). Closed form: exactly
+    N confirmed pairs, every one hamming 1 with ssim >= 0.9."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import image_codec, imagesim
+
+    out = {}
+    spark = _spark("bench-ssim")
+    n_base = int(os.environ.get("SSIM_BENCH_N", "100000"))
+    size = 64
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for key in pdf["id"]:
+                group, role = divmod(int(key), 3)
+                rng = np.random.default_rng([77, group])
+                code = int(rng.integers(0, 2**63, dtype=np.int64))
+                if role == 0:
+                    px = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+                elif role == 1:
+                    px = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+                    rn = np.random.default_rng([78, group])
+                    yy = rn.integers(0, size, 6)
+                    xx = rn.integers(0, size, 6)
+                    px[yy, xx] = rn.integers(0, 256, (6, 3), dtype=np.uint8)
+                    code ^= 1
+                else:
+                    rd = np.random.default_rng([79, group])
+                    px = rd.integers(0, 256, (size, size, 3), dtype=np.uint8)
+                    code ^= 2
+                rows.append(
+                    (f"img{key:012d}", image_codec.encode_raw(px), size,
+                     size, "raw", code)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "phash"],
+            )
+
+    images = spark.range(0, 3 * n_base, 1, 64).mapInPandas(
+        gen,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "phash long",
+    ).persist()
+    n_images = images.count()  # materialize generation outside the timing
+
+    t0 = time.time()
+    confirmed = imagesim.phash_ssim_near_dups(
+        images, max_hamming=2, min_ssim=0.9
+    )
+    agg = confirmed.agg(
+        F.count("*").alias("pairs"),
+        F.sum((F.col("hamming") == 1).cast("long")).alias("h1"),
+        F.min("ssim").alias("min_ssim"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["pairs"] == n_base, agg["pairs"]
+    assert agg["h1"] == n_base
+    assert agg["min_ssim"] >= 0.9
+    out["ssim_verify"] = {
+        "images": n_images, "confirmed_pairs": int(agg["pairs"]),
+        "wall_s": round(wall, 2),
+        "images_per_sec": round(n_images / wall),
+        "min_confirmed_ssim": round(float(agg["min_ssim"]), 4),
+    }
+    images.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "flowacc": part_flowacc,
+        "ssim": part_ssim,
         "contour": part_contour,
         "dbscan": part_dbscan,
         "terrain": part_terrain,
