@@ -263,6 +263,13 @@ def similar_trips(
         F.col("n_pts").alias("n_b"),
     )
     pairs = cand.join(pa, "trip_a").join(pb, "trip_b")
+    # AQE sizes the attach-join output partitions for shuffle BYTES, not the
+    # O(nA*nB) Python metric downstream — measured on the ssim_pairs twin of
+    # this shape, it coalesced the kernel stage near-serial. An explicit
+    # repartition is exempt from AQE coalescing.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism
+    )
     t2 = float(threshold) * float(threshold)
     fn2 = np_hausdorff2 if metric == "hausdorff" else np_frechet2
 
