@@ -431,6 +431,7 @@ def flow_accumulation(
     max_rounds: int = 512,
     stage2: str = "auto",
     stage2_driver_max: int = 2_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """D8 flow accumulation over the tile raster: per pixel, the EXACT number
     of cells (itself included) whose flow path passes through it — the
@@ -463,12 +464,24 @@ def flow_accumulation(
        exactly (int64 end to end — no float anywhere).
 
     Returns (tx, ty, acc: array<long>), the engine's dense tile shape.
+    weight_col names an optional int64 array column on `flow` (same flat
+    res^2 layout) to accumulate INSTEAD of 1 per cell — acc becomes the sum
+    of upstream weights, own cell included (rainfall-runoff / sediment-load
+    accumulation; weights stay integer for the exact-int64 discipline —
+    fixed-point scale real-valued inputs on ingest). Stage 1/3 seed the
+    same linear machinery, so the two-level decomposition is unchanged.
     max_rounds guards stage 2 (a forest cannot cycle; the guard raises
     rather than silently under-accumulating)."""
     import pandas as pd
 
     spark = flow.sparkSession
-    flow = flow.select("tx", "ty", "d8_dir").persist()
+    cols = ["tx", "ty", "d8_dir"] + ([weight_col] if weight_col else [])
+    flow = flow.select(*cols).persist()
+
+    def base_mass(pdf, i):
+        if weight_col is None:
+            return np.ones(res * res, dtype=np.int64)
+        return np.asarray(pdf[weight_col].iloc[i], dtype=np.int64)
 
     def stage1(batches):
         for pdf in batches:
@@ -477,10 +490,12 @@ def flow_accumulation(
                 "ex_src": [], "ex_dst": [], "ex_m0": [],
                 "rt_entry": [], "rt_term": [], "rt_exit": [],
             }
-            for tx, ty, dirs in zip(pdf["tx"], pdf["ty"], pdf["d8_dir"]):
+            for i, (tx, ty, dirs) in enumerate(
+                zip(pdf["tx"], pdf["ty"], pdf["d8_dir"])
+            ):
                 d = np.asarray(dirs, dtype=np.int64)
                 tgt, exit_mask, px, py, dxv, dyv = _tile_flow_arrays(d, res)
-                acc = _tile_kahn(tgt, np.ones(res * res, dtype=np.int64))
+                acc = _tile_kahn(tgt, base_mass(pdf, i))
                 gx0, gy0 = int(tx) * res, int(ty) * res
                 packed = _pack_np(gx0 + px, gy0 + py)
                 ex = np.flatnonzero(exit_mask)
@@ -625,12 +640,12 @@ def flow_accumulation(
     def stage3(batches):
         for pdf in batches:
             accs = []
-            for dirs, spix, smass in zip(
-                pdf["d8_dir"], pdf["seed_pix"], pdf["seed_mass"]
+            for i, (dirs, spix, smass) in enumerate(
+                zip(pdf["d8_dir"], pdf["seed_pix"], pdf["seed_mass"])
             ):
                 d = np.asarray(dirs, dtype=np.int64)
                 tgt, *_ = _tile_flow_arrays(d, res)
-                mass = np.ones(res * res, dtype=np.int64)
+                mass = base_mass(pdf, i).copy()
                 # left-join misses surface as None (or NaN via pandas)
                 if isinstance(spix, (list, np.ndarray)) and len(spix) > 0:
                     mass[np.asarray(spix, dtype=np.int64)] += np.asarray(

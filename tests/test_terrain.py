@@ -7,6 +7,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from engine import terrain
 from tests.conftest import spark  # noqa: F401
@@ -449,3 +450,49 @@ def test_stream_cells_threshold(spark):
         for r in terrain.stream_cells(acc, res, threshold=3).collect()
     }
     assert got == {c: a for c, a in oracle.items() if a >= 3}
+
+
+def test_flow_accumulation_weighted(spark):
+    """weight_col accumulates arbitrary int64 per-cell mass: oracle walks
+    every cell's path adding the SOURCE cell's weight to each visited cell;
+    all-ones weights reproduce the unweighted operator exactly."""
+    rng = random.Random(419)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=2, density=0.6)
+    weights = {
+        k: [rng.randint(0, 9) for _ in range(res * res)] for k in tiles
+    }
+    df = spark.createDataFrame(
+        [(tx, ty, grid, weights[(tx, ty)]) for (tx, ty), grid in tiles.items()],
+        "tx long, ty long, counts array<long>, wt array<long>",
+    )
+    flow = terrain.d8_flow(df, res).join(
+        df.select("tx", "ty", "wt"), ["tx", "ty"]
+    )
+    got = _collect_acc(
+        terrain.flow_accumulation(flow, res, weight_col="wt"), res
+    )
+    # weighted oracle
+    d8 = _py_d8(tiles, res)
+    nbr = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (0, -1), (-1, -1), (1, -1)]
+    down, wt = {}, {}
+    for (tx, ty), (dirs, _k) in d8.items():
+        for pix, d in enumerate(dirs):
+            x, y = tx * res + pix % res, ty * res + pix // res
+            down[(x, y)] = (x + nbr[d][0], y + nbr[d][1]) if d >= 0 else None
+            wt[(x, y)] = weights[(tx, ty)][pix]
+    want = {c: 0 for c in down}
+    for c in down:
+        cur = c
+        while cur is not None:
+            want[cur] += wt[c]
+            cur = down[cur]
+    assert got == want
+    # ones == unweighted
+    ones = df.withColumn("wt", F.expr(f"array_repeat(1L, {res * res})"))
+    flow1 = terrain.d8_flow(ones, res).join(
+        ones.select("tx", "ty", "wt"), ["tx", "ty"]
+    )
+    a = _collect_acc(terrain.flow_accumulation(flow1, res, weight_col="wt"), res)
+    b = _collect_acc(terrain.flow_accumulation(terrain.d8_flow(df, res), res), res)
+    assert a == b
