@@ -275,15 +275,27 @@ def basins(
     if method != "jump":
         raise ValueError(f"method must be 'cc' or 'jump', got {method!r}")
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    # parent pointer: sinks point at themselves (fixpoints of the doubling)
+    p = _truncate_lineage(
+        ed.select(
+            "src", F.coalesce(F.col("dst"), F.col("src")).alias("parent")
+        )
+    )
+    p = _jump_fixpoint(p, max_iters, "basins(jump)")
+    return ed.select("gx", "gy", "src").join(p, "src").select(
+        "gx", "gy", F.col("parent").alias("basin")
+    )
+
+
+def _jump_fixpoint(p: DataFrame, max_iters: int, op: str) -> DataFrame:
+    """Pointer doubling to fixpoint on a (src, parent) frame whose roots are
+    self-loops: parent <- parent's parent per round (one self-equi-join +
+    reliable checkpoint), ceil(log2(path length)) rounds. Convergence is
+    detected by an order-independent digest (count + xor of row hashes) —
+    doubling is monotone toward the root, so an unchanged (src, parent) set
+    IS the fixpoint (the engine.graph convergence idiom)."""
 
     def _digest(df: DataFrame):
-        # order-independent fixpoint check, one agg scan per round (the
-        # engine.graph convergence idiom) — pointer doubling is monotone
-        # toward the root, so an unchanged (src, parent) set IS the fixpoint
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
@@ -292,15 +304,9 @@ def basins(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    # parent pointer: sinks point at themselves (fixpoints of the doubling)
-    p = _truncate(
-        ed.select(
-            "src", F.coalesce(F.col("dst"), F.col("src")).alias("parent")
-        )
-    )
     prev = _digest(p)
     for _ in range(max_iters):
-        nxt = _truncate(
+        nxt = _truncate_lineage(
             p.alias("a")
             .join(
                 p.select(
@@ -316,9 +322,69 @@ def basins(
             break
         prev = cur
     else:
-        raise RuntimeError(f"basins(jump): no convergence in {max_iters} rounds")
-    return ed.select("gx", "gy", "src").join(p, "src").select(
-        "gx", "gy", F.col("parent").alias("basin")
+        raise RuntimeError(f"{op}: no convergence in {max_iters} rounds")
+    return p
+
+
+def catchments(
+    flow: DataFrame,
+    res: int,
+    outlets: DataFrame | list[tuple[int, int]],
+    max_iters: int = 40,
+) -> DataFrame:
+    """Pour-point watershed delineation: (gx, gy, outlet_gx, outlet_gy) —
+    every cell assigned to the FIRST outlet on its downstream D8 flow path
+    (an outlet cell belongs to itself). Nested outlets partition correctly:
+    with gauge B downstream of gauge A, cells above A report A, cells
+    between A and B report B. Cells draining to a natural sink without
+    crossing any outlet are OMITTED (no catchment).
+
+    `outlets` is a (gx, gy) DataFrame or a list of (gx, gy) pairs — pour
+    points (gauging stations, dam sites) are small by nature, so the outlet
+    set is broadcast into both the pointer seed and the terminal filter.
+
+    Distributed shape: outlet cells become self-loop roots of the flow
+    pointer forest (their out-edge is cut), then the SAME pointer-doubling
+    fixpoint as basins(method='jump') — ceil(log2(flow diameter)) rounds of
+    one self-equi-join each, lineage truncated per round. Each cell's
+    terminal pointer is then its first downstream outlet (or its natural
+    sink, filtered out by the broadcast semi-join). With outlets = the full
+    sink set this reproduces basins(jump) exactly (asserted in tests)."""
+    spark = flow.sparkSession
+    if not isinstance(outlets, DataFrame):
+        outlets = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in outlets], "gx long, gy long"
+        )
+    off = F.lit(1 << 20)
+    opack = (
+        outlets.select(
+            ((F.col("gx") + off) * F.lit(1 << 32) + (F.col("gy") + off))
+            .alias("o_id"),
+            F.col("gx").alias("outlet_gx"),
+            F.col("gy").alias("outlet_gy"),
+        )
+    )
+    ed = flow_edges(flow, res)
+    is_outlet = F.col("o_id").isNotNull()
+    seed = (
+        ed.join(
+            F.broadcast(opack.select("o_id")),
+            ed["src"] == F.col("o_id"),
+            "left",
+        )
+        .select(
+            "src",
+            F.when(is_outlet, F.col("src"))
+            .otherwise(F.coalesce(F.col("dst"), F.col("src")))
+            .alias("parent"),
+        )
+    )
+    p = _jump_fixpoint(_truncate_lineage(seed), max_iters, "catchments")
+    return (
+        ed.select("gx", "gy", "src")
+        .join(p, "src")
+        .join(F.broadcast(opack), F.col("parent") == F.col("o_id"))
+        .select("gx", "gy", "outlet_gx", "outlet_gy")
     )
 
 

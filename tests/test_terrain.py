@@ -496,3 +496,81 @@ def test_flow_accumulation_weighted(spark):
     a = _collect_acc(terrain.flow_accumulation(flow1, res, weight_col="wt"), res)
     b = _collect_acc(terrain.flow_accumulation(terrain.d8_flow(df, res), res), res)
     assert a == b
+
+
+def _py_down(tiles, res):
+    d8 = _py_d8(tiles, res)
+    nbr = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (0, -1), (-1, -1), (1, -1)]
+    down = {}
+    for (tx, ty), (dirs, _k) in d8.items():
+        for pix, d in enumerate(dirs):
+            x, y = tx * res + pix % res, ty * res + pix // res
+            down[(x, y)] = (x + nbr[d][0], y + nbr[d][1]) if d >= 0 else None
+    return down
+
+
+def test_catchments_first_outlet_oracle(spark):
+    """Random terrain + random pour points: every cell maps to the FIRST
+    outlet on its downstream path (itself if it is an outlet); cells
+    reaching a natural sink without crossing an outlet are omitted.
+    Random outlets land on each other's paths, so nesting is exercised."""
+    rng = random.Random(421)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=2, density=0.7)
+    down = _py_down(tiles, res)
+    outlets = rng.sample(sorted(down), 25)
+    oset = set(outlets)
+    want = {}
+    for c in down:
+        cur = c
+        while cur is not None and cur not in oset:
+            cur = down[cur]
+        if cur is not None:
+            want[c] = cur
+    flow = terrain.d8_flow(_mk_df(spark, tiles), res)
+    got = {
+        (r["gx"], r["gy"]): (r["outlet_gx"], r["outlet_gy"])
+        for r in terrain.catchments(flow, res, outlets).collect()
+    }
+    assert got == want
+
+
+def test_catchments_nested_outlets(spark):
+    """Deterministic nesting: on a z = x + y plane every cell flows SW along
+    its diagonal; outlets at (5,5) and (2,2) on the main diagonal split it
+    into upstream-of-A -> A, between -> B, below-B -> omitted."""
+    res = 8
+    grid = [10 * (pix % res + pix // res) for pix in range(res * res)]
+    flow = terrain.d8_flow(_mk_df(spark, {(0, 0): grid}), res)
+    got = {
+        (r["gx"], r["gy"]): (r["outlet_gx"], r["outlet_gy"])
+        for r in terrain.catchments(flow, res, [(5, 5), (2, 2)]).collect()
+    }
+    diag = {(i, i): got.get((i, i)) for i in range(res)}
+    assert diag[(7, 7)] == diag[(6, 6)] == diag[(5, 5)] == (5, 5)
+    assert diag[(4, 4)] == diag[(3, 3)] == diag[(2, 2)] == (2, 2)
+    assert diag[(1, 1)] is None and diag[(0, 0)] is None
+    # only diagonal cells at or above an outlet are assigned at all
+    assert set(got) == {(i, i) for i in range(2, res)}
+
+
+def test_catchments_all_sinks_reproduce_basins(spark):
+    """Outlets = the full natural-sink set -> identical assignment to
+    basins(method='jump') (whose label IS the packed sink id)."""
+    rng = random.Random(422)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.8)
+    down = _py_down(tiles, res)
+    sinks = [c for c, d in down.items() if d is None]
+    flow = terrain.d8_flow(_mk_df(spark, tiles), res)
+    got = {
+        (r["gx"], r["gy"]): (r["outlet_gx"], r["outlet_gy"])
+        for r in terrain.catchments(flow, res, sinks).collect()
+    }
+    assert set(got) == set(down)  # every cell drains to some sink
+    pack = lambda x, y: (x + (1 << 20)) * (1 << 32) + (y + (1 << 20))  # noqa: E731
+    jump = {
+        (r["gx"], r["gy"]): r["basin"]
+        for r in terrain.basins(flow, res, method="jump").collect()
+    }
+    assert {c: pack(*o) for c, o in got.items()} == jump
