@@ -593,3 +593,171 @@ def geofence_transitions_pip(
     return geofence_transitions(
         labeled, id_col="_gid", ts_col="_gts", zones_col="zones"
     )
+
+
+def resample_fixes(
+    df: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    interval_us: int = 60_000_000,
+    max_gap_us: int | None = None,
+) -> DataFrame:
+    """Fixed-interval trajectory resampling: one row per (entity, tick) for
+    every epoch-aligned tick t = k * interval_us inside the entity's observed
+    span, position LINEARLY interpolated between the two enclosing fixes —
+    the standard normalization before similarity joins (trajsim), map
+    matching, or sketching, which all assume comparable sampling rates.
+
+    Output: (id_col, ts_us=tick, lon_e6, lat_e6, lon, lat). Coordinates are
+    EXACT: inputs are FLOOR-scaled to int64 micro-degrees, interpolation is
+    lon0_e6 + floor(dlon_e6 * (t - t0) / (t1 - t0)) with the product in
+    decimal(38,0) and floor division via pmod (toward -inf, sign-safe), so
+    the result is bit-reproducible across engines; the double lon/lat are
+    derived FROM the integers (e6 / 1e6). The engine-wide float discipline.
+
+    Tick ownership is exact-once: each tick belongs to the unique fix pair
+    with t0 < t <= t1 (ties on ts break by (lon, lat) — _with_legs order);
+    a tick coinciding with the entity's FIRST fix is emitted from that fix
+    itself. Ticks inside a gap longer than max_gap_us (when set) are
+    suppressed — resampling should not fabricate positions across a
+    multi-day dropout. Duplicate-timestamp fixes yield no interpolation
+    ticks (the (t0, t1] window is empty) and never divide by zero.
+
+    Scale: pure window + sequence-explode Column algebra, one shuffle on the
+    entity key; output size is span/interval per entity, independent of fix
+    density. Requires 0 <= ts < 2^53 us (epoch micros through year ~2255):
+    tick-index floor divisions ride exact double division of exact
+    multiples."""
+    iv = int(interval_us)
+    if iv <= 0:
+        raise ValueError(f"interval_us must be positive, got {interval_us}")
+    pts = _with_legs(df, id_col, ts_col, lon_col, lat_col)
+
+    def _fdiv(x, d):  # floor(x / d) for int64 x (exact: see docstring)
+        return ((x - F.pmod(x, F.lit(d))) / F.lit(d)).cast("long")
+
+    first = F.col("_pts").isNull()
+    # first fix: a tick only at its own ts when epoch-aligned
+    k_lo = F.when(first, _fdiv(F.col("_ts") + (iv - 1), iv)).otherwise(
+        _fdiv(F.col("_pts"), iv) + 1
+    )
+    k_hi = _fdiv(F.col("_ts"), iv)
+    gap_ok = (
+        F.lit(True)
+        if max_gap_us is None
+        else (first | ((F.col("_ts") - F.col("_pts")) <= int(max_gap_us)))
+    )
+    ticks = F.when(
+        gap_ok & (k_hi >= k_lo), F.sequence(k_lo, k_hi)
+    ).otherwise(F.array().cast("array<long>"))
+
+    def _e6(c):
+        return F.floor(F.col(c) * 1e6).cast("long")
+
+    exploded = pts.select(
+        "_id", "_ts", "_pts",
+        _e6("_lon").alias("_lon1"), _e6("_lat").alias("_lat1"),
+        F.when(first, _e6("_lon")).otherwise(_e6("_plon")).alias("_lon0"),
+        F.when(first, _e6("_lat")).otherwise(_e6("_plat")).alias("_lat0"),
+        F.explode(ticks).alias("_k"),
+    ).select(
+        "*", (F.col("_k") * iv).alias("_t"),
+        (F.col("_ts") - F.coalesce(F.col("_pts"), F.col("_ts"))).alias("_den"),
+    )
+
+    def _interp(c0, c1):
+        dec = "decimal(38,0)"
+        n = (F.col(c1) - F.col(c0)).cast(dec) * (
+            F.col("_t") - F.col("_pts")
+        ).cast(dec)
+        d = F.col("_den").cast(dec)
+        q = ((n - F.pmod(n, d)) / d).cast("long")
+        return F.when(F.col("_den") == 0, F.col(c0)).otherwise(
+            F.col(c0) + q
+        )
+
+    lon_e6 = _interp("_lon0", "_lon1")
+    lat_e6 = _interp("_lat0", "_lat1")
+    return exploded.select(
+        F.col("_id").alias(id_col),
+        F.col("_t").alias("ts_us"),
+        lon_e6.alias("lon_e6"),
+        lat_e6.alias("lat_e6"),
+        (lon_e6 / 1e6).alias("lon"),
+        (lat_e6 / 1e6).alias("lat"),
+    )
+
+
+def resample_fixes_sql(
+    table: str,
+    id_expr: str,
+    ts_expr: str,
+    lon_expr: str,
+    lat_expr: str,
+    interval_us: int = 60_000_000,
+    max_gap_us: int | None = None,
+    out_id: str = "entity_id",
+) -> str:
+    """DuckDB twin of resample_fixes: identical window order, identical
+    FLOOR-e6 scaling, identical pmod floor division (HUGEINT product —
+    exceeds the decimal(38,0) range needs, exact)."""
+    iv = int(interval_us)
+    gap_pred = (
+        "TRUE"
+        if max_gap_us is None
+        else f"(_pts IS NULL OR (_ts - _pts) <= {int(max_gap_us)})"
+    )
+
+    def fdiv(x, d):
+        return f"(({x}) - ((({x}) % {d} + {d}) % {d})) / {d}"
+
+    def interp(c0, c1):
+        n = f"(CAST({c1} - {c0} AS HUGEINT) * CAST(_t - _pts AS HUGEINT))"
+        q = f"CAST((({n}) - ((({n}) % _den + _den) % _den)) / _den AS BIGINT)"
+        return f"CASE WHEN _den = 0 THEN {c0} ELSE {c0} + {q} END"
+
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT {id_expr} AS _id, CAST({ts_expr} AS BIGINT) AS _ts,
+                 CAST({lon_expr} AS DOUBLE) AS _lon,
+                 CAST({lat_expr} AS DOUBLE) AS _lat
+          FROM {table}
+        ), lagged AS (
+          SELECT *,
+                 LAG(_ts)  OVER w AS _pts,
+                 LAG(_lon) OVER w AS _plon,
+                 LAG(_lat) OVER w AS _plat
+          FROM pts
+          WINDOW w AS (PARTITION BY _id ORDER BY _ts, _lon, _lat)
+        ), ranged AS (
+          SELECT _id, _ts, _pts,
+                 CAST(FLOOR(_lon * 1e6) AS BIGINT) AS _lon1,
+                 CAST(FLOOR(_lat * 1e6) AS BIGINT) AS _lat1,
+                 CASE WHEN _pts IS NULL THEN CAST(FLOOR(_lon * 1e6) AS BIGINT)
+                      ELSE CAST(FLOOR(_plon * 1e6) AS BIGINT) END AS _lon0,
+                 CASE WHEN _pts IS NULL THEN CAST(FLOOR(_lat * 1e6) AS BIGINT)
+                      ELSE CAST(FLOOR(_plat * 1e6) AS BIGINT) END AS _lat0,
+                 CASE WHEN _pts IS NULL
+                      THEN {fdiv(f"_ts + {iv - 1}", iv)}
+                      ELSE {fdiv("_pts", iv)} + 1 END AS _klo,
+                 {fdiv("_ts", iv)} AS _khi,
+                 {gap_pred} AS _gap_ok
+          FROM lagged
+        ), ticks AS (
+          SELECT r.*, k.k AS _k, k.k * {iv} AS _t,
+                 _ts - COALESCE(_pts, _ts) AS _den
+          FROM ranged r, LATERAL (
+            SELECT UNNEST(generate_series(CAST(_klo AS BIGINT),
+                                          CAST(_khi AS BIGINT))) AS k
+          ) k
+          WHERE r._gap_ok AND _khi >= _klo
+        )
+        SELECT _id AS {out_id}, _t AS ts_us,
+               {interp("_lon0", "_lon1")} AS lon_e6,
+               {interp("_lat0", "_lat1")} AS lat_e6,
+               ({interp("_lon0", "_lon1")}) / 1e6 AS lon,
+               ({interp("_lat0", "_lat1")}) / 1e6 AS lat
+        FROM ticks
+    """

@@ -279,3 +279,115 @@ def test_od_matrix_structure(spark):
         for r in trajectory.od_matrix(df, cell_size=25.0).collect()
     }
     assert got == {("0:0", "1:0"): 1, ("2:0", "0:0"): 1}
+
+
+def _py_resample(rows, iv, max_gap=None):
+    """Oracle: exact integer interpolation with Python floor division.
+    rows: (id, ts, lon, lat); returns {(id, t): (lon_e6, lat_e6)}."""
+    by_id = {}
+    for eid, ts, lon, lat in rows:
+        by_id.setdefault(eid, []).append((ts, lon, lat))
+    out = {}
+    for eid, pts in by_id.items():
+        pts.sort()
+        prev = None
+        for ts, lon, lat in pts:
+            e6 = (math.floor(lon * 1e6), math.floor(lat * 1e6))
+            if prev is None:
+                if ts % iv == 0:
+                    out[(eid, ts)] = e6
+            else:
+                pts0, p_e6 = prev
+                if max_gap is None or ts - pts0 <= max_gap:
+                    k = pts0 // iv + 1
+                    while k * iv <= ts:
+                        t = k * iv
+                        out[(eid, t)] = tuple(
+                            c0 + ((c1 - c0) * (t - pts0)) // (ts - pts0)
+                            for c0, c1 in zip(p_e6, e6)
+                        )
+                        k += 1
+            prev = (ts, e6)
+    return out
+
+
+def test_resample_matches_python_oracle(spark):
+    rng = random.Random(31)
+    rows = _mk_rows(rng, n_entities=5, n_points=60)
+    # force an epoch-aligned first fix + duplicate timestamps on one entity
+    rows.append((99, 5 * MIN, 10.0, 20.0))
+    rows.append((99, 5 * MIN + 90, 10.001, 20.001))
+    rows.append((99, 5 * MIN + 90, 10.002, 19.999))
+    rows.append((99, 8 * MIN + 7, 10.5, 20.5))
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    got = {
+        (r["entity_id"], r["ts_us"]): (r["lon_e6"], r["lat_e6"])
+        for r in trajectory.resample_fixes(df, interval_us=MIN).collect()
+    }
+    assert got == _py_resample(rows, MIN)
+    assert (99, 5 * MIN) in got  # aligned first fix emits itself
+    assert got[(99, 5 * MIN)] == (10_000_000, 20_000_000)
+    # doubles derive from the integers
+    out = trajectory.resample_fixes(df, interval_us=MIN).collect()
+    assert all(r["lon"] == r["lon_e6"] / 1e6 for r in out)
+
+
+def test_resample_max_gap_suppression(spark):
+    rng = random.Random(32)
+    rows = _mk_rows(rng, n_entities=4, n_points=40)
+    gap = 10 * MIN
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    got = {
+        (r["entity_id"], r["ts_us"]): (r["lon_e6"], r["lat_e6"])
+        for r in trajectory.resample_fixes(
+            df, interval_us=MIN, max_gap_us=gap
+        ).collect()
+    }
+    want = _py_resample(rows, MIN, max_gap=gap)
+    assert got == want
+    # the 90-minute gaps in _mk_rows actually suppressed something
+    assert len(got) < len(_py_resample(rows, MIN))
+
+
+def test_resample_sql_twin_matches(spark):
+    import duckdb
+
+    rng = random.Random(33)
+    rows = _mk_rows(rng, n_entities=4, n_points=50)
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    for kw in ({}, {"max_gap_us": 10 * MIN}):
+        got = sorted(
+            tuple(r)
+            for r in trajectory.resample_fixes(
+                df, interval_us=MIN, **kw
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t(entity_id BIGINT, ts_us BIGINT, lon DOUBLE, lat DOUBLE)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                trajectory.resample_fixes_sql(
+                    "t", "entity_id", "ts_us", "lon", "lat",
+                    interval_us=MIN, **kw
+                )
+            ).fetchall()
+        )
+        assert got == want
+
+
+def test_resample_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0)], "entity_id long, ts_us long, lon double, lat double"
+    )
+    with pytest.raises(ValueError):
+        trajectory.resample_fixes(df, interval_us=0)
