@@ -349,3 +349,56 @@ def tile_mosaic(
         )
 
     return capped.groupBy("tile_id").applyInPandas(build, schema=MOSAIC_SCHEMA)
+
+
+HISTOGRAM_SCHEMA = "image_id string, embedding array<float>, error string"
+
+
+def np_color_histogram(pixels: np.ndarray, bins: int = 8) -> np.ndarray:
+    """L2-normalized per-channel color histogram of an RGB uint8 image:
+    `bins` equal-width buckets per channel (bucket = channel_value * bins
+    // 256), concatenated R|G|B to a 3*bins float32 vector and scaled to
+    unit L2 norm — a deterministic pixel-content embedding. Near-duplicate
+    images (recompressed, slightly cropped) land near cosine 1.0, so the
+    vector drops straight into the engine's embedding stack (cosine_topk /
+    lsh_ann_topk / cosine_near_dups / kmeans) without any model weights."""
+    counts = [
+        np.bincount(
+            ((pixels[..., c].astype(np.int64) * bins) >> 8).ravel(),
+            minlength=bins,
+        ).astype(np.float64)
+        for c in range(3)
+    ]
+    v = np.concatenate(counts)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def color_histogram(df: DataFrame, bins: int = 8) -> DataFrame:
+    """Per-image color-histogram embedding via Arrow-batched mapInPandas:
+    (image_id, embedding: array<float> of length 3*bins, error). The image →
+    embedding bridge: output feeds embedops/cluster operators directly (see
+    np_color_histogram). Per-row decode errors isolate, rows never fail the
+    batch; binary payloads are projected away before the result shuffles
+    anywhere. bins must make (value * bins) >> 8 a true bucket index:
+    1 <= bins <= 256."""
+    if not 1 <= int(bins) <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, embs, errs = [], [], []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                ids.append(row.image_id)
+                embs.append(
+                    None if px is None else np_color_histogram(px, bins)
+                )
+                errs.append(err)
+            yield pd.DataFrame(
+                {"image_id": ids, "embedding": embs, "error": errs}
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=HISTOGRAM_SCHEMA
+    )

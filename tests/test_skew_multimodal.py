@@ -228,3 +228,55 @@ def test_partition_byte_metrics(spark):
     per_row_min, per_row_max = 38, 42
     assert 200 * per_row_min <= m["approx_bytes"] <= 200 * per_row_max
     assert m["max_partition_bytes"] >= m["median_partition_bytes"] > 0
+
+
+def test_color_histogram_matches_numpy(spark, images):
+    import numpy as np
+
+    from engine import image_codec
+
+    out = {r["image_id"]: r for r in multimodal.color_histogram(images, bins=8).collect()}
+    assert len(out) == 40 and all(r["error"] is None for r in out.values())
+    for row in images.limit(6).collect():
+        px = image_codec.decode_image(
+            bytes(row["bytes"]), row["fmt"], row["w"], row["h"]
+        )
+        want = multimodal.np_color_histogram(px, 8)
+        got = np.asarray(out[row["image_id"]]["embedding"], dtype=np.float32)
+        assert got.shape == (24,)
+        assert np.array_equal(got, want)
+        assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-6
+
+
+def test_color_histogram_feeds_ann(spark, images):
+    """The image -> embedding bridge: identical pixel content is cosine-1.0
+    under cosine_topk regardless of container format."""
+    from engine import embedops
+
+    emb = multimodal.color_histogram(images, bins=8).select(
+        F.col("image_id").alias("vec_id"), "embedding"
+    )
+    # duplicate one image under a new id (same pixels -> same histogram)
+    src = images.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [("dup-0", src["bytes"], src["w"], src["h"], src["fmt"])],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    demb = multimodal.color_histogram(dup, bins=8).select(
+        F.col("image_id").alias("query_id"), "embedding"
+    )
+    top = embedops.cosine_topk(demb, emb, k=1).collect()
+    assert len(top) == 1
+    assert top[0]["vec_id"] == src["image_id"]
+
+
+def test_color_histogram_error_isolation_and_validation(spark):
+    df = spark.createDataFrame(
+        [("bad", bytes(3), 4, 4, "raw"), ("unk", bytes(48), 4, 4, "jp2")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = {r["image_id"]: r for r in multimodal.color_histogram(df).collect()}
+    assert out["bad"]["error"] is not None and out["bad"]["embedding"] is None
+    assert "unsupported" in out["unk"]["error"]
+    with pytest.raises(ValueError):
+        multimodal.color_histogram(df, bins=0)
