@@ -574,3 +574,116 @@ def test_catchments_all_sinks_reproduce_basins(spark):
         for r in terrain.basins(flow, res, method="jump").collect()
     }
     assert {c: pack(*o) for c, o in got.items()} == jump
+
+
+def _py_cost_dijkstra(cost, sources, max_cost=None):
+    """Oracle: Dijkstra over the octile-integer metric. cost: {(x,y): c>0}
+    (barriers absent). Returns {(sx,sy,x,y): (dist, hops)} with the
+    fewest-hops tie-break among shortest paths."""
+    import heapq
+
+    fwd = [(1, 0, 5), (1, 1, 7), (0, 1, 5), (-1, 1, 7),
+           (-1, 0, 5), (-1, -1, 7), (0, -1, 5), (1, -1, 7)]
+    out = {}
+    for s in sources:
+        if s not in cost:
+            continue
+        best = {s: (0, 0)}
+        pq = [(0, 0, s)]
+        while pq:
+            d, h, u = heapq.heappop(pq)
+            if best.get(u, (1 << 60, 0)) < (d, h):
+                continue
+            for dx, dy, k in fwd:
+                v = (u[0] + dx, u[1] + dy)
+                if v not in cost:
+                    continue
+                nd = d + (cost[u] + cost[v]) * k
+                if max_cost is not None and nd > max_cost:
+                    continue
+                cand = (nd, h + 1)
+                if cand < best.get(v, (1 << 60, 1 << 60)):
+                    best[v] = cand
+                    heapq.heappush(pq, (nd, h + 1, v))
+        for (x, y), (d, h) in best.items():
+            out[(s[0], s[1], x, y)] = (d, h)
+    return out
+
+
+def _cost_tiles_df(spark, tiles, res):
+    return spark.createDataFrame(
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+        "tx long, ty long, cost array<long>",
+    )
+
+
+def test_cost_distance_matches_dijkstra(spark):
+    """Random friction raster with barriers (cost 0) across tiles: exact
+    (dist, hops) parity with a lexicographic Dijkstra oracle."""
+    rng = random.Random(431)
+    res = 8
+    tiles = {}
+    for k in [(0, 0), (1, 0), (0, 1)]:
+        tiles[k] = [
+            0 if rng.random() < 0.25 else rng.randint(1, 9)
+            for _ in range(res * res)
+        ]
+    cost = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, c in enumerate(grid):
+            if c > 0:
+                cost[(tx * res + pix % res, ty * res + pix // res)] = c
+    sources = rng.sample(sorted(cost), 3)
+    got = {
+        (r["source_gx"], r["source_gy"], r["gx"], r["gy"]): (r["dist"], r["hops"])
+        for r in terrain.cost_distance(
+            _cost_tiles_df(spark, tiles, res), res, sources, max_rounds=256
+        ).collect()
+    }
+    assert got == _py_cost_dijkstra(cost, sources)
+
+
+def test_cost_distance_octile_closed_form(spark):
+    """Uniform cost-1 plane: dist((dx,dy)) = 14*min+10*(max-min) exactly."""
+    res = 8
+    tiles = {(0, 0): [1] * (res * res)}
+    got = {
+        (r["gx"], r["gy"]): r["dist"]
+        for r in terrain.cost_distance(
+            _cost_tiles_df(spark, tiles, res), res, [(3, 3)], max_rounds=64
+        ).collect()
+    }
+    assert len(got) == res * res
+    for (x, y), d in got.items():
+        ax, ay = abs(x - 3), abs(y - 3)
+        assert d == 14 * min(ax, ay) + 10 * (max(ax, ay) - min(ax, ay))
+
+
+def test_cost_distance_barrier_detour_and_max_cost(spark):
+    """A vertical wall forces the wavefront around it; max_cost prunes."""
+    res = 8
+    grid = [1] * (res * res)
+    for y in range(1, res):  # wall at x=4, gap only at y=0
+        grid[y * res + 4] = 0
+    tiles = {(0, 0): grid}
+    df = _cost_tiles_df(spark, tiles, res)
+    got = {
+        (r["gx"], r["gy"]): r["dist"]
+        for r in terrain.cost_distance(df, res, [(2, 7)], max_rounds=256).collect()
+    }
+    cost = {
+        (pix % res, pix // res): 1
+        for pix, c in enumerate(grid) if c > 0
+    }
+    want = _py_cost_dijkstra(cost, [(2, 7)])
+    assert got == {(x, y): d for (sx, sy, x, y), (d, h) in want.items()}
+    # the wall cell itself is unreachable; the far side costs a detour
+    assert (4, 4) not in got
+    assert got[(5, 7)] > got[(3, 7)]
+    capped = {
+        (r["gx"], r["gy"]): r["dist"]
+        for r in terrain.cost_distance(
+            df, res, [(2, 7)], max_cost=30, max_rounds=256
+        ).collect()
+    }
+    assert capped == {c: d for c, d in got.items() if d <= 30}
