@@ -2210,11 +2210,124 @@ def part_ssim() -> None:
     spark.stop()
     print(_json.dumps(out))
 
+def part_catchcost() -> None:
+    """Catchments + cost-distance at raster scale, closed-form exact.
+
+    Catchments: the 4096x4096 z = 3x + 5y plane (16x16 tiles, res 256,
+    16.8M cells) drains SW-diagonally to the x=0 / y=0 boundary, then along
+    it to the single (0,0) sink; outlets at (0,100), (100,0) and (0,0) cut
+    the forest so every cell's owner is closed-form: (0,100) iff
+    gy-gx >= 100, (100,0) iff gx-gy >= 100, else (0,0). Path lengths up to
+    ~8k cells drive ~13 pointer-doubling rounds over 16.8M pointers.
+
+    Cost-distance: uniform cost-1 1024x1024 raster (1M cells, ~8.4M
+    directed octile edges), 4 quadrant-center sources sharing one SSSP
+    pass, max_cost=640 (64-cell octile radius, 65 wavefront rounds);
+    every (source, cell) label must equal 14*min+10*(max-min) exactly.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    out = {}
+    spark = _spark("bench-catchcost")
+
+    # ---- catchments on the 16.8M-cell giant-drainage plane ----
+    res = int(os.environ.get("CATCH_BENCH_RES", "256"))
+    side = 4096 // res
+    w = side * res
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+    t0 = time.time()
+    flow = terrain.d8_flow(tiles, res)
+    got = terrain.catchments(flow, res, [(0, 100), (100, 0), (0, 0)])
+    want_oy = F.when(F.col("gy") - F.col("gx") >= 100, F.lit(100)).otherwise(0)
+    want_ox = F.when(F.col("gx") - F.col("gy") >= 100, F.lit(100)).otherwise(0)
+    agg = got.agg(
+        F.count("*").alias("cells"),
+        F.sum(
+            (
+                (F.col("outlet_gx") == want_ox) & (F.col("outlet_gy") == want_oy)
+            ).cast("long")
+        ).alias("ok"),
+        F.sum(((F.col("outlet_gy") == 100)).cast("long")).alias("n_up"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["cells"] == w * w, agg["cells"]
+    assert agg["ok"] == w * w, agg["ok"]
+    # |{gy-gx >= 100}| over the w x w grid: sum_{d=100}^{w-1} (w - d)
+    want_up = sum(w - d for d in range(100, w))
+    assert agg["n_up"] == want_up, agg["n_up"]
+    out["catchments"] = {
+        "cells": w * w, "res": res, "outlets": 3,
+        "wall_s": round(wall, 2), "cells_per_sec": round(w * w / wall),
+    }
+    tiles.unpersist()
+    spark.catalog.clearCache()
+
+    # ---- cost-distance: 1M-cell friction plane, 4 sources, one pass ----
+    cside = int(os.environ.get("COST_BENCH_SIDE", "4"))
+    cw = cside * res
+    ones = F.array_repeat(F.lit(1).cast("long"), res * res)
+    ctiles = spark.range(0, cside * cside, 1, 16).select(
+        F.pmod(F.col("id"), cside).alias("tx"),
+        (F.col("id") / cside).cast("long").alias("ty"),
+    ).select("tx", "ty", ones.alias("cost")).persist()
+    ctiles.count()
+    q = cw // 4
+    sources = [(q, q), (3 * q, q), (q, 3 * q), (3 * q, 3 * q)]
+    max_cost = 640
+    t0 = time.time()
+    d = terrain.cost_distance(
+        ctiles, res, sources, max_cost=max_cost, max_rounds=80
+    )
+    ax = F.abs(F.col("gx") - F.col("source_gx"))
+    ay = F.abs(F.col("gy") - F.col("source_gy"))
+    octile = 14 * F.least(ax, ay) + 10 * (F.greatest(ax, ay) - F.least(ax, ay))
+    agg = d.agg(
+        F.count("*").alias("labels"),
+        F.sum((F.col("dist") == octile).cast("long")).alias("ok"),
+        F.countDistinct("source_gx", "source_gy").alias("n_src"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["labels"] == agg["ok"], (agg["labels"], agg["ok"])
+    assert agg["n_src"] == 4
+    # per source: the octile disk 14*min+10*(max-min) <= 640 (interior, so
+    # no clipping: radius 64 < q)
+    disk = sum(
+        1
+        for dx in range(-64, 65)
+        for dy in range(-64, 65)
+        if 14 * min(abs(dx), abs(dy))
+        + 10 * (max(abs(dx), abs(dy)) - min(abs(dx), abs(dy))) <= 640
+    )
+    assert agg["labels"] == 4 * disk, (agg["labels"], 4 * disk)
+    out["cost_distance"] = {
+        "cells": cw * cw, "sources": 4, "max_cost": max_cost,
+        "labels": int(agg["labels"]), "wall_s": round(wall, 2),
+    }
+    ctiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
 
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "flowacc": part_flowacc,
+        "catchcost": part_catchcost,
         "ssim": part_ssim,
         "contour": part_contour,
         "dbscan": part_dbscan,
