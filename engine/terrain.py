@@ -886,3 +886,144 @@ def cost_distance(
         *_unpack("node", "gx", "gy"),
         "dist", "hops",
     )
+
+
+def least_cost_paths(
+    tiles: DataFrame,
+    res: int,
+    source: tuple[int, int],
+    dests: DataFrame | list[tuple[int, int]],
+    cost_col: str = "cost",
+    max_cost: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Least-cost PATH extraction (the polyline, not just the surface):
+    (dest_gx, dest_gy, step, gx, gy) — step 0 is the destination, the last
+    step is the source; each consecutive pair is an 8-adjacent move and the
+    walked path realizes cost_distance's (dist, hops) label exactly.
+
+    Deterministic path choice: the SSSP label fixes (dist, hops); among
+    predecessors v with dist[v] + w(v,u) == dist[u] AND hops[v] + 1 ==
+    hops[u], the smallest packed cell id wins — so the path is a pure
+    function of the raster, reproducible across runs and engines.
+
+    Distributed shape: one cost_distance pass builds the surface; ONE
+    edges⋈labels⋈labels join + min_by derives the predecessor pointer of
+    every labeled cell; then the walk advances ALL destinations together,
+    one broadcast-frontier equi-join per step (rounds = max path hops,
+    bounded by max_cost / min edge weight — same wavefront bound as the
+    SSSP itself). Destinations unreachable (or beyond max_cost) are absent.
+    Dest sets are path endpoints (facilities, route requests) — frontier-
+    sized, not raster-sized; for raster-sized "all cells toward the source"
+    questions use cost_distance / cost_corridor instead."""
+    spark = tiles.sparkSession
+    if not isinstance(dests, DataFrame):
+        dests = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in dests], "gx long, gy long"
+        )
+    off = 1 << 20
+    pack = (
+        (F.col("gx") + F.lit(off)) * F.lit(1 << 32) + (F.col("gy") + F.lit(off))
+    )
+    d = cost_distance(
+        tiles, res, [source], cost_col, max_cost=max_cost,
+        max_rounds=max_rounds,
+    )
+    labels = _truncate_lineage(
+        d.select(pack.alias("id"), "dist", "hops")
+    )
+    edges = cost_edges(tiles, res, cost_col)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    lu = labels.select(
+        F.col("id").alias("_u"), F.col("dist").alias("_du"),
+        F.col("hops").alias("_hu"),
+    )
+    lv = labels.select(
+        F.col("id").alias("_v"), F.col("dist").alias("_dv"),
+        F.col("hops").alias("_hv"),
+    )
+    pred = _truncate_lineage(
+        sym.join(lu, sym["dst"] == F.col("_u"))
+        .join(lv, sym["src"] == F.col("_v"))
+        .filter(
+            (F.col("_dv") + F.col("w") == F.col("_du"))
+            & (F.col("_hv") + 1 == F.col("_hu"))
+        )
+        .groupBy(F.col("_u").alias("id"))
+        .agg(F.min("_v").alias("pred"))
+    )
+    src_id = (source[0] + off) * (1 << 32) + (source[1] + off)
+    frontier = _truncate_lineage(
+        dests.select(
+            F.col("gx").alias("dest_gx"), F.col("gy").alias("dest_gy"),
+            pack.alias("cur"),
+        )
+        .join(labels.select("id"), F.col("cur") == F.col("id"), "left_semi")
+        .withColumn("step", F.lit(0).cast("long"))
+    )
+    # the walk length is KNOWN: the max hops label over reachable dests —
+    # one scalar agg replaces per-step isEmpty checks (each a full job)
+    row = frontier.join(labels, F.col("cur") == F.col("id")).agg(
+        F.max("hops").alias("h")
+    ).collect()[0]
+    max_steps = int(row["h"]) if row["h"] is not None else 0
+    out = [frontier]
+    for step in range(1, max_steps + 1):
+        frontier = (
+            frontier.filter(F.col("cur") != src_id)
+            .join(pred, F.col("cur") == pred["id"])
+            .select(
+                "dest_gx", "dest_gy",
+                F.col("pred").alias("cur"),
+                (F.col("step") + 1).alias("step"),
+            )
+        )
+        if step % 8 == 0:  # lineage grows one join per step; cut periodically
+            frontier = _truncate_lineage(frontier)
+        out.append(frontier)
+    from functools import reduce
+
+    path = reduce(DataFrame.unionByName, out)
+    return path.select(
+        "dest_gx", "dest_gy", "step",
+        (F.floor(F.col("cur") / F.lit(1 << 32)) - off).cast("long").alias("gx"),
+        (F.pmod(F.col("cur"), F.lit(1 << 32)) - off).cast("long").alias("gy"),
+    )
+
+
+def cost_corridor(
+    tiles: DataFrame,
+    res: int,
+    a: tuple[int, int],
+    b: tuple[int, int],
+    cost_col: str = "cost",
+    slack: int = 0,
+    max_cost: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Cost corridor between two terminals (the GIS Corridor analog): all
+    cells c with dist(a, c) + dist(c, b) <= dist(a, b) + slack — slack 0 is
+    the union of ALL least-cost paths, larger slack widens the swath
+    (wildlife corridors, route envelopes). Returns (gx, gy, dist_a, dist_b,
+    total). ONE cost_distance call computes both surfaces (a and b ride the
+    same multi-source SSSP rounds); the best total comes from a 1-row agg
+    broadcast back — no driver collect."""
+    d = cost_distance(
+        tiles, res, [a, b], cost_col, max_cost=max_cost, max_rounds=max_rounds
+    )
+    da = d.filter(
+        (F.col("source_gx") == a[0]) & (F.col("source_gy") == a[1])
+    ).select("gx", "gy", F.col("dist").alias("dist_a"))
+    db = d.filter(
+        (F.col("source_gx") == b[0]) & (F.col("source_gy") == b[1])
+    ).select("gx", "gy", F.col("dist").alias("dist_b"))
+    tot = da.join(db, ["gx", "gy"]).select(
+        "gx", "gy", "dist_a", "dist_b",
+        (F.col("dist_a") + F.col("dist_b")).alias("total"),
+    )
+    best = tot.agg(F.min("total").alias("_best"))
+    return tot.join(F.broadcast(best)).filter(
+        F.col("total") <= F.col("_best") + slack
+    ).drop("_best")

@@ -687,3 +687,115 @@ def test_cost_distance_barrier_detour_and_max_cost(spark):
         ).collect()
     }
     assert capped == {c: d for c, d in got.items() if d <= 30}
+
+
+def test_least_cost_paths_match_pred_walk_oracle(spark):
+    """Random friction raster with barriers: the extracted path equals the
+    deterministic predecessor walk (min packed id among (dist, hops)-
+    consistent predecessors), realizes dist as the sum of step weights,
+    and has exactly hops+1 cells."""
+    rng = random.Random(441)
+    res = 8
+    tiles = {}
+    for k in [(0, 0), (1, 0)]:
+        tiles[k] = [
+            0 if rng.random() < 0.2 else rng.randint(1, 9)
+            for _ in range(res * res)
+        ]
+    cost = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, c in enumerate(grid):
+            if c > 0:
+                cost[(tx * res + pix % res, ty * res + pix // res)] = c
+    source = sorted(cost)[0]
+    labels = {
+        (x, y): dh
+        for (sx, sy, x, y), dh in _py_cost_dijkstra(cost, [source]).items()
+    }
+    reachable = sorted(labels)
+    dests = rng.sample(reachable, 5)
+    fwd = [(1, 0, 5), (1, 1, 7), (0, 1, 5), (-1, 1, 7),
+           (-1, 0, 5), (-1, -1, 7), (0, -1, 5), (1, -1, 7)]
+    packv = lambda c: (c[0] + (1 << 20)) * (1 << 32) + (c[1] + (1 << 20))  # noqa: E731
+
+    def py_pred(u):
+        du, hu = labels[u]
+        cands = []
+        for dx, dy, k in fwd:
+            v = (u[0] + dx, u[1] + dy)
+            if v in labels and labels[v][0] + (cost[u] + cost[v]) * k == du \
+                    and labels[v][1] + 1 == hu:
+                cands.append(v)
+        return min(cands, key=packv)
+
+    want = {}
+    for dd in dests:
+        cur, step = dd, 0
+        while True:
+            want[(dd[0], dd[1], step)] = cur
+            if cur == source:
+                break
+            cur, step = py_pred(cur), step + 1
+
+    df = _cost_tiles_df(spark, tiles, res)
+    got = {
+        (r["dest_gx"], r["dest_gy"], r["step"]): (r["gx"], r["gy"])
+        for r in terrain.least_cost_paths(
+            df, res, source, dests, max_rounds=256
+        ).collect()
+    }
+    assert got == want
+    # every path realizes its label exactly
+    for dd in dests:
+        n = labels[dd][1]
+        cells = [got[(dd[0], dd[1], s)] for s in range(n + 1)]
+        assert cells[0] == dd and cells[-1] == source
+        total = 0
+        for u, v in zip(cells, cells[1:]):
+            ddx, ddy = v[0] - u[0], v[1] - u[1]
+            assert max(abs(ddx), abs(ddy)) == 1
+            k = 7 if ddx != 0 and ddy != 0 else 5
+            total += (cost[u] + cost[v]) * k
+        assert total == labels[dd][0]
+
+
+def test_least_cost_paths_unreachable_dest_absent(spark):
+    res = 8
+    grid = [1] * (res * res)
+    for y in range(res):  # full wall at x=4: right half unreachable
+        grid[y * res + 4] = 0
+    df = _cost_tiles_df(spark, {(0, 0): grid}, res)
+    got = terrain.least_cost_paths(df, res, (1, 1), [(6, 6), (2, 2)]).collect()
+    dests = {(r["dest_gx"], r["dest_gy"]) for r in got}
+    assert dests == {(2, 2)}
+
+
+def test_cost_corridor_octile_closed_form(spark):
+    """Uniform plane: slack-0 corridor == cells on SOME least-cost path ==
+    {c : oct(a,c) + oct(c,b) == oct(a,b)}; slack widens it strictly."""
+    res = 8
+    tiles = {(0, 0): [1] * (res * res), (1, 0): [1] * (res * res)}
+    a, b = (1, 2), (12, 5)
+
+    def oct_d(p, q):
+        ax, ay = abs(p[0] - q[0]), abs(p[1] - q[1])
+        return 14 * min(ax, ay) + 10 * (max(ax, ay) - min(ax, ay))
+
+    base = oct_d(a, b)
+    cells = [(x, y) for x in range(2 * res) for y in range(res)]
+    want0 = {c for c in cells if oct_d(a, c) + oct_d(c, b) == base}
+    df = _cost_tiles_df(spark, tiles, res)
+    got0 = {
+        (r["gx"], r["gy"])
+        for r in terrain.cost_corridor(df, res, a, b, max_rounds=256).collect()
+    }
+    assert got0 == want0
+    got20 = {
+        (r["gx"], r["gy"])
+        for r in terrain.cost_corridor(
+            df, res, a, b, slack=20, max_rounds=256
+        ).collect()
+    }
+    want20 = {c for c in cells if oct_d(a, c) + oct_d(c, b) <= base + 20}
+    assert got20 == want20
+    assert got0 < got20
