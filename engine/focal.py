@@ -157,7 +157,8 @@ def _box_sums(grid: np.ndarray, res: int, r: int) -> np.ndarray:
 
 
 def _halo_apply(
-    tiles: DataFrame, res: int, r: int, finish, fields=None
+    tiles: DataFrame, res: int, r: int, finish, fields=None,
+    pass_key: bool = False,
 ) -> DataFrame:
     """Shared halo-exchange machinery. Stage 1 (no shuffle): per tile,
     generate <= 9 addressed contributions — the full grid to itself, border
@@ -170,7 +171,9 @@ def _halo_apply(
     of (name, sparkType) and finish returns a dict of per-name lists.
     Tiles with no center contribution (a strip addressed to a tile absent
     from the input) are dropped, so the output tile set equals the input
-    tile set."""
+    tile set. pass_key=True hands finish the (tx, ty) key as a third
+    argument (kernels that need the tile's GLOBAL position, e.g. viewshed
+    locating broadcast observers in patch coordinates)."""
     strips = _strip_exprs(res, r)
     contrib = F.array(
         *[
@@ -235,7 +238,7 @@ def _halo_apply(
                 cols = slice(r + res, pad) if dx < 0 else slice(0, r)
             halo[rows, cols] = block
             mask[rows, cols] = 1
-        result = finish(halo, mask)
+        result = finish(halo, mask, key) if pass_key else finish(halo, mask)
         if fields is None:
             result = {"focal": result.tolist()}
         return pd.DataFrame(

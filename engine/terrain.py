@@ -1027,3 +1027,149 @@ def cost_corridor(
     return tot.join(F.broadcast(best)).filter(
         F.col("total") <= F.col("_best") + slack
     ).drop("_best")
+
+
+def np_viewshed_counts(
+    halo: np.ndarray,
+    mask: np.ndarray,
+    res: int,
+    radius: int,
+    observers: list[tuple[int, int, int]],
+    gx0: int,
+    gy0: int,
+) -> np.ndarray:
+    """Exact-integer bounded-radius viewshed kernel over one (res+2R)^2
+    elevation patch: per tile cell, the COUNT of observers with line of
+    sight to it. observers are (gx, gy, eye_z) with eye_z the ABSOLUTE eye
+    elevation (terrain + mast); (gx0, gy0) is the tile's cell origin.
+
+    Conventions (exact, engine-and-oracle shared):
+    - a target is considered iff its euclidean distance^2 to the observer
+      is <= radius^2 (circular viewshed); the observer sees itself;
+    - the sight line is sampled at k = 1..D-1 (D = chebyshev distance),
+      sample position = observer + round-half-away-from-zero(k*delta/D)
+      componentwise — the exact-integer lattice ray (every sample is a
+      cell, never the observer or the target);
+    - a PRESENT sample p blocks iff elevation_angle(p) > angle(target)
+      STRICTLY (a grazing sight line stays visible — flat terrain sees the
+      whole disk), compared exactly via sign analysis + cross-multiplied
+      squares (no sqrt, no float): (zp-zo)^2 * dt2 vs (zt-zo)^2 * dp2,
+      with ties broken toward visible. Absent cells
+      (outside the input tile union) are transparent — missing data never
+      fabricates an obstruction. |z| and eye_z must stay under ~2^18 and
+      radius under ~2^11 so the products sit in int64 (asserted by
+      viewshed()).
+    """
+    R = radius
+    lx = np.arange(res, dtype=np.int64)
+    X, Y = np.meshgrid(lx, lx)  # X = local gx (cols), Y = local gy (rows)
+    zt = halo[R + Y, R + X]
+    vis_count = np.zeros((res, res), dtype=np.int64)
+    for ogx, ogy, zo in observers:
+        olx, oly = ogx - gx0, ogy - gy0
+        if not (-R <= olx < res + R and -R <= oly < res + R):
+            continue
+        if mask[R + oly, R + olx] == 0:
+            continue  # observer off the raster
+        dx = X - olx
+        dy = Y - oly
+        dt2 = dx * dx + dy * dy
+        visible = dt2 <= R * R
+        b = zt - zo
+        D = np.maximum(np.abs(dx), np.abs(dy))
+        max_d = int(D[visible].max()) if visible.any() else 0
+        for k in range(1, max_d):
+            act = visible & (D > k)
+            if not act.any():
+                break
+            vx, vy = k * dx, k * dy
+            px = np.sign(vx) * ((2 * np.abs(vx) + D) // np.maximum(2 * D, 1))
+            py = np.sign(vy) * ((2 * np.abs(vy) + D) // np.maximum(2 * D, 1))
+            # inactive cells (D <= k) would round past their own offset and
+            # could index outside the patch — pin them to the observer
+            px = np.where(act, px, 0)
+            py = np.where(act, py, 0)
+            zp = halo[R + oly + py, R + olx + px]
+            present = mask[R + oly + py, R + olx + px] == 1
+            a = zp - zo
+            dp2 = px * px + py * py
+            lhs = a * a * dt2
+            rhs = b * b * dp2
+            blocks = present & (
+                ((a >= 0) & (b < 0))
+                | ((a >= 0) & (b >= 0) & (lhs > rhs))
+                | ((a < 0) & (b < 0) & (lhs < rhs))
+            )
+            visible &= ~(act & blocks)
+        vis_count += visible.astype(np.int64)
+    return vis_count
+
+
+def viewshed(
+    tiles: DataFrame,
+    res: int,
+    observers: DataFrame | list[tuple[int, int]],
+    radius: int,
+    observer_height: int = 0,
+    max_observers: int = 100_000,
+) -> DataFrame:
+    """Bounded-radius viewshed (the `gdal_viewshed` analog) over the tile
+    raster: (tx, ty, vis: array<long>) — per pixel, how many of the
+    observers have line of sight to it within `radius` cells (0 = hidden
+    everywhere). Exact integer visibility; conventions in
+    np_viewshed_counts.
+
+    Distributed shape: observers are a broadcast dim BY CONTRACT (towers,
+    lookouts — bounded; a DataFrame side is counted and refused above
+    max_observers, the engine's GEMM-guard discipline). Elevation moves
+    only through ONE radius-R halo exchange — shuffle O(perimeter * R) per
+    tile — and every sight line of every (cell, observer-within-R) pair
+    lies inside the cell's own patch by construction, so the O(R * res^2)
+    ray sampling per (tile, nearby-observer) runs entirely tile-local in
+    the Arrow kernel. radius <= res is required (one-ring halo); pick the
+    tile size >= the viewshed radius at ingest, exactly like the focal
+    family. Observer eye elevation = terrain at the observer cell +
+    observer_height (integer, same fixed-point unit as the raster)."""
+    from engine.focal import _halo_apply
+
+    if not 1 <= int(radius) <= res:
+        raise ValueError(
+            f"radius must be in [1, res={res}] (one-ring halo), got {radius}"
+        )
+    if not 0 <= int(observer_height) < (1 << 17):
+        raise ValueError(f"observer_height out of range: {observer_height}")
+    spark = tiles.sparkSession
+    if isinstance(observers, DataFrame):
+        n = observers.limit(max_observers + 1).count()
+        if n > max_observers:
+            raise ValueError(
+                f"observers exceed max_observers={max_observers}: the "
+                "observer set is the broadcast-bounded side by contract"
+            )
+        obs = [(int(r[0]), int(r[1])) for r in observers.collect()]
+    else:
+        obs = [(int(x), int(y)) for x, y in observers]
+    R = int(radius)
+    h = int(observer_height)
+
+    def finish(halo: np.ndarray, mask: np.ndarray, key: tuple) -> dict:
+        if np.abs(halo).max(initial=0) >= (1 << 18):
+            raise ValueError(
+                "viewshed: |elevation| must be < 2^18 for exact int64 "
+                "angle comparisons (rescale the fixed point on ingest)"
+            )
+        tx, ty = int(key[0]), int(key[1])
+        gx0, gy0 = tx * res, ty * res
+        near = [
+            (ox, oy, int(halo[R + oy - gy0, R + ox - gx0]) + h)
+            for ox, oy in obs
+            if -R <= ox - gx0 < res + R and -R <= oy - gy0 < res + R
+        ]
+        vis = np_viewshed_counts(halo, mask, res, R, near, gx0, gy0)
+        return {"vis": vis.reshape(-1).tolist()}
+
+    return _halo_apply(
+        tiles, res, R, finish,
+        fields=[("vis", T.ArrayType(T.LongType()))],
+        pass_key=True,
+    )

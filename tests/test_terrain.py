@@ -799,3 +799,122 @@ def test_cost_corridor_octile_closed_form(spark):
     want20 = {c for c in cells if oct_d(a, c) + oct_d(c, b) <= base + 20}
     assert got20 == want20
     assert got0 < got20
+
+
+def _py_viewshed(tiles, res, observers, radius, h_obs=0):
+    """Exact-int viewshed oracle sharing the engine's conventions (circular
+    range, round-half-away lattice ray, transparent missing cells)."""
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, z in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = z
+    vis = {c: 0 for c in cells}
+    for ox, oy in observers:
+        if (ox, oy) not in cells:
+            continue
+        zo = cells[(ox, oy)] + h_obs
+        for (x, y), zt in cells.items():
+            dx, dy = x - ox, y - oy
+            dt2 = dx * dx + dy * dy
+            if dt2 > radius * radius:
+                continue
+            D = max(abs(dx), abs(dy))
+            ok = True
+            for k in range(1, D):
+                def rnd(v):
+                    s = 1 if v >= 0 else -1
+                    return s * ((2 * abs(v) + D) // (2 * D))
+                px, py = rnd(k * dx), rnd(k * dy)
+                p = (ox + px, oy + py)
+                if p not in cells:
+                    continue
+                a, b = cells[p] - zo, zt - zo
+                dp2 = px * px + py * py
+                if (a >= 0 and b < 0) or \
+                   (a >= 0 and b >= 0 and a * a * dt2 > b * b * dp2) or \
+                   (a < 0 and b < 0 and a * a * dt2 < b * b * dp2):
+                    ok = False
+                    break
+            if ok:
+                vis[(x, y)] += 1
+    return vis
+
+
+def _collect_vis(df, res):
+    out = {}
+    for r in df.collect():
+        for pix, v in enumerate(r["vis"]):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = v
+    return out
+
+
+def test_viewshed_flat_plane_circle(spark):
+    """Flat terrain: visibility == the euclidean disk, across tile seams."""
+    res = 8
+    tiles = {(tx, ty): [5] * (res * res) for tx in (0, 1) for ty in (0, 1)}
+    obs = (7, 8)  # on the seam-adjacent row, disk spans all 4 tiles
+    radius = 6
+    got = _collect_vis(
+        terrain.viewshed(_mk_df(spark, tiles), res, [obs], radius), res
+    )
+    for (x, y), v in got.items():
+        inside = (x - obs[0]) ** 2 + (y - obs[1]) ** 2 <= radius * radius
+        assert v == (1 if inside else 0), (x, y, v)
+
+
+def test_viewshed_wall_shadow_and_mast(spark):
+    """A tall wall hides the cells behind it; raising the observer above
+    the wall reveals them again."""
+    res = 8
+    grid = [0] * (res * res)
+    for y in range(res):
+        grid[y * res + 4] = 100  # wall at x=4
+    tiles = {(0, 0): grid}
+    df = _mk_df(spark, tiles)
+    obs = [(1, 3)]
+    low = _collect_vis(terrain.viewshed(df, res, obs, radius=7), res)
+    assert low[(4, 3)] == 1       # the wall face is visible
+    assert low[(6, 3)] == 0       # behind the wall: hidden
+    assert low[(3, 3)] == 1
+    high = _collect_vis(
+        terrain.viewshed(df, res, obs, radius=7, observer_height=300), res
+    )
+    assert high[(6, 3)] == 1      # mast clears the wall
+    # both match the oracle exactly
+    assert low == _py_viewshed(tiles, res, obs, 7)
+    assert high == _py_viewshed(tiles, res, obs, 7, h_obs=300)
+
+
+def test_viewshed_random_terrain_oracle(spark):
+    """Random multi-tile terrain with raster holes + 3 observers (one in a
+    different tile than its targets, one off-raster): exact oracle parity."""
+    rng = random.Random(451)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=1, density=0.9)
+    obs_cells = sorted(
+        (tx * res + pix % res, ty * res + pix // res)
+        for (tx, ty), grid in tiles.items()
+        for pix in range(res * res)
+    )
+    observers = [obs_cells[3], obs_cells[len(obs_cells) // 2], (999, 999)]
+    radius = 7
+    got = _collect_vis(
+        terrain.viewshed(
+            _mk_df(spark, tiles), res, observers, radius, observer_height=2
+        ),
+        res,
+    )
+    assert got == _py_viewshed(tiles, res, observers, radius, h_obs=2)
+    assert any(v > 0 for v in got.values())
+
+
+def test_viewshed_validation(spark):
+    res = 8
+    df = _mk_df(spark, {(0, 0): [0] * (res * res)})
+    with pytest.raises(ValueError):
+        terrain.viewshed(df, res, [(0, 0)], radius=res + 1)
+    with pytest.raises(ValueError):
+        terrain.viewshed(df, res, [(0, 0)], radius=0)
+    big = spark.range(10).selectExpr("id as gx", "id as gy")
+    with pytest.raises(ValueError):
+        terrain.viewshed(df, res, big, radius=4, max_observers=5)
