@@ -753,6 +753,11 @@ def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOTSPOT_RES = 8
 _HOTSPOT_TILE = 90.0
+# viewshed half of raster_field: 3 busiest pixels as observers, 6-cell
+# circular range, eyes 2 count-units above terrain (radius <= res required)
+_VIS_N_OBS = 3
+_VIS_RADIUS = 6
+_VIS_HEIGHT = 2
 
 
 def _hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,7 +864,16 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     compass-priority ties) AND the basin label (min packed cell id of the
     flow forest's component, engine.graph CC). The twin replays the argmax
     as a max-over-packed-key group and the basins via the recursive-CTE CC
-    walk — the whole hydrology pipeline is hash-checked."""
+    walk — the whole hydrology pipeline is hash-checked.
+    tag='vis' — engine.terrain.viewshed over the same raster, counts read
+    as elevations: per pixel (a=gx, b=gy, c=vis, d=-1, e=-1) — how many of
+    the {_VIS_N_OBS} busiest pixels (z DESC, gx, gy tie-break — a
+    deterministic data-derived observer set at any sf) have exact-integer
+    line of sight to the cell within radius {_VIS_RADIUS}, eyes
+    {_VIS_HEIGHT} above terrain. The twin replays the circular range, the
+    round-half-away lattice ray and the cross-multiplied strict-angle
+    comparison as a lateral generate_series over (cell, observer) pairs —
+    the full LOS kernel is hash-checked, seams and all."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -915,7 +929,40 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("d"),
         F.lit(-1).cast("long").alias("e"),
     )
-    return hot.unionByName(pyr).unionByName(ter).unionByName(d8)
+    obs_df = (
+        tiles_r.select("tx", "ty", F.posexplode("counts").alias("pix", "z"))
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "gx", "gy")
+        .limit(_VIS_N_OBS)
+        .select("gx", "gy")
+    )
+    vis = (
+        terrain.viewshed(
+            tiles_r, res, obs_df,
+            radius=_VIS_RADIUS, observer_height=_VIS_HEIGHT,
+        )
+        .select("tx", "ty", F.posexplode("vis").alias("pix", "v"))
+        .select(
+            F.lit("vis").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
+    return (
+        hot.unionByName(pyr).unionByName(ter).unionByName(d8)
+        .unionByName(vis)
+    )
 
 
 _CONTOUR_LEVEL = 1
@@ -1292,6 +1339,82 @@ def raster_field_sql() -> str:
         WHERE g1.focal[i + 1] <> 0 OR g2.focal[i + 1] <> 0
         UNION ALL
         SELECT 'd8' AS tag, a, b, c, d, e FROM ({_d8_sql()})
+        UNION ALL
+        SELECT * FROM ({_viewshed_sql()})
+    """
+
+
+def _viewshed_sql() -> str:
+    """DuckDB twin of the raster_field 'vis' half (engine.terrain.viewshed,
+    conventions in terrain.np_viewshed_counts): dense pixels of the hotspot
+    raster as elevation cells, the {_VIS_N_OBS} busiest pixels as observers
+    (z DESC, gx, gy — the identical deterministic selection), then per
+    (cell-in-range, observer) pair a lateral range(1, chebyshev) walk of the
+    round-half-away lattice ray with the exact cross-multiplied strict-angle
+    block test; absent sample cells are transparent via the LEFT JOIN.
+    vis = pairs-in-range minus blocked pairs (a 0-sample pair — self or
+    adjacent — is visible by construction, matching the engine)."""
+    res = _HOTSPOT_RES
+    rr = _VIS_RADIUS * _VIS_RADIUS
+
+    def rnd(v: str, d: str) -> str:
+        # round-half-away-from-zero of v/d via nonneg integer division
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN (2 * ({v}) + ({d})) // (2 * ({d}))"
+            f" ELSE -((2 * -({v}) + ({d})) // (2 * ({d}))) END"
+        )
+
+    px = rnd("t.k * s0.dx", "s0.d8")
+    py = rnd("t.k * s0.dy", "s0.d8")
+    return f"""
+        WITH vtiles AS ({_hotspot_tiles_cte()}),
+        vcells AS MATERIALIZED (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM vtiles, range(0, {res * res}) t(i)
+        ), vobs AS MATERIALIZED (
+          SELECT gx AS ox, gy AS oy, z + {_VIS_HEIGHT} AS zo
+          FROM vcells ORDER BY z DESC, gx, gy LIMIT {_VIS_N_OBS}
+        ), vpairs AS MATERIALIZED (
+          SELECT c.gx, c.gy, o.ox, o.oy, o.zo,
+                 c.z - o.zo AS bb,
+                 c.gx - o.ox AS dx, c.gy - o.oy AS dy,
+                 (c.gx - o.ox) * (c.gx - o.ox)
+                   + (c.gy - o.oy) * (c.gy - o.oy) AS dt2,
+                 GREATEST(ABS(c.gx - o.ox), ABS(c.gy - o.oy)) AS d8
+          FROM vcells c JOIN vobs o
+            ON (c.gx - o.ox) * (c.gx - o.ox)
+                 + (c.gy - o.oy) * (c.gy - o.oy) <= {rr}
+        ), vsamp AS (
+          SELECT s0.gx, s0.gy, s0.ox, s0.oy, s0.zo, s0.bb, s0.dt2,
+                 {px} AS px, {py} AS py
+          FROM vpairs s0 JOIN range(1, {_VIS_RADIUS}) t(k) ON t.k < s0.d8
+        ), vblk AS (
+          SELECT q.gx, q.gy, COUNT(*) AS nblk FROM (
+            SELECT s.gx, s.gy, s.ox, s.oy,
+                   BOOL_OR(c.z IS NOT NULL AND (
+                     ((c.z - s.zo) >= 0 AND s.bb < 0)
+                     OR ((c.z - s.zo) >= 0 AND s.bb >= 0
+                         AND (c.z - s.zo) * (c.z - s.zo) * s.dt2
+                               > s.bb * s.bb * (s.px * s.px + s.py * s.py))
+                     OR ((c.z - s.zo) < 0 AND s.bb < 0
+                         AND (c.z - s.zo) * (c.z - s.zo) * s.dt2
+                               < s.bb * s.bb * (s.px * s.px + s.py * s.py))
+                   )) AS blk
+            FROM vsamp s LEFT JOIN vcells c
+              ON c.gx = s.ox + s.px AND c.gy = s.oy + s.py
+            GROUP BY s.gx, s.gy, s.ox, s.oy
+          ) q WHERE q.blk GROUP BY q.gx, q.gy
+        ), vnp AS (
+          SELECT gx, gy, COUNT(*) AS npairs FROM vpairs GROUP BY gx, gy
+        )
+        SELECT 'vis' AS tag, c.gx AS a, c.gy AS b,
+               COALESCE(np.npairs, 0) - COALESCE(bk.nblk, 0) AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM vcells c
+        LEFT JOIN vnp np ON np.gx = c.gx AND np.gy = c.gy
+        LEFT JOIN vblk bk ON bk.gx = c.gx AND bk.gy = c.gy
     """
 
 

@@ -119,30 +119,32 @@ def _strip_exprs(res: int, r: int):
     target: dx=+1 -> this tile's east columns px in [res-r, res)."""
     c = F.col("counts")
 
-    def pick(idx_cols):
-        return F.transform(idx_cols, lambda i: F.element_at(c, i + 1))
-
-    def xs(dx):
-        return range(res - r, res) if dx > 0 else range(0, r)
-
-    def ys(dy):
-        return range(res - r, res) if dy > 0 else range(0, r)
+    def strip(y0: int, ny: int, x0: int, nx: int):
+        # row-major rectangle [y0, y0+ny) x [x0, x0+nx) as a flat array:
+        # one contiguous slice per row via a sequence HOF — O(1) expression
+        # size regardless of r (the old literal index-array pick was an
+        # O(r*res)-node Column tree: MB-scale task binaries and ~80 s of
+        # pure plumbing at res=256 r=128, measured by the viewshed bench)
+        if nx == res:
+            return F.slice(c, y0 * res + 1, ny * res)
+        rows = F.sequence(F.lit(y0), F.lit(y0 + ny - 1))
+        return F.flatten(
+            F.transform(rows, lambda py: F.slice(c, py * res + x0 + 1, nx))
+        )
 
     out = {}
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
+            x0 = res - r if dx > 0 else 0
+            y0 = res - r if dy > 0 else 0
             if dx == 0 and dy == 0:
                 out[(0, 0)] = c
             elif dx == 0:
-                # horizontal strip: r full rows, contiguous in row-major
-                start = (res - r) * res if dy > 0 else 0
-                out[(dx, dy)] = F.slice(c, start + 1, r * res)
+                out[(dx, dy)] = strip(y0, r, 0, res)
             elif dy == 0:
-                idx = [py * res + px for py in range(res) for px in xs(dx)]
-                out[(dx, dy)] = pick(F.array(*[F.lit(i) for i in idx]))
+                out[(dx, dy)] = strip(0, res, x0, r)
             else:
-                idx = [py * res + px for py in ys(dy) for px in xs(dx)]
-                out[(dx, dy)] = pick(F.array(*[F.lit(i) for i in idx]))
+                out[(dx, dy)] = strip(y0, r, x0, r)
     return out
 
 
@@ -245,6 +247,15 @@ def _halo_apply(
             {"tx": [key[0]], "ty": [key[1]], **{n: [result[n]] for n in names}}
         )
 
+    # AQE sizes the group shuffle for BYTES, not Python-kernel cost: at
+    # res=256/r=128 it coalesced the 537 MB contribution shuffle to ~2
+    # partitions and ran the viewshed kernel near-serial (116 s of kernel
+    # CPU in an 80 s wall on 32 cores). The explicit count-pinned
+    # repartition on the group keys is AQE-exempt and satisfies
+    # applyInPandas' clustering requirement, so no second exchange appears
+    # (same fix as imagesim.ssim_pairs / trajsim).
+    n_part = tiles.sparkSession.sparkContext.defaultParallelism
+    routed = routed.repartition(n_part, "tx", "ty")
     return routed.groupBy("tx", "ty").applyInPandas(assemble, schema)
 
 

@@ -2210,6 +2210,70 @@ def part_ssim() -> None:
     spark.stop()
     print(_json.dumps(out))
 
+def part_viewshed() -> None:
+    """Bounded-radius viewshed at raster scale, local[32]: a 4096x4096 FLAT
+    elevation plane (16x16 tiles at res=256, 16.8M cells) with 64 observers
+    on an 8x8 grid (spacing 512 > 2R, margin 256 >= R) — every sight line is
+    grazing, so the strict-angle convention makes each observer see exactly
+    its full euclidean lattice disk, the disks are pairwise disjoint, and
+    the whole 16.8M-cell output is closed-form checkable: sum(vis) =
+    nonzero(vis) = 64 * |{(dx,dy): dx^2+dy^2 <= R^2}|, max(vis) = 1.
+    Exercises the halo exchange + per-(tile, near-observer) ray kernel at
+    production tile size; min-of-2 walls."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    spark = _spark("bench-viewshed")
+    res = 256
+    side = int(os.environ.get("VIEWSHED_BENCH_TILES", "16"))
+    w = side * res
+    radius = 128
+    z0 = 77
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select(
+        "tx", "ty",
+        F.array_repeat(F.lit(z0).cast("long"), res * res).alias("counts"),
+    ).persist()
+    tiles.count()
+    obs = [
+        (256 + 512 * i, 256 + 512 * j)
+        for i in range(side // 2) for j in range(side // 2)
+    ]
+    d = np.arange(-radius, radius + 1, dtype=np.int64)
+    n_disk = int(((d[:, None] ** 2 + d[None, :] ** 2) <= radius * radius).sum())
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        agg = (
+            terrain.viewshed(tiles, res, obs, radius=radius)
+            .select(F.explode("vis").alias("v"))
+            .agg(
+                F.count("*").alias("cells"),
+                F.sum("v").alias("tot"),
+                F.max("v").alias("mx"),
+                F.sum((F.col("v") > 0).cast("long")).alias("nz"),
+            )
+            .collect()[0]
+        )
+        walls.append(round(time.time() - t0, 2))
+        assert agg["cells"] == w * w
+        assert agg["tot"] == len(obs) * n_disk, (agg["tot"], n_disk)
+        assert agg["mx"] == 1
+        assert agg["nz"] == len(obs) * n_disk
+    print(_json.dumps({
+        "cells": w * w, "observers": len(obs), "radius": radius,
+        "disk_cells": n_disk, "walls": walls,
+        "cells_per_s": round(w * w / min(walls)),
+    }))
+
+
 def part_catchcost() -> None:
     """Catchments + cost-distance at raster scale, closed-form exact.
 
@@ -2328,6 +2392,7 @@ if __name__ == "__main__":
         "rebatch": part_rebatch,
         "flowacc": part_flowacc,
         "catchcost": part_catchcost,
+        "viewshed": part_viewshed,
         "ssim": part_ssim,
         "contour": part_contour,
         "dbscan": part_dbscan,
