@@ -758,6 +758,8 @@ _HOTSPOT_TILE = 90.0
 _VIS_N_OBS = 3
 _VIS_RADIUS = 6
 _VIS_HEIGHT = 2
+# edt half: proximity to cells holding >= 2 documents, same 6-cell radius
+_EDT_MIN_Z = 2
 
 
 def _hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,7 +875,12 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_VIS_HEIGHT} above terrain. The twin replays the circular range, the
     round-half-away lattice ray and the cross-multiplied strict-angle
     comparison as a lateral generate_series over (cell, observer) pairs —
-    the full LOS kernel is hash-checked, seams and all."""
+    the full LOS kernel is hash-checked, seams and all.
+    tag='edt' — engine.terrain.distance_transform over the same raster:
+    per pixel (a=gx, b=gy, c=dist2, d=-1, e=-1) — the EXACT min squared
+    euclidean distance to the nearest cell holding >= {_EDT_MIN_Z}
+    documents within radius {_VIS_RADIUS}, -1 beyond. The separable
+    integer EDT kernel hash-matches the twin's brute min-over-pairs."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -959,9 +966,31 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    src_tiles = tiles_r.select(
+        "tx", "ty",
+        F.transform(
+            "counts",
+            lambda c: F.when(c >= _EDT_MIN_Z, c)
+            .otherwise(F.lit(0)).cast("long"),
+        ).alias("counts"),
+    )
+    edt = (
+        terrain.distance_transform(src_tiles, res, radius=_VIS_RADIUS)
+        .select("tx", "ty", F.posexplode("dist2").alias("pix", "v"))
+        .select(
+            F.lit("edt").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
-        .unionByName(vis)
+        .unionByName(vis).unionByName(edt)
     )
 
 
@@ -1341,6 +1370,37 @@ def raster_field_sql() -> str:
         SELECT 'd8' AS tag, a, b, c, d, e FROM ({_d8_sql()})
         UNION ALL
         SELECT * FROM ({_viewshed_sql()})
+        UNION ALL
+        SELECT * FROM ({_edt_sql()})
+    """
+
+
+def _edt_sql() -> str:
+    """DuckDB twin of the raster_field 'edt' half (engine.terrain.
+    distance_transform): brute min-over-(cell, source)-pairs within the
+    radius — an independent derivation of the engine's separable
+    integer EDT."""
+    res = _HOTSPOT_RES
+    rr = _VIS_RADIUS * _VIS_RADIUS
+    return f"""
+        WITH etiles AS ({_hotspot_tiles_cte()}),
+        ecells AS MATERIALIZED (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM etiles, range(0, {res * res}) t(i)
+        )
+        SELECT 'edt' AS tag, c.gx AS a, c.gy AS b,
+               CAST(COALESCE(MIN(
+                 (c.gx - s.gx) * (c.gx - s.gx)
+                   + (c.gy - s.gy) * (c.gy - s.gy)
+               ), -1) AS BIGINT) AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM ecells c LEFT JOIN ecells s
+          ON s.z >= {_EDT_MIN_Z}
+         AND (c.gx - s.gx) * (c.gx - s.gx)
+               + (c.gy - s.gy) * (c.gy - s.gy) <= {rr}
+        GROUP BY c.gx, c.gy
     """
 
 

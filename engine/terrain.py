@@ -1173,3 +1173,76 @@ def viewshed(
         fields=[("vis", T.ArrayType(T.LongType()))],
         pass_key=True,
     )
+
+
+def np_edt_sq(
+    halo: np.ndarray, mask: np.ndarray, res: int, radius: int
+) -> np.ndarray:
+    """Exact bounded-radius squared euclidean distance transform over one
+    (res+2R)^2 patch: per tile cell, min over source cells (present AND
+    nonzero) within euclidean distance `radius` of (dx^2 + dy^2), else -1.
+    Separable exact algorithm (Meijster-style, integer-only): phase 1 is
+    the per-column squared vertical distance to the nearest source (two
+    vectorized cumulative scans, unbounded but clamped at pad+1 > R so the
+    final <= R^2 cap filters identically); phase 2 folds min over the
+    2R+1 column offsets of (dx^2 + colG2) — O(R * pad^2) vector ops,
+    independent of source count."""
+    R = radius
+    pad = res + 2 * R
+    src = (halo != 0) & (mask == 1)
+    big = np.int64(1) << 40
+    rows = np.broadcast_to(
+        np.arange(pad, dtype=np.int64)[:, None], (pad, pad)
+    )
+    up = np.maximum.accumulate(np.where(src, rows, -big), axis=0)
+    dn = np.minimum.accumulate(np.where(src, rows, big)[::-1], axis=0)[::-1]
+    g = np.minimum(
+        np.minimum(rows - up, dn - rows), np.int64(pad + 1)
+    )
+    g2 = g * g
+    best = np.full((pad, pad), big, dtype=np.int64)
+    for dx in range(-R, R + 1):
+        d2 = dx * dx
+        if dx >= 0:
+            np.minimum(
+                best[:, : pad - dx], g2[:, dx:] + d2, out=best[:, : pad - dx]
+            )
+        else:
+            np.minimum(best[:, -dx:], g2[:, :pad + dx] + d2,
+                       out=best[:, -dx:])
+    out = best[R:R + res, R:R + res]
+    return np.where(out <= R * R, out, np.int64(-1))
+
+
+def distance_transform(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+    """Proximity raster (the ESRI Euclidean Distance analog, squared-exact):
+    (tx, ty, dist2: array<long>) — per pixel, the EXACT min squared
+    euclidean distance to the nearest source cell (nonzero AND present)
+    within `radius` cells, -1 where no source is that close. Integer end to
+    end, so the result is hash-checkable against a min-over-pairs SQL twin.
+    To use a different source predicate (e.g. counts >= t), pre-transform
+    `counts` to zero out non-sources — the kernel's source set is exactly
+    the nonzero present cells.
+
+    Distributed shape: identical to the focal family — ONE radius-R halo
+    exchange (shuffle O(perimeter * R) per tile), then the separable
+    integer EDT runs tile-local (every source within R of a tile pixel lies
+    inside the patch since radius <= res, enforced below). Absent cells
+    (outside the input tile union) are never sources and never targets.
+    Reference provenance: extends the raster family beyond the reference's
+    scope (SURVEY.md section 2.7 cell rollups are pointwise)."""
+    from engine.focal import _halo_apply
+
+    if not 1 <= int(radius) <= res:
+        raise ValueError(
+            f"radius must be in [1, res={res}] (one-ring halo), got {radius}"
+        )
+    R = int(radius)
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+        return {"dist2": np_edt_sq(halo, mask, res, R).reshape(-1).tolist()}
+
+    return _halo_apply(
+        tiles, res, R, finish,
+        fields=[("dist2", T.ArrayType(T.LongType()))],
+    )

@@ -918,3 +918,69 @@ def test_viewshed_validation(spark):
     big = spark.range(10).selectExpr("id as gx", "id as gy")
     with pytest.raises(ValueError):
         terrain.viewshed(df, res, big, radius=4, max_observers=5)
+
+
+def _py_edt(tiles, res, radius):
+    """Brute-force bounded squared-EDT oracle: min dist^2 to any present
+    nonzero cell within radius, -1 otherwise."""
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, z in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = z
+    srcs = [c for c, z in cells.items() if z != 0]
+    out = {}
+    for (x, y) in cells:
+        best = -1
+        for (sx, sy) in srcs:
+            d2 = (x - sx) ** 2 + (y - sy) ** 2
+            if d2 <= radius * radius and (best == -1 or d2 < best):
+                best = d2
+        out[(x, y)] = best
+    return out
+
+
+def _collect_dist2(df, res):
+    out = {}
+    for r in df.collect():
+        for pix, v in enumerate(r["dist2"]):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = v
+    return out
+
+
+def test_edt_single_source_rings(spark):
+    """One source: dist2 == dx^2+dy^2 inside the disk (across seams), -1
+    outside."""
+    res = 8
+    tiles = {(tx, ty): [0] * (res * res) for tx in (0, 1) for ty in (0, 1)}
+    tiles[(0, 0)][7 * res + 7] = 42  # source at (7, 7), corner of 4 tiles
+    got = _collect_dist2(
+        terrain.distance_transform(_mk_df(spark, tiles), res, radius=5), res
+    )
+    for (x, y), v in got.items():
+        d2 = (x - 7) ** 2 + (y - 7) ** 2
+        assert v == (d2 if d2 <= 25 else -1), (x, y, v)
+
+
+def test_edt_random_terrain_oracle(spark):
+    """Random sparse multi-tile raster with a hole tile: exact brute-force
+    parity, including cross-seam nearest sources."""
+    rng = random.Random(452)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=1, density=0.04)
+    got = _collect_dist2(
+        terrain.distance_transform(_mk_df(spark, tiles), res, radius=4), res
+    )
+    assert got == _py_edt(tiles, res, 4)
+    vals = set(got.values())
+    assert 0 in vals and -1 in vals and any(v > 0 for v in vals)
+
+
+def test_edt_all_zero_and_validation(spark):
+    res = 8
+    df = _mk_df(spark, {(0, 0): [0] * (res * res)})
+    got = _collect_dist2(terrain.distance_transform(df, res, radius=4), res)
+    assert set(got.values()) == {-1}
+    with pytest.raises(ValueError):
+        terrain.distance_transform(df, res, radius=0)
+    with pytest.raises(ValueError):
+        terrain.distance_transform(df, res, radius=res + 1)

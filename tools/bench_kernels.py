@@ -2274,6 +2274,69 @@ def part_viewshed() -> None:
     }))
 
 
+def part_edt() -> None:
+    """Bounded-radius exact squared-EDT at raster scale, local[32]: the
+    4096x4096 raster (16x16 tiles at res=256, 16.8M cells) with sources
+    planted on a 128-cell grid offset 64 — every cell is within
+    sqrt(2)*64 < R=128 of a source, so the whole output has the modular
+    closed form dist2 = min(dx, 128-dx)^2 + min(dy, 128-dy)^2 with
+    dx = (gx - 64) mod 128 — asserted for ALL 16.8M pixels via Column
+    algebra (no sampling). Min-of-2 walls."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    spark = _spark("bench-edt")
+    res = 256
+    side = int(os.environ.get("EDT_BENCH_TILES", "16"))
+    w = side * res
+    radius, spacing, off = 128, 128, 64
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: F.when(
+            (F.pmod(F.col("tx") * res + F.pmod(i, res) - off, spacing) == 0)
+            & (F.pmod(F.col("ty") * res + F.floor(i / res) - off, spacing)
+               == 0),
+            F.lit(7),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        ex = (
+            terrain.distance_transform(tiles, res, radius=radius)
+            .select("tx", "ty", F.posexplode("dist2").alias("pix", "v"))
+            .select(
+                (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+                (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+                "v",
+            )
+        )
+        dxm = F.pmod(F.col("gx") - off, spacing)
+        dym = F.pmod(F.col("gy") - off, spacing)
+        dx = F.least(dxm, spacing - dxm)
+        dy = F.least(dym, spacing - dym)
+        agg = ex.agg(
+            F.count("*").alias("cells"),
+            F.sum((F.col("v") == dx * dx + dy * dy).cast("long")).alias("ok"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["cells"] == w * w
+        assert agg["ok"] == w * w, agg["ok"]
+    print(_json.dumps({
+        "cells": w * w, "radius": radius, "spacing": spacing, "walls": walls,
+        "cells_per_s": round(w * w / min(walls)),
+    }))
+
+
 def part_catchcost() -> None:
     """Catchments + cost-distance at raster scale, closed-form exact.
 
@@ -2393,6 +2456,7 @@ if __name__ == "__main__":
         "flowacc": part_flowacc,
         "catchcost": part_catchcost,
         "viewshed": part_viewshed,
+        "edt": part_edt,
         "ssim": part_ssim,
         "contour": part_contour,
         "dbscan": part_dbscan,
