@@ -876,11 +876,13 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-half-away lattice ray and the cross-multiplied strict-angle
     comparison as a lateral generate_series over (cell, observer) pairs —
     the full LOS kernel is hash-checked, seams and all.
-    tag='edt' — engine.terrain.distance_transform over the same raster:
-    per pixel (a=gx, b=gy, c=dist2, d=-1, e=-1) — the EXACT min squared
-    euclidean distance to the nearest cell holding >= {_EDT_MIN_Z}
-    documents within radius {_VIS_RADIUS}, -1 beyond. The separable
-    integer EDT kernel hash-matches the twin's brute min-over-pairs."""
+    tag='edt' — engine.terrain.distance_transform(allocate=True) over the
+    same raster: per pixel (a=gx, b=gy, c=dist2, d=alloc, e=-1) — the EXACT
+    min squared euclidean distance to the nearest cell holding >=
+    {_EDT_MIN_Z} documents within radius {_VIS_RADIUS} (-1 beyond) AND the
+    Euclidean-Allocation winner (min packed source id on distance ties).
+    The separable integer EDT kernel hash-matches the twin's brute
+    min-over-pairs + min-pack-at-min-dist derivation."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -975,16 +977,21 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("counts"),
     )
     edt = (
-        terrain.distance_transform(src_tiles, res, radius=_VIS_RADIUS)
-        .select("tx", "ty", F.posexplode("dist2").alias("pix", "v"))
+        terrain.distance_transform(
+            src_tiles, res, radius=_VIS_RADIUS, allocate=True
+        )
+        .select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("dist2", "alloc")).alias("pix", "v"),
+        )
         .select(
             F.lit("edt").alias("tag"),
             (F.col("tx") * res + F.pmod(F.col("pix"), res))
             .cast("long").alias("a"),
             (F.col("ty") * res + F.floor(F.col("pix") / res))
             .cast("long").alias("b"),
-            F.col("v").cast("long").alias("c"),
-            F.lit(-1).cast("long").alias("d"),
+            F.col("v.dist2").cast("long").alias("c"),
+            F.col("v.alloc").cast("long").alias("d"),
             F.lit(-1).cast("long").alias("e"),
         )
     )
@@ -1377,9 +1384,11 @@ def raster_field_sql() -> str:
 
 def _edt_sql() -> str:
     """DuckDB twin of the raster_field 'edt' half (engine.terrain.
-    distance_transform): brute min-over-(cell, source)-pairs within the
-    radius — an independent derivation of the engine's separable
-    integer EDT."""
+    distance_transform(allocate=True)): brute min-over-(cell, source)-pairs
+    within the radius for dist2, then min packed source id among the
+    pairs AT that min distance for the allocation — an independent
+    derivation of the engine's separable integer EDT + lexicographic
+    allocation fold."""
     res = _HOTSPOT_RES
     rr = _VIS_RADIUS * _VIS_RADIUS
     return f"""
@@ -1389,18 +1398,30 @@ def _edt_sql() -> str:
                  ty * {res} + i // {res} AS gy,
                  counts[i + 1] AS z
           FROM etiles, range(0, {res * res}) t(i)
+        ), epairs AS MATERIALIZED (
+          SELECT c.gx, c.gy,
+                 (c.gx - s.gx) * (c.gx - s.gx)
+                   + (c.gy - s.gy) * (c.gy - s.gy) AS d2,
+                 (s.gx + 1048576) * 4294967296 + (s.gy + 1048576) AS ap
+          FROM ecells c JOIN ecells s
+            ON s.z >= {_EDT_MIN_Z}
+           AND (c.gx - s.gx) * (c.gx - s.gx)
+                 + (c.gy - s.gy) * (c.gy - s.gy) <= {rr}
+        ), em AS MATERIALIZED (
+          SELECT gx, gy, MIN(d2) AS d2 FROM epairs GROUP BY gx, gy
+        ), ea AS (
+          SELECT p.gx, p.gy, MIN(p.ap) AS ap
+          FROM epairs p JOIN em
+            ON p.gx = em.gx AND p.gy = em.gy AND p.d2 = em.d2
+          GROUP BY p.gx, p.gy
         )
         SELECT 'edt' AS tag, c.gx AS a, c.gy AS b,
-               CAST(COALESCE(MIN(
-                 (c.gx - s.gx) * (c.gx - s.gx)
-                   + (c.gy - s.gy) * (c.gy - s.gy)
-               ), -1) AS BIGINT) AS c,
-               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
-        FROM ecells c LEFT JOIN ecells s
-          ON s.z >= {_EDT_MIN_Z}
-         AND (c.gx - s.gx) * (c.gx - s.gx)
-               + (c.gy - s.gy) * (c.gy - s.gy) <= {rr}
-        GROUP BY c.gx, c.gy
+               CAST(COALESCE(em.d2, -1) AS BIGINT) AS c,
+               CAST(COALESCE(ea.ap, -1) AS BIGINT) AS d,
+               CAST(-1 AS BIGINT) AS e
+        FROM ecells c
+        LEFT JOIN em ON em.gx = c.gx AND em.gy = c.gy
+        LEFT JOIN ea ON ea.gx = c.gx AND ea.gy = c.gy
     """
 
 

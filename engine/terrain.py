@@ -1176,8 +1176,14 @@ def viewshed(
 
 
 def np_edt_sq(
-    halo: np.ndarray, mask: np.ndarray, res: int, radius: int
-) -> np.ndarray:
+    halo: np.ndarray,
+    mask: np.ndarray,
+    res: int,
+    radius: int,
+    gx0: int = 0,
+    gy0: int = 0,
+    allocate: bool = False,
+):
     """Exact bounded-radius squared euclidean distance transform over one
     (res+2R)^2 patch: per tile cell, min over source cells (present AND
     nonzero) within euclidean distance `radius` of (dx^2 + dy^2), else -1.
@@ -1186,7 +1192,16 @@ def np_edt_sq(
     vectorized cumulative scans, unbounded but clamped at pad+1 > R so the
     final <= R^2 cap filters identically); phase 2 folds min over the
     2R+1 column offsets of (dx^2 + colG2) — O(R * pad^2) vector ops,
-    independent of source count."""
+    independent of source count.
+
+    With allocate=True additionally returns the Euclidean-Allocation
+    raster: per cell the PACKED global id (_pack_np: (gx+2^20)*2^32 +
+    gy+2^20) of the winning source, -1 beyond radius; (gx0, gy0) is the
+    tile's cell origin. Ties are deterministic engine-wide: the MIN packed
+    id among equidistant sources (pack orders lexicographically by
+    (sx, sy); phase 1's per-column representative prefers the upper source
+    on a |dy| tie, which IS that column's min pack, so the cross-column
+    lexicographic (dist2, pack) fold yields the global min)."""
     R = radius
     pad = res + 2 * R
     src = (halo != 0) & (mask == 1)
@@ -1196,25 +1211,58 @@ def np_edt_sq(
     )
     up = np.maximum.accumulate(np.where(src, rows, -big), axis=0)
     dn = np.minimum.accumulate(np.where(src, rows, big)[::-1], axis=0)[::-1]
-    g = np.minimum(
-        np.minimum(rows - up, dn - rows), np.int64(pad + 1)
-    )
+    d_up = rows - up
+    d_dn = dn - rows
+    g = np.minimum(np.minimum(d_up, d_dn), np.int64(pad + 1))
     g2 = g * g
     best = np.full((pad, pad), big, dtype=np.int64)
+    if not allocate:
+        for dx in range(-R, R + 1):
+            d2 = dx * dx
+            if dx >= 0:
+                np.minimum(best[:, : pad - dx], g2[:, dx:] + d2,
+                           out=best[:, : pad - dx])
+            else:
+                np.minimum(best[:, -dx:], g2[:, :pad + dx] + d2,
+                           out=best[:, -dx:])
+        out = best[R:R + res, R:R + res]
+        return np.where(out <= R * R, out, np.int64(-1))
+    # rep: the column's min-pack source row among its |dy|-minimal sources
+    # (0 where the column is sourceless — g=pad+1 keeps it out of range).
+    # Lexicographic (d2, sx, sy) folds as ONE packed int64 key: since
+    # sx = x + dx for the pixel's own column x, ordering by sx == ordering
+    # by dx, so key = (g2 + dx^2) * K + (dx+R) * pad + rep with
+    # K = (2R+2) * pad. The dx-independent part (g2 * K + rep) hoists out
+    # of the loop — 2 vector ops per offset, same as the dist-only fold.
+    # Fits int64: d2 <= (pad+1)^2 + R^2, so key < 2^37 at any res <= 2^12.
+    rep = np.where(g <= pad, np.where(d_up <= d_dn, up, dn), 0)
+    kmul = np.int64((2 * R + 2) * pad)
+    base = g2 * kmul + rep
+    best_key = np.full((pad, pad), np.int64(1) << 62, dtype=np.int64)
     for dx in range(-R, R + 1):
-        d2 = dx * dx
+        shift = np.int64(dx * dx) * kmul + np.int64((dx + R) * pad)
         if dx >= 0:
-            np.minimum(
-                best[:, : pad - dx], g2[:, dx:] + d2, out=best[:, : pad - dx]
-            )
+            np.minimum(best_key[:, : pad - dx], base[:, dx:] + shift,
+                       out=best_key[:, : pad - dx])
         else:
-            np.minimum(best[:, -dx:], g2[:, :pad + dx] + d2,
-                       out=best[:, -dx:])
-    out = best[R:R + res, R:R + res]
-    return np.where(out <= R * R, out, np.int64(-1))
+            np.minimum(best_key[:, -dx:], base[:, : pad + dx] + shift,
+                       out=best_key[:, -dx:])
+    key = best_key[R:R + res, R:R + res]
+    d_out = key // kmul
+    rem = key % kmul
+    src_col = rem // pad - R + np.arange(res, dtype=np.int64)[None, :]
+    src_row = rem % pad
+    a_out = _pack_np(src_col + np.int64(gx0 - R) + R,
+                     src_row + np.int64(gy0 - R))
+    ok = d_out <= R * R
+    return np.where(ok, d_out, np.int64(-1)), np.where(
+        ok, a_out, np.int64(-1)
+    )
 
 
-def distance_transform(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+def distance_transform(
+    tiles: DataFrame, res: int, radius: int, allocate: bool = False
+) -> DataFrame:
     """Proximity raster (the ESRI Euclidean Distance analog, squared-exact):
     (tx, ty, dist2: array<long>) — per pixel, the EXACT min squared
     euclidean distance to the nearest source cell (nonzero AND present)
@@ -1223,6 +1271,11 @@ def distance_transform(tiles: DataFrame, res: int, radius: int) -> DataFrame:
     To use a different source predicate (e.g. counts >= t), pre-transform
     `counts` to zero out non-sources — the kernel's source set is exactly
     the nonzero present cells.
+
+    allocate=True adds `alloc: array<long>` — the Euclidean-Allocation
+    raster (ESRI analog): the winning source's packed global cell id
+    ((gx+2^20)*2^32 + gy+2^20, the flow_edges convention), min-pack
+    deterministic on distance ties, -1 beyond radius.
 
     Distributed shape: identical to the focal family — ONE radius-R halo
     exchange (shuffle O(perimeter * R) per tile), then the separable
@@ -1239,10 +1292,30 @@ def distance_transform(tiles: DataFrame, res: int, radius: int) -> DataFrame:
         )
     R = int(radius)
 
-    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
-        return {"dist2": np_edt_sq(halo, mask, res, R).reshape(-1).tolist()}
+    if not allocate:
+        def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+            return {
+                "dist2": np_edt_sq(halo, mask, res, R).reshape(-1).tolist()
+            }
+
+        return _halo_apply(
+            tiles, res, R, finish,
+            fields=[("dist2", T.ArrayType(T.LongType()))],
+        )
+
+    def finish_alloc(halo: np.ndarray, mask: np.ndarray, key: tuple) -> dict:
+        gx0, gy0 = int(key[0]) * res, int(key[1]) * res
+        d2, ap = np_edt_sq(halo, mask, res, R, gx0, gy0, allocate=True)
+        return {
+            "dist2": d2.reshape(-1).tolist(),
+            "alloc": ap.reshape(-1).tolist(),
+        }
 
     return _halo_apply(
-        tiles, res, R, finish,
-        fields=[("dist2", T.ArrayType(T.LongType()))],
+        tiles, res, R, finish_alloc,
+        fields=[
+            ("dist2", T.ArrayType(T.LongType())),
+            ("alloc", T.ArrayType(T.LongType())),
+        ],
+        pass_key=True,
     )

@@ -984,3 +984,64 @@ def test_edt_all_zero_and_validation(spark):
         terrain.distance_transform(df, res, radius=0)
     with pytest.raises(ValueError):
         terrain.distance_transform(df, res, radius=res + 1)
+
+
+def _py_edt_alloc(tiles, res, radius):
+    """Brute allocation oracle: lexicographic (dist2, packed id) min."""
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, z in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = z
+    srcs = [c for c, z in cells.items() if z != 0]
+    OFF = 1 << 20
+
+    def pack(x, y):
+        return (x + OFF) * (1 << 32) + (y + OFF)
+
+    out = {}
+    for (x, y) in cells:
+        best = None
+        for (sx, sy) in srcs:
+            d2 = (x - sx) ** 2 + (y - sy) ** 2
+            if d2 <= radius * radius:
+                k = (d2, pack(sx, sy))
+                if best is None or k < best:
+                    best = k
+        out[(x, y)] = (-1, -1) if best is None else best
+    return out
+
+
+def test_edt_allocation_oracle(spark):
+    """Random sparse multi-tile raster: (dist2, alloc) both match the brute
+    lexicographic oracle exactly, cross-seam winners included."""
+    rng = random.Random(453)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=1, density=0.05)
+    rows = terrain.distance_transform(
+        _mk_df(spark, tiles), res, radius=5, allocate=True
+    ).collect()
+    got = {}
+    for r in rows:
+        for pix, (d, a) in enumerate(zip(r["dist2"], r["alloc"])):
+            got[(r["tx"] * res + pix % res,
+                 r["ty"] * res + pix // res)] = (d, a)
+    assert got == _py_edt_alloc(tiles, res, 5)
+
+
+def test_edt_allocation_tie_break(spark):
+    """Two equidistant sources: every tied cell allocates to the MIN packed
+    id (lower gx wins; same gx -> lower gy)."""
+    res = 8
+    grid = [0] * (res * res)
+    grid[3 * res + 1] = 5   # source A at (1, 3)
+    grid[3 * res + 5] = 9   # source B at (5, 3)
+    rows = terrain.distance_transform(
+        _mk_df(spark, {(0, 0): grid}), res, radius=6, allocate=True
+    ).collect()
+    OFF = 1 << 20
+    pa = (1 + OFF) * (1 << 32) + (3 + OFF)
+    alloc = rows[0]["alloc"]
+    # x=3 is equidistant (d2=4 both): A (min pack) must win the whole column
+    for y in range(res):
+        assert alloc[y * res + 3] == pa, (y, alloc[y * res + 3])
+    assert alloc[3 * res + 1] == pa  # A allocates itself (d2=0)

@@ -2308,32 +2308,75 @@ def part_edt() -> None:
     ).select("tx", "ty", counts.alias("counts")).persist()
     tiles.count()
 
-    walls = []
+    walls = {"dist": [], "alloc": []}
     for _ in range(2):
-        t0 = time.time()
-        ex = (
-            terrain.distance_transform(tiles, res, radius=radius)
-            .select("tx", "ty", F.posexplode("dist2").alias("pix", "v"))
-            .select(
-                (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
-                (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
-                "v",
+        for mode in ("dist", "alloc"):
+            t0 = time.time()
+            alloc = mode == "alloc"
+            dt = terrain.distance_transform(
+                tiles, res, radius=radius, allocate=alloc
             )
-        )
-        dxm = F.pmod(F.col("gx") - off, spacing)
-        dym = F.pmod(F.col("gy") - off, spacing)
-        dx = F.least(dxm, spacing - dxm)
-        dy = F.least(dym, spacing - dym)
-        agg = ex.agg(
-            F.count("*").alias("cells"),
-            F.sum((F.col("v") == dx * dx + dy * dy).cast("long")).alias("ok"),
-        ).collect()[0]
-        walls.append(round(time.time() - t0, 2))
-        assert agg["cells"] == w * w
-        assert agg["ok"] == w * w, agg["ok"]
+            if alloc:
+                ex = dt.select(
+                    "tx", "ty",
+                    F.posexplode(
+                        F.arrays_zip("dist2", "alloc")
+                    ).alias("pix", "s"),
+                ).select(
+                    (F.col("tx") * res + F.pmod(F.col("pix"), res))
+                    .alias("gx"),
+                    (F.col("ty") * res + F.floor(F.col("pix") / res))
+                    .alias("gy"),
+                    F.col("s.dist2").alias("v"), F.col("s.alloc").alias("ap"),
+                )
+            else:
+                ex = dt.select(
+                    "tx", "ty", F.posexplode("dist2").alias("pix", "v")
+                ).select(
+                    (F.col("tx") * res + F.pmod(F.col("pix"), res))
+                    .alias("gx"),
+                    (F.col("ty") * res + F.floor(F.col("pix") / res))
+                    .alias("gy"),
+                    "v",
+                )
+            dxm = F.pmod(F.col("gx") - off, spacing)
+            dym = F.pmod(F.col("gy") - off, spacing)
+            dx = F.least(dxm, spacing - dxm)
+            dy = F.least(dym, spacing - dym)
+            aggs = [
+                F.count("*").alias("cells"),
+                F.sum(
+                    (F.col("v") == dx * dx + dy * dy).cast("long")
+                ).alias("ok"),
+            ]
+            if alloc:
+                # lexicographic (sx, sy) winner: exact-mid ties go LEFT/UP
+                # when that source exists (at gx=0 the left mid-tie
+                # candidate would be -64 — off the raster)
+                sx = F.when(
+                    (dxm * 2 < spacing)
+                    | ((dxm * 2 == spacing) & (F.col("gx") >= dxm)),
+                    F.col("gx") - dxm,
+                ).otherwise(F.col("gx") + spacing - dxm)
+                sy = F.when(
+                    (dym * 2 < spacing)
+                    | ((dym * 2 == spacing) & (F.col("gy") >= dym)),
+                    F.col("gy") - dym,
+                ).otherwise(F.col("gy") + spacing - dym)
+                want = (sx + (1 << 20)) * (1 << 32) + sy + (1 << 20)
+                aggs.append(
+                    F.sum((F.col("ap") == want).cast("long")).alias("aok")
+                )
+            agg = ex.agg(*aggs).collect()[0]
+            walls[mode].append(round(time.time() - t0, 2))
+            assert agg["cells"] == w * w
+            assert agg["ok"] == w * w, agg["ok"]
+            if alloc:
+                assert agg["aok"] == w * w, agg["aok"]
     print(_json.dumps({
         "cells": w * w, "radius": radius, "spacing": spacing, "walls": walls,
-        "cells_per_s": round(w * w / min(walls)),
+        "cells_per_s": round(w * w / min(walls["dist"])),
+        "alloc_cells_per_s": round(w * w / min(walls["alloc"])),
     }))
 
 
