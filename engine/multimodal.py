@@ -402,3 +402,143 @@ def color_histogram(df: DataFrame, bins: int = 8) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=HISTOGRAM_SCHEMA
     )
+
+
+def np_blob_label(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Exact connected-component labeling of a boolean mask: int64 (h, w)
+    raster where every foreground pixel carries its blob's label — the MIN
+    flat pixel index (y*w + x) in the blob, a deterministic canonical id —
+    and background is -1. Run-length union-find: runs are extracted
+    vectorized per row, union-find works over RUNS (O(runs) alpha ops, not
+    O(pixels)), so a 4K frame of big blobs costs thousands of ops, not
+    millions. connectivity=4 links vertical interval overlaps; 8 also links
+    diagonal touches (intervals expanded by one)."""
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    h, w = mask.shape
+    labels = np.full((h, w), -1, dtype=np.int64)
+    m = mask.astype(np.int8)
+    d = np.diff(
+        np.concatenate(
+            [np.zeros((h, 1), np.int8), m, np.zeros((h, 1), np.int8)], axis=1
+        ),
+        axis=1,
+    )
+    sr, sx = np.nonzero(d == 1)     # run starts (row-major order)
+    _, ex = np.nonzero(d == -1)     # run ends (exclusive), same order
+    n = len(sr)
+    if n == 0:
+        return labels
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    row_first = np.searchsorted(sr, np.arange(h + 1))
+    slack = 0 if connectivity == 4 else 1
+    for y in range(1, h):
+        a, a_end = row_first[y - 1], row_first[y]
+        b, b_end = row_first[y], row_first[y + 1]
+        while a < a_end and b < b_end:
+            # overlap (4-conn): sx[a] < ex[b] and sx[b] < ex[a];
+            # 8-conn widens both by one (diagonal touch)
+            if sx[a] < ex[b] + slack and sx[b] < ex[a] + slack:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if ex[a] + slack <= ex[b] + slack:
+                a += 1
+            else:
+                b += 1
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    run_min = sr.astype(np.int64) * w + sx          # each run's min flat idx
+    blob_lab = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(blob_lab, roots, run_min)
+    lab = blob_lab[roots]
+    for i in range(n):
+        labels[sr[i], sx[i]:ex[i]] = lab[i]
+    return labels
+
+
+BLOBS_SCHEMA = (
+    "image_id string, w int, h int, fmt string, n_blobs int, "
+    "blobs array<struct<label: long, area: long, "
+    "xmin: int, ymin: int, xmax: int, ymax: int>>, error string"
+)
+
+
+def image_blobs(
+    df: DataFrame,
+    threshold: int = 128,
+    connectivity: int = 4,
+    max_blobs: int = 64,
+) -> DataFrame:
+    """Per-image blob detection (the segmentation/labeling stage of a
+    detection pipeline) over the decoded pixels: foreground = mean-channel
+    luminance >= threshold, blobs = exact connected components of the mask
+    (np_blob_label), emitted as (image_id, w, h, fmt, n_blobs, blobs,
+    error) with per-blob (label = min flat pixel idx, area, inclusive
+    bbox), sorted by area DESC then label ASC and capped at max_blobs
+    (n_blobs is the UNCAPPED count, so the cap is visible). Per-row error
+    isolation like every multimodal kernel — a corrupt frame degrades to
+    an error row, never a dead batch. Embarrassingly parallel: no shuffle,
+    one image never crosses a batch row; pairs with nms_boxes downstream
+    (blobs -> candidate boxes)."""
+    conn = int(connectivity)
+    if conn not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    thr = int(threshold)
+    cap = int(max_blobs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append(
+                        (row.image_id, row.w, row.h, row.fmt, None, None, err)
+                    )
+                    continue
+                lum = px.astype(np.int64).sum(axis=2) // 3
+                lab = np_blob_label(lum >= thr, conn)
+                fg = lab >= 0
+                blobs = []
+                if fg.any():
+                    ids, inv = np.unique(lab[fg], return_inverse=True)
+                    ys, xs = np.nonzero(fg)
+                    k = len(ids)
+                    area = np.zeros(k, np.int64)
+                    np.add.at(area, inv, 1)
+                    xmin = np.full(k, np.iinfo(np.int64).max)
+                    xmax = np.full(k, -1, np.int64)
+                    ymin = np.full(k, np.iinfo(np.int64).max)
+                    ymax = np.full(k, -1, np.int64)
+                    np.minimum.at(xmin, inv, xs)
+                    np.maximum.at(xmax, inv, xs)
+                    np.minimum.at(ymin, inv, ys)
+                    np.maximum.at(ymax, inv, ys)
+                    order = np.lexsort((ids, -area))[:cap]
+                    blobs = [
+                        {
+                            "label": int(ids[i]), "area": int(area[i]),
+                            "xmin": int(xmin[i]), "ymin": int(ymin[i]),
+                            "xmax": int(xmax[i]), "ymax": int(ymax[i]),
+                        }
+                        for i in order
+                    ]
+                    n_all = int(k)
+                else:
+                    n_all = 0
+                out.append(
+                    (row.image_id, row.w, row.h, row.fmt, n_all, blobs, None)
+                )
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w", "h", "fmt", "n_blobs", "blobs", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=BLOBS_SCHEMA
+    )
