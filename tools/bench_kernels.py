@@ -2210,6 +2210,79 @@ def part_ssim() -> None:
     spark.stop()
     print(_json.dumps(out))
 
+def part_blobs() -> None:
+    """Per-image blob labeling at scale, local[32]: N real-byte 64x64 raw
+    images, image i carrying k = (i % 4) + 1 disjoint bright rectangles in
+    fixed quadrant positions (quadrant q holds a (3+q) x (5+q) rect) on a
+    dark ground. Closed form over ALL images: zero errors, sum(n_blobs) =
+    sum of k_i, total blob area = sum of the planted rect areas, and the
+    area-desc first blob of every image is its largest planted rect."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import image_codec
+    from engine.multimodal import image_blobs
+
+    spark = _spark("bench-blobs")
+    n = int(os.environ.get("BLOBS_BENCH_N", "200000"))
+    size = 64
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for key in pdf["id"]:
+                k = int(key) % 4 + 1
+                px = np.zeros((size, size, 3), dtype=np.uint8)
+                for q in range(k):
+                    y0 = (q // 2) * 32 + 4
+                    x0 = (q % 2) * 32 + 4
+                    px[y0:y0 + 3 + q, x0:x0 + 5 + q] = 220
+                rows.append(
+                    (f"img{int(key):012d}", image_codec.encode_raw(px),
+                     size, size, "raw")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    images = spark.range(0, n, 1, 64).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    images.count()
+    per_k = n // 4
+    want_blobs = sum((k) * per_k for k in (1, 2, 3, 4))
+    want_area = per_k * sum(
+        sum((3 + q) * (5 + q) for q in range(k)) for k in (1, 2, 3, 4)
+    )
+    want_top = per_k * sum((2 + k) * (4 + k) for k in (1, 2, 3, 4))
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        agg = image_blobs(images, threshold=128).agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("errs"),
+            F.sum("n_blobs").alias("nb"),
+            F.sum(F.aggregate(
+                "blobs", F.lit(0).cast("long"), lambda a, b: a + b["area"]
+            )).alias("area"),
+            F.sum(F.element_at("blobs", 1)["area"]).alias("top"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["rows"] == n and agg["errs"] == 0
+        assert agg["nb"] == want_blobs, (agg["nb"], want_blobs)
+        assert agg["area"] == want_area, (agg["area"], want_area)
+        assert agg["top"] == want_top, (agg["top"], want_top)
+    images.unpersist()
+    print(_json.dumps({
+        "images": n, "blobs": want_blobs, "walls": walls,
+        "images_per_s": round(n / min(walls)),
+    }))
+
+
 def part_viewshed() -> None:
     """Bounded-radius viewshed at raster scale, local[32]: a 4096x4096 FLAT
     elevation plane (16x16 tiles at res=256, 16.8M cells) with 64 observers
@@ -2500,6 +2573,7 @@ if __name__ == "__main__":
         "catchcost": part_catchcost,
         "viewshed": part_viewshed,
         "edt": part_edt,
+        "blobs": part_blobs,
         "ssim": part_ssim,
         "contour": part_contour,
         "dbscan": part_dbscan,
