@@ -496,6 +496,34 @@ def main() -> int:
     print(f"  shuffle exchanges: {n_shuffles} (expect 1: the corner-quad agg)")
     ok &= n_shuffles == 1
 
+    # halo family (viewshed / EDT / focal): the contribution explode must
+    # reach applyInPandas through EXACTLY ONE exchange — the count-pinned
+    # key repartition (AQE-exempt) that both routes the strips AND
+    # satisfies the group clustering; a second exchange would mean the
+    # groupBy re-shuffled, and zero would mean AQE got to coalesce the
+    # kernel stage near-serial again (the 181 s viewshed pathology).
+    from engine import terrain
+
+    tiles = spark.range(0, 16, 1, 4).select(
+        F.pmod(F.col("id"), 4).alias("tx"),
+        (F.col("id") / 4).cast("long").alias("ty"),
+    ).select(
+        "tx", "ty",
+        F.array_repeat(F.lit(5).cast("long"), 64).alias("counts"),
+    )
+    p = formatted(terrain.distance_transform(tiles, 8, radius=4))
+    print("\n## halo exchange (EDT; shared _halo_apply shape)")
+    if args.full:
+        print(p)
+    ok &= check("halo", p,
+                must=["FlatMapGroupsInPandas", "Generate"],
+                must_not=["SortMergeJoin", "CartesianProduct",
+                          "BatchEvalPython"])
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} "
+          "(expect 1: the pinned key repartition, reused by the group)")
+    ok &= n_shuffles == 1
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
