@@ -210,6 +210,185 @@ def dwell_episodes(
     return eps
 
 
+def _sector8(dlon: Column, dlat: Column) -> Column:
+    """45-degree direction sector 0..7 counterclockwise from east (0 = [0,45),
+    1 = [45,90), ...): quadrant signs + |dlat| vs |dlon| dominance, half-open
+    at each boundary exactly like floor(theta/45). Pure comparisons on the
+    raw double deltas — no trig, so the classification is bit-identical
+    cross-engine. NULL for zero displacement. The WHEN chain order is pinned;
+    kinematics_sql replays it verbatim."""
+    return (
+        F.when((dlon > 0) & (dlat >= 0) & (dlat < dlon), 0)
+        .when((dlon > 0) & (dlat > 0) & (dlat >= dlon), 1)
+        .when((dlon <= 0) & (dlat > 0) & (-dlon < dlat), 2)
+        .when((dlon < 0) & (dlat > 0) & (dlat <= -dlon), 3)
+        .when((dlon < 0) & (dlat <= 0) & (-dlat < -dlon), 4)
+        .when((dlon < 0) & (dlat < 0) & (-dlat >= -dlon), 5)
+        .when((dlon >= 0) & (dlat < 0) & (dlon < -dlat), 6)
+        .when((dlon > 0) & (dlat < 0) & (dlon >= -dlat), 7)
+    )
+
+
+def _fdiv_col(num: Column, den: Column) -> Column:
+    """floor(num / den) exactly for int64 num of any sign, POSITIVE int64 den
+    (pmod is the nonnegative remainder). Column-denominator twin of
+    warp._floor_div."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def kinematics(
+    df: DataFrame,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-fix motion derivatives over (entity, ts, lon, lat) streams — the
+    feature columns every movement classifier / anomaly filter wants, exact
+    integer end to end:
+
+    - dt_us: micros since the previous fix (NULL on each entity's first fix)
+    - leg_mm: geodesic displacement since the previous fix, FLOOR-scaled to
+      integer millimeters (the trip_segments discipline — haversine_m's
+      expression-order-pinned twin, then one FLOOR, so no raw double is
+      summed or compared downstream)
+    - speed_mmps: floor(leg_mm * 1e6 / dt_us) — integer mm/s derived from
+      the already-exact leg_mm by int64 floor division (NULL when dt_us = 0:
+      a duplicate-timestamp fix has no defined speed)
+    - accel_mmps2: floor((speed_mmps - prev_speed_mmps) * 1e6 / dt_us) —
+      integer mm/s^2, signed floor division (NULL when either speed is NULL)
+    - sector: 45-degree direction sector 0..7 counterclockwise from east
+      (_sector8 — comparisons only, no atan2; NULL for zero displacement)
+
+    One hash partition by entity + in-partition sort (the trajectory family's
+    single-shuffle layout); everything else is whole-stage-codegen Column
+    math. DuckDB twin: kinematics_sql (hash-exact — every emitted value is
+    int64 or a pinned comparison).
+
+    Reference provenance: no reference analog; extends the trajectory family
+    (trip_segments/dwell_episodes, SURVEY.md section 2 additions) with the
+    per-fix derivative layer those operators aggregate away."""
+    pts = _with_legs(df, id_col, ts_col, lon_col, lat_col)
+    dt = (F.col("_ts") - F.col("_pts")).alias("dt_us")
+    leg_mm = F.when(
+        F.col("_pts").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.floor(
+            haversine_m(
+                F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+            )
+            * 1000.0
+        ).cast("long")
+    )
+    staged = pts.select(
+        "_id", "_ts", "_lon", "_lat",
+        dt, leg_mm.alias("leg_mm"),
+        _sector8(
+            F.col("_lon") - F.col("_plon"), F.col("_lat") - F.col("_plat")
+        ).alias("sector"),
+    ).withColumn(
+        "speed_mmps",
+        F.when(
+            F.col("dt_us").isNotNull() & (F.col("dt_us") > 0),
+            _fdiv_col(F.col("leg_mm") * F.lit(1_000_000), F.col("dt_us")),
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_ts", "_lon", "_lat")
+    prev_speed = F.lag("speed_mmps").over(w)
+    return staged.withColumn(
+        "accel_mmps2",
+        F.when(
+            F.col("speed_mmps").isNotNull()
+            & prev_speed.isNotNull()
+            & (F.col("dt_us") > 0),
+            _fdiv_col(
+                (F.col("speed_mmps") - prev_speed) * F.lit(1_000_000),
+                F.col("dt_us"),
+            ),
+        ),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_ts").alias(ts_col),
+        "dt_us", "leg_mm", "speed_mmps", "accel_mmps2", "sector",
+    )
+
+
+def kinematics_sql(
+    table: str,
+    id_expr: str,
+    ts_expr: str,
+    lon_expr: str,
+    lat_expr: str,
+    out_id: str = "entity_id",
+    out_ts: str = "ts_us",
+) -> str:
+    """DuckDB twin of kinematics: identical window order (ts, lon, lat),
+    identical haversine op order, identical FLOOR-to-mm scaling, identical
+    pmod floor divisions, identical _sector8 CASE order."""
+    from .joins import haversine_m_sql
+
+    hav = haversine_m_sql("_plon", "_plat", "_lon", "_lat")
+
+    def fdiv(num: str, den: str) -> str:
+        rem = f"((({num}) % ({den}) + ({den})) % ({den}))"
+        return f"CAST((({num}) - {rem}) / ({den}) AS BIGINT)"
+
+    sector = """
+        CASE
+          WHEN _dlon > 0 AND _dlat >= 0 AND _dlat < _dlon THEN 0
+          WHEN _dlon > 0 AND _dlat > 0 AND _dlat >= _dlon THEN 1
+          WHEN _dlon <= 0 AND _dlat > 0 AND -_dlon < _dlat THEN 2
+          WHEN _dlon < 0 AND _dlat > 0 AND _dlat <= -_dlon THEN 3
+          WHEN _dlon < 0 AND _dlat <= 0 AND -_dlat < -_dlon THEN 4
+          WHEN _dlon < 0 AND _dlat < 0 AND -_dlat >= -_dlon THEN 5
+          WHEN _dlon >= 0 AND _dlat < 0 AND _dlon < -_dlat THEN 6
+          WHEN _dlon > 0 AND _dlat < 0 AND _dlon >= -_dlat THEN 7
+        END
+    """
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT {id_expr} AS _id, CAST({ts_expr} AS BIGINT) AS _ts,
+                 CAST({lon_expr} AS DOUBLE) AS _lon,
+                 CAST({lat_expr} AS DOUBLE) AS _lat
+          FROM {table}
+        ), lagged AS (
+          SELECT *,
+                 LAG(_ts)  OVER w AS _pts,
+                 LAG(_lon) OVER w AS _plon,
+                 LAG(_lat) OVER w AS _plat
+          FROM pts
+          WINDOW w AS (PARTITION BY _id ORDER BY _ts, _lon, _lat)
+        ), legs AS (
+          SELECT _id, _ts, _lon, _lat,
+                 _ts - _pts AS dt_us,
+                 CASE WHEN _pts IS NULL THEN NULL
+                      ELSE CAST(FLOOR(({hav}) * 1000.0) AS BIGINT)
+                 END AS leg_mm,
+                 _lon - _plon AS _dlon,
+                 _lat - _plat AS _dlat
+          FROM lagged
+        ), sped AS (
+          SELECT _id, _ts, _lon, _lat, dt_us, leg_mm,
+                 CASE WHEN dt_us IS NOT NULL AND dt_us > 0
+                      THEN {fdiv('leg_mm * 1000000', 'dt_us')}
+                 END AS speed_mmps,
+                 CASE WHEN _dlon IS NULL THEN NULL ELSE ({sector}) END
+                   AS sector
+          FROM legs
+        )
+        SELECT _id AS {out_id}, _ts AS {out_ts}, dt_us, leg_mm, speed_mmps,
+               CASE WHEN speed_mmps IS NOT NULL
+                         AND LAG(speed_mmps) OVER w IS NOT NULL
+                         AND dt_us > 0
+                    THEN {fdiv('(speed_mmps - (LAG(speed_mmps) OVER w)) * 1000000',
+                               'dt_us')}
+               END AS accel_mmps2,
+               CAST(sector AS INT) AS sector
+        FROM sped
+        WINDOW w AS (PARTITION BY _id ORDER BY _ts, _lon, _lat)
+    """
+
+
 _COLOC_FWD = [
     (db, dcx, dcy)
     for db in (0, 1)

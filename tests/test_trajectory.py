@@ -391,3 +391,150 @@ def test_resample_validation(spark):
     )
     with pytest.raises(ValueError):
         trajectory.resample_fixes(df, interval_us=0)
+
+
+# ---------------------------------------------------------------------------
+# kinematics (per-fix speed / acceleration / direction sector)
+# ---------------------------------------------------------------------------
+def _py_sector(dlon, dlat):
+    if dlon > 0 and dlat >= 0 and dlat < dlon:
+        return 0
+    if dlon > 0 and dlat > 0 and dlat >= dlon:
+        return 1
+    if dlon <= 0 and dlat > 0 and -dlon < dlat:
+        return 2
+    if dlon < 0 and dlat > 0 and dlat <= -dlon:
+        return 3
+    if dlon < 0 and dlat <= 0 and -dlat < -dlon:
+        return 4
+    if dlon < 0 and dlat < 0 and -dlat >= -dlon:
+        return 5
+    if dlon >= 0 and dlat < 0 and dlon < -dlat:
+        return 6
+    if dlon > 0 and dlat < 0 and dlon >= -dlat:
+        return 7
+    return None  # zero displacement
+
+
+def _py_kinematics(rows):
+    """rows: (id, ts, lon, lat) -> {(id, ts): (dt, leg_mm, speed, accel, sector)}
+    (test rows keep (id, ts) unique so the key is unambiguous)."""
+    by_id = {}
+    for eid, ts, lon, lat in rows:
+        by_id.setdefault(eid, []).append((ts, lon, lat))
+    out = {}
+    for eid, pts in by_id.items():
+        pts.sort()
+        prev = None
+        prev_speed = None
+        for ts, lon, lat in pts:
+            if prev is None:
+                out[(eid, ts)] = (None, None, None, None, None)
+                prev, prev_speed = (ts, lon, lat), None
+                continue
+            dt = ts - prev[0]
+            leg = math.floor(_hav_m(prev[1], prev[2], lon, lat) * 1000)
+            speed = (leg * 1_000_000) // dt if dt > 0 else None
+            accel = (
+                ((speed - prev_speed) * 1_000_000) // dt
+                if speed is not None and prev_speed is not None and dt > 0
+                else None
+            )
+            sector = _py_sector(lon - prev[1], lat - prev[2])
+            out[(eid, ts)] = (dt, leg, speed, accel, sector)
+            prev, prev_speed = (ts, lon, lat), speed
+    return out
+
+
+def test_kinematics_matches_python_oracle(spark):
+    rng = random.Random(33)
+    rows = _mk_rows(rng)
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    ).repartition(7)
+    got = {
+        (r["entity_id"], r["ts_us"]): (
+            r["dt_us"], r["leg_mm"], r["speed_mmps"], r["accel_mmps2"],
+            r["sector"],
+        )
+        for r in trajectory.kinematics(df).collect()
+    }
+    assert got == _py_kinematics(rows)
+
+
+def test_kinematics_edges(spark):
+    """First fix all-NULL derivatives; zero displacement -> NULL sector with
+    speed 0; pure-axis moves hit the documented half-open sectors."""
+    rows = [
+        (1, 1000, 10.0, 20.0),   # first fix
+        (1, 2000, 10.0, 20.0),   # no move: speed 0, sector NULL
+        (1, 3000, 11.0, 20.0),   # due east -> sector 0
+        (1, 4000, 11.0, 21.0),   # due north -> sector 2
+        (1, 5000, 10.0, 21.0),   # due west -> sector 4
+        (1, 6000, 10.0, 20.0),   # due south -> sector 6
+        (1, 7000, 11.0, 21.0),   # exact NE diagonal -> sector 1
+        (1, 8000, 10.0, 20.0),   # exact SW diagonal -> sector 5
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    got = {r["ts_us"]: r for r in trajectory.kinematics(df).collect()}
+    assert got[1000]["dt_us"] is None and got[1000]["sector"] is None
+    assert got[2000]["leg_mm"] == 0 and got[2000]["speed_mmps"] == 0
+    assert got[2000]["sector"] is None
+    assert [got[t]["sector"] for t in (3000, 4000, 5000, 6000, 7000, 8000)] \
+        == [0, 2, 4, 6, 1, 5]
+    # accel defined from the third fix on (needs two speeds)
+    assert got[2000]["accel_mmps2"] is None
+    assert got[3000]["accel_mmps2"] is not None
+
+
+def test_kinematics_dup_ts_null_speed(spark):
+    """dt = 0 (duplicate timestamp, lon/lat tie-broken order): speed and the
+    following accel are NULL, never a division blowup."""
+    rows = [
+        (1, 1000, 10.0, 20.0),
+        (1, 2000, 10.1, 20.0),
+        (1, 2000, 10.2, 20.0),  # dup ts
+        (1, 3000, 10.3, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    out = trajectory.kinematics(df).orderBy("ts_us", "lon").collect()
+    dup = [r for r in out if r["ts_us"] == 2000 and r["dt_us"] == 0]
+    assert len(dup) == 1 and dup[0]["speed_mmps"] is None
+    assert dup[0]["accel_mmps2"] is None
+    # the fix after the dup has a speed but no accel (prev speed is NULL)
+    last = [r for r in out if r["ts_us"] == 3000][0]
+    assert last["speed_mmps"] is not None and last["accel_mmps2"] is None
+
+
+def test_kinematics_sql_twin_matches(spark):
+    import duckdb
+
+    rng = random.Random(44)
+    rows = _mk_rows(rng, n_entities=4, n_points=60)
+    # inject dup-ts and zero-move edges into the twin comparison too
+    rows += [(99, 1000, 5.0, 5.0), (99, 1000, 5.5, 5.0), (99, 2000, 5.5, 5.0)]
+    df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, lon double, lat double"
+    )
+    got = {
+        (r["entity_id"], r["ts_us"], r["leg_mm"]): (
+            r["dt_us"], r["speed_mmps"], r["accel_mmps2"], r["sector"]
+        )
+        for r in trajectory.kinematics(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fixes(entity_id BIGINT, ts_us BIGINT, lon DOUBLE, lat DOUBLE)"
+    )
+    con.executemany("INSERT INTO fixes VALUES (?, ?, ?, ?)", rows)
+    want = {
+        (r[0], r[1], r[3]): (r[2], r[4], r[5], r[6])
+        for r in con.execute(trajectory.kinematics_sql(
+            "fixes", "entity_id", "ts_us", "lon", "lat"
+        )).fetchall()
+    }
+    assert got == want

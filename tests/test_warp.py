@@ -173,3 +173,134 @@ def test_duckdb_twin(spark):
                 ).fetchall()
             }
             assert got == want, (method, coeffs, den)
+
+
+# ---------------------------------------------------------------------------
+# sample_at_points (raster value extraction at vector points)
+# ---------------------------------------------------------------------------
+def _py_sample(tiles, res, pts, den, method):
+    """Brute-force oracle: exact integer probe/weight algebra per point."""
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            if n:
+                cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for pid, xn, yn in pts:
+        if method == "nearest":
+            gx = (2 * xn + den) // (2 * den)
+            gy = (2 * yn + den) // (2 * den)
+            out[pid] = cells.get((gx, gy), 0)
+        else:
+            gx0, fx = xn // den, xn % den
+            gy0, fy = yn // den, yn % den
+            v = 0
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    w = (fx if dx else den - fx) * (fy if dy else den - fy)
+                    v += w * cells.get((gx0 + dx, gy0 + dy), 0)
+            out[pid] = v
+    return out
+
+
+def _mk_pts_df(spark, pts):
+    return spark.createDataFrame(pts, "pid long, xn long, yn long")
+
+
+@pytest.mark.parametrize("method", ["bilinear", "nearest"])
+@pytest.mark.parametrize("den", [1, 2, 7])
+def test_sample_matches_python_oracle(spark, method, den):
+    rng = random.Random(hash((method, den)) & 0xFFFF)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6)
+    # points spanning inside, on-lattice, tile seams, negatives and far
+    # outside the raster (must sample 0, one row each)
+    pts = [
+        (i, rng.randint(-4 * res * den, 4 * res * den),
+         rng.randint(-4 * res * den, 4 * res * den))
+        for i in range(200)
+    ]
+    pts += [(200, 10**7 * den, 10**7 * den), (201, 0, 0)]
+    got = {
+        r["pid"]: r["val_num"]
+        for r in warp.sample_at_points(
+            _mk_pts_df(spark, pts).repartition(5), _mk_df(spark, tiles),
+            res, den=den, method=method,
+        ).collect()
+    }
+    want = _py_sample(tiles, res, pts, den, method)
+    assert got == want
+
+
+def test_sample_bilinear_on_lattice_equals_nearest(spark):
+    """Integer pixel coordinates: bilinear degenerates to the cell value
+    scaled by den^2, and only ONE probe survives the zero-weight filter."""
+    rng = random.Random(4)
+    res = 4
+    tiles = _rand_tiles(rng, res, 4, density=1.0)
+    den = 5
+    pts = [(i, den * rng.randint(-2, 2 * res), den * rng.randint(-2, 2 * res))
+           for i in range(50)]
+    pdf = _mk_pts_df(spark, pts)
+    tdf = _mk_df(spark, tiles)
+    bil = {r["pid"]: r["val_num"] for r in warp.sample_at_points(
+        pdf, tdf, res, den=den, method="bilinear").collect()}
+    near = {r["pid"]: r["val_num"] for r in warp.sample_at_points(
+        pdf, tdf, res, den=den, method="nearest").collect()}
+    assert bil == {pid: v * den * den for pid, v in near.items()}
+
+
+def test_sample_bilinear_reproduces_linear_ramp(spark):
+    """Exactness on a ramp z = 2x + 3y + 7: the den^2-scaled bilinear value
+    at (xn/den, yn/den) equals den*(2*xn + 3*yn) + 7*den^2 wherever all four
+    neighbors exist."""
+    res = 8
+    grid = {}
+    for tx in range(2):
+        for ty in range(2):
+            grid[(tx, ty)] = [
+                2 * (tx * res + pix % res) + 3 * (ty * res + pix // res) + 7
+                for pix in range(res * res)
+            ]
+    den = 4
+    rng = random.Random(9)
+    pts = [
+        (i, rng.randint(0, (2 * res - 2) * den), rng.randint(0, (2 * res - 2) * den))
+        for i in range(100)
+    ]
+    got = {r["pid"]: r["val_num"] for r in warp.sample_at_points(
+        _mk_pts_df(spark, pts), _mk_df(spark, grid), res, den=den).collect()}
+    for pid, xn, yn in pts:
+        assert got[pid] == den * (2 * xn + 3 * yn) + 7 * den * den, pid
+
+
+def test_sample_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(11)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6)
+    den = 3
+    pts = [
+        (i, rng.randint(-2 * res * den, 4 * res * den),
+         rng.randint(-2 * res * den, 4 * res * den))
+        for i in range(150)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    con.execute("CREATE TABLE pts(pid BIGINT, xn BIGINT, yn BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+    for method in ("bilinear", "nearest"):
+        got = {r["pid"]: r["val_num"] for r in warp.sample_at_points(
+            _mk_pts_df(spark, pts), _mk_df(spark, tiles), res,
+            den=den, method=method,
+        ).collect()}
+        want = dict(con.execute(warp.sample_at_points_sql(
+            "SELECT pid, xn, yn FROM pts", "tiles", res,
+            den=den, method=method,
+        )).fetchall())
+        assert got == want, method
