@@ -282,3 +282,142 @@ def heatmap_tiles_sql(
                n_points, max_count
         FROM tiles
     """
+
+
+def local_algebra(
+    rasters: list[DataFrame],
+    expr,
+    res: int = 16,
+) -> DataFrame:
+    """Map algebra, local operation (the Raster Calculator analog): apply an
+    arbitrary per-cell integer Column expression across k ALIGNED tile
+    rasters (each (tx, ty, counts: array<long>), same grid). The engine owns
+    alignment: tiles are FULL-OUTER joined on the tile key with absent tiles
+    zero-filled (the family's padding), then `expr` — a callable taking k
+    per-cell Columns and returning one integer Column — folds the k dense
+    arrays into the output cell value via one zip_with chain. No UDF, no
+    shuffle beyond the k-way join on the tile key (co-partitioned by AQE);
+    cell arithmetic stays inside whole-stage codegen.
+
+    expr examples: lambda a, b: a - b (change detection);
+    lambda a, b: F.when(b > 0, a).otherwise(0) (masking);
+    lambda a: a * 2 + 1 (unary rescale).
+
+    Exactness contract: the caller's expr should keep values int64 (the
+    family discipline — FLOOR-scale any ratio); the result column is cast to
+    long. DuckDB twin: per-expression, via list_transform over zipped lists
+    (see tests/test_raster.py::test_local_algebra_duckdb_twin for the
+    pattern).
+
+    Reference provenance: no reference analog; completes the raster family's
+    local-op axis (focal = neighborhood, zonal = region, local = per-cell).
+    """
+    if not rasters:
+        raise ValueError("local_algebra needs at least one raster")
+    k = len(rasters)
+    zeros = F.array_repeat(F.lit(0).cast("long"), res * res)
+    joined = rasters[0].select(
+        "tx", "ty", F.col("counts").alias("_c0")
+    )
+    for i, r in enumerate(rasters[1:], start=1):
+        joined = joined.join(
+            r.select("tx", "ty", F.col("counts").alias(f"_c{i}")),
+            ["tx", "ty"], "full_outer",
+        )
+    cols = [F.coalesce(F.col(f"_c{i}"), zeros) for i in range(k)]
+    if k == 1:
+        out = F.transform(cols[0], lambda a: expr(a).cast("long"))
+    else:
+        # fold pairwise: zip the first two into structs of accumulated
+        # operands, then apply expr at the end — for the common k<=3 case
+        # just nest zip_with directly
+        if k == 2:
+            out = F.zip_with(
+                cols[0], cols[1], lambda a, b: expr(a, b).cast("long")
+            )
+        elif k == 3:
+            pair = F.zip_with(
+                cols[0], cols[1], lambda a, b: F.struct(
+                    a.alias("a"), b.alias("b")
+                )
+            )
+            out = F.zip_with(
+                pair, cols[2],
+                lambda p, c: expr(p["a"], p["b"], c).cast("long"),
+            )
+        else:
+            raise ValueError(
+                "local_algebra supports 1-3 rasters per call; compose calls "
+                "for wider expressions"
+            )
+    return joined.select("tx", "ty", out.alias("counts"))
+
+
+def zonal_crosstab(
+    zones: DataFrame,
+    values: DataFrame,
+    res: int = 16,
+) -> DataFrame:
+    """Cross-tabulate two aligned tile rasters (the ESRI Combine / Tabulate
+    Area analog): for every (zone_class, value_class) pair that co-occurs at
+    a cell, report how many cells carry it and the summed value mass.
+    `zones` holds integer class labels per cell (0 = nodata, skipped);
+    `values` holds integer cell values (all cells of a zone counted,
+    including zero-valued ones, so zone areas are faithful).
+
+    Returns (zone, value, n_cells, value_sum) — value here is the VALUE
+    RASTER'S CLASS (distinct cell value), the Combine semantics; value_sum
+    = value * n_cells is emitted for the Tabulate-Area-style mass reading.
+
+    Plan: both rasters sparse-explode (zones filter label != 0, values keep
+    zeros via the dense side of the join), ONE (gx, gy) equi-join, one
+    map-side-combined hash agg on (zone, value). Output cardinality is
+    bounded by distinct zone x value classes — tiny next to the cell count.
+    DuckDB twin: zonal_crosstab_sql (hash-exact, all int64)."""
+    z = (
+        zones.select("tx", "ty", F.posexplode("counts").alias("pix", "zone"))
+        .filter(F.col("zone") != 0)
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+            .alias("gy"),
+            F.col("zone").cast("long").alias("zone"),
+        )
+    )
+    v = values.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "value")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+        .alias("gy"),
+        F.col("value").cast("long").alias("value"),
+    )
+    return (
+        z.join(v, ["gx", "gy"])
+        .groupBy("zone", "value")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+
+
+def zonal_crosstab_sql(zones_table: str, values_table: str, res: int) -> str:
+    """DuckDB twin of zonal_crosstab — identical explode/filter/join/agg."""
+    def cells(table: str, col: str, skip_zero: bool) -> str:
+        where = f"WHERE counts[i + 1] <> 0" if skip_zero else ""
+        return f"""
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 CAST(counts[i + 1] AS BIGINT) AS {col}
+          FROM {table}, range(0, {res * res}) t(i) {where}
+        """
+
+    return f"""
+        WITH z AS ({cells(zones_table, "zone", True)}),
+             v AS ({cells(values_table, "value", False)})
+        SELECT z.zone, v.value, COUNT(*)::BIGINT AS n_cells,
+               SUM(v.value)::BIGINT AS value_sum
+        FROM z JOIN v USING (gx, gy)
+        GROUP BY 1, 2
+    """

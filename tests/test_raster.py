@@ -286,3 +286,132 @@ def test_regions_validation(spark):
     df = _mk_tiles(spark, {(0, 0): [1] * 16})
     with pytest.raises(ValueError):
         raster.raster_regions(df, 4, connectivity=6)
+
+
+# ---------------------------------------------------------------------------
+# local_algebra (raster calculator) + zonal_crosstab (combine/tabulate area)
+# ---------------------------------------------------------------------------
+def _rand_tile_map(rng, res, keys, lo=0, hi=9):
+    return {k: [rng.randint(lo, hi) for _ in range(res * res)] for k in keys}
+
+
+def _tiles_df(spark, tiles):
+    return spark.createDataFrame(
+        [(tx, ty, g) for (tx, ty), g in tiles.items()],
+        "tx long, ty long, counts array<long>",
+    )
+
+
+def test_local_algebra_matches_python(spark):
+    rng = random.Random(5)
+    res = 6
+    keys_a = {(0, 0), (0, 1), (1, 0), (2, 2)}
+    keys_b = {(0, 0), (1, 0), (1, 1)}  # partial overlap: zero-fill both ways
+    a = _rand_tile_map(rng, res, keys_a)
+    b = _rand_tile_map(rng, res, keys_b)
+    got = {
+        (r["tx"], r["ty"]): list(r["counts"])
+        for r in raster.local_algebra(
+            [_tiles_df(spark, a), _tiles_df(spark, b)],
+            lambda x, y: x - 2 * y,
+            res=res,
+        ).collect()
+    }
+    zeros = [0] * (res * res)
+    want = {}
+    for k in keys_a | keys_b:
+        ga, gb = a.get(k, zeros), b.get(k, zeros)
+        want[k] = [x - 2 * y for x, y in zip(ga, gb)]
+    assert got == want
+
+
+def test_local_algebra_unary_and_ternary(spark):
+    rng = random.Random(6)
+    res = 4
+    a = _rand_tile_map(rng, res, {(0, 0), (1, 1)})
+    b = _rand_tile_map(rng, res, {(0, 0)})
+    c = _rand_tile_map(rng, res, {(1, 1)})
+    dfa, dfb, dfc = (_tiles_df(spark, t) for t in (a, b, c))
+    un = {
+        (r["tx"], r["ty"]): list(r["counts"])
+        for r in raster.local_algebra([dfa], lambda x: x * 3 + 1, res=res)
+        .collect()
+    }
+    assert un == {k: [v * 3 + 1 for v in g] for k, g in a.items()}
+    zeros = [0] * (res * res)
+    ter = {
+        (r["tx"], r["ty"]): list(r["counts"])
+        for r in raster.local_algebra(
+            [dfa, dfb, dfc],
+            lambda x, y, z: F.when(z > 0, x + y).otherwise(x - y),
+            res=res,
+        ).collect()
+    }
+    want = {}
+    for k in set(a) | set(b) | set(c):
+        ga, gb, gc = a.get(k, zeros), b.get(k, zeros), c.get(k, zeros)
+        want[k] = [
+            (x + y) if z > 0 else (x - y) for x, y, z in zip(ga, gb, gc)
+        ]
+    assert ter == want
+    with pytest.raises(ValueError):
+        raster.local_algebra([], lambda x: x, res=res)
+    with pytest.raises(ValueError):
+        raster.local_algebra([dfa] * 4, lambda *xs: xs[0], res=res)
+
+
+def test_zonal_crosstab_matches_python(spark):
+    rng = random.Random(7)
+    res = 6
+    keys = {(0, 0), (0, 1), (1, 0)}
+    zones = _rand_tile_map(rng, res, keys, lo=0, hi=3)   # 0 = nodata
+    values = _rand_tile_map(rng, res, keys | {(5, 5)}, lo=0, hi=4)
+    got = {
+        (r["zone"], r["value"]): (r["n_cells"], r["value_sum"])
+        for r in raster.zonal_crosstab(
+            _tiles_df(spark, zones), _tiles_df(spark, values), res=res
+        ).collect()
+    }
+    want = {}
+    for k in keys:
+        for pix in range(res * res):
+            z = zones[k][pix]
+            if z == 0:
+                continue
+            v = values[k][pix]
+            n, s = want.get((z, v), (0, 0))
+            want[(z, v)] = (n + 1, s + v)
+    assert got == want
+    # zone cells with no value tile counterpart don't appear; value-only
+    # tiles ((5,5)) contribute nothing
+    assert all(z != 0 for z, _ in got)
+
+
+def test_zonal_crosstab_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(8)
+    res = 5
+    keys = {(0, 0), (2, 1), (-1, 3)}
+    zones = _rand_tile_map(rng, res, keys, lo=0, hi=2)
+    values = _rand_tile_map(rng, res, keys, lo=0, hi=5)
+    con = duckdb.connect()
+    for name, tiles in (("zt", zones), ("vt", values)):
+        con.execute(f"CREATE TABLE {name}(tx BIGINT, ty BIGINT, counts BIGINT[])")
+        con.executemany(
+            f"INSERT INTO {name} VALUES (?, ?, ?)",
+            [(tx, ty, g) for (tx, ty), g in tiles.items()],
+        )
+    got = {
+        (r["zone"], r["value"]): (r["n_cells"], r["value_sum"])
+        for r in raster.zonal_crosstab(
+            _tiles_df(spark, zones), _tiles_df(spark, values), res=res
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            raster.zonal_crosstab_sql("zt", "vt", res)
+        ).fetchall()
+    }
+    assert got == want

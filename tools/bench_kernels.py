@@ -710,6 +710,22 @@ def part_traj() -> None:
     wall = time.time() - t0
     out["dwells"] = {"wall_s": round(wall, 2), "episodes": n_eps,
                      "fixes_per_sec": round(n / wall)}
+    t0 = time.time()
+    kin = trajectory.kinematics(fixes)
+    kagg = kin.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("speed_mmps").isNull().cast("long")).alias("null_speed"),
+        F.sum((F.col("speed_mmps") < 0).cast("long")).alias("neg_speed"),
+        F.sum("speed_mmps").alias("speed_sum"),
+        F.countDistinct("sector").alias("sectors"),
+    ).collect()[0]
+    wall = time.time() - t0
+    # strictly increasing per-entity ts -> speed defined everywhere except
+    # each entity's first fix; floor-div speeds are never negative
+    assert kagg["rows"] == n and kagg["null_speed"] == n_ent
+    assert kagg["neg_speed"] == 0 and kagg["sectors"] == 8
+    out["kinematics"] = {"wall_s": round(wall, 2), "fixes": n,
+                         "fixes_per_sec": round(n / wall)}
     fixes.unpersist()
     spark.stop()
     print(_json.dumps(out))
@@ -1942,6 +1958,77 @@ def part_warp() -> None:
     print(_json.dumps(out))
 
 
+def part_sample() -> None:
+    """Raster point sampling at scale, local[32]: 16M rational points (den=4)
+    against the 4096^2 dense ramp z = 3x + 5y (16.8M cells). Points are kept
+    in the all-4-neighbors interior, so bilinear has the closed form
+    val_num = den*(3*xn + 5*yn) at EVERY point — all 16M sampled values are
+    asserted exactly. Nearest timed on the same input (1 probe per point);
+    its closed form rounds each coordinate half-up."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import warp
+
+    out = {}
+    spark = _spark("bench-sample")
+    res = 64
+    side = int(os.environ.get("TERRAIN_BENCH_TILES", "64"))
+    w = side * res
+    den = 4
+    n = int(os.environ.get("SAMPLE_BENCH_ROWS", "16000000"))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+    # deterministic pseudo-random interior numerators: xn, yn in
+    # [0, (w-1)*den - 1] so all 4 bilinear neighbors exist for every point
+    m = (w - 1) * den
+    pts = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), m).alias("xn"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), m).alias("yn"),
+    ).persist()
+    pts.count()
+
+    def closed_form(method):
+        if method == "bilinear":
+            return den * (3 * F.col("xn") + 5 * F.col("yn"))
+        # nearest: half-up rounded lattice cell, value 3*gx' + 5*gy'
+        gx = F.floor((2 * F.col("xn") + den) / (2 * den)).cast("long")
+        gy = F.floor((2 * F.col("yn") + den) / (2 * den)).cast("long")
+        return 3 * gx + 5 * gy
+
+    for method in ("bilinear", "nearest"):
+        t0 = time.time()
+        got = warp.sample_at_points(pts, tiles, res, den=den, method=method)
+        agg = got.join(pts, "pid").agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                (F.col("val_num") == closed_form(method)).cast("long")
+            ).alias("ok"),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert agg["rows"] == n and agg["ok"] == n, (method, agg)
+        out[method] = {
+            "points": n, "raster_cells": w * w, "wall_s": round(wall, 2),
+            "points_per_sec": round(n / wall),
+        }
+    pts.unpersist()
+    tiles.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_morph() -> None:
     """Morphology at raster scale, local[32]: the 4096^2 plane z = 3x + 5y
     again — closed forms: r=1 erosion takes each interior pixel to its SW
@@ -2579,6 +2666,7 @@ if __name__ == "__main__":
         "dbscan": part_dbscan,
         "terrain": part_terrain,
         "warp": part_warp,
+        "sample": part_sample,
         "morph": part_morph,
         "traj": part_traj,
         "focal": part_focal,
