@@ -616,3 +616,164 @@ def streaming_geofence(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+KIN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("dt_us", T.LongType(), True),
+        T.StructField("leg_mm", T.LongType(), True),
+        T.StructField("speed_mmps", T.LongType(), True),
+        T.StructField("accel_mmps2", T.LongType(), True),
+        T.StructField("sector", T.IntegerType(), True),
+    ]
+)
+
+_KIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_lat", T.DoubleType()),
+        T.StructField("last_speed", T.LongType()),  # -1 encodes NULL
+    ]
+)
+
+
+def streaming_kinematics(
+    stream: DataFrame,
+    key: str = "entity_id",
+    ts: str = "event_time",
+    lon: str = "lon",
+    lat: str = "lat",
+    watermark: str = "30 minutes",
+    expire_minutes: float = 120.0,
+):
+    """Streaming twin of engine.trajectory.kinematics: per-fix dt/leg_mm/
+    speed/accel/direction-sector rows emitted as each fix arrives, derived
+    from four scalars of per-entity state (last ts/lon/lat/speed). All
+    arithmetic is the batch twin's exactly — FLOOR-mm haversine legs
+    (math.* is the same libm), integer floor-division speeds/accels, the
+    pinned comparison-only sector CASE — so emitted rows are bit-identical
+    to batch across arbitrary micro-batch splits (asserted in tests).
+
+    State GC: expiry is EVENT-TIME-DEFINED, not batch-schedule-defined — a
+    fix arriving more than `expire_minutes` after its predecessor restarts
+    the entity with NULL derivatives (checked inline at fold time, so the
+    semantics hold even when the fix lands in the same micro-batch the
+    timeout would have fired in), and an entity idle past the expiry with NO
+    further data has its state removed by the event-time timeout (pure GC,
+    no emission). This is the documented divergence-from-batch for gaps
+    longer than the expiry (the geofence 'stale, not departed' discipline);
+    within the expiry, parity is exact.
+    In-batch disorder is sorted before folding; a cross-batch late fix
+    (still inside the watermark) computes its derivatives against the
+    latest folded fix rather than its true predecessor — widen the source
+    ordering guarantee if that matters."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .joins import _DEG2RAD_F, EARTH_RADIUS_M
+
+    expire_ms = int(expire_minutes * 60_000)
+    expire_us = int(expire_minutes * 60_000_000)
+
+    def hav_mm(lon1, lat1, lon2, lat2) -> int:
+        dphi = (lat2 - lat1) * _DEG2RAD_F
+        dlam = (lon2 - lon1) * _DEG2RAD_F
+        a = (
+            math.sin(dphi / 2.0) * math.sin(dphi / 2.0)
+            + math.cos(lat1 * _DEG2RAD_F)
+            * math.cos(lat2 * _DEG2RAD_F)
+            * math.sin(dlam / 2.0)
+            * math.sin(dlam / 2.0)
+        )
+        return int(
+            math.floor(2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a)) * 1000.0)
+        )
+
+    def sector8(dlon: float, dlat: float):
+        if dlon > 0 and dlat >= 0 and dlat < dlon:
+            return 0
+        if dlon > 0 and dlat > 0 and dlat >= dlon:
+            return 1
+        if dlon <= 0 and dlat > 0 and -dlon < dlat:
+            return 2
+        if dlon < 0 and dlat > 0 and dlat <= -dlon:
+            return 3
+        if dlon < 0 and dlat <= 0 and -dlat < -dlon:
+            return 4
+        if dlon < 0 and dlat < 0 and -dlat >= -dlon:
+            return 5
+        if dlon >= 0 and dlat < 0 and dlon < -dlat:
+            return 6
+        if dlon > 0 and dlat < 0 and dlon >= -dlat:
+            return 7
+        return None  # zero displacement
+
+    def fn(key_t, pdfs, state: GroupState):
+        import pandas as pd
+
+        eid = key_t[0]
+        if state.hasTimedOut:
+            # GC only: kinematics has no pending output at expiry
+            if state.exists:
+                state.remove()
+            return
+        fixes = []
+        for pdf in pdfs:
+            t_us = (
+                pdf[ts].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()
+            fixes.extend(zip(t_us, pdf[lon].tolist(), pdf[lat].tolist()))
+        fixes.sort()
+        st = state.get if state.exists else None
+        out = []
+        for t, lo, la in fixes:
+            if st is not None and t - st[0] > expire_us:
+                st = None  # event-time expiry: restart, batch-order-invariant
+            if st is None:
+                out.append((eid, t, None, None, None, None, None))
+                st = (t, lo, la, -1)
+                continue
+            last, plon, plat, pspeed = st
+            dt_us = t - last
+            leg = hav_mm(plon, plat, lo, la)
+            speed = (leg * 1_000_000) // dt_us if dt_us > 0 else None
+            accel = (
+                ((speed - pspeed) * 1_000_000) // dt_us
+                if speed is not None and pspeed >= 0 and dt_us > 0
+                else None
+            )
+            out.append(
+                (eid, t, dt_us, leg, speed, accel, sector8(lo - plon, la - plat))
+            )
+            st = (t, lo, la, speed if speed is not None else -1)
+        state.update(st)
+        state.setTimeoutTimestamp(
+            max(
+                (st[0] + 999) // 1000 + expire_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=KIN_OUT_SCHEMA.names)
+
+    return (
+        stream.selectExpr(
+            f"CAST({key} AS LONG) AS entity_id",
+            f"{ts} AS {ts}",
+            f"CAST({lon} AS DOUBLE) AS {lon}",
+            f"CAST({lat} AS DOUBLE) AS {lat}",
+        )
+        .withWatermark(ts, watermark)
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            fn,
+            KIN_OUT_SCHEMA,
+            _KIN_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -113,3 +113,107 @@ def test_tail_expiry_removes_state_and_numbers_trips(spark, tmp_path):
     assert [r[1] for r in got] == [1, 2]
     assert [r[5] for r in got] == [2, 2]
     assert got == sorted(_batch_trips(spark, t1 + t2), key=lambda r: r[1])
+
+
+# ---------------------------------------------------------------------------
+# streaming_kinematics: batch==streaming parity + state GC
+# ---------------------------------------------------------------------------
+def _run_kin_stream(spark, tmp_path, batches, name="t_kin", **kw):
+    d = str(tmp_path / "kin_in")
+    for rows in batches:
+        spark.createDataFrame(rows, FIX_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    stream = (
+        spark.readStream.schema(FIX_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    kin = streaming.streaming_kinematics(stream, **kw)
+    q = streaming.run_to_memory(kin, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        return {
+            (r["entity_id"], r["ts_us"]): (
+                r["dt_us"], r["leg_mm"], r["speed_mmps"], r["accel_mmps2"],
+                r["sector"],
+            )
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+
+
+def _batch_kin(spark, rows):
+    df = spark.createDataFrame(rows, FIX_SCHEMA).select(
+        "entity_id",
+        F.unix_micros("event_time").alias("ts_us"),
+        "lon",
+        "lat",
+    )
+    return {
+        (r["entity_id"], r["ts_us"]): (
+            r["dt_us"], r["leg_mm"], r["speed_mmps"], r["accel_mmps2"],
+            r["sector"],
+        )
+        for r in trajectory.kinematics(df).collect()
+    }
+
+
+def test_kinematics_batch_parity_across_batches(spark, tmp_path):
+    """Per-fix derivative rows across 4 micro-batch splits equal the batch
+    twin bit-for-bit (integer speeds/accels, comparison sectors)."""
+    rng = random.Random(47)
+    real = []
+    for eid in (1, 2, 3):
+        m = 0.0
+        for _ in range(rng.randint(8, 14)):
+            real.append(
+                _fix(eid, m, rng.uniform(-10, 10), rng.uniform(40, 50))
+            )
+            m += rng.uniform(0.5, 20)
+    real.sort(key=lambda r: r[1])
+    cut1, cut2, cut3 = len(real) // 4, len(real) // 2, 3 * len(real) // 4
+    batches = [real[:cut1], real[cut1:cut2], real[cut2:cut3], real[cut3:]]
+    got = _run_kin_stream(spark, tmp_path, batches)
+    want = _batch_kin(spark, real)
+    assert got == want
+
+
+def test_kinematics_stream_edges(spark, tmp_path):
+    """Zero-move fix (speed 0, sector NULL) and axis/diagonal sectors match
+    batch; first fix emits NULL derivatives."""
+    rows = [
+        _fix(1, 0, 10.0, 20.0),
+        _fix(1, 1, 10.0, 20.0),   # no move
+        _fix(1, 2, 11.0, 20.0),   # east -> 0
+        _fix(1, 3, 11.0, 21.0),   # north -> 2
+        _fix(1, 4, 12.0, 22.0),   # NE diagonal -> 1
+    ]
+    got = _run_kin_stream(spark, tmp_path, [rows[:2], rows[2:]])
+    want = _batch_kin(spark, rows)
+    assert got == want
+    base_us = int(rows[0][1].timestamp() * 1_000_000)
+    assert got[(1, base_us)] == (None, None, None, None, None)
+    assert got[(1, base_us + 60_000_000)][4] is None  # zero-move sector
+    assert [got[(1, base_us + m * 60_000_000)][4] for m in (2, 3, 4)] == [0, 2, 1]
+
+
+def test_kinematics_state_expiry_restarts(spark, tmp_path):
+    """An entity idle past expire_minutes is GC'd: its next fix restarts with
+    NULL derivatives (batch, seeing all history, would compute values — the
+    documented divergence); a sentinel advances the watermark past expiry."""
+    early = [_fix(1, 0, 10.0, 20.0), _fix(1, 10, 10.1, 20.0)]
+    # watermark mover: far-future fix on another entity
+    mover = [_fix(99, 10 * 24 * 60, 0.0, 0.0)]
+    late = [_fix(1, 10 * 24 * 60 + 30, 10.2, 20.0)]
+    got = _run_kin_stream(
+        spark, tmp_path, [early, mover, late],
+        watermark="0 minutes", expire_minutes=60.0,
+    )
+    late_us = int(late[0][1].timestamp() * 1_000_000)
+    # restarted: NULL derivatives despite the entity's earlier history
+    assert got[(1, late_us)] == (None, None, None, None, None)
+    # the pre-expiry fixes still produced their parity rows
+    early2_us = int(early[1][1].timestamp() * 1_000_000)
+    assert got[(1, early2_us)][0] == 10 * 60_000_000

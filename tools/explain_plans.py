@@ -524,6 +524,38 @@ def main() -> int:
           "(expect 1: the pinned key repartition, reused by the group)")
     ok &= n_shuffles == 1
 
+    # raster point sampling: pure Column probe algebra (no UDF anywhere),
+    # one equi-join vs the sparse cells, one hash agg on the point id, the
+    # id-spine left join — no sort-merge, no cartesian, no Python
+    from engine import warp
+
+    pts = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 100).alias("xn"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 100).alias("yn"),
+    )
+    p = formatted(warp.sample_at_points(pts, tiles, 8, den=4))
+    print("\n## raster point sampling (bilinear, den=4)")
+    if args.full:
+        print(p)
+    ok &= check("sample_at_points", p,
+                must=["HashAggregate", "Generate"],
+                must_not=["CartesianProduct", "BatchEvalPython",
+                          "FlatMapGroupsInPandas"])
+
+    # zonal crosstab: two generates, one cell equi-join, one partial+final
+    # hash agg on the class pair — nothing quadratic, nothing Python
+    from engine import raster as raster_mod
+
+    p = formatted(raster_mod.zonal_crosstab(tiles, tiles, res=8))
+    print("\n## zonal crosstab (zones x values)")
+    if args.full:
+        print(p)
+    ok &= check("zonal_crosstab", p,
+                must=["HashAggregate", "Generate"],
+                must_not=["CartesianProduct", "BatchEvalPython",
+                          "SortMergeJoin"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
