@@ -760,6 +760,8 @@ _VIS_RADIUS = 6
 _VIS_HEIGHT = 2
 # edt half: proximity to cells holding >= 2 documents, same 6-cell radius
 _EDT_MIN_Z = 2
+# burn half: diamonds rasterized around the 3 busiest pixels (scanline fill)
+_BURN_N = 3
 
 
 def _hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,7 +884,14 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_EDT_MIN_Z} documents within radius {_VIS_RADIUS} (-1 beyond) AND the
     Euclidean-Allocation winner (min packed source id on distance ties).
     The separable integer EDT kernel hash-matches the twin's brute
-    min-over-pairs + min-pack-at-min-dist derivation."""
+    min-over-pairs + min-pack-at-min-dist derivation.
+    tag='burn' — engine.raster.rasterize_polygons over diamonds centered on
+    the {_BURN_N} busiest pixels (z DESC, gx, gy — the viewshed observer
+    discipline), radii (3 + 2*i) pixels, polygon 0 a donut (1.5-pixel hole,
+    even-odd), value 100+i, priority i: per burned pixel (a=gx, b=gy,
+    c=winning value, d=winning poly_id, e=-1). The twin replays the exact
+    scanline span algebra (rasterize_polygons_sql) over the identically
+    derived diamonds — vector->raster burn is hash-checked end to end."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -995,9 +1004,65 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    from engine import raster as _raster
+    from pyspark.sql import Window as _W
+
+    pitch = _HOTSPOT_TILE / res
+    bbase = (
+        tiles_r.select("tx", "ty", F.posexplode("counts").alias("pix", "z"))
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "gx", "gy")
+        .limit(_BURN_N)
+    )
+    bobs = bbase.withColumn(
+        "i0",
+        F.row_number().over(
+            _W.orderBy(F.col("z").desc(), "gx", "gy")
+        ) - 1,
+    )
+    cx = (F.col("gx") + F.lit(0.5)) * F.lit(pitch)
+    cy = (F.col("gy") + F.lit(0.5)) * F.lit(pitch)
+    r_out = (F.lit(3) + F.lit(2) * F.col("i0")).cast("double") * F.lit(pitch)
+    r_hole = F.lit(1.5 * pitch)
+
+    def _diamond(rad):
+        def pt(x, y):
+            return F.struct(x.alias("x"), y.alias("y"))
+
+        return F.array(
+            pt(cx + rad, cy), pt(cx, cy + rad),
+            pt(cx - rad, cy), pt(cx, cy - rad),
+        )
+
+    brings = F.when(
+        F.col("i0") == 0, F.array(_diamond(r_out), _diamond(r_hole))
+    ).otherwise(F.array(_diamond(r_out)))
+    bpolys = bobs.select(
+        F.col("i0").cast("long").alias("poly_id"),
+        brings.alias("rings"),
+        (F.lit(100) + F.col("i0")).cast("long").alias("v"),
+        F.col("i0").cast("long").alias("pri"),
+    )
+    burn = _raster.rasterize_polygons(
+        bpolys, _HOTSPOT_TILE, res, rings_col="rings",
+        value_col="v", priority_col="pri",
+    ).select(
+        F.lit("burn").alias("tag"),
+        F.col("gx").alias("a"),
+        F.col("gy").alias("b"),
+        F.col("value").alias("c"),
+        F.col("poly_id").alias("d"),
+        F.lit(-1).cast("long").alias("e"),
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
-        .unionByName(vis).unionByName(edt)
+        .unionByName(vis).unionByName(edt).unionByName(burn)
     )
 
 
@@ -1379,6 +1444,8 @@ def raster_field_sql() -> str:
         SELECT * FROM ({_viewshed_sql()})
         UNION ALL
         SELECT * FROM ({_edt_sql()})
+        UNION ALL
+        SELECT * FROM ({_burn_sql()})
     """
 
 
@@ -1422,6 +1489,58 @@ def _edt_sql() -> str:
         FROM ecells c
         LEFT JOIN em ON em.gx = c.gx AND em.gy = c.gy
         LEFT JOIN ea ON ea.gx = c.gx AND ea.gy = c.gy
+    """
+
+
+def _burn_sql() -> str:
+    """DuckDB twin of the raster_field 'burn' half: the same busiest-pixel
+    selection (z DESC, gx, gy), the same diamond construction ((3 + 2*i0)
+    pixel radii from the pixel center, polygon 0 a 1.5-pixel donut hole),
+    then engine.raster.rasterize_polygons_sql — the operand-identical
+    scanline span algebra — with the same (priority DESC, poly_id) winner."""
+    from engine.raster import rasterize_polygons_sql
+
+    res = _HOTSPOT_RES
+    pitch = _HOTSPOT_TILE / res
+    p, rh = repr(pitch), repr(1.5 * pitch)
+
+    def dmd(rad: str) -> str:
+        return (
+            f"[{{'x': cx + {rad}, 'y': cy}}, {{'x': cx, 'y': cy + {rad}}}, "
+            f"{{'x': cx - {rad}, 'y': cy}}, {{'x': cx, 'y': cy - {rad}}}]"
+        )
+
+    polys = f"""(
+        WITH btiles AS ({_hotspot_tiles_cte()}),
+        bcells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM btiles, range(0, {res * res}) t(i)
+        ), bobs AS (
+          SELECT gx, gy,
+                 ROW_NUMBER() OVER (ORDER BY z DESC, gx, gy) - 1 AS i0
+          FROM bcells ORDER BY z DESC, gx, gy LIMIT {_BURN_N}
+        ), bgeo AS (
+          SELECT i0,
+                 (gx + 0.5) * {p} AS cx,
+                 (gy + 0.5) * {p} AS cy,
+                 (3 + 2 * i0) * {p} AS r
+          FROM bobs
+        )
+        SELECT i0 AS poly_id,
+               CASE WHEN i0 = 0 THEN [{dmd('r')}, {dmd(rh)}]
+                    ELSE [{dmd('r')}] END AS rings,
+               100 + i0 AS v, i0 AS pri
+        FROM bgeo
+    )"""
+    inner = rasterize_polygons_sql(
+        polys, _HOTSPOT_TILE, res, value_expr="v", priority_expr="pri"
+    )
+    return f"""
+        SELECT 'burn' AS tag, gx AS a, gy AS b, value AS c, poly_id AS d,
+               CAST(-1 AS BIGINT) AS e
+        FROM ({inner})
     """
 
 

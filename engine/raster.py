@@ -105,6 +105,270 @@ def heatmap_tiles(
     )
 
 
+def rasterize_polygons(
+    polys: DataFrame,
+    tile_size: float,
+    res: int = 16,
+    id_col: str = "poly_id",
+    rings_col: str = "ring",
+    value_col: str | None = None,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Vector -> raster polygon burn (the gdal_rasterize analog, cell-center
+    rule): every pixel of the tile grid whose CENTER lies inside a polygon
+    (even-odd, so holes subtract) gets the polygon's value; overlapping burns
+    resolve deterministically to (highest priority, then lowest poly_id).
+    Returns sparse pixels (gx, gy, value, poly_id) — feed sparse_to_tiles for
+    the dense (tx, ty, counts) shape every raster-family consumer takes,
+    which is what makes "zonal stats over polygon zones" a two-call
+    composition (rasterize_polygons -> zonal_crosstab).
+
+    `rings_col` is either one open ring (array<struct<x,y>>, the engine/clip
+    convention) or an array of such rings (outer + holes, even-odd).
+
+    Algorithm: SCANLINE fill, not per-pixel point-in-polygon — for each
+    polygon and each pixel row gy in its bbox, the crossings of the row's
+    center line y = (gy + 0.5) * pitch with all edges (half-open vertex rule
+    (y1 <= yc) != (y2 <= yc), crossing x = x1 + (yc - y1)(x2 - x1)/(y2 - y1))
+    are sorted; consecutive pairs [c0, c1) are interior spans, and the span's
+    pixels are gx in [ceil(c0/pitch - 0.5), ceil(c1/pitch - 0.5) - 1]. Work
+    is O(rows x edges + output pixels) per polygon instead of the per-pixel
+    test's O(bbox pixels x edges) — the difference between filling a
+    continent-sized polygon by its area and by its height. All of it is
+    Column HOF algebra (sequence / filter / transform / array_sort /
+    flatten): no UDF, no Python, whole-stage codegen; the only shuffle is
+    the winner aggregation on (gx, gy).
+
+    Exactness: the crossing and the two pixel-range bounds are plain IEEE
+    double expressions, written operand-for-operand identically in the
+    DuckDB twin (rasterize span algebra in raster_field's 'burn' oracle), so
+    the pixel sets hash-match across engines; a pixel center exactly ON a
+    span boundary follows the half-open [c0, c1) rule in both.
+
+    Reference provenance: no reference analog (the reference has no raster
+    operators); completes the vector->raster direction the brief's tile axis
+    needs (points: heatmap_tiles; polygon mass: tile_areal_interp; polygon
+    CLASS burn: this)."""
+    import pyspark.sql.types as T
+
+    s = float(tile_size)
+    if s <= 0:
+        raise ValueError("tile_size must be > 0")
+    if not (1 <= res <= 256):
+        raise ValueError("res must be in [1, 256]")
+    pitch = s / res
+
+    # normalize to array-of-rings: a single open ring column is wrapped
+    el = polys.schema[rings_col].dataType.elementType
+    rings = (
+        F.array(F.col(rings_col))
+        if isinstance(el, T.StructType)
+        else F.col(rings_col)
+    )
+    val = (
+        F.col(value_col).cast("long")
+        if value_col is not None
+        else F.col(id_col).cast("long")
+    )
+    pri = (
+        F.col(priority_col).cast("long")
+        if priority_col is not None
+        else F.lit(0).cast("long")
+    )
+    ys_all = F.flatten(
+        F.transform(rings, lambda r: F.transform(r, lambda p: p["y"]))
+    )
+    gy_lo = F.ceil(F.array_min(ys_all) / F.lit(pitch) - F.lit(0.5)).cast("long")
+    gy_hi = F.floor(F.array_max(ys_all) / F.lit(pitch) - F.lit(0.5)).cast("long")
+    base = polys.select(
+        F.col(id_col).cast("long").alias("poly_id"),
+        rings.alias("_rings"),
+        val.alias("_val"),
+        pri.alias("_pri"),
+        F.explode(
+            F.when(gy_lo <= gy_hi, F.sequence(gy_lo, gy_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("gy"),
+    )
+    yc = (F.col("gy") + F.lit(0.5)) * F.lit(pitch)
+
+    def ring_crossings(r):
+        n = F.size(r)
+
+        def vx(i):
+            return F.element_at(r, (i + 1).cast("int"))["x"]
+
+        def vy(i):
+            return F.element_at(r, (i + 1).cast("int"))["y"]
+
+        idx = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: (vy(i) <= yc) != (vy((i + 1) % n) <= yc),
+        )
+        return F.transform(
+            idx,
+            lambda i: vx(i)
+            + (yc - vy(i)) * (vx((i + 1) % n) - vx(i)) / (vy((i + 1) % n) - vy(i)),
+        )
+
+    xs = F.array_sort(F.flatten(F.transform(F.col("_rings"), ring_crossings)))
+    # pair index 1..floor(n/2), guarded (sequence(1, 0) would DESCEND); a
+    # degenerate odd crossing count drops its dangling last element
+    half = F.floor(F.size(xs) / 2).cast("long")
+    spans = base.select(
+        "poly_id", "gy", "_val", "_pri",
+        F.explode(
+            F.when(
+                half >= 1,
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), half),
+                    lambda j: F.struct(
+                        F.element_at(xs, (j * 2 - 1).cast("int")).alias("lo"),
+                        F.element_at(xs, (j * 2).cast("int")).alias("hi"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<lo:double,hi:double>>")
+            )
+        ).alias("sp"),
+    )
+    gx_lo = F.ceil(F.col("sp.lo") / F.lit(pitch) - F.lit(0.5)).cast("long")
+    gx_hi = (
+        F.ceil(F.col("sp.hi") / F.lit(pitch) - F.lit(0.5)).cast("long") - 1
+    )
+    burned = spans.select(
+        "poly_id", "gy", "_val", "_pri",
+        F.explode(
+            F.when(gx_lo <= gx_hi, F.sequence(gx_lo, gx_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("gx"),
+    )
+    # winner per pixel: max priority, tie -> min poly_id (one hash agg; the
+    # min-struct fold map-side combines, so overlap depth never shuffles)
+    w = F.min(
+        F.struct(
+            (-F.col("_pri")).alias("np"),
+            F.col("poly_id").alias("pid"),
+            F.col("_val").alias("v"),
+        )
+    )
+    return (
+        burned.groupBy("gx", "gy")
+        .agg(w.alias("_w"))
+        .select(
+            "gx", "gy",
+            F.col("_w.v").alias("value"),
+            F.col("_w.pid").alias("poly_id"),
+        )
+    )
+
+
+def sparse_to_tiles(
+    cells: DataFrame,
+    res: int = 16,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sparse global pixels (gx, gy, value) -> the dense per-tile shape the
+    raster family consumes: (tx, ty, counts array<long> row-major res*res),
+    unmentioned pixels 0. Same bounded assembly as heatmap_tiles (explode the
+    pixel range per nonempty tile, left join, one array_sort(collect_list)
+    fold); negative coordinates handled by pmod."""
+    if not (1 <= res <= 256):
+        raise ValueError("res must be in [1, 256]")
+    px = F.pmod(F.col("gx"), F.lit(res)).cast("int")
+    py = F.pmod(F.col("gy"), F.lit(res)).cast("int")
+    sparse = cells.select(
+        ((F.col("gx") - px) / res).cast("long").alias("tx"),
+        ((F.col("gy") - py) / res).cast("long").alias("ty"),
+        (py * res + px).alias("pix"),
+        F.col(value_col).cast("long").alias("n"),
+    )
+    keys = sparse.select("tx", "ty").distinct()
+    full = (
+        keys.select(
+            "tx", "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(res * res - 1))).alias("pix"),
+        )
+        .join(sparse, ["tx", "ty", "pix"], "left")
+        .select(
+            "tx", "ty", "pix",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    dense = F.transform(
+        F.array_sort(F.collect_list(F.struct("pix", "n"))), lambda st: st["n"]
+    )
+    return full.groupBy("tx", "ty").agg(dense.alias("counts"))
+
+
+def rasterize_polygons_sql(
+    table: str,
+    tile_size: float,
+    res: int = 16,
+    id_expr: str = "poly_id",
+    rings_expr: str = "rings",
+    value_expr: str | None = None,
+    priority_expr: str | None = None,
+) -> str:
+    """DuckDB twin of rasterize_polygons — the identical scanline algebra
+    (same half-open vertex rule, same operand-order crossing expression, same
+    ceil/floor pixel-range bounds, same (pri DESC, poly_id) winner), so the
+    pixel sets hash-match bit for bit. `rings_expr` must be an array of open
+    rings (wrap a single-ring column as [ring])."""
+    pitch = repr(float(tile_size) / res)
+    val = value_expr if value_expr is not None else id_expr
+    pri = priority_expr if priority_expr is not None else "0"
+    # 1-based ring indices i in 1..len; successor 1 + i % len wraps the ring
+    nxt = "1 + i % len(r)"
+    cond = f"(r[i].y <= yc) <> (r[{nxt}].y <= yc)"
+    cross = (
+        f"r[i].x + (yc - r[i].y) * (r[{nxt}].x - r[i].x)"
+        f" / (r[{nxt}].y - r[i].y)"
+    )
+    ys = f"flatten(list_transform(rings, r -> list_transform(r, v -> v.y)))"
+    return f"""
+        WITH p AS (
+          SELECT CAST({id_expr} AS BIGINT) AS poly_id, {rings_expr} AS rings,
+                 CAST({val} AS BIGINT) AS val, CAST({pri} AS BIGINT) AS pri
+          FROM {table}
+        ), rws AS (
+          -- scalar generate_series (empty when lo > hi) + unnest: DuckDB's
+          -- table-function form rejects lateral column bounds
+          SELECT poly_id, rings, val, pri,
+                 unnest(generate_series(
+                   CAST(ceil(list_min({ys}) / {pitch} - 0.5) AS BIGINT),
+                   CAST(floor(list_max({ys}) / {pitch} - 0.5) AS BIGINT)))
+                   AS gy
+          FROM p
+        ), xs AS (
+          SELECT poly_id, val, pri, gy,
+                 list_sort(flatten(list_transform(rings, r ->
+                   list_transform(
+                     list_filter(range(1, len(r) + 1), i -> {cond}),
+                     i -> {cross})))) AS cx
+          FROM (SELECT *, (gy + 0.5) * {pitch} AS yc FROM rws)
+        ), spans AS (
+          SELECT poly_id, val, pri, gy, cx,
+                 unnest(generate_series(
+                   1, CAST(floor(len(cx) / 2) AS BIGINT))) AS j
+          FROM xs
+        ), burned AS (
+          SELECT poly_id, val, pri, gy,
+                 unnest(generate_series(
+                   CAST(ceil(cx[2 * j - 1] / {pitch} - 0.5) AS BIGINT),
+                   CAST(ceil(cx[2 * j] / {pitch} - 0.5) AS BIGINT) - 1)) AS gx
+          FROM spans
+        )
+        SELECT gx, gy, val AS value, poly_id FROM (
+          SELECT gx, gy, val, poly_id,
+                 ROW_NUMBER() OVER (PARTITION BY gx, gy
+                   ORDER BY pri DESC, poly_id) AS rn
+          FROM burned) WHERE rn = 1
+    """
+
+
 def tile_areal_interp(
     polys: DataFrame,
     tile_size: float,

@@ -415,3 +415,219 @@ def test_zonal_crosstab_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# polygon rasterization (scanline burn)
+# ---------------------------------------------------------------------------
+def _star_poly(rng, cx, cy, r_lo, r_hi, n):
+    """Simple (possibly concave) polygon: angle-sorted random radii."""
+    angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+    return [
+        (cx + rng.uniform(r_lo, r_hi) * math.cos(a),
+         cy + rng.uniform(r_lo, r_hi) * math.sin(a))
+        for a in angs
+    ]
+
+
+def _brute_burn(polys, pitch):
+    """Per-pixel even-odd oracle: pixel center inside iff an ODD number of
+    edge crossings of the center row lie STRICTLY RIGHT of the center —
+    the half-open [c0, c1) twin of the scanline rule. polys: list of
+    (poly_id, [rings], value, priority)."""
+    out = {}
+    for pid, rings, val, pri in polys:
+        ys = [v[1] for r in rings for v in r]
+        gy_lo = math.ceil(min(ys) / pitch - 0.5)
+        gy_hi = math.floor(max(ys) / pitch - 0.5)
+        xs_ = [v[0] for r in rings for v in r]
+        gx_lo = math.ceil(min(xs_) / pitch - 0.5) - 1
+        gx_hi = math.floor(max(xs_) / pitch - 0.5) + 1
+        for gy in range(gy_lo, gy_hi + 1):
+            yc = (gy + 0.5) * pitch
+            crossings = []
+            for r in rings:
+                n = len(r)
+                for i in range(n):
+                    x1, y1 = r[i]
+                    x2, y2 = r[(i + 1) % n]
+                    if (y1 <= yc) != (y2 <= yc):
+                        crossings.append(x1 + (yc - y1) * (x2 - x1) / (y2 - y1))
+            for gx in range(gx_lo, gx_hi + 1):
+                cx = (gx + 0.5) * pitch
+                if sum(1 for c in crossings if c > cx) % 2 == 1:
+                    k = (gx, gy)
+                    best = out.get(k)
+                    if best is None or (-pri, pid) < best[:2]:
+                        out[k] = (-pri, pid, val)
+    return {k: (v[2], v[1]) for k, v in out.items()}
+
+
+def _burn_df(spark, polys):
+    return spark.createDataFrame(
+        [
+            (pid, [[{"x": x, "y": y} for x, y in r] for r in rings], val, pri)
+            for pid, rings, val, pri in polys
+        ],
+        "poly_id long, rings array<array<struct<x:double,y:double>>>, "
+        "v long, pri long",
+    )
+
+
+def test_rasterize_rect_closed_form(spark):
+    # [1, 5) x [2, 4) on pitch 1: centers 1.5..4.5 x 2.5..3.5 -> 4 x 2 pixels;
+    # a rect whose left edge sits EXACTLY on a center (x = 1.5) includes it
+    rows = [
+        (1, [[(1.0, 2.0), (5.0, 2.0), (5.0, 4.0), (1.0, 4.0)]], 9, 0),
+        (2, [[(1.5, 10.0), (3.5, 10.0), (3.5, 11.0), (1.5, 11.0)]], 7, 0),
+    ]
+    got = {
+        (r["gx"], r["gy"]): (r["value"], r["poly_id"])
+        for r in raster.rasterize_polygons(
+            _burn_df(spark, rows), 8.0, 8, rings_col="rings",
+            value_col="v", priority_col="pri",
+        ).collect()
+    }
+    want = {(gx, gy): (9, 1) for gx in range(1, 5) for gy in range(2, 4)}
+    want.update({(gx, 10): (7, 2) for gx in range(1, 3)})  # half-open: 1.5 in, 3.5 out
+    assert got == want
+
+
+def test_rasterize_matches_bruteforce(spark):
+    rng = random.Random(23)
+    polys = []
+    for pid in range(12):
+        rings = [_star_poly(rng, rng.uniform(-20, 20), rng.uniform(-20, 20),
+                            3.0, 9.0, rng.randint(5, 11))]
+        polys.append((pid, rings, 100 + pid, rng.randint(0, 3)))
+    s, res = 8.0, 8  # pitch 1
+    got = {
+        (r["gx"], r["gy"]): (r["value"], r["poly_id"])
+        for r in raster.rasterize_polygons(
+            _burn_df(spark, polys).repartition(5), s, res, rings_col="rings",
+            value_col="v", priority_col="pri",
+        ).collect()
+    }
+    want = _brute_burn(polys, s / res)
+    assert got == want
+    assert len(got) > 100  # the draw actually burned something substantial
+
+
+def test_rasterize_donut_even_odd(spark):
+    donut = [(7, [
+        [(0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0)],
+        [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)],
+    ], 1, 0)]
+    got = {
+        (r["gx"], r["gy"])
+        for r in raster.rasterize_polygons(
+            _burn_df(spark, donut), 8.0, 8, rings_col="rings",
+            value_col="v", priority_col="pri",
+        ).collect()
+    }
+    assert len(got) == 36 - 4
+    assert (3, 3) not in got and (1, 1) in got
+
+
+def test_rasterize_single_ring_column_and_defaults(spark):
+    # single-ring column auto-wraps; default value = poly_id, priority 0
+    # (overlap tie -> lower poly_id wins)
+    df = spark.createDataFrame(
+        [
+            (5, [{"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 0.0},
+                 {"x": 3.0, "y": 2.0}, {"x": 0.0, "y": 2.0}]),
+            (2, [{"x": 1.0, "y": 0.0}, {"x": 4.0, "y": 0.0},
+                 {"x": 4.0, "y": 2.0}, {"x": 1.0, "y": 2.0}]),
+        ],
+        "poly_id long, ring array<struct<x:double,y:double>>",
+    )
+    got = {
+        (r["gx"], r["gy"]): r["value"]
+        for r in raster.rasterize_polygons(df, 8.0, 8).collect()
+    }
+    assert got[(0, 0)] == 5 and got[(3, 0)] == 2
+    assert got[(1, 0)] == 2 and got[(2, 1)] == 2  # tie -> lower poly_id
+
+
+def test_rasterize_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(31)
+    polys = []
+    for pid in range(10):
+        rings = [_star_poly(rng, rng.uniform(-15, 15), rng.uniform(-15, 15),
+                            2.0, 7.0, rng.randint(4, 9))]
+        if pid == 0:  # one donut exercises the even-odd flatten
+            rings.append([(v[0] * 0.3, v[1] * 0.3) for v in rings[0]])
+        polys.append((pid, rings, 50 + pid, rng.randint(0, 2)))
+    s, res = 10.0, 16
+    got = {
+        (r["gx"], r["gy"]): (r["value"], r["poly_id"])
+        for r in raster.rasterize_polygons(
+            _burn_df(spark, polys), s, res, rings_col="rings",
+            value_col="v", priority_col="pri",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pt(poly_id BIGINT, "
+        "rings STRUCT(x DOUBLE, y DOUBLE)[][], v BIGINT, pri BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO pt VALUES (?, ?, ?, ?)",
+        [
+            (pid, [[{"x": x, "y": y} for x, y in r] for r in rings], val, pri)
+            for pid, rings, val, pri in polys
+        ],
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            raster.rasterize_polygons_sql(
+                "pt", s, res, value_expr="v", priority_expr="pri"
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) > 200
+
+
+def test_sparse_to_tiles_assembly(spark):
+    # negative coordinates land in the right tile via pmod; absent pixels 0
+    res = 4
+    cells = spark.createDataFrame(
+        [(-1, -1, 9), (0, 0, 5), (3, 3, 7), (4, 0, 2)],
+        "gx long, gy long, value long",
+    )
+    got = {
+        (r["tx"], r["ty"]): list(r["counts"])
+        for r in raster.sparse_to_tiles(cells, res=res).collect()
+    }
+    assert got[(-1, -1)][3 * res + 3] == 9
+    t00 = got[(0, 0)]
+    assert t00[0] == 5 and t00[3 * res + 3] == 7 and sum(t00) == 12
+    assert got[(1, 0)][0] == 2
+
+
+def test_rasterize_feeds_zonal_crosstab(spark):
+    # the composition the operator exists for: polygon zones x value raster
+    zones_polys = _burn_df(spark, [
+        (1, [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]], 1, 0),
+        (2, [[(4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0)]], 2, 0),
+    ])
+    zones = raster.sparse_to_tiles(
+        raster.rasterize_polygons(
+            zones_polys, 8.0, 8, rings_col="rings", value_col="v"
+        ),
+        res=8,
+    )
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (1.5, 0.5), (5.5, 2.5), (5.5, 2.5)], "x double, y double"
+    )
+    values = raster.heatmap_tiles(pts, 8.0, 8)
+    got = {
+        (r["zone"], r["value"]): r["n_cells"]
+        for r in raster.zonal_crosstab(zones, values, res=8).collect()
+    }
+    # zone 1 is 16 cells (2 with a point), zone 2 is 16 (1 with 2 points)
+    assert got[(1, 1)] == 2 and got[(1, 0)] == 14
+    assert got[(2, 2)] == 1 and got[(2, 0)] == 15

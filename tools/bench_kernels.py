@@ -2653,6 +2653,100 @@ def part_catchcost() -> None:
     print(_json.dumps(out))
 
 
+def part_burn() -> None:
+    """Polygon rasterization (scanline burn) at scale, local[32]: 250k
+    disjoint diamonds with integer radii 2..5 centered exactly on pixel
+    centers of a pitch-1 grid. A radius-r diamond burns exactly 2*r^2 pixels
+    under the half-open cell-center rule (the apex rows contribute an empty
+    span), so BOTH the winner-pixel count and the summed burn value are
+    closed-form — every one of the ~6.8M output pixels is accounted for.
+    A second timed draw stacks each diamond with a same-center radius-2
+    rival at lower priority to price the winner aggregation under overlap."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import raster
+
+    out = {}
+    spark = _spark("bench-burn")
+    n = int(os.environ.get("BURN_BENCH_POLYS", "250000"))
+    k = int(n ** 0.5)  # k x k lattice of diamond centers
+    n = k * k
+    rmax, step = 5, 12  # centers 12 pixels apart: radii <= 5 stay disjoint
+    res = 16
+
+    def diamonds(df, rad, pid_off=0, pri=1):
+        cx = (F.pmod(F.col("id"), k) * step + F.lit(0.5)).cast("double")
+        cy = ((F.col("id") / k).cast("long") * step + F.lit(0.5)).cast(
+            "double"
+        )
+        r = rad.cast("double")
+
+        def pt(x, y):
+            return F.struct(x.alias("x"), y.alias("y"))
+
+        return df.select(
+            (F.col("id") + pid_off).alias("poly_id"),
+            F.array(
+                F.array(
+                    pt(cx + r, cy), pt(cx, cy + r),
+                    pt(cx - r, cy), pt(cx, cy - r),
+                )
+            ).alias("rings"),
+            r.cast("long").alias("v"),
+            F.lit(pri).cast("long").alias("pri"),
+        )
+
+    base = spark.range(0, n, 1, 64)
+    rad = F.pmod(F.col("id"), rmax - 1) + 2  # 2..5
+    polys = diamonds(base, rad).persist()
+    n_polys = polys.count()
+    t0 = time.time()
+    got = raster.rasterize_polygons(
+        polys, float(res), res, rings_col="rings",
+        value_col="v", priority_col="pri",
+    ).agg(
+        F.count("*").alias("px"), F.sum("value").alias("vsum")
+    ).collect()[0]
+    wall = time.time() - t0
+    # closed forms: sum over the radius cycle of 2r^2 (and r * 2r^2 for vsum)
+    radii = [(i % (rmax - 1)) + 2 for i in range(rmax - 1)]
+    per_cycle_px = sum(2 * r * r for r in radii)
+    per_cycle_v = sum(r * 2 * r * r for r in radii)
+    full, rem = divmod(n, rmax - 1)
+    want_px = full * per_cycle_px + sum(2 * r * r for r in radii[:rem])
+    want_v = full * per_cycle_v + sum(r * 2 * r * r for r in radii[:rem])
+    assert got["px"] == want_px, (got["px"], want_px)
+    assert got["vsum"] == want_v, (got["vsum"], want_v)
+    out["burn"] = {
+        "polys": n_polys, "pixels": int(got["px"]),
+        "wall_s": round(wall, 2),
+        "polys_per_s": round(n_polys / wall),
+        "pixels_per_s": round(got["px"] / wall),
+    }
+    # overlap draw: every diamond fights a same-center radius-2 rival at
+    # LOWER priority -> rivals never win a pixel; totals unchanged
+    rivals = diamonds(base, F.lit(2), pid_off=n, pri=0)
+    both = polys.unionByName(rivals).persist()
+    both.count()
+    t0 = time.time()
+    got2 = raster.rasterize_polygons(
+        both, float(res), res, rings_col="rings",
+        value_col="v", priority_col="pri",
+    ).agg(F.count("*").alias("px"), F.sum("value").alias("vsum")).collect()[0]
+    wall2 = time.time() - t0
+    assert got2["px"] == want_px and got2["vsum"] == want_v
+    out["burn_overlap"] = {
+        "polys": 2 * n_polys, "wall_s": round(wall2, 2),
+        "pixels_per_s": round(got2["px"] / wall2),
+    }
+    both.unpersist()
+    polys.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
@@ -2667,6 +2761,7 @@ if __name__ == "__main__":
         "terrain": part_terrain,
         "warp": part_warp,
         "sample": part_sample,
+        "burn": part_burn,
         "morph": part_morph,
         "traj": part_traj,
         "focal": part_focal,

@@ -556,6 +556,36 @@ def main() -> int:
                 must_not=["CartesianProduct", "BatchEvalPython",
                           "SortMergeJoin"])
 
+    # polygon rasterization: three generates (rows, spans, pixels) feeding
+    # ONE winner hash agg — no UDF, no cartesian, no sort-merge
+    polys = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("poly_id"),
+        F.array(
+            F.array(
+                F.struct((F.col("id") + 2.0).alias("x"), F.lit(0.0).alias("y")),
+                F.struct((F.col("id") + 4.0).alias("x"), F.lit(2.0).alias("y")),
+                F.struct(F.col("id").cast("double").alias("x"),
+                         F.lit(2.0).alias("y")),
+            )
+        ).alias("rings"),
+    )
+    p = formatted(raster_mod.rasterize_polygons(polys, 16.0, 16,
+                                                rings_col="rings"))
+    print("\n## polygon rasterization (scanline burn)")
+    if args.full:
+        print(p)
+    # the winner min(struct) lowers to SortAggregate (struct agg buffers are
+    # not hash-aggregable) — the load-bearing property is the PARTIAL agg
+    # before the single exchange, which bounds shuffle volume by output
+    # pixels per upstream partition, not overlap depth
+    ok &= check("rasterize_polygons", p,
+                must=["partial_min", "Generate"],
+                must_not=["CartesianProduct", "BatchEvalPython",
+                          "FlatMapGroupsInPandas", "SortMergeJoin"])
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: the winner agg)")
+    ok &= n_shuffles == 1
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
