@@ -542,3 +542,234 @@ def image_blobs(
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=BLOBS_SCHEMA
     )
+
+
+PATCHES_SCHEMA = (
+    "image_id string, py int, px int, bytes binary, w int, h int, "
+    "fmt string, error string"
+)
+
+
+def image_patches(
+    df: DataFrame,
+    patch: int,
+    stride: int | None = None,
+    drop_partial: bool = True,
+) -> DataFrame:
+    """Explode each image into patch rows (the ViT-style patchification a
+    training pipeline runs before embedding): one output row per (patch-grid
+    y, x) position, carrying the patch re-encoded in the row's own format.
+    stride defaults to `patch` (non-overlapping tiling); a smaller stride
+    yields overlapping patches. drop_partial=True keeps only full patches
+    (the training convention); False pads the ragged right/bottom patches
+    with zeros to patch x patch so every output row has one shape.
+
+    Scale: embarrassingly parallel (mapInPandas, no shuffle) and the output
+    row count is data-independent per image (grid size from w, h), so the
+    explosion factor is known before running. Per-row error isolation like
+    every multimodal kernel."""
+    p = int(patch)
+    if p < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+    s = int(stride) if stride is not None else p
+    if s < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px_, err = _decode_or_error(row)
+                if px_ is None:
+                    out.append((row.image_id, None, None, None, p, p,
+                                row.fmt, err))
+                    continue
+                h, w, _ = px_.shape
+                lim_y = h - p if drop_partial else h - 1
+                lim_x = w - p if drop_partial else w - 1
+                for gy, y0 in enumerate(range(0, max(lim_y, 0) + 1, s)):
+                    for gx, x0 in enumerate(range(0, max(lim_x, 0) + 1, s)):
+                        tile = px_[y0:y0 + p, x0:x0 + p]
+                        if tile.shape[:2] != (p, p):
+                            padded = np.zeros((p, p, 3), dtype=np.uint8)
+                            padded[: tile.shape[0], : tile.shape[1]] = tile
+                            tile = padded
+                        enc = (
+                            image_codec.encode_png(tile)
+                            if row.fmt == "png"
+                            else image_codec.encode_raw(tile)
+                        )
+                        out.append((row.image_id, gy, gx, enc, p, p,
+                                    row.fmt, None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "py", "px", "bytes", "w", "h", "fmt", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=PATCHES_SCHEMA
+    )
+
+
+def np_affine_rgb(
+    px: np.ndarray,
+    coeffs: tuple[int, int, int, int, int, int],
+    den: int,
+    out_w: int,
+    out_h: int,
+    method: str = "nearest",
+) -> np.ndarray:
+    """Exact integer-rational INVERSE affine warp of one RGB image — the
+    per-image twin of engine.warp.affine_resample's discipline. For output
+    pixel (ox, oy) the source position is ((a*ox + b*oy + tx) / den,
+    (c*oy... see below) / den) with integer coeffs (a, b, c, d, tx, ty):
+    sx_num = a*ox + b*oy + tx, sy_num = c*ox + d*oy + ty. nearest = exact
+    half-up rounding of the rational (no float anywhere); bilinear = exact
+    integer weights over the 4 neighbors, final value half-up-rounded once.
+    Out-of-range source positions fill black (0,0,0)."""
+    if den <= 0:
+        raise ValueError(f"den must be > 0, got {den}")
+    a, b, c, d, tx, ty = (int(v) for v in coeffs)
+    h, w, _ = px.shape
+    ox = np.arange(out_w, dtype=np.int64)[None, :]
+    oy = np.arange(out_h, dtype=np.int64)[:, None]
+    sxn = a * ox + b * oy + tx  # (out_h, out_w) numerators
+    syn = c * ox + d * oy + ty
+    if method == "nearest":
+        # half-up rounding of sxn/den: floor((2*sxn + den) / (2*den))
+        gx = (2 * sxn + den) // (2 * den)
+        gy = (2 * syn + den) // (2 * den)
+        ok = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h)
+        out = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+        out[ok] = px[gy[ok], gx[ok]]
+        return out
+    if method != "bilinear":
+        raise ValueError(f"method must be nearest or bilinear, got {method}")
+    fx = np.floor_divide(sxn, den)
+    fy = np.floor_divide(syn, den)
+    wx = sxn - fx * den  # in [0, den)
+    wy = syn - fy * den
+    ok = (fx >= 0) & (fx + 1 <= w) & (fy >= 0) & (fy + 1 <= h)
+    # clamp the +1 neighbor at the exact last row/col (weight there is 0
+    # only when wx/wy == 0; require full 4-neighbor support otherwise)
+    ok &= ((fx + 1 < w) | (wx == 0)) & ((fy + 1 < h) | (wy == 0))
+    gx0 = np.clip(fx, 0, w - 1)
+    gy0 = np.clip(fy, 0, h - 1)
+    gx1 = np.clip(fx + 1, 0, w - 1)
+    gy1 = np.clip(fy + 1, 0, h - 1)
+    den2 = den * den
+    out = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+    v = (
+        (den - wx)[..., None] * (den - wy)[..., None] * px[gy0, gx0].astype(np.int64)
+        + wx[..., None] * (den - wy)[..., None] * px[gy0, gx1].astype(np.int64)
+        + (den - wx)[..., None] * wy[..., None] * px[gy1, gx0].astype(np.int64)
+        + wx[..., None] * wy[..., None] * px[gy1, gx1].astype(np.int64)
+    )
+    vals = (2 * v + den2) // (2 * den2)  # half-up, single rounding
+    out[ok] = vals[ok].astype(np.uint8)
+    return out
+
+
+AFFINE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, error string"
+)
+
+
+def image_affine(
+    df: DataFrame,
+    coeffs: tuple[int, int, int, int, int, int],
+    den: int,
+    out_w: int,
+    out_h: int,
+    method: str = "nearest",
+) -> DataFrame:
+    """Per-image exact affine warp (rotate / scale / shear / translate — the
+    geometric augmentation op of a training pipeline) over decoded pixels:
+    INVERSE mapping with integer-rational coefficients over one denominator
+    (engine.warp.affine_resample's exactness discipline applied to binary
+    image columns), nearest or exact-integer bilinear, black fill outside.
+    E.g. 2x upscale: coeffs=(1,0,0,1,0,0), den=2, out 2w x 2h; 90-degree
+    clockwise rotation of an h x w image: coeffs=(0,1,-1,0,0,h-1), den=1,
+    out h x w (source gy = h-1-ox, gx = oy — np.rot90(img, -1) parity,
+    asserted in tests). Re-encodes in the row's own format; per-row error
+    isolation; embarrassingly parallel (no shuffle)."""
+    m = str(method)
+    if m not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest or bilinear, got {method}")
+    cf = tuple(int(v) for v in coeffs)
+    dn, ow, oh = int(den), int(out_w), int(out_h)
+    if dn <= 0:
+        raise ValueError(f"den must be > 0, got {den}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px_, err = _decode_or_error(row)
+                if px_ is None:
+                    out.append((row.image_id, None, ow, oh, row.fmt, err))
+                    continue
+                warped = np_affine_rgb(px_, cf, dn, ow, oh, m)
+                enc = (
+                    image_codec.encode_png(warped)
+                    if row.fmt == "png"
+                    else image_codec.encode_raw(warped)
+                )
+                out.append((row.image_id, enc, ow, oh, row.fmt, None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=AFFINE_SCHEMA
+    )
+
+
+def np_equalize_rgb(px: np.ndarray) -> np.ndarray:
+    """Per-channel histogram equalization, the classic integer CDF mapping:
+    out = round((cdf(v) - cdf_min) / (n_pixels - cdf_min) * 255) with
+    round = half-up in integers — deterministic, no float. A channel whose
+    pixels are all one value (cdf_min == n_pixels) maps to 0."""
+    h, w, _ = px.shape
+    n = h * w
+    out = np.empty_like(px)
+    for ch in range(3):
+        v = px[..., ch]
+        hist = np.bincount(v.ravel(), minlength=256).astype(np.int64)
+        cdf = hist.cumsum()
+        nz = np.nonzero(hist)[0]
+        cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+        denom = n - cdf_min
+        if denom <= 0:
+            out[..., ch] = 0
+            continue
+        lut = ((2 * (cdf - cdf_min) * 255 + denom) // (2 * denom)).clip(
+            0, 255
+        ).astype(np.uint8)
+        out[..., ch] = lut[v]
+    return out
+
+
+def image_equalize(df: DataFrame) -> DataFrame:
+    """Per-image, per-channel histogram equalization (the contrast-normalize
+    augmentation): integer CDF LUT mapping (np_equalize_rgb), re-encoded in
+    the row's own format, per-row error isolation, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px_, err = _decode_or_error(row)
+                if px_ is None:
+                    out.append((row.image_id, None, row.w, row.h, row.fmt, err))
+                    continue
+                eq = np_equalize_rgb(px_)
+                enc = (
+                    image_codec.encode_png(eq)
+                    if row.fmt == "png"
+                    else image_codec.encode_raw(eq)
+                )
+                out.append((row.image_id, enc, row.w, row.h, row.fmt, None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=AFFINE_SCHEMA
+    )

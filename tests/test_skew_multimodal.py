@@ -280,3 +280,179 @@ def test_color_histogram_error_isolation_and_validation(spark):
     assert "unsupported" in out["unk"]["error"]
     with pytest.raises(ValueError):
         multimodal.color_histogram(df, bins=0)
+
+
+# ---------------------------------------------------------------------------
+# augmentation ops: patches / affine / equalize
+# ---------------------------------------------------------------------------
+def _decoded(images):
+    from engine import image_codec
+
+    return {
+        r["image_id"]: image_codec.decode_image(
+            r["bytes"], r["fmt"], r["w"], r["h"]
+        )
+        for r in images.collect()
+    }
+
+
+def test_image_patches_reassemble(spark, images):
+    from engine import image_codec
+
+    p = 8
+    orig = _decoded(images)
+    rows = multimodal.image_patches(images, patch=p).collect()
+    assert all(r["error"] is None for r in rows)
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r["image_id"], {})[(r["py"], r["px"])] = (
+            image_codec.decode_image(r["bytes"], r["fmt"], p, p)
+        )
+    import numpy as np
+
+    for iid, px in orig.items():
+        h, w, _ = px.shape
+        ny, nx = (h - p) // p + 1, (w - p) // p + 1
+        tiles = by_img[iid]
+        assert len(tiles) == ny * nx
+        stitched = np.concatenate(
+            [
+                np.concatenate([tiles[(gy, gx)] for gx in range(nx)], axis=1)
+                for gy in range(ny)
+            ],
+            axis=0,
+        )
+        assert (stitched == px[: ny * p, : nx * p]).all()
+
+
+def test_image_patches_overlap_and_padding(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    px = np.arange(10 * 10 * 3, dtype=np.uint8).reshape(10, 10, 3)
+    df = spark.createDataFrame(
+        [("a", image_codec.encode_raw(px), 10, 10, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    # stride 4, patch 8, drop_partial: positions {0} only (8+4 > 10)? no:
+    # range(0, 10-8+1, 4) = {0} -> 1x1
+    got = multimodal.image_patches(df, patch=8, stride=4).collect()
+    assert len(got) == 1
+    # keep partials, zero-padded: positions range(0, 10, 4) = {0,4,8} -> 3x3
+    got = multimodal.image_patches(
+        df, patch=8, stride=4, drop_partial=False
+    ).collect()
+    assert len(got) == 9
+    corner = next(r for r in got if r["py"] == 2 and r["px"] == 2)
+    tile = image_codec.decode_image(corner["bytes"], "raw", 8, 8)
+    assert (tile[:2, :2] == px[8:, 8:]).all()
+    assert (tile[2:, :] == 0).all() and (tile[:, 2:] == 0).all()
+    with pytest.raises(ValueError):
+        multimodal.image_patches(df, patch=0)
+
+
+def test_image_affine_identity_and_rot90(spark, images):
+    import numpy as np
+
+    from engine import image_codec
+
+    orig = _decoded(images)
+    # identity: exact byte roundtrip (take one size class to fix out dims)
+    sq = images.filter((F.col("w") == 32) & (F.col("h") == 32))
+    ident = multimodal.image_affine(sq, (1, 0, 0, 1, 0, 0), 1, 32, 32)
+    for r in ident.collect():
+        assert r["error"] is None
+        got = image_codec.decode_image(r["bytes"], r["fmt"], 32, 32)
+        assert (got == orig[r["image_id"]]).all()
+    # clockwise 90: h x w -> w x h, parity with np.rot90(px, -1)
+    h = w = 32
+    rot = multimodal.image_affine(sq, (0, 1, -1, 0, 0, h - 1), 1, h, w)
+    for r in rot.collect():
+        got = image_codec.decode_image(r["bytes"], r["fmt"], h, w)
+        assert (got == np.rot90(orig[r["image_id"]], -1)).all()
+
+
+def test_image_affine_bilinear_matches_float_oracle(spark):
+    import numpy as np
+
+    from engine import image_codec, multimodal as mm
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # 2x upscale + shear, den=2: sx = ox/2 + oy/2, sy = oy/2
+    coeffs, den, ow, oh = (1, 1, 0, 1, 0, 0), 2, 20, 24
+    df = spark.createDataFrame(
+        [("a", image_codec.encode_raw(px), 16, 16, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = mm.image_affine(df, coeffs, den, ow, oh, method="bilinear").collect()[0]
+    got = image_codec.decode_image(r["bytes"], "raw", ow, oh)
+    # independent float oracle with half-up rounding
+    want = np.zeros((oh, ow, 3), dtype=np.uint8)
+    for oy in range(oh):
+        for ox in range(ow):
+            sx = (coeffs[0] * ox + coeffs[1] * oy + coeffs[4]) / den
+            sy = (coeffs[2] * ox + coeffs[3] * oy + coeffs[5]) / den
+            fx, fy = int(np.floor(sx)), int(np.floor(sy))
+            wx, wy = sx - fx, sy - fy
+            if fx < 0 or fy < 0 or fx + (wx > 0) > 15 or fy + (wy > 0) > 15:
+                continue
+            x1, y1 = min(fx + 1, 15), min(fy + 1, 15)
+            v = (
+                (1 - wx) * (1 - wy) * px[fy, fx].astype(float)
+                + wx * (1 - wy) * px[fy, x1]
+                + (1 - wx) * wy * px[y1, fx]
+                + wx * wy * px[y1, x1]
+            )
+            want[oy, ox] = np.floor(v + 0.5).astype(np.uint8)
+    assert (got == want).all()
+
+
+def test_image_equalize(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    # ramp channel equalizes to a full-range ramp; constant channel -> 0
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[..., 0] = np.repeat(np.arange(16, dtype=np.uint8) * 4, 16).reshape(16, 16)
+    px[..., 1] = 7
+    rng = np.random.default_rng(9)
+    px[..., 2] = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", image_codec.encode_raw(px), 16, 16, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = multimodal.image_equalize(df).collect()[0]
+    got = image_codec.decode_image(r["bytes"], "raw", 16, 16)
+    assert got[..., 1].max() == 0  # constant channel
+    # independent float oracle for every channel
+    n = 16 * 16
+    for ch in range(3):
+        v = px[..., ch]
+        hist = np.bincount(v.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = cdf[np.nonzero(hist)[0][0]]
+        denom = n - cdf_min
+        if denom <= 0:
+            assert (got[..., ch] == 0).all()
+            continue
+        lut = np.floor((cdf - cdf_min) / denom * 255 + 0.5).clip(0, 255)
+        assert (got[..., ch] == lut[v]).all()
+    # the ramp uses the full range after equalization
+    assert got[..., 0].min() == 0 and got[..., 0].max() == 255
+
+
+def test_augmentation_error_isolation(spark):
+    df = spark.createDataFrame(
+        [("bad", b"\x00\x01", 16, 16, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    for out in (
+        multimodal.image_patches(df, patch=8),
+        multimodal.image_affine(df, (1, 0, 0, 1, 0, 0), 1, 16, 16),
+        multimodal.image_equalize(df),
+    ):
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["error"] is not None

@@ -2747,6 +2747,117 @@ def part_burn() -> None:
     print(_json.dumps(out))
 
 
+def part_augment() -> None:
+    """Augmentation ops at scale, local[32]: N real-byte 64x64 raw images
+    with the part_blobs planted-rectangle structure (image i holds
+    k = i%4 + 1 disjoint bright rects of known dims). Three timed passes,
+    each with a closed-form structural check over ALL images:
+    - equalize: the two-valued frames map background -> 0 and rects -> 255,
+      so blob extraction at threshold 250 recovers the planted count/area
+      exactly (equalization preserved and maximally stretched the structure);
+    - affine rot90: blob count/area/top-area are rotation-invariant (rect
+      dims swap, areas do not);
+    - patches 32x32: exactly 4 full patches per image, total raw payload
+      = 4n * 32*32*3 bytes."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import image_codec
+    from engine.multimodal import (
+        image_affine, image_blobs, image_equalize, image_patches,
+    )
+
+    spark = _spark("bench-augment")
+    n = int(os.environ.get("AUGMENT_BENCH_N", "200000"))
+    size = 64
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for key in pdf["id"]:
+                k = int(key) % 4 + 1
+                px = np.zeros((size, size, 3), dtype=np.uint8)
+                for q in range(k):
+                    y0 = (q // 2) * 32 + 4
+                    x0 = (q % 2) * 32 + 4
+                    px[y0:y0 + 3 + q, x0:x0 + 5 + q] = 220
+                rows.append(
+                    (f"img{int(key):012d}", image_codec.encode_raw(px),
+                     size, size, "raw")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    images = spark.range(0, n, 1, 64).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    ).persist()
+    images.count()
+    per_k = n // 4
+    want_blobs = sum(k * per_k for k in (1, 2, 3, 4))
+    want_area = per_k * sum(
+        sum((3 + q) * (5 + q) for q in range(k)) for k in (1, 2, 3, 4)
+    )
+    out = {}
+
+    def blob_agg(df, thr):
+        return df.select(
+            F.sum(F.col("error").isNotNull().cast("long")).alias("errs"),
+            F.sum("n_blobs").alias("nb"),
+            F.sum(
+                F.aggregate(
+                    F.transform(F.col("blobs"), lambda b: b["area"]),
+                    F.lit(0).cast("long"), lambda a, v: a + v,
+                )
+            ).alias("area"),
+        ).collect()[0]
+
+    t0 = time.time()
+    eq = blob_agg(
+        image_blobs(image_equalize(images), threshold=250), 250
+    )
+    wall = time.time() - t0
+    assert eq["errs"] == 0 and eq["nb"] == want_blobs, eq
+    assert eq["area"] == want_area, (eq["area"], want_area)
+    out["equalize"] = {"images": n, "wall_s": round(wall, 2),
+                       "images_per_s": round(n / wall)}
+
+    t0 = time.time()
+    rot = blob_agg(
+        image_blobs(
+            image_affine(images, (0, 1, -1, 0, 0, size - 1), 1, size, size),
+            threshold=128,
+        ),
+        128,
+    )
+    wall = time.time() - t0
+    assert rot["errs"] == 0 and rot["nb"] == want_blobs, rot
+    assert rot["area"] == want_area, (rot["area"], want_area)
+    out["affine_rot90"] = {"images": n, "wall_s": round(wall, 2),
+                           "images_per_s": round(n / wall)}
+
+    t0 = time.time()
+    pt = image_patches(images, patch=32).agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("errs"),
+        F.sum(F.length("bytes")).alias("payload"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert pt["errs"] == 0 and pt["rows"] == 4 * n, pt
+    assert pt["payload"] == 4 * n * 32 * 32 * 3, pt["payload"]
+    out["patches"] = {
+        "images": n, "patch_rows": int(pt["rows"]),
+        "wall_s": round(wall, 2),
+        "patches_per_s": round(pt["rows"] / wall),
+    }
+    images.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
@@ -2762,6 +2873,7 @@ if __name__ == "__main__":
         "warp": part_warp,
         "sample": part_sample,
         "burn": part_burn,
+        "augment": part_augment,
         "morph": part_morph,
         "traj": part_traj,
         "focal": part_focal,
