@@ -92,6 +92,35 @@ def polygon_perimeter(xs: Column, ys: Column) -> Column:
     return F.when(F.size(xs) >= 2, total).otherwise(F.lit(0.0))
 
 
+def polygon_centroid(xs: Column, ys: Column) -> Column:
+    """Planar polygon centroid (shoelace first moments): struct(cx, cy) with
+    cx = Σ (x_i + x_{i+1}) * cross_i / (6 A_signed) — vertex-order agnostic
+    because the signed area divides out. Degenerate rings (|A| == 0: fewer
+    than 3 vertices, or collinear) fall back to the vertex mean, so every
+    ring gets a finite representative point."""
+    cross = F.zip_with(
+        F.zip_with(xs, _rot(ys), lambda x, y2: x * y2),
+        F.zip_with(_rot(xs), ys, lambda x2, y: x2 * y),
+        lambda a, b: a - b,
+    )
+    a2 = _arr_sum(cross)  # 2 * signed area
+    mx = _arr_sum(
+        F.zip_with(F.zip_with(xs, _rot(xs), lambda a, b: a + b), cross,
+                   lambda s, c: s * c)
+    )
+    my = _arr_sum(
+        F.zip_with(F.zip_with(ys, _rot(ys), lambda a, b: a + b), cross,
+                   lambda s, c: s * c)
+    )
+    mean_x = _arr_sum(xs) / F.size(xs)
+    mean_y = _arr_sum(ys) / F.size(ys)
+    ok = (F.size(xs) >= 3) & (a2 != 0.0)
+    return F.struct(
+        F.when(ok, mx / (F.lit(3.0) * a2)).otherwise(mean_x).alias("cx"),
+        F.when(ok, my / (F.lit(3.0) * a2)).otherwise(mean_y).alias("cy"),
+    )
+
+
 def polyline_length_geodesic_m(lons: Column, lats: Column) -> Column:
     """Geodesic polyline length in meters: Σ haversine over consecutive
     vertices (same constants and op order as joins.haversine_m, so parity

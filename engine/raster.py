@@ -666,6 +666,76 @@ def zonal_crosstab(
     )
 
 
+def zonal_stats_tiles(
+    zones: DataFrame,
+    values: DataFrame,
+    res: int = 16,
+) -> DataFrame:
+    """Per-zone statistics of a value raster (the ESRI Zonal Statistics
+    analog, and the second half of the rasterize_polygons -> "zonal stats
+    over polygon zones" composition): for every zone label (0 = nodata,
+    skipped) report cell count, sum, min, max over the ALIGNED value
+    raster's co-located cells — all of a zone's cells count, including
+    zero-valued ones, so means derived as vsum/n_cells are faithful.
+
+    Same plan shape as zonal_crosstab: two sparse explodes, ONE (gx, gy)
+    equi-join, one map-side-combined hash agg keyed by zone — output
+    cardinality = distinct zones. Returns (zone, n_cells, vsum, vmin,
+    vmax)."""
+    z = (
+        zones.select("tx", "ty", F.posexplode("counts").alias("pix", "zone"))
+        .filter(F.col("zone") != 0)
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+            .alias("gy"),
+            F.col("zone").cast("long").alias("zone"),
+        )
+    )
+    v = values.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "value")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+        .alias("gy"),
+        F.col("value").cast("long").alias("value"),
+    )
+    return (
+        z.join(v, ["gx", "gy"])
+        .groupBy("zone")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("value").alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+
+
+def zonal_stats_tiles_sql(zones_table: str, values_table: str,
+                          res: int) -> str:
+    """DuckDB twin of zonal_stats_tiles — identical explode/join/agg."""
+    def cells(table: str, col: str, skip_zero: bool) -> str:
+        where = "WHERE counts[i + 1] <> 0" if skip_zero else ""
+        return f"""
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 CAST(counts[i + 1] AS BIGINT) AS {col}
+          FROM {table}, range(0, {res * res}) t(i) {where}
+        """
+
+    return f"""
+        WITH z AS ({cells(zones_table, "zone", True)}),
+             v AS ({cells(values_table, "value", False)})
+        SELECT z.zone, COUNT(*)::BIGINT AS n_cells,
+               SUM(v.value)::BIGINT AS vsum,
+               MIN(v.value)::BIGINT AS vmin,
+               MAX(v.value)::BIGINT AS vmax
+        FROM z JOIN v USING (gx, gy)
+        GROUP BY 1
+    """
+
+
 def zonal_crosstab_sql(zones_table: str, values_table: str, res: int) -> str:
     """DuckDB twin of zonal_crosstab — identical explode/filter/join/agg."""
     def cells(table: str, col: str, skip_zero: bool) -> str:

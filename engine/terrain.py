@@ -1319,3 +1319,26 @@ def distance_transform(
         ],
         pass_key=True,
     )
+
+
+def buffer_mask(tiles: DataFrame, res: int, radius: int) -> DataFrame:
+    """Raster buffer (the vector Buffer analog in grid space): (tx, ty,
+    counts) with 1 at every pixel within EXACT euclidean distance `radius`
+    of a source cell (nonzero present cells — pre-transform `counts` for a
+    different source predicate, same contract as distance_transform), else
+    0. A pure threshold of the squared-EDT proximity raster (dist2 <=
+    radius^2, sources themselves at dist2 = 0), so it inherits the
+    separable integer kernel's exactness and the one-halo-exchange plan;
+    the output is raster-family shaped and feeds zonal/regions/overlay
+    consumers directly — e.g. raster_regions(buffer_mask(...)) dissolves
+    touching buffers into merged regions, the classic buffer+dissolve."""
+    r2 = int(radius) * int(radius)
+    dt = distance_transform(tiles, res, int(radius))
+    return dt.select(
+        "tx", "ty",
+        F.transform(
+            "dist2",
+            lambda d: F.when((d >= 0) & (d <= r2), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        ).alias("counts"),
+    )

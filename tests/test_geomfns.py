@@ -182,3 +182,41 @@ def test_convex_hull_shapes(spark):
     assert [(p["x"], p["y"]) for p in out[2]["hull"]] == [(0.0, 0.0), (4.0, 8.0)]
     assert out[2]["hull_area"] == 0.0
     assert out[3]["n_hull"] == 1
+
+
+# ---------------------------------------------------------------------------
+# polygon centroid
+# ---------------------------------------------------------------------------
+def test_polygon_centroid(spark):
+    from pyspark.sql import functions as F
+
+    from engine import geomfns
+
+    rows = [
+        # unit square (ccw), centroid (0.5, 0.5)
+        (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+        # same square CW: order-agnostic
+        (2, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+        # right triangle (0,0)(3,0)(0,3): centroid (1, 1)
+        (3, [0.0, 3.0, 0.0], [0.0, 0.0, 3.0]),
+        # L-shape: 3x1 bar + 1x2 stem; area 5, moments by decomposition:
+        # bar [0,3]x[0,1] area 3 c=(1.5,0.5); stem [0,1]x[1,3] area 2 c=(0.5,2)
+        # -> cx = (3*1.5 + 2*0.5)/5 = 1.1, cy = (3*0.5 + 2*2)/5 = 1.1
+        (4, [0.0, 3.0, 3.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0, 3.0, 3.0]),
+        # degenerate: collinear -> vertex mean
+        (5, [0.0, 1.0, 2.0], [0.0, 1.0, 2.0]),
+        # translation far from origin (moment cancellation stress)
+        (6, [100.0, 101.0, 101.0, 100.0], [200.0, 200.0, 201.0, 201.0]),
+    ]
+    df = spark.createDataFrame(rows, "pid long, xs array<double>, ys array<double>")
+    got = {
+        r["pid"]: (r["c"]["cx"], r["c"]["cy"])
+        for r in df.select(
+            "pid", geomfns.polygon_centroid(F.col("xs"), F.col("ys")).alias("c")
+        ).collect()
+    }
+    assert got[1] == (0.5, 0.5) and got[2] == (0.5, 0.5)
+    assert abs(got[3][0] - 1.0) < 1e-12 and abs(got[3][1] - 1.0) < 1e-12
+    assert abs(got[4][0] - 1.1) < 1e-12 and abs(got[4][1] - 1.1) < 1e-12
+    assert got[5] == (1.0, 1.0)
+    assert abs(got[6][0] - 100.5) < 1e-9 and abs(got[6][1] - 200.5) < 1e-9

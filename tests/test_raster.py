@@ -631,3 +631,68 @@ def test_rasterize_feeds_zonal_crosstab(spark):
     # zone 1 is 16 cells (2 with a point), zone 2 is 16 (1 with 2 points)
     assert got[(1, 1)] == 2 and got[(1, 0)] == 14
     assert got[(2, 2)] == 1 and got[(2, 0)] == 15
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics (per-zone stats of a value raster)
+# ---------------------------------------------------------------------------
+def test_zonal_stats_tiles_matches_python_and_duckdb(spark):
+    import duckdb
+
+    rng = random.Random(17)
+    res = 5
+    keys = {(0, 0), (1, 2), (-2, 1)}
+    zones = _rand_tile_map(rng, res, keys, lo=0, hi=3)
+    values = _rand_tile_map(rng, res, keys, lo=0, hi=9)
+    got = {
+        r["zone"]: (r["n_cells"], r["vsum"], r["vmin"], r["vmax"])
+        for r in raster.zonal_stats_tiles(
+            _tiles_df(spark, zones), _tiles_df(spark, values), res=res
+        ).collect()
+    }
+    want = {}
+    for k in keys:
+        for i in range(res * res):
+            z, v = zones[k][i], values[k][i]
+            if z == 0:
+                continue
+            n, s, mn, mx = want.get(z, (0, 0, 10**9, -1))
+            want[z] = (n + 1, s + v, min(mn, v), max(mx, v))
+    assert got == want
+    con = duckdb.connect()
+    for name, tiles in (("zt", zones), ("vt", values)):
+        con.execute(f"CREATE TABLE {name}(tx BIGINT, ty BIGINT, counts BIGINT[])")
+        con.executemany(
+            f"INSERT INTO {name} VALUES (?, ?, ?)",
+            [(tx, ty, g) for (tx, ty), g in tiles.items()],
+        )
+    dd = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            raster.zonal_stats_tiles_sql("zt", "vt", res)
+        ).fetchall()
+    }
+    assert got == dd
+
+
+def test_zonal_stats_over_polygon_zones(spark):
+    # the full composition: burn polygon zones, take stats of a value raster
+    zones_polys = _burn_df(spark, [
+        (1, [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]], 1, 0),
+        (2, [[(4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0)]], 2, 0),
+    ])
+    zones = raster.sparse_to_tiles(
+        raster.rasterize_polygons(
+            zones_polys, 8.0, 8, rings_col="rings", value_col="v"
+        ),
+        res=8,
+    )
+    pts = spark.createDataFrame(
+        [(0.5, 0.5)] * 3 + [(5.5, 2.5)] * 7, "x double, y double"
+    )
+    values = raster.heatmap_tiles(pts, 8.0, 8)
+    got = {
+        r["zone"]: (r["n_cells"], r["vsum"], r["vmax"])
+        for r in raster.zonal_stats_tiles(zones, values, res=8).collect()
+    }
+    assert got == {1: (16, 3, 3), 2: (16, 7, 7)}

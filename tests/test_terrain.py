@@ -1045,3 +1045,60 @@ def test_edt_allocation_tie_break(spark):
     for y in range(res):
         assert alloc[y * res + 3] == pa, (y, alloc[y * res + 3])
     assert alloc[3 * res + 1] == pa  # A allocates itself (d2=0)
+
+
+# ---------------------------------------------------------------------------
+# buffer_mask (raster buffer on the EDT kernel)
+# ---------------------------------------------------------------------------
+def test_buffer_mask_disk_and_dissolve(spark):
+    from engine import raster as raster_mod
+    from engine.terrain import buffer_mask
+
+    res, r = 8, 3
+    # one source at global pixel (4, 4) of tile (0, 0); interior (radius
+    # fits inside the tile) so the exact disk has its closed lattice count
+    grid = [0] * (res * res)
+    grid[4 * res + 4] = 5
+    tiles = spark.createDataFrame(
+        [(0, 0, grid)], "tx long, ty long, counts array<long>"
+    )
+    out = {
+        (row["tx"], row["ty"]): list(row["counts"])
+        for row in buffer_mask(tiles, res, r).collect()
+    }
+    got = {
+        (gx, gy)
+        for (tx, ty), g in out.items()
+        for i, v in enumerate(g)
+        if v
+        for gx, gy in [(tx * res + i % res, ty * res + i // res)]
+    }
+    want = {
+        (4 + dx, 4 + dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if dx * dx + dy * dy <= r * r
+    }
+    assert got == want
+    assert len(want) == 29  # lattice disk r=3
+    # buffer + dissolve: two sources 4 apart with r=3 overlap -> ONE region
+    grid2 = [0] * (res * res)
+    grid2[2 * res + 2] = 1
+    grid2[2 * res + 6] = 1
+    tiles2 = spark.createDataFrame(
+        [(0, 0, grid2)], "tx long, ty long, counts array<long>"
+    )
+    regions = raster_mod.raster_regions(
+        buffer_mask(tiles2, res, r), res
+    ).collect()
+    assert len(regions) == 1
+    # and two sources far apart stay two regions
+    grid3 = [0] * (res * res)
+    grid3[1 * res + 1] = 1
+    grid3[6 * res + 6] = 1
+    tiles3 = spark.createDataFrame(
+        [(0, 0, grid3)], "tx long, ty long, counts array<long>"
+    )
+    assert len(
+        raster_mod.raster_regions(buffer_mask(tiles3, res, r), res).collect()
+    ) == 2
