@@ -121,6 +121,87 @@ def polygon_centroid(xs: Column, ys: Column) -> Column:
     )
 
 
+def label_point(rings: Column) -> Column:
+    """Interior representative point (the ST_PointOnSurface analog a map
+    labeling layer needs — the centroid of a concave/holed polygon can fall
+    OUTSIDE it): scan the horizontal line through a candidate height of the
+    bbox, sort the even-odd edge crossings (the rasterize_polygons rule),
+    and return the midpoint of the WIDEST interior span — guaranteed inside
+    for any simple multi-ring polygon when the scan row is non-degenerate.
+    Candidate heights 1/2, 1/4, 3/4 of the bbox are tried in order (a row
+    through a vertex can yield a degenerate odd crossing set); if all three
+    degenerate, falls back to the outer ring's vertex mean (the only
+    non-guaranteed case, flagged by `interior` = false).
+
+    `rings` is array<array<struct<x,y>>> (outer + holes, open rings — the
+    rasterize_polygons convention). Pure Column HOFs: no shuffle, no UDF.
+    Returns struct(x, y, interior boolean)."""
+
+    ys_all = F.flatten(F.transform(rings, lambda r: F.transform(r, lambda p: p["y"])))
+    ymin, ymax = F.array_min(ys_all), F.array_max(ys_all)
+
+    def crossings_at(yc: Column) -> Column:
+        def ring_cross(r):
+            n = F.size(r)
+
+            def vx(i):
+                return F.element_at(r, (i + 1).cast("int"))["x"]
+
+            def vy(i):
+                return F.element_at(r, (i + 1).cast("int"))["y"]
+
+            idx = F.filter(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: (vy(i) <= yc) != (vy((i + 1) % n) <= yc),
+            )
+            return F.transform(
+                idx,
+                lambda i: vx(i)
+                + (yc - vy(i)) * (vx((i + 1) % n) - vx(i))
+                / (vy((i + 1) % n) - vy(i)),
+            )
+
+        return F.array_sort(F.flatten(F.transform(rings, ring_cross)))
+
+    def widest_mid(yc: Column) -> Column:
+        xs = crossings_at(yc)
+        half = F.floor(F.size(xs) / 2).cast("long")
+        spans = F.transform(
+            F.sequence(F.lit(1).cast("long"), half),
+            lambda j: F.struct(
+                (
+                    F.element_at(xs, (j * 2).cast("int"))
+                    - F.element_at(xs, (j * 2 - 1).cast("int"))
+                ).alias("w"),
+                F.element_at(xs, (j * 2 - 1).cast("int")).alias("lo"),
+                F.element_at(xs, (j * 2).cast("int")).alias("hi"),
+            ),
+        )
+        best = F.array_max(spans)  # struct order: widest, then lo/hi tiebreak
+        # usable iff crossings pair up (even, >= 2) and the best span is open
+        ok = (F.size(xs) >= 2) & (F.size(xs) % 2 == 0) & (best["w"] > 0)
+        return F.when(
+            ok,
+            F.struct(
+                ((best["lo"] + best["hi"]) / 2).alias("x"),
+                yc.alias("y"),
+                F.lit(True).alias("interior"),
+            ),
+        )
+
+    outer = F.element_at(rings, 1)
+    fallback = F.struct(
+        _arr_sum(F.transform(outer, lambda p: p["x"])) / F.size(outer),
+        _arr_sum(F.transform(outer, lambda p: p["y"])) / F.size(outer),
+        F.lit(False),
+    ).cast("struct<x:double,y:double,interior:boolean>")
+    cand = None
+    for frac in (0.5, 0.25, 0.75):
+        c = widest_mid(ymin + F.lit(frac) * (ymax - ymin))
+        cand = c if cand is None else F.coalesce(cand, c)
+    return F.coalesce(cand, fallback)
+
+
 def polyline_length_geodesic_m(lons: Column, lats: Column) -> Column:
     """Geodesic polyline length in meters: Σ haversine over consecutive
     vertices (same constants and op order as joins.haversine_m, so parity

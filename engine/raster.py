@@ -105,6 +105,72 @@ def heatmap_tiles(
     )
 
 
+def kde_weights(
+    radius: int, kernel: str = "epanechnikov", scale: int = 1000
+) -> dict:
+    """Integer stencil weights for kde_tiles. 'epanechnikov' is pure
+    integer by construction: w(d) = r^2 + 1 - d^2 for d^2 <= r^2 (the
+    parabolic falloff, all-positive, no float anywhere). 'gaussian' rounds
+    scale * exp(-d^2 / (2 (r/2)^2)) once at PLAN time (the weights are
+    literal ints thereafter, so the raster math stays exact int64)."""
+    import math
+
+    r = int(radius)
+    if r < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    out = {}
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            d2 = dx * dx + dy * dy
+            if d2 > r * r:
+                continue
+            if kernel == "epanechnikov":
+                out[(dx, dy)] = r * r + 1 - d2
+            elif kernel == "gaussian":
+                s2 = (r / 2.0) ** 2
+                w = int(round(scale * math.exp(-d2 / (2.0 * s2))))
+                if w:
+                    out[(dx, dy)] = w
+            else:
+                raise ValueError(
+                    f"kernel must be epanechnikov or gaussian, got {kernel}"
+                )
+    return out
+
+
+def kde_tiles(
+    points: DataFrame,
+    tile_size: float,
+    res: int = 16,
+    radius: int = 3,
+    kernel: str = "epanechnikov",
+    x_col: str = "x",
+    y_col: str = "y",
+    weight_col: str | None = None,
+    stencil_kernel: str = "halo",
+) -> DataFrame:
+    """Kernel density estimation onto the tile grid (the heatmap/KDE layer
+    every density map serves): bin the points (heatmap_tiles — ONE map-side
+    combined shuffle that sees point cardinality) then smooth with an
+    integer kernel stencil (focal_stencil — one halo exchange bounded by
+    tile perimeter). Output (tx, ty, counts) holds per-pixel integer
+    densities Σ w(d) * n(p + d); divide by the kernel mass for a normalized
+    estimate. Epanechnikov weights are pure integers, so the whole pipeline
+    is exact and DuckDB-twinnable (heatmap_tiles_sql + focal_stencil_sql —
+    the 'hot' registry discipline). Composition, not new machinery: both
+    stages are independently hash-checked operators."""
+    from .focal import focal_stencil
+
+    binned = heatmap_tiles(
+        points, tile_size, res, x_col=x_col, y_col=y_col,
+        weight_col=weight_col,
+    ).select("tx", "ty", "counts")
+    sm = focal_stencil(
+        binned, res, kde_weights(radius, kernel), kernel=stencil_kernel
+    )
+    return sm.select("tx", "ty", F.col("focal").alias("counts"))
+
+
 def rasterize_polygons(
     polys: DataFrame,
     tile_size: float,

@@ -220,3 +220,61 @@ def test_polygon_centroid(spark):
     assert abs(got[4][0] - 1.1) < 1e-12 and abs(got[4][1] - 1.1) < 1e-12
     assert got[5] == (1.0, 1.0)
     assert abs(got[6][0] - 100.5) < 1e-9 and abs(got[6][1] - 200.5) < 1e-9
+
+
+def test_label_point_interior(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from engine import geomfns
+
+    def ring(pts):
+        return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+    rows = [
+        # unit square: midline span [0,1] at y=0.5 -> (0.5, 0.5)
+        (1, [ring([(0, 0), (1, 0), (1, 1), (0, 1)])]),
+        # U-shape (concave, centroid near the void): outer
+        # [0,3]x[0,3] minus the notch [1,2]x[1,3] — at y=1.5 spans are
+        # [0,1] and [2,3]; widest tie -> array_max struct order picks the
+        # later (lo bigger), midpoint in a leg, INSIDE
+        (2, [ring([(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3),
+                   (0, 3)])]),
+        # donut: hole [1,2]^2 inside [0,3]^2 — at y=1.5 spans [0,1],[2,3];
+        # the naive center (1.5, 1.5) is IN THE HOLE, label point is not
+        (3, [ring([(0, 0), (3, 0), (3, 3), (0, 3)]),
+             ring([(1, 1), (2, 1), (2, 2), (1, 2)])]),
+        # degenerate: zero-height segment -> vertex-mean fallback
+        (4, [ring([(0, 0), (2, 0), (1, 0)])]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, rings array<array<struct<x:double,y:double>>>"
+    )
+    got = {
+        r["pid"]: (r["c"]["x"], r["c"]["y"], r["c"]["interior"])
+        for r in df.select(
+            "pid", geomfns.label_point(F.col("rings")).alias("c")
+        ).collect()
+    }
+    assert got[1] == (0.5, 0.5, True)
+
+    def even_odd(rings, x, y):
+        cnt = 0
+        for r in rings:
+            n = len(r)
+            for i in range(n):
+                y1, y2 = r[i]["y"], r[(i + 1) % n]["y"]
+                if (y1 <= y) != (y2 <= y):
+                    cx = r[i]["x"] + (y - y1) * (r[(i + 1) % n]["x"] - r[i]["x"]) / (y2 - y1)
+                    if cx > x:
+                        cnt += 1
+        return cnt % 2 == 1
+
+    for pid in (2, 3):
+        x, y, interior = got[pid]
+        assert interior
+        assert even_odd(rows[pid - 1][1], x, y), (pid, x, y)
+    assert got[3][0] != 1.5 or got[3][1] != 1.5  # not the hole center
+    assert got[4][2] is False
+    assert math.isclose(got[4][0], 1.0) and got[4][1] == 0.0

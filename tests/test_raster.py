@@ -696,3 +696,45 @@ def test_zonal_stats_over_polygon_zones(spark):
         for r in raster.zonal_stats_tiles(zones, values, res=8).collect()
     }
     assert got == {1: (16, 3, 3), 2: (16, 7, 7)}
+
+
+# ---------------------------------------------------------------------------
+# kernel density estimation (bin + integer stencil)
+# ---------------------------------------------------------------------------
+def test_kde_matches_python_and_scatter(spark):
+    rng = random.Random(41)
+    s, res, r = 8.0, 8, 2
+    rows = [(rng.uniform(0, 16), rng.uniform(0, 16)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (row["tx"], row["ty"]): list(row["counts"])
+        for row in raster.kde_tiles(df, s, res, radius=r).collect()
+    }
+    # python oracle: bin then correlate with the integer parabola, zero pad
+    pitch = s / res
+    binned = {}
+    for x, y in rows:
+        gx, gy = int(x // pitch), int(y // pitch)
+        binned[(gx, gy)] = binned.get((gx, gy), 0) + 1
+    w = raster.kde_weights(r)
+    assert w[(0, 0)] == r * r + 1 and w[(r, 0)] == 1 and (r, r) not in w
+    for (tx, ty), grid in got.items():
+        for i, v in enumerate(grid):
+            gx, gy = tx * res + i % res, ty * res + i // res
+            want = sum(
+                wt * binned.get((gx + dx, gy + dy), 0)
+                for (dx, dy), wt in w.items()
+            )
+            assert v == want, (gx, gy, v, want)
+    # scatter kernel twin agrees exactly
+    got2 = {
+        (row["tx"], row["ty"]): list(row["counts"])
+        for row in raster.kde_tiles(
+            df, s, res, radius=r, stencil_kernel="scatter"
+        ).collect()
+    }
+    assert got == got2
+    # gaussian weights: symmetric, positive, center-heavy
+    gw = raster.kde_weights(3, kernel="gaussian")
+    assert gw[(0, 0)] == 1000 and gw[(1, 0)] == gw[(0, 1)] == gw[(-1, 0)]
+    assert gw[(0, 0)] > gw[(1, 1)] > gw[(3, 0)] > 0
