@@ -171,7 +171,61 @@ def polygon_overlay_join(
     """
     if predicate not in ("intersects", "contains"):
         raise ValueError(f"unknown predicate {predicate!r}")
+    pairs = _blocked_pairs(
+        polys_a, polys_b, res_min, res_max, max_cells,
+        convex_a, convex_b, broadcast_cover,
+    )
 
+    if predicate == "intersects":
+        sure = pairs.filter(F.col("_accepted") == 1).select("a_id", "b_id")
+        pending = pairs.filter(F.col("_accepted") == 0)
+    else:
+        # a full-inside-nested cell proves intersection, not containment
+        sure = None
+        pending = pairs
+
+    ra = _as_rings_frame(polys_a, "a_id")
+    rb = _as_rings_frame(polys_b, "b_id")
+    if broadcast_rings:
+        ra, rb = F.broadcast(ra), F.broadcast(rb)
+    payload = pending.join(ra, "a_id").join(rb, "b_id")
+
+    want_contains = predicate == "contains"
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_a, keep_b = [], []
+            for row in pdf.itertuples(index=False):
+                a_rings = _ring_arrays(row.a_id_rings)
+                b_rings = _ring_arrays(row.b_id_rings)
+                inter, cont = np_rings_relate(a_rings, b_rings)
+                hit = cont if want_contains else inter
+                if hit:
+                    keep_a.append(row.a_id)
+                    keep_b.append(row.b_id)
+            yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
+
+    refined = payload.mapInPandas(refine, schema="a_id long, b_id long")
+    return refined if sure is None else sure.unionByName(refined)
+
+
+def _blocked_pairs(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res_min: int,
+    res_max: int,
+    max_cells: int,
+    convex_a: bool,
+    convex_b: bool,
+    broadcast_cover: bool,
+) -> DataFrame:
+    """Candidate (a_id, b_id, _accepted) pairs via the cell-cover blocking:
+    covers of both sides normalized to one blocking res, ONE equi-join on
+    the blocking cell, slim id-pair dedup. _accepted = 1 marks pairs whose
+    nested full-interior cells PROVE region intersection (the Column-only
+    fast accept); 0 means unknown — run the exact pair kernel."""
     from . import joins
 
     cov_kwargs = dict(res_min=res_min, res_max=res_max, max_cells=max_cells)
@@ -222,41 +276,131 @@ def polygon_overlay_join(
         F.col("_bcell"), shallow
     )
     accept = (F.col("_afull") & F.col("_bfull") & nested).cast("int")
-    pairs = joined.groupBy("a_id", "b_id").agg(F.max(accept).alias("_accepted"))
+    return joined.groupBy("a_id", "b_id").agg(F.max(accept).alias("_accepted"))
 
-    if predicate == "intersects":
-        sure = pairs.filter(F.col("_accepted") == 1).select("a_id", "b_id")
-        pending = pairs.filter(F.col("_accepted") == 0)
-    else:
-        # a full-inside-nested cell proves intersection, not containment
-        sure = None
-        pending = pairs
 
+def np_convex_clip(sx, sy, cx, cy):
+    """Sutherland-Hodgman clip of a simple subject ring against a CONVEX
+    clip ring (any orientation; normalized to CCW internally). Returns the
+    clipped ring as two lists (possibly empty). Exact half-plane rule:
+    boundary points count as inside, and the edge-line intersection is only
+    evaluated across a strict inside/outside transition (denominator
+    nonzero by construction)."""
+    # normalize clip orientation to CCW (positive signed area)
+    n = len(cx)
+    a2 = sum(
+        cx[i] * cy[(i + 1) % n] - cx[(i + 1) % n] * cy[i] for i in range(n)
+    )
+    if a2 < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    out = list(zip(sx, sy))
+    for i in range(n):
+        x1, y1 = float(cx[i]), float(cy[i])
+        x2, y2 = float(cx[(i + 1) % n]), float(cy[(i + 1) % n])
+        inp, out = out, []
+        if not inp:
+            break
+        dcx, dcy = x1 - x2, y1 - y2
+        n1 = x1 * y2 - y1 * x2
+
+        def inside(p):
+            return (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1) >= 0
+
+        def inter(s, e):
+            dpx, dpy = s[0] - e[0], s[1] - e[1]
+            n2 = s[0] * e[1] - s[1] * e[0]
+            n3 = 1.0 / (dcx * dpy - dcy * dpx)
+            return ((n1 * dpx - dcx * n2) * n3, (n1 * dpy - dcy * n2) * n3)
+
+        s = inp[-1]
+        for e in inp:
+            if inside(e):
+                if not inside(s):
+                    out.append(inter(s, e))
+                out.append(e)
+            elif inside(s):
+                out.append(inter(s, e))
+            s = e
+    return [p[0] for p in out], [p[1] for p in out]
+
+
+def np_intersection_area(a_rings, b_outer) -> float:
+    """Exact-algorithm area of (even-odd multiring A) ∩ (convex single-ring
+    B): clip A's outer ring and each hole against B (Sutherland-Hodgman) and
+    combine by shoelace — area(outer ∩ B) − Σ area(hole_i ∩ B), valid
+    because even-odd holes lie inside the outer ring and are disjoint."""
+    bx, by = b_outer
+
+    def shoelace(xs, ys):
+        k = len(xs)
+        if k < 3:
+            return 0.0
+        return abs(sum(
+            xs[i] * ys[(i + 1) % k] - xs[(i + 1) % k] * ys[i] for i in range(k)
+        )) / 2.0
+
+    total = 0.0
+    for j, (xs, ys) in enumerate(a_rings):
+        qx, qy = np_convex_clip(xs.tolist(), ys.tolist(), bx.tolist(), by.tolist())
+        piece = shoelace(qx, qy)
+        total += piece if j == 0 else -piece
+    return total
+
+
+def polygon_area_overlay_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res_min: int = 4,
+    res_max: int = 11,
+    max_cells: int = 256,
+    convex_a: bool = False,
+    broadcast_cover: bool = True,
+    broadcast_rings: bool = True,
+) -> DataFrame:
+    """Intersection-AREA overlay: (a_id, b_id, area) for every pair with
+    positive overlap area — the "how much of each parcel lies in each zone"
+    join that areal statistics, exposure analysis and license-AOI accounting
+    run, the quantitative upgrade of polygon_overlay_join's boolean
+    predicate. The B (zone) side must be SINGLE CONVEX rings (pre-hull
+    concave zones with geomfns.convex_hull, or subdivide); the A side can be
+    any pip_join-shaped polygon frame including multiring holes (even-odd
+    subtracts hole overlap exactly).
+
+    Same scale discipline as polygon_overlay_join: cover blocking bounds
+    candidates, the pair shuffle carries 16-byte ids, ring payloads attach
+    late, and the Sutherland-Hodgman + shoelace kernel runs per candidate
+    pair in Arrow batches. Boundary-touch pairs (area 0) are dropped —
+    that's the measure-zero difference from predicate='intersects'."""
+    pairs = _blocked_pairs(
+        polys_a, polys_b, res_min, res_max, max_cells,
+        convex_a, True, broadcast_cover,
+    ).select("a_id", "b_id")
     ra = _as_rings_frame(polys_a, "a_id")
     rb = _as_rings_frame(polys_b, "b_id")
     if broadcast_rings:
         ra, rb = F.broadcast(ra), F.broadcast(rb)
-    payload = pending.join(ra, "a_id").join(rb, "b_id")
-
-    want_contains = predicate == "contains"
+    payload = pairs.join(ra, "a_id").join(rb, "b_id")
 
     def refine(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            keep_a, keep_b = [], []
+            keep_a, keep_b, keep_area = [], [], []
             for row in pdf.itertuples(index=False):
                 a_rings = _ring_arrays(row.a_id_rings)
                 b_rings = _ring_arrays(row.b_id_rings)
-                inter, cont = np_rings_relate(a_rings, b_rings)
-                hit = cont if want_contains else inter
-                if hit:
+                area = np_intersection_area(a_rings, b_rings[0])
+                if area > 0.0:
                     keep_a.append(row.a_id)
                     keep_b.append(row.b_id)
-            yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
+                    keep_area.append(area)
+            yield pd.DataFrame(
+                {"a_id": keep_a, "b_id": keep_b, "area": keep_area}
+            )
 
-    refined = payload.mapInPandas(refine, schema="a_id long, b_id long")
-    return refined if sure is None else sure.unionByName(refined)
+    return payload.mapInPandas(
+        refine, schema="a_id long, b_id long, area double"
+    )
 
 
 def overlay_brute_force(

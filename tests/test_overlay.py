@@ -242,3 +242,101 @@ class TestOperator:
         pa = polys(spark, random_poly_rows(2, seed=41))
         with pytest.raises(ValueError):
             polygon_overlay_join(pa, pa, predicate="touches")
+
+
+# ---------------------------------------------------------------------------
+# intersection AREA overlay (Sutherland-Hodgman vs convex zones)
+# ---------------------------------------------------------------------------
+class TestIntersectionArea:
+    def test_clip_closed_forms(self):
+        from engine.overlay import np_convex_clip, np_intersection_area
+
+        # rect x rect overlap
+        a, b = rect(0, 0, 4, 4), rect(2, 2, 6, 6)
+        qx, qy = np_convex_clip(a[0].tolist(), a[1].tolist(),
+                                b[0].tolist(), b[1].tolist())
+        assert sorted(zip(qx, qy)) == [(2, 2), (2, 4), (4, 2), (4, 4)]
+        assert np_intersection_area([a], b) == 4.0
+        # clip orientation agnostic
+        b_cw = (b[0][::-1].copy(), b[1][::-1].copy())
+        assert np_intersection_area([a], b_cw) == 4.0
+        # containment: small triangle in big square = triangle area
+        tri = (np.array([1.0, 3.0, 1.0]), np.array([1.0, 1.0, 3.0]))
+        assert np_intersection_area([tri], rect(0, 0, 4, 4)) == 2.0
+        # disjoint
+        assert np_intersection_area([rect(0, 0, 1, 1)], rect(5, 5, 6, 6)) == 0.0
+        # slanted clip: radius-1 diamond centered on the unit square's
+        # center passes EXACTLY through all 4 square corners -> overlap is
+        # the whole square (boundary-inclusive half-planes)
+        dia = (np.array([1.5, 0.5, -0.5, 0.5]), np.array([0.5, 1.5, 0.5, -0.5]))
+        assert np_intersection_area([rect(0, 0, 1, 1)], dia) == 1.0
+        # radius 0.75 cuts each square corner by a legs-0.25 triangle:
+        # overlap = 1 - 4 * 0.25^2/2 = 0.875
+        dia2 = (np.array([1.25, 0.5, -0.25, 0.5]),
+                np.array([0.5, 1.25, 0.5, -0.25]))
+        got = np_intersection_area([rect(0, 0, 1, 1)], dia2)
+        assert abs(got - 0.875) < 1e-12
+        # donut A x rect B over the hole: outer [0,4]^2, hole [1,3]^2,
+        # B = [0,4]x[0,2] -> 8 - 4 = ... hole∩B = [1,3]x[1,2] area 2 -> 6
+        donut = [rect(0, 0, 4, 4), rect(1, 1, 3, 3)]
+        assert np_intersection_area(donut, rect(0, 0, 4, 2)[0:2]) == 6.0
+
+    def test_join_matches_brute_kernel(self, spark):
+        from engine.overlay import (
+            np_intersection_area, polygon_area_overlay_join, _ring_arrays,
+        )
+
+        rng = np.random.default_rng(13)
+        import math
+
+        a_rows, b_rows = [], []
+        for pid in range(14):
+            cx, cy = rng.uniform(-20, 20, 2)
+            angs = np.sort(rng.uniform(0, 2 * np.pi, 7))
+            r = rng.uniform(2, 8, 7)
+            a_rows.append(poly_row(
+                pid, [(cx + r * np.cos(angs), cy + r * np.sin(angs))]
+            ))
+        for pid in range(8):
+            cx, cy = rng.uniform(-20, 20, 2)
+            rad = rng.uniform(2, 9)
+            rot = rng.uniform(0, 2 * np.pi)
+            k = int(rng.integers(3, 8))
+            angs = rot + np.arange(k) * 2 * np.pi / k  # regular = convex
+            b_rows.append(poly_row(
+                100 + pid, [(cx + rad * np.cos(angs), cy + rad * np.sin(angs))]
+            ))
+        A, B = polys(spark, a_rows), polys(spark, b_rows)
+        got = {
+            (r["a_id"], r["b_id"]): r["area"]
+            for r in polygon_area_overlay_join(A, B).collect()
+        }
+        want = {}
+        for ar in a_rows:
+            for br in b_rows:
+                area = np_intersection_area(
+                    _ring_arrays(ar["rings"]), _ring_arrays(br["rings"])[0]
+                )
+                if area > 0:
+                    want[(ar["poly_id"], br["poly_id"])] = area
+        assert set(got) == set(want)
+        for k_, v in want.items():
+            assert abs(got[k_] - v) < 1e-9, k_
+        assert len(want) > 5  # the draw produced real overlaps
+
+    def test_join_area_closed_form(self, spark):
+        from engine.overlay import polygon_area_overlay_join
+
+        A = polys(spark, [
+            poly_row(1, [rect(0, 0, 4, 4), rect(1, 1, 3, 3)]),  # donut
+            poly_row(2, [rect(10, 10, 12, 12)]),
+        ])
+        B = polys(spark, [
+            poly_row(50, [rect(0, 0, 4, 2)]),   # half over the donut
+            poly_row(51, [rect(20, 20, 21, 21)]),  # disjoint from all
+        ])
+        got = {
+            (r["a_id"], r["b_id"]): r["area"]
+            for r in polygon_area_overlay_join(A, B).collect()
+        }
+        assert got == {(1, 50): 6.0}
