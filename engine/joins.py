@@ -167,7 +167,23 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
     full_inside all-False — every candidate goes through the exact refine. The
     SAT cull below remains valid for concave rings: separation from the
     vertex hull implies separation from the polygon (polygon ⊆ hull), so it
-    only ever DROPS provably-disjoint cells."""
+    only ever DROPS provably-disjoint cells.
+
+    Domain: the grid covers lon [-180,180] x lat [-90,90]. A bbox CROSSING
+    the edge is fine — the clamped cover equals the cover of bbox∩domain,
+    which still contains every grid cell the polygon's in-domain region
+    touches (and a ring crossing the edge still overlaps the edge cells, so
+    the SAT cull keeps them). A bbox ENTIRELY outside the domain is not:
+    clamping collapses it onto the edge row and the SAT cull then rightly
+    drops those cells as hull-disjoint — a silent empty cover, i.e. missed
+    join pairs (caught by the overlay bench's closed form as a 16x pair
+    undercount). Raise loudly for that case instead."""
+    if lon1 < -180.0 or lon0 > 180.0 or lat1 < -90.0 or lat0 > 90.0:
+        raise ValueError(
+            f"polygon {poly_id}: bbox ({lon0},{lat0})..({lon1},{lat1}) lies "
+            "entirely outside the grid domain lon [-180,180] x lat [-90,90]; "
+            "cell-cover blocking would silently produce an empty cover"
+        )
     res = res_min
     for r in range(res_max, res_min - 1, -1):
         n = 2**r

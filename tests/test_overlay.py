@@ -340,3 +340,28 @@ class TestIntersectionArea:
             for r in polygon_area_overlay_join(A, B).collect()
         }
         assert got == {(1, 50): 6.0}
+
+
+class TestDomainGuard:
+    def test_fully_out_of_range_bbox_raises(self, spark):
+        # entirely past lat 90: clamped cover degenerates and the SAT cull
+        # silently drops it (missed pairs) — the cover must refuse instead
+        A = polys(spark, [poly_row(1, [rect(100, 300, 102, 302)])])
+        B = polys(spark, [poly_row(50, [rect(100, 300, 102, 302)])])
+        with pytest.raises(Exception, match="grid domain"):
+            polygon_overlay_join(A, B).count()
+
+    def test_edge_crossing_bbox_clamps_soundly(self, spark):
+        # bbox CROSSING lat 90 stays legal: the clamped cover still finds the
+        # in-domain overlap (the flagship's synth polygons cross the edge)
+        A = polys(spark, [poly_row(1, [rect(10, 85, 20, 95)])])
+        B = polys(spark, [poly_row(50, [rect(15, 88, 25, 89)])])
+        got = polygon_overlay_join(A, B).collect()
+        assert {(r["a_id"], r["b_id"]) for r in got} == {(1, 50)}
+
+    def test_full_domain_bbox_ok(self, spark):
+        # exactly the domain corners must stay legal
+        A = polys(spark, [poly_row(1, [rect(-180, -90, 180, 90)])])
+        B = polys(spark, [poly_row(50, [rect(0, 0, 1, 1)])])
+        got = polygon_overlay_join(A, B).collect()
+        assert {(r["a_id"], r["b_id"]) for r in got} == {(1, 50)}

@@ -2858,6 +2858,110 @@ def part_augment() -> None:
     print(_json.dumps(out))
 
 
+def part_overlay() -> None:
+    """Intersection-area overlay at scale, local[32]: 100k subject squares
+    (side 2, lattice-jittered at 1/16 granularity) x 64 convex zone squares
+    (side 8, disjoint 8x8 grid spaced 10 — span 80 keeps every coordinate
+    inside the grid index's lat domain), every positive-overlap pair's area
+    CLOSED-FORM checkable because all rects are axis-aligned: area =
+    overlap_w * overlap_h, and all boundaries are multiples of 1/16 so the
+    float algebra is exact. Asserts the pair count and the total
+    intersection area; also times the boolean overlay on the same input for
+    the blocking-cost comparison."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.overlay import polygon_area_overlay_join, polygon_overlay_join
+
+    spark = _spark("bench-overlay")
+    n_a = int(os.environ.get("OVERLAY_BENCH_A", "100000"))
+    n_bx = 8  # zones: 8 x 8 grid of 8x8 squares spaced 10 apart (span 80 < 90)
+    # subjects: centers on a jittered lattice inside the zone field
+    span = n_bx * 10.0
+
+    def rect_rows(df, x0, y0, side, id_off):
+        x1, y1 = x0 + side, y0 + side
+        ring = F.array(
+            F.struct(x0.alias("lon"), y0.alias("lat")),
+            F.struct(x1.alias("lon"), y0.alias("lat")),
+            F.struct(x1.alias("lon"), y1.alias("lat")),
+            F.struct(x0.alias("lon"), y1.alias("lat")),
+        )
+        return df.select(
+            (F.col("id") + id_off).alias("poly_id"),
+            F.struct(
+                F.struct(x0.alias("lon"), y0.alias("lat")).alias("min"),
+                F.struct(x1.alias("lon"), y1.alias("lat")).alias("max"),
+            ).alias("bbox"),
+            F.array(ring).alias("rings"),
+        )
+
+    # subject squares: deterministic fractional offsets from xxhash
+    base_a = spark.range(0, n_a, 1, 64)
+    ax0 = (F.pmod(F.xxhash64("id", F.lit(1)), int(span * 16)) / 16.0)
+    ay0 = (F.pmod(F.xxhash64("id", F.lit(2)), int(span * 16)) / 16.0)
+    A = rect_rows(base_a, ax0, ay0, 2.0, 0).persist()
+    base_b = spark.range(0, n_bx * n_bx, 1, 8)
+    bx0 = F.pmod(F.col("id"), n_bx).cast("double") * 10.0 + 1.0
+    by0 = (F.col("id") / n_bx).cast("long").cast("double") * 10.0 + 1.0
+    B = rect_rows(base_b, bx0, by0, 8.0, 10**6).persist()
+    A.count(); B.count()
+
+    t0 = time.time()
+    got = polygon_area_overlay_join(A, B).agg(
+        F.count("*").alias("pairs"),
+        F.sum("area").alias("total"),
+    ).collect()[0]
+    wall_area = time.time() - t0
+    # closed form, independent of the kernel: pure interval-overlap algebra
+    # per candidate (subject, zone) pair. RAW (unclamped) widths distinguish
+    # boundary touches (w == 0, counted by the boolean overlay) from
+    # positive overlap (w > 0, the area join's pairs).
+    def zseq(a0):
+        lo = F.greatest(F.lit(0), F.floor((a0 - 9.0) / 10.0).cast("int"))
+        hi = F.least(F.lit(n_bx - 1), F.floor((a0 + 1.0) / 10.0).cast("int"))
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    def raw(a0, z):
+        return F.least(a0 + 2.0, z * 10.0 + 9.0) - F.greatest(a0, z * 10.0 + 1.0)
+
+    pts = base_a.select(ax0.alias("ax0"), ay0.alias("ay0"))
+    cand = (
+        pts.select("ax0", "ay0", F.explode(zseq(F.col("ax0"))).alias("zx"))
+        .select("ay0", raw(F.col("ax0"), F.col("zx")).alias("wx"))
+        .filter(F.col("wx") >= 0)
+        .select("wx", "ay0", F.explode(zseq(F.col("ay0"))).alias("zy"))
+        .select("wx", raw(F.col("ay0"), F.col("zy")).alias("wy"))
+        .filter(F.col("wy") >= 0)
+    )
+    want = cand.agg(
+        F.count("*").alias("bool_pairs"),
+        F.sum(((F.col("wx") > 0) & (F.col("wy") > 0)).cast("long")).alias("pairs"),
+        F.sum(
+            F.when((F.col("wx") > 0) & (F.col("wy") > 0),
+                   F.col("wx") * F.col("wy")).otherwise(F.lit(0.0))
+        ).alias("total"),
+    ).collect()[0]
+    assert got["pairs"] == want["pairs"], (got["pairs"], want["pairs"])
+    assert abs(got["total"] - want["total"]) < 1e-6 * max(1.0, want["total"])
+    out = {"overlay_area": {
+        "subjects": n_a, "zones": n_bx * n_bx, "pairs": int(got["pairs"]),
+        "wall_s": round(wall_area, 2),
+        "pairs_per_s": round(got["pairs"] / wall_area),
+    }}
+    t0 = time.time()
+    nb = polygon_overlay_join(A, B).count()
+    wall_bool = time.time() - t0
+    assert nb == want["bool_pairs"], (nb, want["bool_pairs"])
+    out["overlay_bool"] = {"pairs": int(nb), "wall_s": round(wall_bool, 2)}
+    A.unpersist(); B.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
@@ -2874,6 +2978,7 @@ if __name__ == "__main__":
         "sample": part_sample,
         "burn": part_burn,
         "augment": part_augment,
+        "overlay": part_overlay,
         "morph": part_morph,
         "traj": part_traj,
         "focal": part_focal,
