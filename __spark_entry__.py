@@ -535,12 +535,23 @@ def _overlay_rects(df, key_col, x_mult, x_mod, w_base, w_mult, w_mod,
 
 
 def q_poly_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon-polygon overlay join (engine.overlay.polygon_overlay_join):
-    rect regions derived from nation (A) and supplier (B) keys; the full
-    cover -> blocking-res equi-join -> fast-accept/refine pipeline is
-    value-checkable against a DuckDB interval-overlap twin because the rect
-    coordinate lattices of the two sides never coincide (.125 vs .375)."""
-    from engine import overlay
+    """Polygon-polygon overlay join + polygon dissolve in one registry row
+    (tagged union, same slot discipline as tile_ops/knn).
+
+    'pair' half: engine.overlay.polygon_overlay_join over rect regions
+    derived from nation (A) and supplier (B) keys; the full cover ->
+    blocking-res equi-join -> SAT/refine pipeline is value-checkable
+    against a DuckDB interval-overlap twin because the rect coordinate
+    lattices of the two sides never coincide (.125 vs .375).
+
+    'dissolve' half: engine.dissolve.rect_union_area (grid-partitioned
+    numpy slab sweep) over int rects derived from orders keys, 150 groups;
+    checked values are n_rects, the EXACT union area (overlaps counted
+    once — the measure, not the sum), and the packed dissolved extent. The
+    DuckDB twin is the INDEPENDENT slab-decomposition algorithm
+    (rect_union_area_slabs' shape) in pure SQL — two different exact
+    algorithms must hash-agree."""
+    from engine import dissolve, overlay
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -551,10 +562,34 @@ def q_poly_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = overlay.polygon_overlay_join(
         pa, pb, convex_a=True, convex_b=True, res_min=3, res_max=8
     )
-    return out.select(
+    pairs = out.select(
+        F.lit("pair").alias("tag"),
         F.col("a_id").cast("long").alias("a_id"),
         F.col("b_id").cast("long").alias("b_id"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit(-1).cast("long").alias("w"),
     )
+
+    k = F.col("o_orderkey").cast("long")
+    rects = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (k % 150).alias("group_id"),
+        ((k * 7919) % 20000).alias("x0"),
+        ((k * 104729) % 20000).alias("y0"),
+        ((k * 7919) % 20000 + 100 + (k * 31) % 1900).alias("x1"),
+        ((k * 104729) % 20000 + 100 + (k * 53) % 1900).alias("y1"),
+    )
+    dis = dissolve.rect_union_area(rects, cell=4096)
+    packed = (
+        (F.col("minx") * 32768 + F.col("miny")) * 32768 + F.col("maxx")
+    ) * 32768 + F.col("maxy")
+    dis_rows = dis.select(
+        F.lit("dissolve").alias("tag"),
+        F.col("g").alias("a_id"),
+        F.col("n_rects").alias("b_id"),
+        F.col("union_area").alias("v"),
+        packed.cast("long").alias("w"),
+    )
+    return pairs.unionByName(dis_rows)
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4041,9 +4076,54 @@ def oracle_sql() -> dict[str, str]:
                        + (8 + (s_suppkey * 17 % 20)) AS y1
               FROM supplier
             )
-            SELECT a.a_id AS a_id, b.b_id AS b_id
+            , r AS (
+              SELECT CAST(o_orderkey AS BIGINT) % 150 AS g,
+                     (CAST(o_orderkey AS BIGINT) * 7919) % 20000 AS x0,
+                     (CAST(o_orderkey AS BIGINT) * 104729) % 20000 AS y0,
+                     (CAST(o_orderkey AS BIGINT) * 7919) % 20000 + 100
+                       + (CAST(o_orderkey AS BIGINT) * 31) % 1900 AS x1,
+                     (CAST(o_orderkey AS BIGINT) * 104729) % 20000 + 100
+                       + (CAST(o_orderkey AS BIGINT) * 53) % 1900 AS y1
+              FROM orders
+            ), edges AS (
+              SELECT DISTINCT g, x FROM (
+                SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r)
+            ), slabs AS (
+              SELECT g, x AS lo,
+                     lead(x) OVER (PARTITION BY g ORDER BY x) AS hi
+              FROM edges
+            ), act AS (
+              SELECT s.g, s.lo, s.hi, r.y0, r.y1
+              FROM slabs s JOIN r ON r.g = s.g
+                AND r.x0 <= s.lo AND r.x1 >= s.hi
+              WHERE s.hi IS NOT NULL
+            ), seg AS (
+              SELECT g,
+                     (hi - lo) * GREATEST(
+                       y1 - GREATEST(y0, COALESCE(
+                         max(y1) OVER (PARTITION BY g, lo ORDER BY y0, y1
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         y0)),
+                       0) AS area
+              FROM act
+            ), dsum AS (
+              SELECT g, CAST(SUM(area) AS BIGINT) AS v FROM seg GROUP BY g
+            ), ext AS (
+              SELECT g, COUNT(*) AS n_rects,
+                     MIN(x0) AS minx, MIN(y0) AS miny,
+                     MAX(x1) AS maxx, MAX(y1) AS maxy
+              FROM r GROUP BY g
+            )
+            SELECT 'pair' AS tag, a.a_id AS a_id, b.b_id AS b_id,
+                   CAST(-1 AS BIGINT) AS v, CAST(-1 AS BIGINT) AS w
             FROM a, b
             WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+            UNION ALL
+            SELECT 'dissolve' AS tag, e.g AS a_id,
+                   CAST(e.n_rects AS BIGINT) AS b_id, d.v AS v,
+                   ((e.minx * 32768 + e.miny) * 32768 + e.maxx) * 32768
+                     + e.maxy AS w
+            FROM ext e JOIN dsum d ON d.g = e.g
         """,
         "rollup_chain": f"""
             WITH c11 AS (

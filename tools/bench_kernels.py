@@ -2962,9 +2962,57 @@ def part_overlay() -> None:
     print(_json.dumps(out))
 
 
+def part_dissolve() -> None:
+    """Dissolve union area at scale, local[32]: 1M int rects in 1000 groups,
+    each group K=1000 side-64 squares at x-stride 1 (a maximally-overlapping
+    shingle — every rect overlaps its 63 neighbors), union area per group
+    CLOSED-FORM: 64 * (64 + K - 1). The overlap depth (64x) is exactly the
+    regime where sum-of-areas is 60x wrong and only the measure is right.
+    Asserts every group's area, n_rects, and extent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.dissolve import rect_union_area
+
+    spark = _spark("bench-dissolve")
+    n_groups = int(os.environ.get("DISSOLVE_BENCH_GROUPS", "1000"))
+    k = int(os.environ.get("DISSOLVE_BENCH_K", "1000"))
+    side = 64
+    base = spark.range(0, n_groups * k, 1, 64)
+    g = (F.col("id") / k).cast("long")
+    i = F.pmod(F.col("id"), k)
+    # jitter each group's origin deterministically so cells don't align
+    ox = F.pmod(g * 2654435761, 100000)
+    oy = F.pmod(g * 40503, 100000)
+    rects = base.select(
+        g.alias("group_id"),
+        (ox + i).alias("x0"), oy.alias("y0"),
+        (ox + i + side).alias("x1"), (oy + side).alias("y1"),
+    ).persist()
+    rects.count()
+    t0 = time.time()
+    bad = rect_union_area(rects, cell=256).where(
+        (F.col("union_area") != side * (side + k - 1))
+        | (F.col("n_rects") != k)
+        | (F.col("maxx") - F.col("minx") != side + k - 1)
+        | (F.col("maxy") - F.col("miny") != side)
+    ).count()
+    wall = time.time() - t0
+    assert bad == 0, f"{bad} groups off closed form"
+    rects.unpersist()
+    spark.stop()
+    print(_json.dumps({"dissolve": {
+        "rects": n_groups * k, "groups": n_groups, "overlap_depth": side,
+        "wall_s": round(wall, 2),
+        "rects_per_s": round(n_groups * k / wall),
+    }}))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "dissolve": part_dissolve,
         "flowacc": part_flowacc,
         "catchcost": part_catchcost,
         "viewshed": part_viewshed,
