@@ -926,7 +926,16 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-odd), value 100+i, priority i: per burned pixel (a=gx, b=gy,
     c=winning value, d=winning poly_id, e=-1). The twin replays the exact
     scanline span algebra (rasterize_polygons_sql) over the identically
-    derived diamonds — vector->raster burn is hash-checked end to end."""
+    derived diamonds — vector->raster burn is hash-checked end to end.
+    tag='stat' — global spatial autocorrelation of the same raster, THREE
+    rows: (a=0, b=n_cells, c=w_sum, d=floor(moran_i*1e9), e=-1) from
+    engine.focal.morans_i, and from engine.focal.join_counts (Black =
+    count>0, same radius-1 queen weights) (a=1, b=n_black, c=joins, d=bb,
+    e=bw) and (a=2, b=ww, c=floor(z_bb*1e6), d=floor(z_bw*1e6), e=-1).
+    Both statistics reduce to exact int64 aggregates plus one fixed double
+    expression graph (bit-equal across engines — pytest asserts ==, not
+    approx), so the floor-scaled values hash-match the morans_i_sql /
+    join_counts_sql twins."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1095,9 +1104,47 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("poly_id").alias("d"),
         F.lit(-1).cast("long").alias("e"),
     )
+    from engine import focal as _focal
+
+    mi = _focal.morans_i(tiles_r, res, radius=1)
+    jc = _focal.join_counts(tiles_r, res, radius=1, thresh=0)
+    stat = (
+        mi.select(
+            F.lit("stat").alias("tag"),
+            F.lit(0).cast("long").alias("a"),
+            F.col("n_cells").alias("b"),
+            F.col("w_sum").alias("c"),
+            F.floor(F.col("moran_i") * F.lit(1000000000.0))
+            .cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+        .unionByName(
+            jc.select(
+                F.lit("stat").alias("tag"),
+                F.lit(1).cast("long").alias("a"),
+                F.col("n_black").alias("b"),
+                F.col("joins").alias("c"),
+                F.col("bb").alias("d"),
+                F.col("bw").alias("e"),
+            )
+        )
+        .unionByName(
+            jc.select(
+                F.lit("stat").alias("tag"),
+                F.lit(2).cast("long").alias("a"),
+                F.col("ww").alias("b"),
+                F.floor(F.col("z_bb") * F.lit(1000000.0))
+                .cast("long").alias("c"),
+                F.floor(F.col("z_bw") * F.lit(1000000.0))
+                .cast("long").alias("d"),
+                F.lit(-1).cast("long").alias("e"),
+            )
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
+        .unionByName(stat)
     )
 
 
@@ -1481,6 +1528,34 @@ def raster_field_sql() -> str:
         SELECT * FROM ({_edt_sql()})
         UNION ALL
         SELECT * FROM ({_burn_sql()})
+        UNION ALL
+        SELECT 'stat' AS tag, a, b, c, d, e FROM ({_stat_sql()}) st
+    """
+
+
+def _stat_sql() -> str:
+    """DuckDB twin of the raster_field 'stat' half: morans_i_sql +
+    join_counts_sql verbatim over the shared raster CTE, floor-scaled onto
+    the union's long columns exactly as the Spark side does."""
+    from engine.focal import join_counts_sql, morans_i_sql
+
+    res = _HOTSPOT_RES
+    return f"""
+        WITH tiles AS ({_hotspot_tiles_cte()}),
+        mi AS ({morans_i_sql("tiles", res, 1)}),
+        jc AS ({join_counts_sql("tiles", res, 1, thresh=0)})
+        SELECT CAST(0 AS BIGINT) AS a, n_cells AS b, w_sum AS c,
+               CAST(FLOOR(moran_i * 1000000000.0) AS BIGINT) AS d,
+               CAST(-1 AS BIGINT) AS e
+        FROM mi
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), n_black, joins, bb, bw FROM jc
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), ww,
+               CAST(FLOOR(z_bb * 1000000.0) AS BIGINT),
+               CAST(FLOOR(z_bw * 1000000.0) AS BIGINT),
+               CAST(-1 AS BIGINT)
+        FROM jc
     """
 
 

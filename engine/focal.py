@@ -807,6 +807,214 @@ def morans_i_sql(tiles_table: str, res: int, radius: int = 1) -> str:
     """
 
 
+def join_counts(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    thresh: int = 0,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981 ch.1) — the CATEGORICAL
+    companion of morans_i: classify every pixel Black (count > thresh) or
+    White, then count the BB / BW / WW adjacencies ("joins") under the same
+    binary (2r+1)^2 window weights excluding self, study area = the union
+    of input-tile pixels, windows truncated at the area edge.
+
+    Everything is exact int64: with b_i in {0,1}, S_i the neighbor-only
+    window sum of b and W_i the in-area neighbor count,
+
+        BB = (sum_i b_i S_i) / 2          (each BB pair seen from both ends)
+        BW = sum_i b_i (W_i - S_i)        (each BW pair has ONE black end)
+        WW = joins - BB - BW,  joins = (sum_i W_i) / 2
+
+    so five integer aggregates (nb, g=sum W_i, w2=sum W_i^2, bb2=sum b*S,
+    d=sum b*W_i) determine every count. z-scores use FREE (binomial)
+    sampling with p estimated as nb/n; with m = joins and k = w2 - g (the
+    number of ordered neighbor-pair "cotangencies" sharing a hub pixel),
+    the pair-covariance expansion gives
+
+        E[BB]   = m p^2
+        Var[BB] = m p^2 (1 - p^2) + k p^3 (1 - p)
+        E[BW]   = 2 m p q
+        Var[BW] = 2 m p q (1 - 2 p q) + k p q (1 - 4 p q)
+
+    (derivation: Var(sum of pair indicators) = sum Var + 2 sum Cov over
+    pair-of-pairs sharing one pixel; Cov(BB) = p^3 - p^4, Cov(BW) = pq -
+    4p^2q^2; disjoint pairs are independent under free sampling — pinned by
+    an exact 2^n enumeration test). The final doubles are one fixed
+    expression graph over the exact ints, so Spark and the DuckDB twin
+    agree bit-for-bit. Returns one row (n_cells, n_black, joins, bb, bw,
+    ww, e_bb, e_bw, z_bb, z_bw); z null when the variance is 0 (constant
+    color or no neighbor pairs).
+
+    Cost mirrors morans_i: ONE fused halo pass emitting five per-tile int
+    scalars + one aggregate (kernel='halo', production), or the scatter
+    focal algebra (kernel='scatter', the DuckDB-transliterable twin).
+    Reference provenance: no analog (the reference has no raster ops);
+    extends the brief's hotspot/screening family alongside gi_star.
+    """
+    if kernel == "halo":
+        r = radius
+
+        def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+            bh = ((halo > thresh) & (mask > 0)).astype(np.int64)
+            b = bh[r : r + res, r : r + res]
+            sb = _box_sums(bh, res, r) - b
+            wi = _box_sums(mask, res, r) - 1
+            return {
+                "nb": int(b.sum()),
+                "g": int(wi.sum()),
+                "w2": int((wi * wi).sum()),
+                "bb2": int((b * sb).sum()),
+                "d": int((b * wi).sum()),
+            }
+
+        agg = _halo_apply(
+            tiles, res, r, finish,
+            fields=[(c, T.LongType()) for c in ("nb", "g", "w2", "bb2", "d")],
+        ).agg(
+            F.count("*").alias("_tiles"),
+            *[F.sum(c).alias(c) for c in ("nb", "g", "w2", "bb2", "d")],
+        )
+    else:
+        bins = tiles.select(
+            "tx", "ty",
+            F.transform(
+                "counts", lambda v: (v > F.lit(thresh)).cast("long")
+            ).alias("counts"),
+        )
+        fb = focal_sum(
+            bins, res, radius=radius, kernel=kernel
+        ).withColumnRenamed("focal", "_fb")
+        ones = tiles.select(
+            "tx", "ty",
+            F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+        )
+        w = focal_sum(
+            ones, res, radius=radius, kernel=kernel
+        ).withColumnRenamed("focal", "_wn")
+        j = bins.join(fb, ["tx", "ty"]).join(w, ["tx", "ty"])
+
+        def fold(arr: Column) -> Column:
+            return F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)
+
+        x, fbc, wn = F.col("counts"), F.col("_fb"), F.col("_wn")
+        s_arr = F.zip_with(fbc, x, lambda a, b: a - b)
+        wi_arr = F.transform(wn, lambda v: v - F.lit(1).cast("long"))
+        agg = j.select(
+            fold(x).alias("_nb"),
+            fold(wi_arr).alias("_g"),
+            fold(F.zip_with(wi_arr, wi_arr, lambda a, b: a * b)).alias("_w2"),
+            fold(F.zip_with(x, s_arr, lambda a, b: a * b)).alias("_bb2"),
+            fold(F.zip_with(x, wi_arr, lambda a, b: a * b)).alias("_d"),
+        ).agg(
+            F.count("*").alias("_tiles"),
+            F.sum("_nb").alias("nb"),
+            F.sum("_g").alias("g"),
+            F.sum("_w2").alias("w2"),
+            F.sum("_bb2").alias("bb2"),
+            F.sum("_d").alias("d"),
+        )
+    n = (F.col("_tiles") * (res * res)).cast("double")
+    p = F.col("nb") / n
+    q = F.lit(1.0) - p
+    m = F.expr("g div 2")
+    k = F.col("w2") - F.col("g")
+    bb = F.expr("bb2 div 2")
+    bw = F.col("d") - F.col("bb2")
+    ww = m - bb - bw
+    md, kd = m.cast("double"), k.cast("double")
+    e_bb = md * p * p
+    e_bw = F.lit(2.0) * md * p * q
+    var_bb = md * p * p * (F.lit(1.0) - p * p) \
+        + kd * p * p * p * (F.lit(1.0) - p)
+    var_bw = F.lit(2.0) * md * p * q * (F.lit(1.0) - F.lit(2.0) * p * q) \
+        + kd * p * q * (F.lit(1.0) - F.lit(4.0) * p * q)
+    return agg.select(
+        (F.col("_tiles") * (res * res)).cast("long").alias("n_cells"),
+        F.col("nb").alias("n_black"),
+        m.alias("joins"),
+        bb.alias("bb"),
+        bw.alias("bw"),
+        ww.alias("ww"),
+        e_bb.alias("e_bb"),
+        e_bw.alias("e_bw"),
+        F.when(var_bb > 0, (bb.cast("double") - e_bb) / F.sqrt(var_bb))
+        .alias("z_bb"),
+        F.when(var_bw > 0, (bw.cast("double") - e_bw) / F.sqrt(var_bw))
+        .alias("z_bw"),
+    )
+
+
+def join_counts_sql(
+    tiles_table: str, res: int, radius: int = 1, thresh: int = 0
+) -> str:
+    """DuckDB twin of join_counts: the same five int64 aggregates from the
+    scatter focal algebra, the same double expression graph (operand order
+    preserved multiplication-for-multiplication for bit equality)."""
+    n_px = res * res
+    fb = focal_sum_sql("t_bin", res, radius)
+    ws = focal_sum_sql("t_ones", res, radius)
+    return f"""
+        WITH t_in AS (SELECT * FROM {tiles_table}),
+        t_bin AS (
+          SELECT tx, ty,
+                 list_transform(
+                   counts,
+                   v -> (CASE WHEN v > {thresh} THEN 1 ELSE 0 END)::BIGINT
+                 ) AS counts
+          FROM t_in
+        ),
+        t_ones AS (
+          SELECT tx, ty,
+                 list_transform(range(0, {n_px}), i -> 1::BIGINT) AS counts
+          FROM t_in
+        ),
+        fbq AS ({fb}),
+        wq AS ({ws}),
+        px AS (
+          SELECT b.counts[i + 1] AS x,
+                 f.focal[i + 1] - b.counts[i + 1] AS s,
+                 w.focal[i + 1] - 1 AS wi
+          FROM t_bin b
+          JOIN fbq f USING (tx, ty)
+          JOIN wq w USING (tx, ty), range(0, {n_px}) r(i)
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n_int,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x)::BIGINT AS nb, SUM(wi)::BIGINT AS g,
+                 SUM(wi * wi)::BIGINT AS w2,
+                 SUM(x * s)::BIGINT AS bb2, SUM(x * wi)::BIGINT AS d
+          FROM px
+        ),
+        fin AS (
+          SELECT n_int::BIGINT AS n_cells, nb, g // 2 AS m, w2 - g AS k,
+                 bb2 // 2 AS bb, d - bb2 AS bw,
+                 nb / n AS p, 1.0 - nb / n AS q
+          FROM agg
+        ),
+        ex AS (
+          SELECT n_cells, nb, m, bb, bw, m - bb - bw AS ww,
+                 CAST(m AS DOUBLE) * p * p AS e_bb,
+                 2.0 * CAST(m AS DOUBLE) * p * q AS e_bw,
+                 CAST(m AS DOUBLE) * p * p * (1.0 - p * p)
+                   + CAST(k AS DOUBLE) * p * p * p * (1.0 - p) AS var_bb,
+                 2.0 * CAST(m AS DOUBLE) * p * q * (1.0 - 2.0 * p * q)
+                   + CAST(k AS DOUBLE) * p * q * (1.0 - 4.0 * p * q) AS var_bw
+          FROM fin
+        )
+        SELECT n_cells, nb AS n_black, m AS joins, bb, bw, ww, e_bb, e_bw,
+               CASE WHEN var_bb > 0
+                    THEN (CAST(bb AS DOUBLE) - e_bb) / sqrt(var_bb)
+               END AS z_bb,
+               CASE WHEN var_bw > 0
+                    THEN (CAST(bw AS DOUBLE) - e_bw) / sqrt(var_bw)
+               END AS z_bw
+        FROM ex
+    """
+
+
 def focal_sum_sql(tiles_table: str, res: int, radius: int = 1) -> str:
     """DuckDB twin of focal_sum (scatter algebra): unnest to global cells,
     offset cross join, sum per cell, re-densify on the input tile set."""

@@ -486,3 +486,151 @@ def test_mode_homogeneous_and_salt(spark):
     df2 = _mk_df(spark, {(0, 0): cb})
     got2 = _collect_named(focal.focal_mode(df2, res, 1), "focal")[(0, 0)]
     assert got2[0] == 1  # corner ties 2-2 between classes 1 and 2
+
+
+# ---------------------------------------------------------------- join counts
+
+
+def _py_join_counts(tiles, res, r, thresh=0):
+    import math
+
+    bins = {k: [1 if v > thresh else 0 for v in g] for k, g in tiles.items()}
+    fb = _py_focal(bins, res, r)
+    ones = {k: [1] * (res * res) for k in tiles}
+    wn = _py_focal(ones, res, r)
+    xs = [
+        (bins[k][i], fb[k][i] - bins[k][i], wn[k][i] - 1)
+        for k in tiles
+        for i in range(res * res)
+    ]
+    n = len(xs)
+    nb = sum(x for x, _, _ in xs)
+    g = sum(w for _, _, w in xs)
+    w2 = sum(w * w for _, _, w in xs)
+    bb2 = sum(x * s for x, s, _ in xs)
+    d = sum(x * w for x, _, w in xs)
+    m, k_ = g // 2, w2 - g
+    bb, bw = bb2 // 2, d - bb2
+    ww = m - bb - bw
+    p = nb / n
+    q = 1.0 - p
+    e_bb = m * p * p
+    e_bw = 2.0 * m * p * q
+    var_bb = m * p * p * (1.0 - p * p) + k_ * p * p * p * (1.0 - p)
+    var_bw = (
+        2.0 * m * p * q * (1.0 - 2.0 * p * q)
+        + k_ * p * q * (1.0 - 4.0 * p * q)
+    )
+    z_bb = None if var_bb <= 0 else (bb - e_bb) / math.sqrt(var_bb)
+    z_bw = None if var_bw <= 0 else (bw - e_bw) / math.sqrt(var_bw)
+    return (n, nb, m, bb, bw, ww, e_bb, e_bw, z_bb, z_bw)
+
+
+def test_join_count_variance_formula_exact_enumeration():
+    """Pin the free-sampling moment formulas against an exact 2^9
+    enumeration on a 3x3 grid with queen (radius-1) weights: E/Var of BB
+    and BW computed by summing over all colorings with Bernoulli(p) weights
+    must equal the closed forms used by join_counts."""
+    import itertools
+
+    n, side, p = 9, 3, 0.3
+    nbrs = {}
+    for i in range(n):
+        ix, iy = i % side, i // side
+        nbrs[i] = [
+            j
+            for j in range(n)
+            if j != i
+            and abs(j % side - ix) <= 1
+            and abs(j // side - iy) <= 1
+        ]
+    pairs = [(i, j) for i in range(n) for j in nbrs[i] if i < j]
+    m = len(pairs)
+    g = sum(len(v) for v in nbrs.values())
+    w2 = sum(len(v) ** 2 for v in nbrs.values())
+    k_ = w2 - g
+    assert m == g // 2
+    e_bb = e_bb2 = e_bw = e_bw2 = 0.0
+    for bits in itertools.product((0, 1), repeat=n):
+        w = 1.0
+        for b in bits:
+            w *= p if b else (1.0 - p)
+        bb = sum(1 for i, j in pairs if bits[i] and bits[j])
+        bw = sum(1 for i, j in pairs if bits[i] != bits[j])
+        e_bb += w * bb
+        e_bb2 += w * bb * bb
+        e_bw += w * bw
+        e_bw2 += w * bw * bw
+    q = 1.0 - p
+    assert e_bb == pytest.approx(m * p * p, rel=1e-12)
+    assert e_bw == pytest.approx(2.0 * m * p * q, rel=1e-12)
+    assert e_bb2 - e_bb * e_bb == pytest.approx(
+        m * p * p * (1.0 - p * p) + k_ * p * p * p * (1.0 - p), rel=1e-10
+    )
+    assert e_bw2 - e_bw * e_bw == pytest.approx(
+        2.0 * m * p * q * (1.0 - 2.0 * p * q)
+        + k_ * p * q * (1.0 - 4.0 * p * q),
+        rel=1e-10,
+    )
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_join_counts_matches_python(spark, kernel):
+    rng = random.Random(29)
+    res = 6
+    tiles = _rand_tiles(rng, res, 7, span=3, density=0.4)
+    (row,) = focal.join_counts(
+        _mk_df(spark, tiles).repartition(3), res, radius=1, thresh=50,
+        kernel=kernel,
+    ).collect()
+    n, nb, m, bb, bw, ww, e_bb, e_bw, z_bb, z_bw = _py_join_counts(
+        tiles, res, 1, thresh=50
+    )
+    assert (
+        row["n_cells"], row["n_black"], row["joins"],
+        row["bb"], row["bw"], row["ww"],
+    ) == (n, nb, m, bb, bw, ww)
+    assert row["e_bb"] == pytest.approx(e_bb, rel=1e-12)
+    assert row["e_bw"] == pytest.approx(e_bw, rel=1e-12)
+    assert row["z_bb"] == pytest.approx(z_bb, rel=1e-12)
+    assert row["z_bw"] == pytest.approx(z_bw, rel=1e-12)
+
+
+def test_join_counts_duckdb_twin_exact(spark):
+    import duckdb
+
+    rng = random.Random(47)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9)
+    (got,) = focal.join_counts(
+        _mk_df(spark, tiles), res, radius=2, thresh=30
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    (want,) = con.execute(
+        focal.join_counts_sql("tiles", res, 2, thresh=30)
+    ).fetchall()
+    # bit-exact doubles: the hash-stability claim, not approx
+    assert tuple(got) == want
+
+
+def test_join_counts_sign_and_edges(spark):
+    res = 4
+    # left half black, right half white -> clustered: BW deficit, BB excess
+    split = {(0, 0): [(1 if i % 4 < 2 else 0) for i in range(16)]}
+    (r1,) = focal.join_counts(_mk_df(spark, split), res).collect()
+    assert r1["z_bb"] > 0 and r1["z_bw"] < 0
+    assert r1["bb"] + r1["bw"] + r1["ww"] == r1["joins"]
+    # checkerboard -> BW excess (rook disagreements dominate queen accord)
+    checker = {(0, 0): [(ix + iy) % 2 for iy in range(4) for ix in range(4)]}
+    (r2,) = focal.join_counts(_mk_df(spark, checker), res).collect()
+    assert r2["z_bw"] > 0
+    # constant color -> zero variance -> null z
+    flat = {(0, 0): [7] * 16}
+    (r3,) = focal.join_counts(_mk_df(spark, flat), res).collect()
+    assert r3["z_bb"] is None and r3["z_bw"] is None
+    assert (r3["bb"], r3["bw"], r3["ww"]) == (r3["joins"], 0, 0)
