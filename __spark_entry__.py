@@ -935,7 +935,12 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both statistics reduce to exact int64 aggregates plus one fixed double
     expression graph (bit-equal across engines — pytest asserts ==, not
     approx), so the floor-scaled values hash-match the morans_i_sql /
-    join_counts_sql twins."""
+    join_counts_sql twins.
+    tag='lisa' — LOCAL Moran's I (Anselin LISA, engine.focal.local_morans)
+    per pixel of the same raster: (a=gx, b=gy, c=floor(I_i*1e9), d=quadrant
+    1..4 HH/LL/HL/LH or 0, e=-1); the twin (local_morans_sql) replays the
+    scatter focal algebra + the identical (x-m)(S-mW)/m2 expression graph,
+    per-pixel doubles bit-equal (pytest asserts ==)."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1141,10 +1146,28 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    lisa = (
+        _focal.local_morans(tiles_r, res, radius=1)
+        .select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("local", "quad")).alias("pix", "v"),
+        )
+        .select(
+            F.lit("lisa").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.floor(F.col("v.local") * F.lit(1000000000.0))
+            .cast("long").alias("c"),
+            F.col("v.quad").cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
-        .unionByName(stat)
+        .unionByName(stat).unionByName(lisa)
     )
 
 
@@ -1530,7 +1553,19 @@ def raster_field_sql() -> str:
         SELECT * FROM ({_burn_sql()})
         UNION ALL
         SELECT 'stat' AS tag, a, b, c, d, e FROM ({_stat_sql()}) st
+        UNION ALL
+        SELECT 'lisa' AS tag, gx AS a, gy AS b,
+               CAST(FLOOR(local * 1000000000.0) AS BIGINT) AS c,
+               CAST(quad AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_lisa_sql()}) q) li
     """
+
+
+def _lisa_sql() -> str:
+    from engine.focal import local_morans_sql
+
+    return local_morans_sql("tiles", _HOTSPOT_RES, 1)
 
 
 def _stat_sql() -> str:

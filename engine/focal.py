@@ -663,6 +663,170 @@ def hot_cells(
     )
 
 
+def local_morans(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    kernel: str = "halo",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 "LISA") over the tile raster: per
+    pixel, how strongly its deviation from the global mean co-varies with
+    its neighborhood's, under the same binary (2r+1)^2 window weights
+    excluding self that morans_i uses (study area = union of input-tile
+    pixels, windows truncated at the edge):
+
+        I_i = (x_i - m) * (S_i - W_i m) / m2
+
+    with S_i the neighbor-only window sum, W_i the in-area neighbor count,
+    m the global mean and m2 = sum (x - m)^2 / n the population variance.
+    The additivity identity sum_i I_i = W * I_global (W = sum W_i) ties it
+    to morans_i and is asserted in pytest. Alongside I_i a QUADRANT code
+    classifies the (z_i, lag) sign pair: 1=HH (hot cluster core), 2=LL
+    (cold cluster), 3=HL (hot outlier in cold field), 4=LH, 0=on-mean /
+    isolated (z_i == 0, lag == 0, or W_i == 0).
+
+    Global moments come from one tiny driver-collected aggregate (the
+    gi_star discipline); per-pixel work is ONE fused halo pass (numpy in
+    the Arrow kernel) or the scatter focal algebra (kernel='scatter' — the
+    shape local_morans_sql transliterates). S_i and W_i are exact int64 and
+    the doubles follow one fixed expression graph, so Spark, numpy and the
+    DuckDB twin agree bit-for-bit. Returns (tx, ty, local array<double>,
+    quad array<int>); local is null everywhere when the raster is constant
+    (m2 == 0). Reference provenance: no analog; completes the
+    autocorrelation family (gi_star / morans_i / join_counts).
+    """
+    cell_sum = F.aggregate("counts", F.lit(0).cast("long"), lambda a, v: a + v)
+    cell_sq = F.aggregate(
+        "counts", F.lit(0).cast("long"), lambda a, v: a + v * v
+    )
+    g = tiles.agg(
+        F.count("*").alias("_tiles"),
+        F.sum(cell_sum).alias("_sum"),
+        F.sum(cell_sq).alias("_sumsq"),
+    ).collect()[0]
+    n = g["_tiles"] * res * res
+    if n < 1:
+        raise ValueError("local_morans needs a non-empty study area")
+    nn = float(n)
+    m = g["_sum"] / nn
+    m2 = g["_sumsq"] / nn - m * m
+
+    if kernel == "halo":
+        r = radius
+
+        def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+            x = halo[r : r + res, r : r + res].reshape(-1)
+            s = _box_sums(halo, res, r).reshape(-1) - x
+            wi = _box_sums(mask, res, r).reshape(-1) - 1
+            zi = x - m
+            lag = s - m * wi
+            if m2 > 0.0:
+                loc = (zi * lag / m2).astype(object).tolist()
+            else:
+                loc = [None] * (res * res)
+            quad = np.zeros(len(zi), dtype=np.int64)
+            quad[(zi > 0.0) & (lag > 0.0)] = 1
+            quad[(zi < 0.0) & (lag < 0.0)] = 2
+            quad[(zi > 0.0) & (lag < 0.0)] = 3
+            quad[(zi < 0.0) & (lag > 0.0)] = 4
+            return {"local": loc, "quad": quad.astype(int).tolist()}
+
+        return _halo_apply(
+            tiles, res, r, finish,
+            fields=[
+                ("local", T.ArrayType(T.DoubleType())),
+                ("quad", T.ArrayType(T.IntegerType())),
+            ],
+        )
+
+    f = focal_sum(tiles, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_fs"
+    )
+    ones = tiles.select(
+        "tx",
+        "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    w = focal_sum(ones, res, radius=radius, kernel=kernel).withColumnRenamed(
+        "focal", "_wn"
+    )
+    j = tiles.join(f, ["tx", "ty"]).join(w, ["tx", "ty"])
+    idx = F.sequence(F.lit(0), F.lit(res * res - 1))
+
+    def per_pix(i: Column) -> Column:
+        x = F.element_at("counts", i + 1)
+        s = F.element_at("_fs", i + 1) - x
+        wi = F.element_at("_wn", i + 1) - F.lit(1)
+        zi = x - F.lit(m)
+        lag = s - F.lit(m) * wi
+        loc = F.when(F.lit(m2) > 0.0, zi * lag / F.lit(m2))
+        quad = (
+            F.when((zi > 0.0) & (lag > 0.0), 1)
+            .when((zi < 0.0) & (lag < 0.0), 2)
+            .when((zi > 0.0) & (lag < 0.0), 3)
+            .when((zi < 0.0) & (lag > 0.0), 4)
+            .otherwise(0)
+        )
+        return F.struct(loc.alias("local"), quad.alias("quad"))
+
+    pairs = F.transform(idx, per_pix)
+    return j.select(
+        "tx", "ty",
+        F.transform(pairs, lambda p: p["local"]).alias("local"),
+        F.transform(pairs, lambda p: p["quad"]).alias("quad"),
+    )
+
+
+def local_morans_sql(
+    tiles_table: str, res: int, radius: int = 1
+) -> str:
+    """DuckDB twin of local_morans: the scatter focal algebra per pixel,
+    the same double expression graph (m = a/n, m2 = b/n - m*m, I_i =
+    (x - m) * (s - m * wi) / m2), emitted SPARSE as one row per pixel
+    (gx, gy, local, quad)."""
+    n_px = res * res
+    fs = focal_sum_sql("t_in", res, radius)
+    ws = focal_sum_sql("t_ones", res, radius)
+    return f"""
+        WITH t_in AS (SELECT * FROM {tiles_table}),
+        t_ones AS (
+          SELECT tx, ty,
+                 list_transform(range(0, {n_px}), i -> 1::BIGINT) AS counts
+          FROM t_in
+        ),
+        fsq AS ({fs}),
+        wq AS ({ws}),
+        gm AS (
+          SELECT SUM(x)::BIGINT AS a, SUM(x * x)::BIGINT AS b,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM (SELECT counts[i + 1] AS x
+                FROM t_in, range(0, {n_px}) r(i))
+        ),
+        px AS (
+          SELECT t.tx * {res} + i % {res} AS gx,
+                 t.ty * {res} + i // {res} AS gy,
+                 t.counts[i + 1] AS x,
+                 f.focal[i + 1] - t.counts[i + 1] AS s,
+                 w.focal[i + 1] - 1 AS wi
+          FROM t_in t
+          JOIN fsq f USING (tx, ty)
+          JOIN wq w USING (tx, ty), range(0, {n_px}) r(i)
+        )
+        SELECT gx, gy,
+               CASE WHEN (b / n - (a / n) * (a / n)) > 0.0
+                    THEN ((x - a / n) * (s - (a / n) * wi))
+                           / (b / n - (a / n) * (a / n))
+               END AS local,
+               CASE WHEN x - a / n > 0.0 AND s - (a / n) * wi > 0.0 THEN 1
+                    WHEN x - a / n < 0.0 AND s - (a / n) * wi < 0.0 THEN 2
+                    WHEN x - a / n > 0.0 AND s - (a / n) * wi < 0.0 THEN 3
+                    WHEN x - a / n < 0.0 AND s - (a / n) * wi > 0.0 THEN 4
+                    ELSE 0
+               END AS quad
+        FROM px, gm
+    """
+
+
 def morans_i(
     tiles: DataFrame,
     res: int,

@@ -634,3 +634,118 @@ def test_join_counts_sign_and_edges(spark):
     (r3,) = focal.join_counts(_mk_df(spark, flat), res).collect()
     assert r3["z_bb"] is None and r3["z_bw"] is None
     assert (r3["bb"], r3["bw"], r3["ww"]) == (r3["joins"], 0, 0)
+
+
+# ---------------------------------------------------------------- local moran
+
+
+def _py_local_morans(tiles, res, r):
+    fs = _py_focal(tiles, res, r)
+    ones = {k: [1] * (res * res) for k in tiles}
+    wn = _py_focal(ones, res, r)
+    n = len(tiles) * res * res
+    a = sum(v for g in tiles.values() for v in g)
+    b = sum(v * v for g in tiles.values() for v in g)
+    m = a / float(n)
+    m2 = b / float(n) - m * m
+    out = {}
+    for k in tiles:
+        loc, quad = [], []
+        for i in range(res * res):
+            x = tiles[k][i]
+            s = fs[k][i] - x
+            wi = wn[k][i] - 1
+            zi = x - m
+            lag = s - m * wi
+            loc.append(zi * lag / m2 if m2 > 0 else None)
+            if zi > 0 and lag > 0:
+                quad.append(1)
+            elif zi < 0 and lag < 0:
+                quad.append(2)
+            elif zi > 0 and lag < 0:
+                quad.append(3)
+            elif zi < 0 and lag > 0:
+                quad.append(4)
+            else:
+                quad.append(0)
+        out[k] = (loc, quad)
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_local_morans_matches_python(spark, kernel):
+    rng = random.Random(31)
+    res = 6
+    tiles = _rand_tiles(rng, res, 7, span=3, density=0.5)
+    got = {
+        (r["tx"], r["ty"]): (list(r["local"]), list(r["quad"]))
+        for r in focal.local_morans(
+            _mk_df(spark, tiles).repartition(3), res, radius=1, kernel=kernel
+        ).collect()
+    }
+    want = _py_local_morans(tiles, res, 1)
+    assert set(got) == set(want)
+    for k in want:
+        gl, gq = got[k]
+        wl, wq = want[k]
+        assert gq == wq, k
+        for gv, wv in zip(gl, wl):
+            if wv is None:
+                assert gv is None
+            else:
+                assert gv == pytest.approx(wv, rel=1e-12), k
+
+
+def test_local_morans_duckdb_twin_exact(spark):
+    import duckdb
+
+    rng = random.Random(53)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9)
+    got = {}
+    for r in focal.local_morans(_mk_df(spark, tiles), res, radius=2).collect():
+        for i, (lv, qv) in enumerate(zip(r["local"], r["quad"])):
+            got[(r["tx"] * res + i % res, r["ty"] * res + i // res)] = (lv, qv)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles(tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.executemany(
+        "INSERT INTO tiles VALUES (?, ?, ?)",
+        [(tx, ty, grid) for (tx, ty), grid in tiles.items()],
+    )
+    want = {
+        (gx, gy): (lv, qv)
+        for gx, gy, lv, qv in con.execute(
+            focal.local_morans_sql("tiles", res, 2)
+        ).fetchall()
+    }
+    # bit-exact doubles + identical quadrants
+    assert got == want
+
+
+def test_local_morans_additivity_and_quadrants(spark):
+    # sum_i I_i == W * I_global (binary unstandardized weights identity)
+    rng = random.Random(61)
+    res = 6
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.6)
+    df = _mk_df(spark, tiles)
+    rows = focal.local_morans(df, res, radius=1).collect()
+    total = sum(v for r in rows for v in r["local"] if v is not None)
+    (gr,) = focal.morans_i(df, res, radius=1).collect()
+    assert total == pytest.approx(gr["w_sum"] * gr["moran_i"], rel=1e-9)
+    # planted hot block in a cold field: block core = HH, far field = LL
+    res2 = 8
+    flat = {(0, 0): [0] * (res2 * res2)}
+    g = flat[(0, 0)]
+    for py in range(3, 6):
+        for px in range(3, 6):
+            g[py * res2 + px] = 100
+    (row,) = focal.local_morans(_mk_df(spark, flat), res2).collect()
+    quad = row["quad"]
+    assert quad[4 * res2 + 4] == 1  # block centre: HH
+    assert quad[0] == 2  # far corner: LL
+    # constant raster -> null locals, quad 0 everywhere
+    (rc,) = focal.local_morans(
+        _mk_df(spark, {(0, 0): [5] * (res2 * res2)}), res2
+    ).collect()
+    assert all(v is None for v in rc["local"])
+    assert all(q == 0 for q in rc["quad"])
