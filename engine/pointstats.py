@@ -1,0 +1,334 @@
+"""Point-pattern statistics: empirical semivariogram + Ripley's K / L.
+
+The two classic second-order summaries of a spatial point set, both reduced
+to ONE grid-blocked pair self-join (the dbscan/colocation blocking
+discipline) plus a tiny bounded aggregate:
+
+- `variogram`: Matheron's empirical semivariogram gamma(h) — for point
+  pairs binned by separation distance, half the mean squared value
+  difference per lag bin. The geostatistics primitive (fit a model to it
+  and you have kriging weights); over an image-anchor table it answers
+  "over what distance do caption/quality/embedding scalars stay
+  correlated?".
+- `ripleys_k`: Ripley's K(r) (naive/no-edge-correction estimator) and the
+  variance-stabilized L(r) = sqrt(K/pi) — for a ladder of radii, the
+  expected number of further points within r of a typical point, scaled by
+  intensity. K(r) above pi*r^2 (L above r) = clustering at that scale;
+  below = inhibition/regularity.
+
+Scale story: the only wide op is the (cx, cy) cell equi-join of the blocked
+pair frame at cell size = max lag (3x3 cover, each unordered pair exactly
+once via the home-cell + id< trick) — O(n * lambda * max_lag^2) pair rows
+stream through map-side-combined per-bin aggregates; nothing is collected
+until the <= n_bins summary rows. Dense megacity cells skew the equi-join
+exactly like dbscan's — AQE skew handling applies unchanged. Both the
+squared-difference sums (when the value column is integer) and the per-bin
+pair counts are EXACT int64; the final gamma / K doubles follow one fixed
+expression graph shared with the DuckDB twins (variogram_sql /
+ripleys_k_sql replay the same binning on a brute-force O(n^2) join), so
+pytest asserts bit equality, not approx.
+
+Reference provenance: the reference (osm-history-analysis) has no spatial
+statistics; this extends the brief's hotspot/screening family (gi_star,
+morans_i, join_counts, local_morans are the raster side; variogram/K are
+the point-set side) — SURVEY.md §2 additions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lag_pairs(
+    points: DataFrame,
+    max_lag: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+) -> DataFrame:
+    """All unordered point pairs at euclidean distance <= max_lag, each
+    exactly once: grid-blocked self-join at cell size max_lag (A explodes
+    into its 3x3 cell neighborhood, B keeps its unique home cell, so every
+    qualifying pair meets in exactly one cell), ordered by id to halve.
+    Returns (_ida, _idb, d2[, dv]) with d2 the squared distance double and
+    dv = value_a - value_b when value_col is given (exact int64 for
+    integer inputs). Self pairs (same id) are excluded; coincident distinct
+    points are kept (d2 = 0)."""
+    if max_lag <= 0:
+        raise ValueError("max_lag must be > 0")
+    e = float(max_lag)
+    cols = [
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).cast("long").alias("_v"))
+    pts = points.select(*cols)
+    cx = F.floor(F.col("_px") / e).cast("long")
+    cy = F.floor(F.col("_py") / e).cast("long")
+    b_cols = [
+        F.col("_id").alias("_idb"),
+        F.col("_px").alias("_bx"),
+        F.col("_py").alias("_by"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    ]
+    a_cols = [
+        F.col("_id").alias("_ida"),
+        F.col("_px").alias("_ax"),
+        F.col("_py").alias("_ay"),
+        cx.alias("_acx"),
+        cy.alias("_acy"),
+    ]
+    if value_col is not None:
+        b_cols.append(F.col("_v").alias("_vb"))
+        a_cols.append(F.col("_v").alias("_va"))
+    b = pts.select(*b_cols)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pts.select(*a_cols)
+        .withColumn("_o", F.explode(offsets))
+        .withColumn("_cx", F.col("_acx") + F.col("_o.dx"))
+        .withColumn("_cy", F.col("_acy") + F.col("_o.dy"))
+        .drop("_acx", "_acy", "_o")
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    out = [F.col("_ida"), F.col("_idb"), d2.alias("d2")]
+    if value_col is not None:
+        out.append((F.col("_va") - F.col("_vb")).alias("dv"))
+    return (
+        a.join(b, ["_cx", "_cy"])
+        .filter((F.col("_ida") < F.col("_idb")) & (d2 <= F.lit(e * e)))
+        .select(*out)
+    )
+
+
+def variogram(
+    points: DataFrame,
+    max_lag: float,
+    n_bins: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "v",
+) -> DataFrame:
+    """Matheron empirical semivariogram: unordered pairs within max_lag are
+    binned by bin = min(floor(sqrt(d2)/w), n_bins-1), w = max_lag/n_bins
+    (the min() folds the single d == max_lag boundary point into the last
+    bin), and each bin reports
+
+        gamma(h) = sum (v_a - v_b)^2 / (2 * n_pairs)
+
+    Returns one row per NON-EMPTY bin: (bin, lag_lo, lag_hi, n_pairs,
+    sum_sq_dv, gamma), bin ascending. sum_sq_dv and n_pairs are exact
+    int64 (integer value column); gamma's double graph matches
+    variogram_sql bit-for-bit. Values must be integral (cast to long) —
+    floor-scale float attributes before calling, the house oracle rule."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    w = float(max_lag) / n_bins
+    pairs = lag_pairs(
+        points, max_lag, id_col=id_col, x_col=x_col, y_col=y_col,
+        value_col=value_col,
+    )
+    bin_ = F.least(
+        F.floor(F.sqrt(F.col("d2")) / F.lit(w)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    g = (
+        pairs.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dv")).alias("sum_sq_dv"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * F.lit(w)).alias("lag_lo"),
+            ((F.col("bin") + 1).cast("double") * F.lit(w)).alias("lag_hi"),
+            "n_pairs",
+            "sum_sq_dv",
+            (
+                F.col("sum_sq_dv").cast("double")
+                / (F.lit(2.0) * F.col("n_pairs").cast("double"))
+            ).alias("gamma"),
+        )
+    )
+    return g.orderBy("bin")
+
+
+def variogram_sql(
+    points_table: str,
+    max_lag: float,
+    n_bins: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of variogram: brute-force O(n^2) id<-ordered self-join,
+    the identical binning and double expression graph."""
+    e = repr(float(max_lag))
+    w = repr(float(max_lag) / n_bins)
+    return f"""
+        WITH p AS (
+          SELECT CAST({id_col} AS BIGINT) AS id,
+                 CAST({x_col} AS DOUBLE) AS x,
+                 CAST({y_col} AS DOUBLE) AS y,
+                 CAST({value_col} AS BIGINT) AS v
+          FROM {points_table}
+        ), pr AS (
+          SELECT (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2,
+                 a.v - b.v AS dv
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= {e} * {e}
+        ), binned AS (
+          SELECT LEAST(CAST(FLOOR(SQRT(d2) / {w}) AS INT), {n_bins - 1})
+                   AS bin,
+                 COUNT(*)::BIGINT AS n_pairs,
+                 SUM(dv * dv)::BIGINT AS sum_sq_dv
+          FROM pr GROUP BY 1
+        )
+        SELECT bin, CAST(bin AS DOUBLE) * {w} AS lag_lo,
+               CAST(bin + 1 AS DOUBLE) * {w} AS lag_hi,
+               n_pairs, sum_sq_dv,
+               CAST(sum_sq_dv AS DOUBLE)
+                 / (2.0 * CAST(n_pairs AS DOUBLE)) AS gamma
+        FROM binned ORDER BY bin
+    """
+
+
+def ripleys_k(
+    points: DataFrame,
+    max_r: float,
+    n_r: int,
+    area: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Ripley's K / L functions at the radius ladder r_k = k * max_r / n_r,
+    k = 1..n_r, naive (no edge correction) estimator over a study window of
+    the given area:
+
+        K(r) = area * 2 * #{unordered pairs with d <= r} / (n * (n - 1))
+        L(r) = sqrt(K(r) / pi)
+
+    A pair lands in ladder slot ceil(sqrt(d2)/step) (coincident pairs clamp
+    to slot 1) and counts toward every r_k at or above it — one groupBy of
+    the pair frame + a cumulative window over the <= n_r summary rows.
+    Every slot is emitted (empty slots carry the running cumulative), so
+    the output is exactly n_r rows: (r, n_pairs_le, k_hat, l_hat) with
+    n_pairs_le exact int64 and k_hat/l_hat on the fixed double graph shared
+    with ripleys_k_sql. `n` (the point count) is one bounded driver
+    count(). Under complete spatial randomness K(r) ~= pi r^2, so l_hat >
+    r flags clustering at scale r and l_hat < r regularity."""
+    if n_r < 1:
+        raise ValueError("n_r must be >= 1")
+    if area <= 0:
+        raise ValueError("area must be > 0")
+    step = float(max_r) / n_r
+    n = points.count()
+    if n < 2:
+        raise ValueError("ripleys_k needs >= 2 points")
+    pairs = lag_pairs(points, max_r, id_col=id_col, x_col=x_col, y_col=y_col)
+    slot = F.greatest(
+        F.ceil(F.sqrt(F.col("d2")) / F.lit(step)).cast("int"), F.lit(1)
+    )
+    per_slot = pairs.groupBy(slot.alias("slot")).agg(
+        F.count("*").alias("c")
+    )
+    ladder = points.sparkSession.range(1, n_r + 1).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    cum = (
+        ladder.join(per_slot, "slot", "left")
+        .select(
+            "slot", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .withColumn(
+            "n_pairs_le",
+            F.sum("c").over(
+                Window.orderBy("slot").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    denom = float(n) * (float(n) - 1.0)
+    k_hat = (
+        F.lit(float(area))
+        * (F.lit(2.0) * F.col("n_pairs_le").cast("double"))
+        / F.lit(denom)
+    )
+    return cum.select(
+        (F.col("slot").cast("double") * F.lit(step)).alias("r"),
+        "n_pairs_le",
+        k_hat.alias("k_hat"),
+        F.sqrt(k_hat / F.lit(math.pi)).alias("l_hat"),
+    ).orderBy("r")
+
+
+def ripleys_k_sql(
+    points_table: str,
+    max_r: float,
+    n_r: int,
+    area: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of ripleys_k: brute-force pair join, the identical slot
+    ladder, cumulative window and double graph. The point count n is
+    inlined by the SAME double arithmetic (a scalar subquery)."""
+    e = repr(float(max_r))
+    step = repr(float(max_r) / n_r)
+    return f"""
+        WITH p AS (
+          SELECT CAST({id_col} AS BIGINT) AS id,
+                 CAST({x_col} AS DOUBLE) AS x,
+                 CAST({y_col} AS DOUBLE) AS y
+          FROM {points_table}
+        ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM p),
+        pr AS (
+          SELECT (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= {e} * {e}
+        ), slotted AS (
+          SELECT GREATEST(CAST(CEIL(SQRT(d2) / {step}) AS INT), 1) AS slot,
+                 COUNT(*)::BIGINT AS c
+          FROM pr GROUP BY 1
+        ), ladder AS (
+          SELECT CAST(r.s AS INT) AS slot FROM range(1, {n_r + 1}) r(s)
+        ), cum AS (
+          SELECT l.slot,
+                 SUM(COALESCE(s.c, 0))
+                   OVER (ORDER BY l.slot
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS n_pairs_le
+          FROM ladder l LEFT JOIN slotted s USING (slot)
+        )
+        SELECT CAST(slot AS DOUBLE) * {step} AS r, n_pairs_le,
+               {repr(float(area))}
+                 * (2.0 * CAST(n_pairs_le AS DOUBLE))
+                 / (nn.n * (nn.n - 1.0)) AS k_hat,
+               SQRT(({repr(float(area))}
+                 * (2.0 * CAST(n_pairs_le AS DOUBLE))
+                 / (nn.n * (nn.n - 1.0))) / {repr(math.pi)}) AS l_hat
+        FROM cum, nn ORDER BY r
+    """

@@ -1,0 +1,197 @@
+"""engine.pointstats: variogram + Ripley's K vs brute-force Python and
+bit-exact DuckDB twins."""
+
+import math
+import random
+
+import pytest
+
+from engine import pointstats
+from tests.conftest import spark  # noqa: F401
+
+
+def _rand_points(rng, n, span=40.0, dup_every=0):
+    pts = []
+    for i in range(n):
+        x = rng.uniform(0.0, span)
+        y = rng.uniform(0.0, span)
+        v = rng.randint(-50, 50)
+        pts.append((i, x, y, v))
+    if dup_every:
+        # plant coincident distinct-id points (d2 == 0 pair path)
+        for i in range(0, n, dup_every):
+            pts.append((n + i, pts[i][1], pts[i][2], rng.randint(-50, 50)))
+    return pts
+
+
+def _mk_df(spark, pts):
+    return spark.createDataFrame(
+        pts, "id long, x double, y double, v long"
+    )
+
+
+def _py_variogram(pts, max_lag, n_bins):
+    w = max_lag / n_bins
+    bins = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if a[0] > b[0]:
+                a, b = b, a
+            d2 = (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+            if d2 <= max_lag * max_lag:
+                k = min(int(math.floor(math.sqrt(d2) / w)), n_bins - 1)
+                c, s = bins.get(k, (0, 0))
+                bins[k] = (c + 1, s + (a[3] - b[3]) ** 2)
+    return {
+        k: (c, s, s / (2.0 * c)) for k, (c, s) in sorted(bins.items())
+    }
+
+
+def test_variogram_matches_python_bruteforce(spark):
+    rng = random.Random(71)
+    pts = _rand_points(rng, 120, dup_every=17)
+    got = pointstats.variogram(
+        _mk_df(spark, pts).repartition(5), max_lag=15.0, n_bins=6
+    ).collect()
+    want = _py_variogram(pts, 15.0, 6)
+    assert [r["bin"] for r in got] == list(want)
+    for r in got:
+        c, s, g = want[r["bin"]]
+        assert (r["n_pairs"], r["sum_sq_dv"]) == (c, s)
+        assert r["gamma"] == pytest.approx(g, rel=1e-12)
+        assert r["lag_hi"] == pytest.approx(r["lag_lo"] + 15.0 / 6, rel=1e-12)
+
+
+def test_variogram_duckdb_twin_exact(spark):
+    import duckdb
+
+    rng = random.Random(73)
+    pts = _rand_points(rng, 90, dup_every=11)
+    got = [
+        tuple(r)
+        for r in pointstats.variogram(
+            _mk_df(spark, pts), max_lag=12.0, n_bins=5
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts_t(id BIGINT, x DOUBLE, y DOUBLE, v BIGINT)"
+    )
+    con.executemany("INSERT INTO pts_t VALUES (?, ?, ?, ?)", pts)
+    want = con.execute(
+        pointstats.variogram_sql("pts_t", 12.0, 5)
+    ).fetchall()
+    assert got == want  # bit-exact doubles incl. gamma
+
+
+def test_variogram_exact_max_lag_boundary(spark):
+    # a pair at EXACTLY max_lag must land in the last bin, not fall out
+    pts = [(0, 0.0, 0.0, 0), (1, 3.0, 4.0, 10)]  # d = 5
+    rows = pointstats.variogram(
+        _mk_df(spark, pts), max_lag=5.0, n_bins=4
+    ).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 3
+    assert rows[0]["n_pairs"] == 1 and rows[0]["sum_sq_dv"] == 100
+    # and strictly beyond max_lag is excluded
+    rows2 = pointstats.variogram(
+        _mk_df(spark, pts), max_lag=4.99, n_bins=4
+    ).collect()
+    assert rows2 == []
+
+
+def _py_ripley(pts, max_r, n_r, area):
+    step = max_r / n_r
+    n = len(pts)
+    slots = [0] * (n_r + 1)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            if d2 <= max_r * max_r:
+                s = max(int(math.ceil(math.sqrt(d2) / step)), 1)
+                if s <= n_r:
+                    slots[s] += 1
+    out, cum = [], 0
+    for k in range(1, n_r + 1):
+        cum += slots[k]
+        k_hat = area * (2.0 * cum) / (float(n) * (float(n) - 1.0))
+        out.append((k * step, cum, k_hat, math.sqrt(k_hat / math.pi)))
+    return out
+
+
+def test_ripleys_k_matches_python_bruteforce(spark):
+    rng = random.Random(79)
+    pts = _rand_points(rng, 150, span=30.0, dup_every=29)
+    got = pointstats.ripleys_k(
+        _mk_df(spark, pts).repartition(4), max_r=10.0, n_r=5, area=900.0
+    ).collect()
+    want = _py_ripley(pts, 10.0, 5, 900.0)
+    assert len(got) == 5
+    for r, (wr, wc, wk, wl) in zip(got, want):
+        assert r["n_pairs_le"] == wc
+        assert r["r"] == pytest.approx(wr, rel=1e-12)
+        assert r["k_hat"] == pytest.approx(wk, rel=1e-12)
+        assert r["l_hat"] == pytest.approx(wl, rel=1e-12)
+
+
+def test_ripleys_k_duckdb_twin_exact(spark):
+    import duckdb
+
+    rng = random.Random(83)
+    pts = [(i, x, y) for i, x, y, _ in _rand_points(rng, 100, span=25.0)]
+    got = [
+        tuple(r)
+        for r in pointstats.ripleys_k(
+            spark.createDataFrame(pts, "id long, x double, y double"),
+            max_r=8.0, n_r=6, area=625.0,
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts_t(id BIGINT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO pts_t VALUES (?, ?, ?)", pts)
+    want = con.execute(
+        pointstats.ripleys_k_sql("pts_t", 8.0, 6, 625.0)
+    ).fetchall()
+    assert got == want  # bit-exact doubles incl. k_hat / l_hat
+
+
+def test_ripleys_k_csr_vs_clustered(spark):
+    # regular unit lattice: L(r) < r at r just under 1 (inhibition);
+    # the same points collapsed into tight clumps: L(r) > r (clustering)
+    m = 20
+    lattice = [
+        (iy * m + ix, float(ix), float(iy))
+        for iy in range(m)
+        for ix in range(m)
+    ]
+    df = spark.createDataFrame(lattice, "id long, x double, y double")
+    area = float(m * m)
+    (row,) = pointstats.ripleys_k(df, max_r=0.9, n_r=1, area=area).collect()
+    assert row["n_pairs_le"] == 0 and row["l_hat"] == 0.0
+    rng = random.Random(89)
+    clumps = [
+        (
+            i,
+            (i % 8) * 10.0 + rng.uniform(0, 0.3),
+            (i % 8) * 10.0 + rng.uniform(0, 0.3),
+        )
+        for i in range(400)
+    ]
+    dfc = spark.createDataFrame(clumps, "id long, x double, y double")
+    (rc,) = pointstats.ripleys_k(dfc, max_r=0.9, n_r=1, area=6400.0).collect()
+    assert rc["l_hat"] > 0.9  # way above CSR at this radius
+
+
+def test_lag_pairs_blocking_complete_across_cells(spark):
+    # pairs straddling cell borders (cell size == max_lag) must be found:
+    # brute-force count equality on a line of points spaced 0.6 * max_lag
+    pts = [(i, 0.6 * 5.0 * i, 0.0, 0) for i in range(30)]
+    df = _mk_df(spark, pts)
+    got = pointstats.lag_pairs(df, 5.0, value_col="v").count()
+    brute = sum(
+        1
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if (0.6 * 5.0 * (j - i)) ** 2 <= 25.0
+    )
+    assert got == brute == 29  # only adjacent points qualify (0.6 < 1)

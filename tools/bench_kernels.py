@@ -3009,9 +3009,87 @@ def part_dissolve() -> None:
     }}))
 
 
+def part_pointstats() -> None:
+    """Variogram + Ripley's K at scale, local[32]: an m x m unit lattice
+    (default 2048^2 = 4.2M points) with v = x + y, max_lag 3. Every bin of
+    both statistics is CLOSED-FORM from displacement counting: unordered
+    pairs at displacement (dx, dy) (canonical dx>0 or dx=0,dy>0) number
+    (m-dx)(m-|dy|) with dv^2 = (dx+dy)^2, so per-bin n_pairs / sum_sq_dv /
+    cumulative slot counts are exact integers the run must reproduce —
+    ~59M pair rows through the blocked join at defaults, all asserted."""
+    import json as _json
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from engine.pointstats import ripleys_k, variogram
+
+    spark = _spark("bench-pointstats")
+    m = int(os.environ.get("POINTSTATS_BENCH_M", "2048"))
+    max_lag, n_bins = 3.0, 3
+    w = max_lag / n_bins
+    base = spark.range(0, m * m, 1, 64)
+    xs = F.pmod(F.col("id"), m).cast("double")
+    ys = (F.col("id") / m).cast("long").cast("double")
+    pts = base.select(
+        F.col("id").alias("id"), xs.alias("x"), ys.alias("y"),
+        (xs + ys).cast("long").alias("v"),
+    ).persist()
+    n = pts.count()
+
+    # closed-form displacement enumeration
+    vari = {}
+    slots = {}
+    ll = int(max_lag)
+    for dx in range(0, ll + 1):
+        for dy in range(-ll, ll + 1):
+            if dx == 0 and dy <= 0:
+                continue
+            d2 = dx * dx + dy * dy
+            if d2 > max_lag * max_lag:
+                continue
+            cnt = (m - dx) * (m - abs(dy))
+            d = _math.sqrt(float(d2))
+            b = min(int(_math.floor(d / w)), n_bins - 1)
+            c, s = vari.get(b, (0, 0))
+            vari[b] = (c + cnt, s + cnt * (dx + dy) ** 2)
+            sl = max(int(_math.ceil(d / w)), 1)
+            slots[sl] = slots.get(sl, 0) + cnt
+
+    t0 = time.time()
+    got_v = {
+        r["bin"]: (r["n_pairs"], r["sum_sq_dv"])
+        for r in variogram(pts, max_lag, n_bins).collect()
+    }
+    wall_v = time.time() - t0
+    assert got_v == vari, f"variogram bins off: {got_v} != {vari}"
+
+    t0 = time.time()
+    got_k = {
+        round(r["r"] / w): r["n_pairs_le"]
+        for r in ripleys_k(pts, max_lag, n_bins, area=float(m * m)).collect()
+    }
+    wall_k = time.time() - t0
+    cum, want_k = 0, {}
+    for sl in range(1, n_bins + 1):
+        cum += slots.get(sl, 0)
+        want_k[sl] = cum
+    assert got_k == want_k, f"K slots off: {got_k} != {want_k}"
+    total_pairs = cum
+    pts.unpersist()
+    spark.stop()
+    print(_json.dumps({"pointstats": {
+        "points": n, "pair_rows": total_pairs,
+        "variogram_wall_s": round(wall_v, 2),
+        "ripley_wall_s": round(wall_k, 2),
+        "pairs_per_s_variogram": round(total_pairs / wall_v),
+    }}))
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
+        "pointstats": part_pointstats,
         "dissolve": part_dissolve,
         "flowacc": part_flowacc,
         "catchcost": part_catchcost,
