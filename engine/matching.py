@@ -20,10 +20,12 @@ operators, all Column algebra (the only Python is in tests):
   Unsnapped fixes (no segment within radius) keep the trip alive but
   contribute no route step.
 
-This is nearest-feature matching, not HMM/Viterbi matching (no transition
-model): the right primitive for dense urban networks at petabyte fix volume,
-and the building block a Viterbi layer would rank candidates from (the
-emission set here IS the per-fix candidate list before the argmin).
+snap_to_segments is nearest-feature matching; viterbi_match is the HMM
+layer on top of the SAME candidate machinery (the emission set per fix IS
+the per-fix candidate list before the argmin), adding a transition model so
+a noisy fix near a parallel road stays on the road the trajectory is
+actually following (Newson & Krummen 2009, with straight-line snap-point
+distance as the route-distance proxy — no network routing pass).
 
 Scale: candidates = fixes x (covered cells' segments) via one broadcast
 join; the argmin window shuffles candidate rows by fix id once. Road
@@ -39,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .lines import _cell, line_cover, line_segments
 
@@ -264,3 +267,218 @@ def match_routes(
             F.sum("_step").alias("steps"),
         )
     )
+
+
+def viterbi_match(
+    fixes: DataFrame,
+    lines: DataFrame,
+    radius: float,
+    id_col: str = "entity_id",
+    ts_col: str = "ts_us",
+    x_col: str = "x",
+    y_col: str = "y",
+    gap_minutes: float = 30.0,
+    k: int = 8,
+    sigma: float | None = None,
+    beta: float | None = None,
+    line_id: str = "line_id",
+    pts_col: str = "pts",
+    cell_size: float | None = None,
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """HMM (Viterbi) map matching: per (entity, trip), the globally most
+    likely segment sequence instead of per-fix independent argmins.
+
+    Model (Newson & Krummen 2009, simplified to need no routing pass):
+    - states per fix = the top-`k` segments within `radius`, ranked by
+      (dist2, line_id, seg_idx) — the same broadcast cell-cover candidate
+      join snap_to_segments uses, so the fix table is scanned once and
+      never shuffled for candidate generation;
+    - emission log-score  = -dist2 / (2*sigma^2)            (Gaussian);
+    - transition log-score = -|d(snap_i, snap_j) - d(fix_i, fix_j)| / beta
+      (exponential on the route-vs-straight discrepancy; straight-line
+      snap-point distance stands in for network route distance, the
+      standard simplification when no routing graph pass is affordable).
+    Defaults: sigma = radius / 2, beta = radius.
+
+    Trips split at >gap_minutes exactly like match_routes. Within a trip,
+    fixes with NO candidate within radius break the chain: each maximal run
+    of matched fixes gets an independent Viterbi pass and unmatched fixes
+    emit no row (same semantics as snap's radius dropout).
+
+    Plan shape / scale: ONE broadcast cover join + a per-fix top-k window
+    (WindowGroupLimit collapses it map-side, <=k rows per fix cross the
+    exchange) + ONE groupBy-(entity, trip) applyInPandas for the DP. The
+    DP state is trip-sized (n_fixes x k), never corpus-sized; per-trip work
+    is O(n * k^2) fully numpy-vectorized across candidate pairs. Grouping
+    by trip is the minimum shuffle any sequential decoder needs.
+
+    Determinism: candidates enter the DP sorted by (dist2, line_id,
+    seg_idx); np.argmax takes the FIRST maximizer, so score ties resolve
+    toward the nearer/lower-id candidate at every step, and the final state
+    ties the same way. All float math is float64 in a fixed evaluation
+    order — the pytest oracle replays the identical recurrence in pure
+    Python and matches bit-for-bit.
+
+    Output: one row per matched fix — (id_col, trip_idx, ts_us, line_id,
+    seg_idx, t, snap_x, snap_y, dist2). The reference has no matching
+    operator (nearest analog: the propagation equi-join, SURVEY.md §2 J1);
+    this extends the brief's trajectory axis beyond nearest-snap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sig = float(sigma) if sigma is not None else float(radius) / 2.0
+    bet = float(beta) if beta is not None else float(radius)
+    if sig <= 0 or bet <= 0:
+        raise ValueError("sigma and beta must be > 0")
+    inv2s2 = 1.0 / (2.0 * sig * sig)
+    inv_b = 1.0 / bet
+    gap_us = int(gap_minutes * 60_000_000)
+    s = float(cell_size) if cell_size is not None else max(1.0, float(radius))
+    r2 = float(radius) * float(radius)
+
+    id_type = fixes.schema[id_col].dataType
+
+    pts = fixes.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    )
+    ow = Window.partitionBy("_id").orderBy("_ts", "_px", "_py")
+    run = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = pts.withColumn("_seq", F.row_number().over(ow)).withColumn(
+        "trip_idx",
+        F.sum(
+            (
+                F.lag("_ts").over(ow).isNull()
+                | ((F.col("_ts") - F.lag("_ts").over(ow)) > gap_us)
+            ).cast("long")
+        ).over(run),
+    ).withColumn("cell", _cell(F.col("_px"), F.col("_py"), s))
+
+    segs = line_segments(lines, id_col=line_id, pts_col=pts_col)
+    cover = line_cover(segs, radius, cell_size=s, keep_segments=True)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    t, qx, qy, d2 = _proj(
+        F.col("_px"), F.col("_py"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+    )
+    cand = (
+        pts.join(cover, "cell")
+        .select(
+            "_id", "_seq", "line_id", "seg_idx",
+            t.alias("_t"), qx.alias("_qx"), qy.alias("_qy"),
+            d2.alias("_d2"),
+        )
+        .filter(F.col("_d2") <= r2)
+    )
+    cw = Window.partitionBy("_id", "_seq").orderBy("_d2", "line_id", "seg_idx")
+    topk = (
+        cand.withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") <= k)
+        .groupBy("_id", "_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_d2").alias("d2"),
+                        F.col("line_id").alias("lid"),
+                        F.col("seg_idx").alias("sid"),
+                        F.col("_t").alias("t"),
+                        F.col("_qx").alias("qx"),
+                        F.col("_qy").alias("qy"),
+                    )
+                )
+            ).alias("_cands")
+        )
+    )
+    rows = pts.join(topk, ["_id", "_seq"], "left")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("trip_idx", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("line_id", segs.schema["line_id"].dataType),
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("t", T.DoubleType()),
+            T.StructField("snap_x", T.DoubleType()),
+            T.StructField("snap_y", T.DoubleType()),
+            T.StructField("dist2", T.DoubleType()),
+        ]
+    )
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_px", "_py"], kind="mergesort")
+        ent = pdf["_id"].iloc[0]
+        trip = int(pdf["trip_idx"].iloc[0])
+        cands = pdf["_cands"].tolist()
+        px = pdf["_px"].to_numpy()
+        py = pdf["_py"].to_numpy()
+        ts = pdf["_ts"].to_numpy()
+        n = len(pdf)
+        out = []
+
+        i = 0
+        while i < n:
+            if cands[i] is None or len(cands[i]) == 0:
+                i += 1
+                continue
+            j = i
+            while j < n and cands[j] is not None and len(cands[j]) > 0:
+                j += 1
+            # Viterbi over run [i, j)
+            C = [
+                (
+                    np.array([c["qx"] for c in cands[m]], dtype=np.float64),
+                    np.array([c["qy"] for c in cands[m]], dtype=np.float64),
+                    np.array([c["d2"] for c in cands[m]], dtype=np.float64),
+                )
+                for m in range(i, j)
+            ]
+            score = -C[0][2] * inv2s2
+            bps = []
+            for m in range(1, j - i):
+                dxf = px[i + m] - px[i + m - 1]
+                dyf = py[i + m] - py[i + m - 1]
+                dfix = np.sqrt(dxf * dxf + dyf * dyf)
+                dqx = C[m][0][None, :] - C[m - 1][0][:, None]
+                dqy = C[m][1][None, :] - C[m - 1][1][:, None]
+                dsnap = np.sqrt(dqx * dqx + dqy * dqy)
+                tot = score[:, None] - np.abs(dsnap - dfix) * inv_b
+                bp = np.argmax(tot, axis=0)
+                bps.append(bp)
+                score = tot[bp, np.arange(tot.shape[1])] - C[m][2] * inv2s2
+            state = int(np.argmax(score))
+            path = [state]
+            for bp in reversed(bps):
+                state = int(bp[state])
+                path.append(state)
+            path.reverse()
+            for m, st in enumerate(path):
+                c = cands[i + m][st]
+                out.append(
+                    (
+                        ent, trip, int(ts[i + m]),
+                        c["lid"], int(c["sid"]), float(c["t"]),
+                        float(c["qx"]), float(c["qy"]), float(c["d2"]),
+                    )
+                )
+            i = j
+
+        return pd.DataFrame(
+            out,
+            columns=[
+                id_col, "trip_idx", "ts_us", "line_id", "seg_idx",
+                "t", "snap_x", "snap_y", "dist2",
+            ],
+        )
+
+    return rows.groupBy("_id", "trip_idx").applyInPandas(_decode, out_schema)

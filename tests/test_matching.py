@@ -210,3 +210,219 @@ def test_validation(spark):
             df, _mk_lines(spark, [(1, [(0.0, 0.0), (1.0, 1.0)])]), 1.0,
             plan="nope",
         )
+
+
+# ---------------------------------------------------------------- viterbi
+
+
+def _py_topk(fix, segs, radius, k):
+    """All candidates within radius sorted by (d2, lid, sid), top k — the
+    exact float ops of matching._proj (same IEEE order)."""
+    px, py = fix
+    cands = []
+    for lid, si, ax, ay, bx, by in segs:
+        vx, vy = bx - ax, by - ay
+        den = vx * vx + vy * vy
+        t = (
+            0.0
+            if den == 0
+            else max(0.0, min(1.0, ((px - ax) * vx + (py - ay) * vy) / den))
+        )
+        qx, qy = ax + t * vx, ay + t * vy
+        d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        if d2 <= radius * radius:
+            cands.append((d2, lid, si, t, qx, qy))
+    cands.sort(key=lambda c: (c[0], c[1], c[2]))
+    return cands[:k]
+
+
+def _py_viterbi(trip_fixes, segs, radius, k, sigma, beta):
+    """Pure-Python replay of viterbi_match's recurrence over one trip:
+    trip_fixes = [(ts, x, y)] time-ordered. Returns [(ts, lid, sid, t, qx,
+    qy, d2)] for matched fixes. Bit-identical float order to the numpy
+    kernel."""
+    import math
+
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    inv_b = 1.0 / beta
+    cands = [_py_topk((x, y), segs, radius, k) for _, x, y in trip_fixes]
+    out = []
+    i, n = 0, len(trip_fixes)
+    while i < n:
+        if not cands[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and cands[j]:
+            j += 1
+        score = [-c[0] * inv2s2 for c in cands[i]]
+        bps = []
+        for m in range(i + 1, j):
+            dxf = trip_fixes[m][1] - trip_fixes[m - 1][1]
+            dyf = trip_fixes[m][2] - trip_fixes[m - 1][2]
+            dfix = math.sqrt(dxf * dxf + dyf * dyf)
+            prev, cur = cands[m - 1], cands[m]
+            bp, ns = [], []
+            for cj, c in enumerate(cur):
+                best_k, best_v = 0, None
+                for pk, p in enumerate(prev):
+                    dqx = c[4] - p[4]
+                    dqy = c[5] - p[5]
+                    dsnap = math.sqrt(dqx * dqx + dqy * dqy)
+                    v = score[pk] - abs(dsnap - dfix) * inv_b
+                    if best_v is None or v > best_v:  # first max wins ties
+                        best_k, best_v = pk, v
+                bp.append(best_k)
+                ns.append(best_v - c[0] * inv2s2)
+            bps.append(bp)
+            score = ns
+        st, best = 0, score[0]
+        for si_, v in enumerate(score):
+            if v > best:  # first max wins
+                st, best = si_, v
+        path = [st]
+        for bp in reversed(bps):
+            st = bp[st]
+            path.append(st)
+        path.reverse()
+        for m, stt in enumerate(path):
+            d2, lid, sid, t, qx, qy = cands[i + m][stt]
+            out.append((trip_fixes[i + m][0], lid, sid, t, qx, qy, d2))
+        i = j
+    return out
+
+
+def test_viterbi_matches_python_dp_oracle(spark):
+    rng = random.Random(41)
+    lines = []
+    for lid in range(10):
+        x0, y0 = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        pts = [(x0, y0)]
+        for _ in range(rng.randint(1, 4)):
+            x0 += rng.uniform(-15, 15)
+            y0 += rng.uniform(-15, 15)
+            pts.append((x0, y0))
+        lines.append((lid, pts))
+    segs = _segs_of(lines)
+    # random walks: 30 entities, 5-25 fixes each, occasional big time gap
+    rows, expected = [], []
+    radius, k, gap_min = 7.0, 4, 30.0
+    sigma, beta = radius / 2.0, radius
+    for ent in range(30):
+        ts = rng.randint(0, 10**9)
+        x, y = rng.uniform(-45, 45), rng.uniform(-45, 45)
+        fixes = []
+        for _ in range(rng.randint(5, 25)):
+            ts += rng.randint(1, 25 * 60) * 1_000_000
+            if rng.random() < 0.08:
+                ts += 3 * 30 * 60 * 1_000_000  # force a trip split
+            x += rng.uniform(-6, 6)
+            y += rng.uniform(-6, 6)
+            fixes.append((ts, x, y))
+            rows.append((ent, ts, x, y))
+        # oracle: split into trips by the gap rule, DP each
+        fixes.sort()
+        gap_us = int(gap_min * 60e6)
+        trip, tidx, prev = [], 1, None
+        trips = []
+        for f in fixes:
+            if prev is not None and f[0] - prev > gap_us:
+                trips.append((tidx, trip))
+                tidx += 1
+                trip = []
+            trip.append(f)
+            prev = f[0]
+        trips.append((tidx, trip))
+        for tidx, tf in trips:
+            for r in _py_viterbi(tf, segs, radius, k, sigma, beta):
+                expected.append((ent, tidx, *r))
+
+    fixes_df = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, x double, y double"
+    )
+    got = matching.viterbi_match(
+        fixes_df, _mk_lines(spark, lines), radius,
+        gap_minutes=gap_min, k=k,
+    ).collect()
+    got_set = {
+        (r.entity_id, r.trip_idx, r.ts_us, r.line_id, r.seg_idx,
+         r.t, r.snap_x, r.snap_y, r.dist2)
+        for r in got
+    }
+    exp_set = set(expected)
+    assert got_set == exp_set
+    assert len(got) == len(expected)
+
+
+def test_viterbi_continuity_beats_nearest_snap(spark):
+    # two parallel roads; one noisy fix is NEARER the other road, but the
+    # trajectory is clearly following road 0 — viterbi keeps it there,
+    # nearest-snap flips.
+    lines = [(0, [(0.0, 0.0), (100.0, 0.0)]), (1, [(0.0, 3.0), (100.0, 3.0)])]
+    rows = []
+    for i in range(9):
+        y = 1.9 if i == 4 else 0.2  # fix 4 is 1.7 from road 0, 1.1 from road 1
+        rows.append((1, (i + 1) * 60_000_000, 10.0 * i, y))
+    fixes = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, x double, y double"
+    )
+    roads = _mk_lines(spark, lines)
+    # beta=1: strict route-discrepancy penalty (default beta=radius is too
+    # lax to hold parallel-road continuity — |dsnap-dfix| barely moves when
+    # roads run parallel, which is the documented limit of the no-routing
+    # transition proxy)
+    vit = matching.viterbi_match(fixes, roads, radius=5.0, beta=1.0).collect()
+    assert len(vit) == 9
+    assert {r.line_id for r in vit} == {0}
+    snap = matching.snap_to_segments(
+        fixes.withColumn("fid", F.col("ts_us")), roads, radius=5.0,
+        fix_id="fid",
+    ).collect()
+    flip = [r for r in snap if r.line_id == 1]
+    assert len(flip) == 1  # nearest-snap does flip on the noisy fix
+
+
+def test_viterbi_single_fix_equals_snap(spark):
+    lines = [(7, [(0.0, 0.0), (10.0, 10.0)]), (3, [(5.0, 0.0), (5.0, 10.0)])]
+    fixes = spark.createDataFrame(
+        [(1, 1_000_000, 4.0, 3.0)],
+        "entity_id long, ts_us long, x double, y double",
+    )
+    roads = _mk_lines(spark, lines)
+    vit = matching.viterbi_match(fixes, roads, radius=6.0).collect()
+    snap = _py_snap((4.0, 3.0), _segs_of(lines), 6.0)
+    assert len(vit) == 1
+    r = vit[0]
+    assert (r.line_id, r.seg_idx, r.t, r.snap_x, r.snap_y, r.dist2) == snap
+    assert r.trip_idx == 1
+
+
+def test_viterbi_unmatched_fix_breaks_chain_and_emits_nothing(spark):
+    lines = [(0, [(0.0, 0.0), (100.0, 0.0)])]
+    rows = [
+        (1, 1 * 60_000_000, 10.0, 0.5),
+        (1, 2 * 60_000_000, 20.0, 50.0),  # far from any road
+        (1, 3 * 60_000_000, 30.0, 0.5),
+    ]
+    fixes = spark.createDataFrame(
+        rows, "entity_id long, ts_us long, x double, y double"
+    )
+    vit = matching.viterbi_match(
+        fixes, _mk_lines(spark, lines), radius=3.0
+    ).collect()
+    assert sorted(r.ts_us for r in vit) == [60_000_000, 180_000_000]
+    assert all(r.trip_idx == 1 for r in vit)  # no-candidate fix splits the
+    # DP run but NOT the trip
+
+
+def test_viterbi_validates_args(spark):
+    lines = _mk_lines(spark, [(0, [(0.0, 0.0), (1.0, 0.0)])])
+    fixes = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0)], "entity_id long, ts_us long, x double, y double"
+    )
+    with pytest.raises(ValueError):
+        matching.viterbi_match(fixes, lines, radius=0.0)
+    with pytest.raises(ValueError):
+        matching.viterbi_match(fixes, lines, radius=1.0, k=0)
+    with pytest.raises(ValueError):
+        matching.viterbi_match(fixes, lines, radius=1.0, sigma=-1.0)
