@@ -36,7 +36,7 @@ twin-checked default for cross-engine reproducibility).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 E9 = 1_000_000_000
@@ -161,3 +161,275 @@ def idw_grid_sql(
         GROUP BY cx, cy
         HAVING COUNT(*) >= {min_samples}
     """
+
+
+# ---------------------------------------------------------------------------
+# Ordinary kriging — the geostatistics step above IDW: weights come from a
+# fitted variogram model and a per-target linear solve, not a fixed kernel.
+# ---------------------------------------------------------------------------
+
+_VG_MODELS = ("spherical", "exponential", "gaussian")
+
+
+def _gamma_np(h, model: str, nugget: float, sill: float, rng: float):
+    """Variogram gamma(h) for numpy arrays h >= 0. gamma(0) = 0 by
+    definition (the nugget is a jump AT zero, not at h=0 itself)."""
+    import numpy as np
+
+    h = np.asarray(h, dtype=np.float64)
+    psill = sill - nugget
+    if model == "spherical":
+        hr = np.minimum(h / rng, 1.0)
+        g = nugget + psill * (1.5 * hr - 0.5 * hr * hr * hr)
+    elif model == "exponential":
+        g = nugget + psill * (1.0 - np.exp(-3.0 * h / rng))
+    elif model == "gaussian":
+        g = nugget + psill * (1.0 - np.exp(-3.0 * (h * h) / (rng * rng)))
+    else:
+        raise ValueError(f"unknown variogram model {model!r}")
+    return np.where(h == 0.0, 0.0, g)
+
+
+def fit_variogram(
+    vg_rows,
+    model: str = "spherical",
+    n_range_steps: int = 64,
+) -> dict:
+    """Weighted-least-squares fit of (nugget, sill, range) to an EMPIRICAL
+    semivariogram — the <= n_bins summary rows of engine.pointstats.variogram
+    (pass df.collect() or any [(lag_lo, lag_hi, n_pairs, gamma)] iterable;
+    driver-side on purpose: the input is a bounded per-bin summary, never
+    point data).
+
+    For a candidate range a the model is LINEAR in (nugget, sill - nugget):
+    gamma = b0 + b1 * f(h; a) with f the unit-sill shape — so each a gets a
+    closed-form n_pairs-weighted 2x2 normal-equation solve (clamped to
+    b0 >= 0, b1 >= 0), and a scans a deterministic ladder of n_range_steps
+    values up to 1.5x the last bin edge. Returns {"model", "nugget",
+    "sill", "range", "sse"} for the best a (ties -> smaller a)."""
+    import numpy as np
+
+    if model not in _VG_MODELS:
+        raise ValueError(f"model must be one of {_VG_MODELS}")
+    rows = list(vg_rows)
+    if not rows:
+        raise ValueError("empty variogram")
+    h = np.array(
+        [0.5 * (float(r[0]) + float(r[1])) for r in rows], dtype=np.float64
+    )
+    w = np.array([float(r[2]) for r in rows], dtype=np.float64)
+    g = np.array([float(r[3]) for r in rows], dtype=np.float64)
+    hmax = max(float(r[1]) for r in rows)
+    best = None
+    for step in range(1, n_range_steps + 1):
+        a = 1.5 * hmax * step / n_range_steps
+        f = _gamma_np(h, model, 0.0, 1.0, a)
+        # weighted normal equations for gamma ~ b0 + b1 * f
+        sw, swf = w.sum(), (w * f).sum()
+        swff, swg, swfg = (w * f * f).sum(), (w * g).sum(), (w * f * g).sum()
+        det = sw * swff - swf * swf
+        if det > 1e-12:
+            b0 = (swg * swff - swfg * swf) / det
+            b1 = (sw * swfg - swf * swg) / det
+        else:
+            b0, b1 = 0.0, (swfg / swff if swff > 0 else 0.0)
+        b0 = max(b0, 0.0)
+        b1 = max(b1, 1e-12)  # psill > 0 keeps the kriging system nonsingular
+        resid = g - (b0 + b1 * f)
+        sse = float((w * resid * resid).sum())
+        if best is None or sse < best[0] - 1e-15:
+            best = (sse, b0, b0 + b1, a)
+    sse, nugget, sill, a = best
+    return {
+        "model": model, "nugget": float(nugget), "sill": float(sill),
+        "range": float(a), "sse": sse,
+    }
+
+
+def ordinary_kriging(
+    samples: DataFrame,
+    targets: DataFrame,
+    variogram: dict,
+    radius: float,
+    k: int = 16,
+    sample_id: str = "id",
+    target_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ordinary kriging of scattered samples onto target points: for each
+    target, the k nearest samples within `radius` (blocked cell join, same
+    discipline as idw_grid / pointstats.lag_pairs) feed the OK system
+
+        [ Gamma  1 ] [w ]   [ gamma(d(s_i, t)) ]
+        [ 1^T    0 ] [mu] = [ 1                ]
+
+    with Gamma_ij = gamma(d(s_i, s_j)) under the fitted `variogram` dict
+    (fit_variogram output or hand {"model","nugget","sill","range"}).
+    Estimate = sum w_i v_i; kriging variance = sum w_i gamma_i + mu (the
+    statistically-correct uncertainty IDW cannot give).
+
+    Output: (target_id, x, y, n_neighbors, est, krig_var). Targets with no
+    sample within radius are dropped (inner join semantics, as idw_grid).
+
+    Plan/scale: samples scatter into their 3x3 cell neighborhood at cell =
+    radius (bounded x9 fan-out); targets join by home cell (ONE equi-join,
+    broadcast-able when the sample side is a dim); per-target top-k is a
+    window WindowGroupLimit collapses map-side; then one groupBy(target)
+    collect of <= k neighbor structs and a mapInPandas batched numpy solve
+    — (B, k+1, k+1) np.linalg.solve per equal-size group, never a
+    per-row Python loop. The solve is LAPACK-deterministic within an
+    engine; there is NO DuckDB twin (matrix solves are out of SQL reach) —
+    correctness is pytest-gated on the exact-interpolation and
+    constant-field invariants plus a same-library numpy oracle.
+
+    Duplicate sample locations make the system singular at nugget=0 —
+    dedup sample coordinates upstream (the exact-dedup operator exists);
+    a singular batch falls back to per-row lstsq, which minimizes the same
+    residual, so est and krig_var stay defined and finite.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    model = variogram["model"]
+    if model not in _VG_MODELS:
+        raise ValueError(f"model must be one of {_VG_MODELS}")
+    nug, sill, rng = (
+        float(variogram["nugget"]),
+        float(variogram["sill"]),
+        float(variogram["range"]),
+    )
+    if sill <= nug:
+        raise ValueError("sill must exceed nugget")
+    if rng <= 0:
+        raise ValueError("range must be > 0")
+    e = float(radius)
+
+    sm = samples.select(
+        F.col(sample_id).cast("long").alias("_sid"),
+        F.col(x_col).cast("double").alias("_sx"),
+        F.col(y_col).cast("double").alias("_sy"),
+        F.col(value_col).cast("double").alias("_sv"),
+    )
+    tg = targets.select(
+        F.col(target_id).cast("long").alias("_tid"),
+        F.col(x_col).cast("double").alias("_tx"),
+        F.col(y_col).cast("double").alias("_ty"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1)
+            for j in (-1, 0, 1)
+        ]
+    )
+    scx = F.floor(F.col("_sx") / e).cast("long")
+    scy = F.floor(F.col("_sy") / e).cast("long")
+    sm_x = (
+        sm.withColumn("_o", F.explode(offsets))
+        .withColumn("_cx", scx + F.col("_o.dx"))
+        .withColumn("_cy", scy + F.col("_o.dy"))
+        .drop("_o")
+    )
+    tg_c = tg.withColumn(
+        "_cx", F.floor(F.col("_tx") / e).cast("long")
+    ).withColumn("_cy", F.floor(F.col("_ty") / e).cast("long"))
+    dx = F.col("_sx") - F.col("_tx")
+    dy = F.col("_sy") - F.col("_ty")
+    d2 = dx * dx + dy * dy
+    cand = (
+        tg_c.join(sm_x, ["_cx", "_cy"])
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(e * e))
+    )
+    w = Window.partitionBy("_tid").orderBy("_d2", "_sid")
+    nb = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("_tid", "_tx", "_ty")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_d2").alias("d2"),
+                        F.col("_sid").alias("sid"),
+                        F.col("_sx").alias("sx"),
+                        F.col("_sy").alias("sy"),
+                        F.col("_sv").alias("sv"),
+                    )
+                )
+            ).alias("_nb")
+        )
+    )
+
+    out_schema = (
+        f"{target_id} long, x double, y double, n_neighbors int, "
+        "est double, krig_var double"
+    )
+
+    def solve_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for tid, tx, ty, nbrs in zip(
+                pdf["_tid"], pdf["_tx"], pdf["_ty"], pdf["_nb"]
+            ):
+                m = len(nbrs)
+                recs.append((int(tid), float(tx), float(ty), m, nbrs))
+            # batch targets by neighbor count for one vectorized solve each
+            by_m: dict[int, list] = {}
+            for r in recs:
+                by_m.setdefault(r[3], []).append(r)
+            rows = []
+            for m, grp in sorted(by_m.items()):
+                B = len(grp)
+                sx = np.array(
+                    [[c["sx"] for c in g[4]] for g in grp], dtype=np.float64
+                )
+                sy = np.array(
+                    [[c["sy"] for c in g[4]] for g in grp], dtype=np.float64
+                )
+                sv = np.array(
+                    [[c["sv"] for c in g[4]] for g in grp], dtype=np.float64
+                )
+                td2 = np.array(
+                    [[c["d2"] for c in g[4]] for g in grp], dtype=np.float64
+                )
+                dsx = sx[:, :, None] - sx[:, None, :]
+                dsy = sy[:, :, None] - sy[:, None, :]
+                dist_ss = np.sqrt(dsx * dsx + dsy * dsy)
+                A = np.zeros((B, m + 1, m + 1), dtype=np.float64)
+                A[:, :m, :m] = _gamma_np(dist_ss, model, nug, sill, rng)
+                A[:, m, :m] = 1.0
+                A[:, :m, m] = 1.0
+                b = np.zeros((B, m + 1), dtype=np.float64)
+                b[:, :m] = _gamma_np(np.sqrt(td2), model, nug, sill, rng)
+                b[:, m] = 1.0
+                try:
+                    wgt = np.linalg.solve(A, b[..., None])[..., 0]
+                except np.linalg.LinAlgError:
+                    wgt = np.stack(
+                        [
+                            np.linalg.lstsq(A[i], b[i], rcond=None)[0]
+                            for i in range(B)
+                        ]
+                    )
+                est = (wgt[:, :m] * sv).sum(axis=1)
+                kvar = (wgt[:, :m] * b[:, :m]).sum(axis=1) + wgt[:, m]
+                for i, g in enumerate(grp):
+                    rows.append(
+                        (g[0], g[1], g[2], m, float(est[i]), float(kvar[i]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[target_id, "x", "y", "n_neighbors", "est",
+                         "krig_var"],
+            )
+
+    return nb.mapInPandas(solve_batches, out_schema)

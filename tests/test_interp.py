@@ -95,3 +95,195 @@ def test_invalid_args(spark):
     df = None
     with pytest.raises(ValueError):
         interp.idw_grid(df, cell_size=0.0, radius=1.0)
+
+
+# ------------------------------------------------------------------ kriging
+
+
+def _mk_vg():
+    return {"model": "spherical", "nugget": 0.0, "sill": 4.0, "range": 10.0}
+
+
+def _sample_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, x double, y double, value double")
+
+
+def _target_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+def test_kriging_exact_interpolation_at_samples(spark):
+    # nugget=0 kriging reproduces sample values exactly at sample locations
+    rng = random.Random(5)
+    samples = [
+        (i, rng.uniform(0, 20), rng.uniform(0, 20), rng.uniform(-5, 5))
+        for i in range(25)
+    ]
+    # dedupe coincident coords defensively (random doubles: none expected)
+    targets = [(i, x, y) for i, x, y, _ in samples]
+    out = interp.ordinary_kriging(
+        _sample_df(spark, samples), _target_df(spark, targets),
+        _mk_vg(), radius=30.0, k=8,
+    ).collect()
+    assert len(out) == len(samples)
+    vals = {s[0]: s[3] for s in samples}
+    for r in out:
+        assert abs(r.est - vals[r.id]) < 1e-8
+        assert abs(r.krig_var) < 1e-8
+
+
+def test_kriging_constant_field(spark):
+    # constant samples -> constant prediction everywhere (weights sum to 1)
+    rng = random.Random(6)
+    samples = [
+        (i, rng.uniform(0, 20), rng.uniform(0, 20), 7.25) for i in range(30)
+    ]
+    targets = [(j, rng.uniform(0, 20), rng.uniform(0, 20)) for j in range(40)]
+    out = interp.ordinary_kriging(
+        _sample_df(spark, samples), _target_df(spark, targets),
+        _mk_vg(), radius=30.0, k=6,
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        assert abs(r.est - 7.25) < 1e-9
+        assert r.krig_var >= -1e-12
+
+
+def test_kriging_matches_numpy_oracle(spark):
+    import numpy as np
+
+    rng = random.Random(7)
+    vg = {"model": "exponential", "nugget": 0.3, "sill": 3.0, "range": 8.0}
+    samples = [
+        (i, rng.uniform(0, 15), rng.uniform(0, 15), rng.uniform(0, 10))
+        for i in range(40)
+    ]
+    targets = [(j, rng.uniform(0, 15), rng.uniform(0, 15)) for j in range(25)]
+    radius, k = 6.0, 5
+    out = {
+        r.id: r
+        for r in interp.ordinary_kriging(
+            _sample_df(spark, samples), _target_df(spark, targets),
+            vg, radius=radius, k=k,
+        ).collect()
+    }
+    nug, sill, a = vg["nugget"], vg["sill"], vg["range"]
+
+    def gam(h):
+        return interp._gamma_np(h, "exponential", nug, sill, a)
+
+    n_expected = 0
+    for tid, tx, ty in targets:
+        cands = sorted(
+            (
+                ((sx - tx) ** 2 + (sy - ty) ** 2, sid, sx, sy, sv)
+                for sid, sx, sy, sv in samples
+                if (sx - tx) ** 2 + (sy - ty) ** 2 <= radius * radius
+            ),
+        )[:k]
+        if not cands:
+            assert tid not in out
+            continue
+        n_expected += 1
+        m = len(cands)
+        sx = np.array([c[2] for c in cands])
+        sy = np.array([c[3] for c in cands])
+        sv = np.array([c[4] for c in cands])
+        d_ss = np.sqrt(
+            (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+        )
+        A = np.zeros((m + 1, m + 1))
+        A[:m, :m] = gam(d_ss)
+        A[m, :m] = 1.0
+        A[:m, m] = 1.0
+        b = np.zeros(m + 1)
+        b[:m] = gam(np.sqrt(np.array([c[0] for c in cands])))
+        b[m] = 1.0
+        wgt = np.linalg.solve(A, b)
+        est = float((wgt[:m] * sv).sum())
+        kvar = float((wgt[:m] * b[:m]).sum() + wgt[m])
+        r = out[tid]
+        assert r.n_neighbors == m
+        assert abs(r.est - est) < 1e-9
+        assert abs(r.krig_var - kvar) < 1e-9
+    assert len(out) == n_expected
+
+
+def test_kriging_no_neighbors_dropped_and_validation(spark):
+    samples = _sample_df(spark, [(1, 0.0, 0.0, 5.0)])
+    targets = _target_df(spark, [(1, 0.5, 0.0), (2, 100.0, 100.0)])
+    out = interp.ordinary_kriging(
+        samples, targets, _mk_vg(), radius=2.0, k=4
+    ).collect()
+    assert [r.id for r in out] == [1]
+    assert abs(out[0].est - 5.0) < 1e-12  # single neighbor -> its value
+    with pytest.raises(ValueError):
+        interp.ordinary_kriging(samples, targets, _mk_vg(), radius=0.0)
+    bad = dict(_mk_vg(), sill=0.0)
+    with pytest.raises(ValueError):
+        interp.ordinary_kriging(samples, targets, bad, radius=1.0)
+    with pytest.raises(ValueError):
+        interp.ordinary_kriging(
+            samples, targets, dict(_mk_vg(), model="cubic"), radius=1.0
+        )
+
+
+def test_fit_variogram_recovers_model():
+    import numpy as np
+
+    # exact spherical gamma at bin mids -> the fitter should land close
+    true = {"model": "spherical", "nugget": 0.5, "sill": 3.5, "range": 12.0}
+    rows = []
+    for b in range(12):
+        lo, hi = b * 1.5, (b + 1) * 1.5
+        mid = 0.5 * (lo + hi)
+        g = float(
+            interp._gamma_np(
+                np.array([mid]), "spherical", true["nugget"], true["sill"],
+                true["range"],
+            )[0]
+        )
+        rows.append((lo, hi, 100, g))
+    fit = interp.fit_variogram(rows, "spherical")
+    assert abs(fit["nugget"] - true["nugget"]) < 0.15
+    assert abs(fit["sill"] - true["sill"]) < 0.15
+    assert abs(fit["range"] - true["range"]) / true["range"] < 0.15
+    # sse is n_pairs-weighted: normalize to a per-pair rms residual
+    assert (fit["sse"] / (100 * len(rows))) ** 0.5 < 0.02
+    with pytest.raises(ValueError):
+        interp.fit_variogram(rows, "cubic")
+    with pytest.raises(ValueError):
+        interp.fit_variogram([], "spherical")
+
+
+def test_fit_then_krige_end_to_end(spark):
+    # the intended composition: empirical variogram (pointstats) -> fit ->
+    # kriging surface; smoke correctness = predictions stay inside the
+    # sample value envelope for an interpolation-dominated layout
+    from engine import pointstats
+
+    rng = random.Random(11)
+    pts = []
+    for i in range(60):
+        x, y = rng.uniform(0, 30), rng.uniform(0, 30)
+        v = int(10 * (x + y) / 6)  # smooth integer trend
+        pts.append((i, x, y, v))
+    pdf = spark.createDataFrame(pts, "id long, x double, y double, v long")
+    vg_rows = [
+        (r.lag_lo, r.lag_hi, r.n_pairs, r.gamma)
+        for r in pointstats.variogram(pdf, max_lag=15.0, n_bins=8).collect()
+    ]
+    fit = interp.fit_variogram(vg_rows, "spherical")
+    assert fit["sill"] > fit["nugget"] >= 0.0
+    targets = _target_df(
+        spark, [(j, rng.uniform(2, 28), rng.uniform(2, 28)) for j in range(15)]
+    )
+    out = interp.ordinary_kriging(
+        pdf.withColumn("value", F.col("v").cast("double")),
+        targets, fit, radius=10.0, k=8,
+    ).collect()
+    assert len(out) == 15
+    lo = min(p[3] for p in pts) - 3
+    hi = max(p[3] for p in pts) + 3
+    for r in out:
+        assert lo <= r.est <= hi
