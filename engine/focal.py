@@ -414,6 +414,55 @@ def focal_mode(
     return _halo_apply(tiles, res, r, finish)
 
 
+def focal_median(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal MEDIAN filter — the edge-preserving denoiser (salt-and-pepper
+    removal on count/elevation rasters, where focal_sum smoothing would
+    smear outliers into neighbors instead of deleting them): each pixel
+    takes the LOWER MEDIAN of the in-raster cells of its (2r+1)^2 window
+    (element at index (n-1)//2 of the sorted n in-window values).
+    Off-raster neighbors are excluded by the presence mask, exactly like
+    focal_mode; the center always counts, so n >= 1 on every input pixel.
+    Lower median (not the two-middle average) keeps the output exact int64
+    and engine-independent for even n — the documented convention.
+
+    Same halo strip-exchange plan as every focal op. Kernel: stack the
+    k = (2r+1)^2 shifted window slices, mask absent cells to int64-max,
+    ONE vectorized per-pixel sort (O(res^2 k log k)), then index at
+    (n-1)//2 — no per-pixel Python."""
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    r = radius
+    sentinel = np.iinfo(np.int64).max
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        ks = [
+            (dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ]
+        stack = np.stack(
+            [halo[r + dy : r + dy + res, r + dx : r + dx + res] for dy, dx in ks]
+        )
+        mstack = np.stack(
+            [
+                mask[r + dy : r + dy + res, r + dx : r + dx + res] > 0
+                for dy, dx in ks
+            ]
+        )
+        n = mstack.sum(axis=0)
+        arr = np.where(mstack, stack, sentinel)
+        arr.sort(axis=0, kind="stable")
+        idx = ((n - 1) // 2).astype(np.int64)
+        med = np.take_along_axis(arr, idx[None, :, :], axis=0)[0]
+        return med.reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
+
+
 def _norm_weights(weights) -> dict[tuple[int, int], int]:
     w = {(int(dx), int(dy)): int(v) for (dx, dy), v in dict(weights).items()}
     w = {k: v for k, v in w.items() if v != 0}

@@ -749,3 +749,75 @@ def test_local_morans_additivity_and_quadrants(spark):
     ).collect()
     assert all(v is None for v in rc["local"])
     assert all(q == 0 for q in rc["quad"])
+
+
+# ------------------------------------------------------------ focal median
+
+
+def _py_median(tiles, res, r):
+    cells = {}
+    for (tx, ty), grid in tiles.items():
+        for pix, n in enumerate(grid):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = n
+    out = {}
+    for (tx, ty), _g in tiles.items():
+        g = [0] * (res * res)
+        for py in range(res):
+            for px in range(res):
+                x, y = tx * res + px, ty * res + py
+                vals = sorted(
+                    cells[(x + dx, y + dy)]
+                    for dy in range(-r, r + 1)
+                    for dx in range(-r, r + 1)
+                    if (x + dx, y + dy) in cells
+                )
+                g[py * res + px] = vals[(len(vals) - 1) // 2]  # lower median
+        out[(tx, ty)] = g
+    return out
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_median_matches_python_oracle(spark, radius):
+    rng = random.Random(700 + radius)
+    res = 8
+    tiles = _rand_tiles(rng, res, 9, span=2, density=0.6)
+    df = _mk_df(spark, tiles).repartition(5)
+    got = _collect_named(focal.focal_median(df, res, radius), "focal")
+    assert got == _py_median(tiles, res, radius)
+
+
+def test_median_kills_salt_and_pepper_where_sum_smears(spark):
+    res = 8
+    grid = [10] * (res * res)
+    grid[3 * res + 3] = 9999  # single outlier spike
+    df = _mk_df(spark, {(0, 0): grid})
+    med = _collect_named(focal.focal_median(df, res, 1), "focal")[(0, 0)]
+    assert med[3 * res + 3] == 10  # the spike is gone
+    assert all(v == 10 for v in med)
+    sm = _collect_named(focal.focal_sum(df, res, 1), "focal")[(0, 0)]
+    assert sm[3 * res + 4] > 9 * 10  # box sum smears the spike sideways
+
+
+def test_median_lower_median_convention_even_n(spark):
+    # 2x2 isolated raster corner: each pixel's window holds exactly 4
+    # in-raster values -> lower median = sorted[1]
+    res = 4
+    grid = [0] * (res * res)
+    vals = {(0, 0): 5, (1, 0): 7, (0, 1): 11, (1, 1): 13}
+    for (px, py), v in vals.items():
+        grid[py * res + px] = v
+    # carve the raster to just those 4 pixels via a 2x2-res tile? keep the
+    # full tile (zeros are in-raster values here) and check a corner pixel:
+    # window of (0,0) at r=1 inside one isolated tile = pixels (0..1, 0..1)
+    df = _mk_df(spark, {(0, 0): grid})
+    med = _collect_named(focal.focal_median(df, res, 1), "focal")[(0, 0)]
+    assert med[0] == sorted(vals.values())[1]  # 4 values -> index 1
+    assert med[0] == 7
+
+
+def test_median_validation(spark):
+    df = _mk_df(spark, {(0, 0): [0] * 16})
+    with pytest.raises(ValueError):
+        focal.focal_median(df, 4, radius=0)
+    with pytest.raises(ValueError):
+        focal.focal_median(df, 4, radius=4)
