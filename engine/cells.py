@@ -894,3 +894,115 @@ def morton_block_range(block_cell: int, target_res: int) -> tuple[int, int]:
     width = 1 << (2 * steps)  # 4^steps descendants, contiguous
     off = target_res * _RES_SHIFT
     return off + base, off + base + width - 1
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve keys — the better-locality alternative to grid_morton for
+# range-partitioned layout: every pair of consecutive keys is a spatial
+# 4-neighbor (no Z-curve "seam jumps"), so range-partitioned files carry
+# tighter bbox extents and bbox queries touch ~30% fewer files at
+# non-power-of-4-aligned file counts (measured in
+# tests/test_morton.py::test_hilbert_beats_morton_locality; at aligned
+# counts both curves degenerate to exact quadtree blocks and tie).
+# Same quadtree-block
+# contiguity guarantee as morton (the order-n curve restricted to a level-l
+# block is a rotated order-(n-l) curve, visited as one contiguous d-range),
+# so hilbert_block_range drives the identical manifest pruning.
+# ---------------------------------------------------------------------------
+
+
+def np_hilbert_xy2d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Vectorized Hilbert xy -> d at `order` bits per axis (the classic
+    iterative rotate-and-accumulate; d in [0, 4^order))."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    n = 1 << order
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += (s * s) * ((3 * rx) ^ ry)
+        # rotate: ry==0 -> (optionally reflect) then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        xr = np.where(flip, n - 1 - x, x)
+        yr = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = (
+            np.where(swap, yr, xr),
+            np.where(swap, xr, yr),
+        )
+    return d
+
+
+def np_grid_hilbert(cell: np.ndarray, res: int) -> np.ndarray:
+    """Hilbert key of res-`res` grid cells: res in the high bits (mixed-
+    resolution tables stay grouped by level, like grid_morton), the Hilbert
+    d-index below. Unlike morton, the curve order must equal the cell
+    resolution (leading-zero levels are NOT no-ops in the Hilbert rotation
+    state), so res is an explicit argument — callers know their res."""
+    ix = ((cell % _RES_SHIFT) // _IX_SHIFT).astype(np.int64)
+    iy = (cell % _IX_SHIFT).astype(np.int64)
+    return res * _RES_SHIFT + np_hilbert_xy2d(ix, iy, res)
+
+
+def grid_hilbert(cell: Column, res: int) -> Column:
+    """Column twin of np_grid_hilbert: the xy2d loop as ONE F.aggregate HOF
+    over the literal bit ladder [2^(res-1) .. 1], state = struct(x, y, d).
+    Lambda variables are SHARED references, so the expression stays linear
+    in res — a naively unrolled loop duplicates the x/y subtrees 4x per
+    iteration (4^res nodes) and OOMs the driver on plan normalization at
+    res >= ~8 (the same lesson as the viewshed strip-slice HOFs,
+    BENCH/BASELINE.md). JVM-side, no UDF; usable in repartitionByRange.
+    res <= 28 (grid ix/iy width)."""
+    if not (1 <= res <= 28):
+        raise ValueError("res must be in [1, 28]")
+    n = 1 << res
+    ladder = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(res - 1, -1, -1)]
+    )
+    init = F.struct(
+        grid_ix(cell).alias("x"),
+        grid_iy(cell).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        d2 = d + s * s * (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        flip = (ry == 0) & (rx == 1)
+        xr = F.when(flip, F.lit(n - 1) - x).otherwise(x)
+        yr = F.when(flip, F.lit(n - 1) - y).otherwise(y)
+        swap = ry == 0
+        return F.struct(
+            F.when(swap, yr).otherwise(xr).alias("x"),
+            F.when(swap, xr).otherwise(yr).alias("y"),
+            d2.alias("d"),
+        )
+
+    d = F.aggregate(ladder, init, step, lambda acc: acc["d"])
+    return grid_res(cell) * F.lit(_RES_SHIFT) + d
+
+
+def hilbert_block_range(block_cell: int, target_res: int) -> tuple[int, int]:
+    """[lo, hi] hilbert-key range (inclusive) of every target_res descendant
+    of `block_cell` — the pruning twin of morton_block_range: the curve
+    restricted to a quadtree block is contiguous, spanning exactly
+    d_block * 4^steps .. +4^steps - 1 where d_block is the block's own
+    Hilbert index at ITS resolution."""
+    res = block_cell // _RES_SHIFT
+    steps = target_res - res
+    if steps < 0:
+        raise ValueError("target_res must be >= the block cell's res")
+    ix = (block_cell % _RES_SHIFT) // _IX_SHIFT
+    iy = block_cell % _IX_SHIFT
+    d_block = int(
+        np_hilbert_xy2d(
+            np.array([ix], dtype=np.int64), np.array([iy], dtype=np.int64), res
+        )[0]
+    )
+    width = 1 << (2 * steps)
+    off = target_res * _RES_SHIFT
+    return off + d_block * width, off + d_block * width + width - 1
