@@ -84,13 +84,23 @@ def polygon_cover(
     Polygon sets small enough to broadcast (the common case — they are the dim
     side) are covered driver-side in numpy and shipped as a local DataFrame: zero
     Python workers, zero serial Arrow startup cost in the hot path. Larger sets
-    fall back to a distributed mapInPandas."""
+    fall back to a distributed mapInPandas.
+
+    Size probe = ONE limit(driver_side_limit+1).collect(), not count()-then-
+    collect(): every Spark action costs ~0.5s of fixed scheduling latency on
+    the bench host regardless of row count, and this path runs once per
+    pip_join call — two actions here was the dominant cost of small-polygon
+    joins."""
     try:
-        n_polys = polygons.count()
+        rows = (
+            polygons.select("poly_id", "bbox", "ring")
+            .limit(driver_side_limit + 1)
+            .collect()
+        )
+        n_polys = len(rows)
     except Exception:
-        n_polys = driver_side_limit + 1
+        rows, n_polys = None, driver_side_limit + 1
     if n_polys <= driver_side_limit:
-        rows = polygons.select("poly_id", "bbox", "ring").collect()
         out = []
         for row in rows:
             b = row["bbox"]
@@ -121,9 +131,11 @@ def polygon_cover(
         if attach_rings:
             schema += ", ring array<struct<lon:double,lat:double>>"
         df = polygons.sparkSession.createDataFrame(out, schema=schema)
-        # the cover's resolution set is known right here — pin it on the frame
-        # so pip_join never issues a per-call distinct().collect() action
+        # the cover's resolution set and size are known right here — pin both
+        # on the frame so pip_join never issues a per-call distinct().collect()
+        # and _materialize_if_large never issues a count() action
         df._pip_used_res = sorted({r["res"] for r in out}) or [res_min]
+        df._pip_known_rows = len(out)
         return df
 
     def gen(batches):
@@ -260,7 +272,8 @@ def cleanup_cover_dirs() -> int:
 
 
 def _materialize_if_large(
-    cover: DataFrame, threshold: int = 20000, force: bool = False
+    cover: DataFrame, threshold: int = 20000, force: bool = False,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """A driver-built cover is a LocalRelation: it gets re-serialized by the
     single-threaded driver into every job that uses it (measured ~10s of serial
@@ -279,12 +292,22 @@ def _materialize_if_large(
     global _COVER_ATEXIT_REGISTERED
 
     used_res = getattr(cover, "_pip_used_res", None)
+    if known_rows is None:
+        known_rows = getattr(cover, "_pip_known_rows", None)
     if not force:
-        plan = cover._jdf.queryExecution().logical().toString()
-        if "LocalRelation" not in plan and "LogicalRDD" not in plan:
-            return cover
-        if cover.count() <= threshold:
-            return cover
+        # driver-built covers pass their row count (they just built the rows
+        # in python) — the under-threshold decision then costs ZERO Spark
+        # actions instead of a plan-toString + count per pip call (~0.5s of
+        # serial driver latency per join on this host)
+        if known_rows is not None:
+            if known_rows <= threshold:
+                return cover
+        else:
+            plan = cover._jdf.queryExecution().logical().toString()
+            if "LocalRelation" not in plan and "LogicalRDD" not in plan:
+                return cover
+            if cover.count() <= threshold:
+                return cover
     d = tempfile.mkdtemp(prefix="pip_cover_")
     _COVER_TMP_DIRS.append(d)
     if not _COVER_ATEXIT_REGISTERED:
@@ -393,18 +416,33 @@ def multiring_cover(
     max_cells: int = 1024,
     driver_side_limit: int = 5000,
     assume_convex: bool = True,
+    n_polys: int | None = None,
 ) -> DataFrame:
     """(poly_id, res, cell, full_inside) cover for multipolygons — the multiring
     twin of polygon_cover, with the same two physical strategies: sets small
     enough to broadcast are covered driver-side (zero Python workers in the hot
     path); larger sets run a distributed mapInPandas over the polygon rows and
-    are materialized once to parquet (no driver collect at any size)."""
-    try:
-        n_polys = polygons.count()
-    except Exception:
-        n_polys = driver_side_limit + 1
+    are materialized once to parquet (no driver collect at any size).
+
+    n_polys: pass the polygon count if the caller already knows it — skips the
+    size probe entirely. Otherwise ONE limit(driver_side_limit+1).collect()
+    serves as both probe and driver-side fetch (see polygon_cover: each Spark
+    action costs ~0.5s fixed latency on the bench host). The returned cover
+    carries `_pip_n_polys` so pip_join_multiring never re-counts."""
+    rows = None
+    if n_polys is None:
+        try:
+            rows = (
+                polygons.select("poly_id", "bbox", rings_col)
+                .limit(driver_side_limit + 1)
+                .collect()
+            )
+            n_polys = len(rows)
+        except Exception:
+            n_polys = driver_side_limit + 1
     if n_polys <= driver_side_limit:
-        rows = polygons.select("poly_id", "bbox", rings_col).collect()
+        if rows is None:
+            rows = polygons.select("poly_id", "bbox", rings_col).collect()
         out = []
         for row in rows:
             pid, res, cc, full = _multiring_cover_one(
@@ -418,7 +456,10 @@ def multiring_cover(
             out, schema="poly_id long, res int, cell long, full_inside boolean"
         )
         df._pip_used_res = sorted({r["res"] for r in out}) or [res_min]
-        return _materialize_if_large(df)
+        df._pip_n_polys = n_polys
+        out_df = _materialize_if_large(df, known_rows=len(out))
+        out_df._pip_n_polys = n_polys
+        return out_df
 
     def gen(batches):
         import json
@@ -478,16 +519,15 @@ def pip_join_multiring(
     pip_join: concave OUTER rings (the general OSM relation case) must pass
     False, leaving every candidate to the exact refine — all 4 corners of a
     cell being inside a concave ring does NOT imply the cell is inside."""
-    try:
-        n_polys = polygons.count()
-    except Exception:
-        n_polys = driver_side_limit + 1
-    if broadcast_cover is None:
-        broadcast_cover = n_polys <= driver_side_limit
     cover = multiring_cover(
         polygons, rings_col, res_min, res_max, max_cells,
         driver_side_limit=driver_side_limit, assume_convex=assume_convex,
     )
+    # the cover's size probe already determined which regime we're in — read
+    # it back instead of paying a second count() action on the polygon side
+    n_polys = getattr(cover, "_pip_n_polys", driver_side_limit + 1)
+    if broadcast_cover is None:
+        broadcast_cover = n_polys <= driver_side_limit
     used_res = getattr(cover, "_pip_used_res", None) or sorted(
         r["res"] for r in cover.select("res").distinct().collect()
     ) or [res_min]
