@@ -940,7 +940,13 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pixel of the same raster: (a=gx, b=gy, c=floor(I_i*1e9), d=quadrant
     1..4 HH/LL/HL/LH or 0, e=-1); the twin (local_morans_sql) replays the
     scatter focal algebra + the identical (x-m)(S-mW)/m2 expression graph,
-    per-pixel doubles bit-equal (pytest asserts ==)."""
+    per-pixel doubles bit-equal (pytest asserts ==).
+    tag='fill' — engine.terrain.fill_depressions (Priority-Flood sink
+    filling, counts read as elevations) per pixel: (a=gx, b=gy, c=filled
+    elevation W, d=fill depth W-z, e=-1). The production block-Jacobi halo
+    fixpoint is hash-checked against the twin's INDEPENDENT derivation
+    (fill_depressions_sql: W = min threshold level with an escape path to
+    the raster edge, one recursive-CTE flood over all candidate levels)."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1164,10 +1170,28 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    fil = (
+        terrain.fill_depressions(tiles_r, res)
+        .join(tiles_r, ["tx", "ty"])
+        .select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip("filled", "counts")).alias("pix", "v"),
+        )
+        .select(
+            F.lit("fill").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v.filled").cast("long").alias("c"),
+            (F.col("v.filled") - F.col("v.counts")).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
-        .unionByName(stat).unionByName(lisa)
+        .unionByName(stat).unionByName(lisa).unionByName(fil)
     )
 
 
@@ -1559,6 +1583,11 @@ def raster_field_sql() -> str:
                CAST(quad AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_lisa_sql()}) q) li
+        UNION ALL
+        SELECT 'fill' AS tag, gx AS a, gy AS b, CAST(w AS BIGINT) AS c,
+               CAST(w - z AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_fill_sql()}) q) fl
     """
 
 
@@ -1566,6 +1595,12 @@ def _lisa_sql() -> str:
     from engine.focal import local_morans_sql
 
     return local_morans_sql("tiles", _HOTSPOT_RES, 1)
+
+
+def _fill_sql() -> str:
+    from engine.terrain import fill_depressions_sql
+
+    return fill_depressions_sql("tiles", _HOTSPOT_RES)
 
 
 def _stat_sql() -> str:

@@ -1342,3 +1342,220 @@ def buffer_mask(tiles: DataFrame, res: int, radius: int) -> DataFrame:
             .otherwise(F.lit(0)).cast("long"),
         ).alias("counts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Depression filling (Fill Sinks / Priority-Flood)
+# ---------------------------------------------------------------------------
+# Packed per-pixel state for the fill fixpoint: one int64 carries both the
+# static elevation z and the evolving fill estimate w, so the halo exchange
+# (which strips exactly one array column) ships both without a second
+# shuffle or a join per round. Layout: packed = wb * 2^31 + zb with
+# zb = z + 2^30 (elevations must satisfy |z| < 2^30 — far beyond any
+# cm-quantized DEM) and wb = w + 2^30 in [0, 2^31). The INF sentinel
+# 2^31 - 1 is ABSORBING under the flood's max(z, w) relaxation because
+# zb <= INF always — no special-casing in the kernel.
+_FILL_SHIFT = 1 << 30
+_FILL_INF = (1 << 31) - 1
+_FILL_MASK = (1 << 31) - 1
+
+_D4_OFFSETS = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+
+
+def _np_local_flood(
+    zb: np.ndarray, wb: np.ndarray, inside: np.ndarray, res: int, conn: int
+) -> np.ndarray:
+    """Exact local priority-flood of one padded tile given FIXED boundary
+    values on the 1-pixel ring: ring cells seed the heap at their current
+    fill estimate (drain level -1 where the ring is outside the raster —
+    strictly below every zb >= 0, i.e. water escapes freely off the tile
+    union), interior cells are assigned W = max(zb, W_popped) on first touch
+    in nondecreasing pop order (Barnes et al. 2014 priority-flood: first
+    assignment from the lowest frontier is the minimax optimum). Returns the
+    updated res*res interior wb grid."""
+    import heapq
+
+    pad = res + 2
+    heap: list = []
+    for y in range(pad):
+        xs = (0, pad - 1) if 0 < y < pad - 1 else range(pad)
+        for x in xs:
+            pri = int(wb[y, x]) if inside[y, x] else -1
+            heap.append((pri, y * pad + x))
+    heapq.heapify(heap)
+    offs = _D8_OFFSETS if conn == 8 else _D4_OFFSETS
+    out = np.full((pad, pad), -2, dtype=np.int64)  # -2 = unassigned interior
+    while heap:
+        w, idx = heapq.heappop(heap)
+        y, x = idx // pad, idx % pad
+        for dx, dy in offs:
+            ny, nx = y + dy, x + dx
+            if 1 <= ny <= res and 1 <= nx <= res and out[ny, nx] == -2:
+                nw = max(int(zb[ny, nx]), w)
+                out[ny, nx] = nw
+                heapq.heappush(heap, (nw, ny * pad + nx))
+    return out[1 : res + 1, 1 : res + 1]
+
+
+def fill_depressions(
+    tiles: DataFrame,
+    res: int,
+    connectivity: int = 8,
+    max_iters: int = 64,
+) -> DataFrame:
+    """DEM depression filling (ESRI Fill / GRASS r.fill.dir / priority-flood
+    semantics): (tx, ty, counts) with counts read as int64 elevations ->
+    (tx, ty, filled: array<long>) where filled[p] is the elevation of the
+    hydrologically conditioned surface — the unique minimum surface W with
+    W >= z everywhere and no interior depression: every cell has a
+    non-ascending path (8- or 4-connected) off the raster (the tile-union
+    boundary drains freely). Equivalently W(c) = min over escape paths of
+    max(z along the path) — the (min, max)-semiring shortest path that the
+    sequential priority-flood computes. Flats are preserved (no epsilon
+    gradient is imposed); downstream d8_flow reports them as dir = -1
+    exactly as for natural plateaus.
+
+    Distributed shape (the classic 'hard to parallelize' DEM operator,
+    recast on the engine's halo machinery): block-Jacobi from above.
+    State = one packed (w, z) int64 per pixel (see _FILL_* above); per
+    round, ONE radius-1 halo exchange ships each tile's current boundary
+    estimates to its 8 neighbors and an exact per-tile priority-flood
+    (numpy + heapq Arrow kernel) re-solves the tile against those fixed
+    ring values. w starts at +INF and only decreases, each round's local
+    solve is exact given its boundary, so the sweep converges to the
+    global fixpoint in at most (longest inter-tile minimax escape chain)
+    rounds — depressions spanning k tiles cost ~k rounds, each one shuffle
+    of O(perimeter) bytes per tile; cells never leave their tile.
+    Convergence is detected by the engine's order-independent digest
+    (count + xor of row hashes, the _jump_fixpoint idiom) with lineage
+    truncated per round; max_iters is the safety rail.
+
+    Composes directly with the rest of the hydrology family:
+    d8_flow(fill_depressions(t, res).withColumnRenamed('filled', 'counts'))
+    -> flow_accumulation — the standard Fill -> FlowDir -> FlowAcc chain.
+    DuckDB twin: fill_depressions_sql (threshold-reachability form — W(c) =
+    min level L with an escape path through cells z <= L — exact with no
+    iteration cap). Reference provenance: the reference has no raster
+    surface; this completes the SURVEY.md hydrology additions."""
+    from engine.focal import _halo_apply
+
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    lo, hi = -_FILL_SHIFT, _FILL_SHIFT
+    # the domain guard rides INSIDE the packed expression (assert_true is
+    # null on success, so the coalesce adds 0) — a side-column guard would
+    # be pruned away by Catalyst the moment nothing consumes it
+    init = tiles.select(
+        "tx", "ty",
+        F.transform(
+            "counts",
+            lambda z: (
+                F.lit(_FILL_INF) * F.lit(1 << 31)
+                + (z + F.lit(_FILL_SHIFT))
+                + F.coalesce(
+                    F.assert_true(
+                        (z >= F.lit(lo)) & (z < F.lit(hi)),
+                        F.lit(
+                            "fill_depressions: elevation out of"
+                            " |z| < 2^30 domain"
+                        ),
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        ).alias("counts"),
+    )
+
+    conn = connectivity
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        wb = halo >> 31
+        zb = halo & _FILL_MASK
+        new_wb = _np_local_flood(zb, wb, mask > 0, res, conn)
+        zc = zb[1 : res + 1, 1 : res + 1]
+        return (new_wb * (1 << 31) + zc).reshape(-1)
+
+    def _digest(df: DataFrame):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("tx", "ty", "counts")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    state = _truncate_lineage(init)
+    prev = _digest(state)
+    for _ in range(max_iters):
+        nxt = _truncate_lineage(
+            _halo_apply(state, res, 1, finish).withColumnRenamed(
+                "focal", "counts"
+            )
+        )
+        cur = _digest(nxt)
+        state = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"fill_depressions: no convergence in {max_iters} rounds"
+        )
+    return state.select(
+        "tx", "ty",
+        F.transform(
+            "counts",
+            lambda p: (F.shiftright(p, 31) - F.lit(_FILL_SHIFT)).cast("long"),
+        ).alias("filled"),
+    )
+
+
+def fill_depressions_sql(
+    tiles_table: str, res: int, connectivity: int = 8
+) -> str:
+    """DuckDB twin of fill_depressions, by an independent derivation: the
+    filled elevation W(c) equals the MINIMUM level L (over the distinct
+    elevations present) such that c can reach the outside of the raster
+    through cells with z <= L — the threshold-graph reachability form of
+    the minimax escape path (every minimax value is some cell's z, so
+    distinct z values suffice as candidate levels). One recursive CTE
+    floods all levels at once (rows carry (L, gx, gy); UNION dedup bounds
+    the working set at n_levels * n_cells); seeds are the cells adjacent
+    to a missing neighbor. Exact with no iteration cap — deliberately
+    O(n_levels * n_cells) quarantined-oracle work, like every brute twin
+    here. Emits (gx, gy, z, w)."""
+    offs = _D8_OFFSETS if connectivity == 8 else _D4_OFFSETS
+    nbr = " UNION ALL ".join(
+        f"SELECT {dx} AS dx, {dy} AS dy" for dx, dy in offs
+    )
+    return f"""
+        WITH RECURSIVE fcells AS MATERIALIZED (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM {tiles_table}, range(0, {res * res}) t(i)
+        ), fnbr AS ({nbr}),
+        flevels AS (SELECT DISTINCT z AS L FROM fcells),
+        fseeds AS (
+          SELECT c.gx, c.gy, c.z FROM fcells c
+          WHERE EXISTS (
+            SELECT 1 FROM fnbr n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM fcells c2
+              WHERE c2.gx = c.gx + n.dx AND c2.gy = c.gy + n.dy
+            )
+          )
+        ),
+        freach AS (
+          SELECT l.L, s.gx, s.gy FROM fseeds s JOIN flevels l ON s.z <= l.L
+          UNION
+          SELECT r.L, c.gx, c.gy
+          FROM freach r
+          JOIN fnbr n ON true
+          JOIN fcells c
+            ON c.gx = r.gx + n.dx AND c.gy = r.gy + n.dy AND c.z <= r.L
+        )
+        SELECT c.gx, c.gy, c.z, MIN(r.L) AS w
+        FROM fcells c JOIN freach r ON r.gx = c.gx AND r.gy = c.gy
+        GROUP BY c.gx, c.gy, c.z
+    """

@@ -1102,3 +1102,238 @@ def test_buffer_mask_disk_and_dissolve(spark):
     assert len(
         raster_mod.raster_regions(buffer_mask(tiles3, res, r), res).collect()
     ) == 2
+
+
+# ---------------------------------------------------------------------------
+# fill_depressions (Priority-Flood / Fill Sinks)
+# ---------------------------------------------------------------------------
+def _py_fill(tiles, res, conn=8):
+    """Global sequential priority-flood oracle (Barnes et al. 2014): seed
+    every cell adjacent to the outside at W=z, pop in nondecreasing W,
+    assign unvisited neighbors W = max(z, W_popped)."""
+    import heapq
+
+    from engine.terrain import _D4_OFFSETS, _D8_OFFSETS
+
+    offs = _D8_OFFSETS if conn == 8 else _D4_OFFSETS
+    cells = {}
+    for (tx, ty), g in tiles.items():
+        for pix, z in enumerate(g):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = z
+    W = {}
+    heap = []
+    for (x, y), z in cells.items():
+        if any((x + dx, y + dy) not in cells for dx, dy in offs):
+            W[(x, y)] = z
+            heapq.heappush(heap, (z, x, y))
+    while heap:
+        w, x, y = heapq.heappop(heap)
+        for dx, dy in offs:
+            n = (x + dx, y + dy)
+            if n in cells and n not in W:
+                W[n] = max(cells[n], w)
+                heapq.heappush(heap, (W[n], n[0], n[1]))
+    return W
+
+
+def _collect_fill(df, res):
+    return {
+        (row["tx"] * res + pix % res, row["ty"] * res + pix // res): v
+        for row in df.collect()
+        for pix, v in enumerate(row["filled"])
+    }
+
+
+def _bowl_tiles(res, rng):
+    """2x2 tile block, rough terrain with a depression carved across the
+    (0,0)/(1,0) tile border."""
+    tiles = {}
+    for tx in (0, 1):
+        for ty in (0, 1):
+            tiles[(tx, ty)] = [
+                rng.randint(50, 99) for _ in range(res * res)
+            ]
+    for (tx, ty), g in tiles.items():
+        for pix in range(res * res):
+            gx, gy = tx * res + pix % res, ty * res + pix // res
+            if 5 <= gx <= 10 and 2 <= gy <= 6:
+                g[pix] = 10 + ((gx * 7 + gy * 13) % 5)
+    return tiles
+
+
+@pytest.mark.parametrize("conn", [8, 4])
+def test_fill_matches_python_oracle(spark, conn):
+    rng = random.Random(4101)
+    tiles = _bowl_tiles(8, rng)
+    out = terrain.fill_depressions(_mk_df(spark, tiles), 8, connectivity=conn)
+    got = _collect_fill(out, 8)
+    want = _py_fill(tiles, 8, conn)
+    assert got == want
+    # the depression actually filled (W > z somewhere)
+    cells = {
+        (tx * 8 + p % 8, ty * 8 + p // 8): z
+        for (tx, ty), g in tiles.items()
+        for p, z in enumerate(g)
+    }
+    assert any(want[k] > cells[k] for k in cells)
+
+
+def test_fill_random_scatter_tiles(spark):
+    """Irregular (non-rectangular) tile union: mask drains must follow the
+    ragged boundary, not a bounding box."""
+    rng = random.Random(77)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.9)
+    out = terrain.fill_depressions(_mk_df(spark, tiles), res)
+    assert _collect_fill(out, res) == _py_fill(tiles, res, 8)
+
+
+def test_fill_monotone_plane_unchanged(spark):
+    """A tilted plane has no depressions: W == z everywhere."""
+    res = 8
+    tiles = {}
+    for tx in (0, 1):
+        for ty in (0, 1):
+            tiles[(tx, ty)] = [
+                (tx * res + p % res) + 2 * (ty * res + p // res)
+                for p in range(res * res)
+            ]
+    out = terrain.fill_depressions(_mk_df(spark, tiles), res)
+    got = _collect_fill(out, res)
+    for (tx, ty), g in tiles.items():
+        for p, z in enumerate(g):
+            assert got[(tx * res + p % res, ty * res + p // res)] == z
+
+
+def test_fill_channel_sill_closed_form(spark):
+    """Flat plateau at 1000 with a pit (bottom 800) connected to the west
+    raster edge by a carved channel whose sill is 950: the pit fills to the
+    SILL (the cheaper escape), not the plateau level — the minimax path
+    choice, across a tile border."""
+    res = 8
+    tiles = {
+        (0, 0): [1000] * (res * res),
+        (1, 0): [1000] * (res * res),
+    }
+    # pit in tile (1,0) at gx in [10, 11], gy in [3, 4]
+    for gx in (10, 11):
+        for gy in (3, 4):
+            tiles[(1, 0)][gy * res + (gx - res)] = 800
+    # channel along gy=4, gx in [0, 9] at 950 (reaches the west edge)
+    for gx in range(0, 10):
+        t = (0, 0) if gx < res else (1, 0)
+        tiles[t][4 * res + (gx % res)] = 950
+    out = terrain.fill_depressions(_mk_df(spark, tiles), res)
+    got = _collect_fill(out, res)
+    for gx in (10, 11):
+        for gy in (3, 4):
+            assert got[(gx, gy)] == 950, (gx, gy)
+    # channel keeps its own elevation (it drains freely); plateau unchanged
+    assert got[(5, 4)] == 950
+    assert got[(5, 5)] == 1000
+    assert got == _py_fill(tiles, res, 8)
+
+
+def test_fill_partition_invariance(spark):
+    """The same global field tiled at res=8 and res=16 fills identically —
+    tile boundaries are invisible."""
+    rng = random.Random(4102)
+    size = 16
+    field = {
+        (x, y): rng.randint(1, 60) for x in range(size) for y in range(size)
+    }
+    # plant a deep cross-tile depression
+    for x in range(5, 12):
+        for y in range(6, 10):
+            field[(x, y)] = rng.randint(1, 5)
+    fills = {}
+    for res in (8, 16):
+        tiles = {}
+        for (x, y), z in field.items():
+            key = (x // res, y // res)
+            tiles.setdefault(key, [0] * (res * res))[
+                (y % res) * res + (x % res)
+            ] = z
+        fills[res] = _collect_fill(
+            terrain.fill_depressions(_mk_df(spark, tiles), res), res
+        )
+    assert fills[8] == fills[16]
+
+
+def test_fill_idempotent_and_bounded(spark):
+    """fill(fill(x)) == fill(x), and W >= z pointwise."""
+    rng = random.Random(4103)
+    tiles = _bowl_tiles(8, rng)
+    df = _mk_df(spark, tiles)
+    once = terrain.fill_depressions(df, 8)
+    got1 = _collect_fill(once, 8)
+    twice = terrain.fill_depressions(
+        once.withColumnRenamed("filled", "counts"), 8
+    )
+    assert _collect_fill(twice, 8) == got1
+    for (tx, ty), g in tiles.items():
+        for p, z in enumerate(g):
+            assert got1[(tx * 8 + p % 8, ty * 8 + p // 8)] >= z
+
+
+def test_fill_duckdb_twin(spark, tmp_path):
+    import duckdb
+
+    rng = random.Random(4104)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    got = _collect_fill(
+        terrain.fill_depressions(_mk_df(spark, tiles), res), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    sql = terrain.fill_depressions_sql("tiles", res)
+    want = {
+        (gx, gy): w
+        for gx, gy, w in con.execute(
+            f"SELECT gx, gy, w FROM ({sql}) q"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_fill_domain_guard(spark):
+    res = 4
+    bad = spark.createDataFrame(
+        [(0, 0, [0] * (res * res - 1) + [1 << 30])],
+        "tx long, ty long, counts array<long>",
+    )
+    with pytest.raises(Exception, match="2\\^30 domain"):
+        terrain.fill_depressions(bad, res).collect()
+
+
+def test_fill_feeds_d8(spark):
+    """Fill -> FlowDir composition: on the filled surface no cell is a
+    one-cell pit (every dir=-1 cell sits on a flat — some 8-neighbor shares
+    its elevation or it drains off the raster edge)."""
+    rng = random.Random(4105)
+    tiles = _bowl_tiles(8, rng)
+    res = 8
+    filled = terrain.fill_depressions(_mk_df(spark, tiles), res)
+    fillmap = _collect_fill(filled, res)
+    flow = terrain.d8_flow(
+        filled.withColumnRenamed("filled", "counts"), res
+    )
+    dirs = {
+        (row["tx"] * res + p % res, row["ty"] * res + p // res): v
+        for row in flow.collect()
+        for p, v in enumerate(row["d8_dir"])
+    }
+    from engine.terrain import _D8_OFFSETS
+
+    for (x, y), d in dirs.items():
+        if d != -1:
+            continue
+        nbrs = [(x + dx, y + dy) for dx, dy in _D8_OFFSETS]
+        off_edge = any(n not in fillmap for n in nbrs)
+        flat_mate = any(
+            n in fillmap and fillmap[n] == fillmap[(x, y)] for n in nbrs
+        )
+        assert off_edge or flat_mate, (x, y)
