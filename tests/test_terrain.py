@@ -1337,3 +1337,30 @@ def test_fill_feeds_d8(spark):
             n in fillmap and fillmap[n] == fillmap[(x, y)] for n in nbrs
         )
         assert off_edge or flat_mate, (x, y)
+
+
+def test_fill_spiral_depression(spark):
+    """Adversarial in-tile structure: a serpentine channel descending into
+    a dead end forces a long minimax path INSIDE one tile (the stationarity
+    fast path must hand off to the heap flood mid-convergence), plus a
+    second tile so the seam also participates."""
+    res = 16
+    g = [4000] * (res * res)
+    # serpentine: rows 1,3,5,... carved, alternating connection columns,
+    # descending 10 per step from 3000
+    h = 3000
+    for row in range(1, res - 1, 2):
+        rng_cols = (
+            range(1, res - 1) if (row // 2) % 2 == 0
+            else range(res - 2, 0, -1)
+        )
+        for cx in rng_cols:
+            g[row * res + cx] = h
+            h -= 7
+        if row + 2 < res - 1:
+            conn_col = res - 2 if (row // 2) % 2 == 0 else 1
+            g[(row + 1) * res + conn_col] = h
+            h -= 7
+    tiles = {(0, 0): g, (1, 0): [4000] * (res * res)}
+    out = terrain.fill_depressions(_mk_df(spark, tiles), res)
+    assert _collect_fill(out, res) == _py_fill(tiles, res, 8)

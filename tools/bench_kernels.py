@@ -3086,12 +3086,101 @@ def part_pointstats() -> None:
     }}))
 
 
+
+def part_fill() -> None:
+    """Depression filling at raster scale, local[32]: the 4096x4096 raster
+    (16x16 tiles at res=256, 16.8M cells) as a flat plateau at H=10000 with
+    one giant cone pit (z = min(H, 100 + 8 * chebyshev(c, center)), radius
+    1237 cells ~ 4.8 tiles — the spill level H has to propagate ~5 tile
+    seams inward, a real multi-round block-Jacobi convergence). Closed-form
+    exact for ALL 16.8M cells: W = H everywhere (every escape path crosses
+    the z=H plateau), checked via one Column filter; the total fill volume
+    sum(W - z) is also asserted against the python ring-sum closed form.
+    Min-of-2 walls."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    spark = _spark("bench-fill")
+    res = 256
+    side = int(os.environ.get("FILL_BENCH_TILES", "16"))
+    w = side * res
+    H, B, S = 10000, 100, 8
+    cx = cy = w // 2
+    cheb = F.greatest(
+        F.abs(F.col("tx") * res + F.pmod(F.col("i"), res) - cx),
+        F.abs(F.col("ty") * res + F.floor(F.col("i") / res) - cy),
+    )
+    tiles = (
+        spark.range(0, side * side, 1, 32)
+        .select(
+            F.pmod(F.col("id"), side).alias("tx"),
+            (F.col("id") / side).cast("long").alias("ty"),
+        )
+        .select(
+            "tx", "ty",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(res * res - 1)),
+                lambda i: F.least(
+                    F.lit(H),
+                    F.lit(B) + F.lit(S) * F.greatest(
+                        F.abs(F.col("tx") * res + F.pmod(i, res) - cx),
+                        F.abs(F.col("ty") * res + F.floor(i / res) - cy),
+                    ),
+                ).cast("long"),
+            ).alias("counts"),
+        )
+        .persist()
+    )
+    tiles.count()
+    rmax = (H - B) // S - (1 if (H - B) % S == 0 else 0)
+    # ring d (chebyshev) has 8d cells (1 at d=0); depth = H - (B + S*d)
+    want_volume = (H - B) + sum(
+        8 * d * (H - B - S * d) for d in range(1, rmax + 1)
+    )
+    walls = []
+    vols = []
+    flat_ok = []
+    for _ in range(2):
+        t0 = time.time()
+        filled = terrain.fill_depressions(tiles, res)
+        joined = filled.join(tiles, ["tx", "ty"]).select(
+            F.posexplode(F.arrays_zip("filled", "counts")).alias("pix", "v")
+        )
+        agg = joined.agg(
+            F.count("*").alias("cells"),
+            F.sum(F.col("v.filled") - F.col("v.counts")).alias("vol"),
+            F.sum(
+                F.when(F.col("v.filled") != H, 1).otherwise(0)
+            ).alias("not_h"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        vols.append(int(agg["vol"]))
+        flat_ok.append(int(agg["not_h"]) == 0 and agg["cells"] == w * w)
+    assert all(flat_ok), flat_ok
+    assert vols[0] == vols[1] == want_volume, (vols, want_volume)
+    wall = min(walls)
+    print(_json.dumps({
+        "bench": "fill_16p8M_cone_pit",
+        "cells": w * w,
+        "pit_radius_cells": rmax,
+        "walls_s": walls,
+        "wall_s": wall,
+        "cells_per_s": round(w * w / wall),
+        "exact": "W == H for all cells; fill volume == ring-sum closed form",
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {
         "rebatch": part_rebatch,
         "pointstats": part_pointstats,
         "dissolve": part_dissolve,
         "flowacc": part_flowacc,
+        "fill": part_fill,
         "catchcost": part_catchcost,
         "viewshed": part_viewshed,
         "edt": part_edt,
