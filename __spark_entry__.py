@@ -946,7 +946,14 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     elevation W, d=fill depth W-z, e=-1). The production block-Jacobi halo
     fixpoint is hash-checked against the twin's INDEPENDENT derivation
     (fill_depressions_sql: W = min threshold level with an escape path to
-    the raster edge, one recursive-CTE flood over all candidate levels)."""
+    the raster edge, one recursive-CTE flood over all candidate levels).
+    tag='flats' — engine.terrain.resolve_flats over the filled surface
+    (full hydrological conditioning, = condition_dem): per pixel (a=gx,
+    b=gy, c=conditioned d8 dir, d=d8 key, e=flat BFS distance, -1 if
+    unreachable). The twin (resolve_flats_sql over the fill twin's W)
+    re-derives seeds via EXISTS, the flat gradient as a level-tracked
+    recursive-CTE BFS capped by the raster's L1 span, and both argmax/
+    argmin packed tie-breaks."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1170,8 +1177,28 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    filled_r = terrain.fill_depressions(tiles_r, res)
+    fla = (
+        terrain.resolve_flats(filled_r, res)
+        .select(
+            "tx", "ty",
+            F.posexplode(
+                F.arrays_zip("d8_dir", "d8_key", "flat_d")
+            ).alias("pix", "v"),
+        )
+        .select(
+            F.lit("flats").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v.d8_dir").cast("long").alias("c"),
+            F.col("v.d8_key").cast("long").alias("d"),
+            F.col("v.flat_d").cast("long").alias("e"),
+        )
+    )
     fil = (
-        terrain.fill_depressions(tiles_r, res)
+        filled_r
         .join(tiles_r, ["tx", "ty"])
         .select(
             "tx", "ty",
@@ -1192,6 +1219,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
+        .unionByName(fla)
     )
 
 
@@ -1588,6 +1616,11 @@ def raster_field_sql() -> str:
                CAST(w - z AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_fill_sql()}) q) fl
+        UNION ALL
+        SELECT 'flats' AS tag, gx AS a, gy AS b, dir AS c, key AS d,
+               flat_d AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_flats_sql()}) q) fz
     """
 
 
@@ -1601,6 +1634,13 @@ def _fill_sql() -> str:
     from engine.terrain import fill_depressions_sql
 
     return fill_depressions_sql("tiles", _HOTSPOT_RES)
+
+
+def _flats_sql() -> str:
+    from engine.terrain import fill_depressions_sql, resolve_flats_sql
+
+    fill = fill_depressions_sql("tiles", _HOTSPOT_RES)
+    return resolve_flats_sql(f"SELECT gx, gy, w FROM ({fill}) ff")
 
 
 def _stat_sql() -> str:

@@ -1397,6 +1397,43 @@ def _np_local_flood(
     return out[1 : res + 1, 1 : res + 1]
 
 
+def _halo_fixpoint(
+    init: DataFrame, res: int, finish, max_iters: int, op: str
+) -> DataFrame:
+    """Shared block-Jacobi driver for halo fixpoints (fill_depressions,
+    resolve_flats): per round, ONE radius-1 halo exchange + the per-tile
+    Arrow kernel `finish`, lineage truncated and convergence detected by
+    the order-independent digest (count + xor of row hashes — the
+    _jump_fixpoint idiom). State frame shape is (tx, ty, counts)."""
+    from engine.focal import _halo_apply
+
+    def _digest(df: DataFrame):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("tx", "ty", "counts")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    state = _truncate_lineage(init)
+    prev = _digest(state)
+    for _ in range(max_iters):
+        nxt = _truncate_lineage(
+            _halo_apply(state, res, 1, finish).withColumnRenamed(
+                "focal", "counts"
+            )
+        )
+        cur = _digest(nxt)
+        state = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"{op}: no convergence in {max_iters} rounds")
+    return state
+
+
 def fill_depressions(
     tiles: DataFrame,
     res: int,
@@ -1437,8 +1474,6 @@ def fill_depressions(
     min level L with an escape path through cells z <= L — exact with no
     iteration cap). Reference provenance: the reference has no raster
     surface; this completes the SURVEY.md hydrology additions."""
-    from engine.focal import _halo_apply
-
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     lo, hi = -_FILL_SHIFT, _FILL_SHIFT
@@ -1493,32 +1528,7 @@ def fill_depressions(
         new_wb = _np_local_flood(zb, wb, inside, res, conn)
         return (new_wb * (1 << 31) + zc).reshape(-1)
 
-    def _digest(df: DataFrame):
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64("tx", "ty", "counts")), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    state = _truncate_lineage(init)
-    prev = _digest(state)
-    for _ in range(max_iters):
-        nxt = _truncate_lineage(
-            _halo_apply(state, res, 1, finish).withColumnRenamed(
-                "focal", "counts"
-            )
-        )
-        cur = _digest(nxt)
-        state = nxt
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"fill_depressions: no convergence in {max_iters} rounds"
-        )
+    state = _halo_fixpoint(init, res, finish, max_iters, "fill_depressions")
     return state.select(
         "tx", "ty",
         F.transform(
@@ -1576,4 +1586,315 @@ def fill_depressions_sql(
         SELECT c.gx, c.gy, c.z, MIN(r.L) AS w
         FROM fcells c JOIN freach r ON r.gx = c.gx AND r.gy = c.gy
         GROUP BY c.gx, c.gy, c.z
+    """
+
+
+# ---------------------------------------------------------------------------
+# Flat-drainage resolution (completes hydrological conditioning)
+# ---------------------------------------------------------------------------
+# State packing for the flat-gradient fixpoint, same discipline as _FILL_*:
+# packed = d * 2^31 + Wb with Wb = W + 2^30 (the filled surface) and d the
+# evolving BFS distance to the flat's nearest draining cell, INF = 2^31 - 1
+# (saturating: relaxation is min(d + 1, INF)).
+_FLAT_INF = (1 << 31) - 1
+
+
+def _np_flat_dist(
+    wb: np.ndarray, d: np.ndarray, inside: np.ndarray, res: int
+) -> np.ndarray:
+    """Exact local multi-source Dijkstra for the flat gradient of one padded
+    tile given FIXED ring estimates: dist(c) = min hop count to a draining
+    cell walking only through cells of EQUAL filled elevation (the flat),
+    where draining = has a strictly lower in-raster 8-neighbor or touches
+    off-raster ground (the raster edge drains). Interior seeds start at 0,
+    other interior cells at INF, ring cells at their current estimates;
+    relax = d + 1 (saturating at INF) across equal-W adjacency; lazy-heap
+    update-if-better (ring starts are arbitrary, so first-touch is not
+    enough). Returns the res*res interior distance grid."""
+    import heapq
+
+    pad = res + 2
+    dist = d.copy()
+    # interior seed detection needs each cell's full 3x3 neighborhood —
+    # exactly what the halo provides for the center res*res block
+    c = wb[1 : res + 1, 1 : res + 1]
+    seed = np.zeros((res, res), dtype=bool)
+    lower = np.zeros((res, res), dtype=bool)
+    for dx, dy in _D8_OFFSETS:
+        nw = wb[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+        nm = inside[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+        lower |= nm & (nw < c)
+        seed |= ~nm
+    seed |= lower
+    dist[1 : res + 1, 1 : res + 1] = np.where(
+        seed, 0, np.int64(_FLAT_INF)
+    )
+    heap = [
+        (int(dist[y, x]), y * pad + x)
+        for y in range(pad)
+        for x in (range(pad) if y in (0, pad - 1) else (0, pad - 1))
+        if inside[y, x] and dist[y, x] < _FLAT_INF
+    ]
+    sy, sx = np.nonzero(seed)
+    heap += [(0, (y + 1) * pad + (x + 1)) for y, x in zip(sy, sx)]
+    heapq.heapify(heap)
+    while heap:
+        dd, idx = heapq.heappop(heap)
+        y, x = idx // pad, idx % pad
+        if dd > dist[y, x]:
+            continue
+        nd = dd + 1
+        if nd >= _FLAT_INF:
+            continue
+        for dx, dy in _D8_OFFSETS:
+            ny, nx = y + dy, x + dx
+            if (
+                1 <= ny <= res and 1 <= nx <= res
+                and wb[ny, nx] == wb[y, x]
+                and nd < dist[ny, nx]
+            ):
+                dist[ny, nx] = nd
+                heapq.heappush(heap, (nd, ny * pad + nx))
+    return dist[1 : res + 1, 1 : res + 1]
+
+
+def resolve_flats(
+    filled: DataFrame,
+    res: int,
+    max_iters: int = 64,
+    elev_col: str = "filled",
+) -> DataFrame:
+    """Drainage assignment over flat surfaces (the companion of
+    fill_depressions — Barnes/Lehman/Mulla 2014 semantics, reduced to the
+    provable towards-drainage gradient): given a filled DEM (tx, ty,
+    `elev_col`) produce a COMPLETE D8 flow frame (tx, ty, d8_dir, d8_key)
+    in which every cell drains — cells with a strictly lower neighbor keep
+    d8_flow's exact steepest-descent choice (bit-identical dir and key),
+    and every flat cell is pointed at the equal-elevation neighbor nearest
+    to the flat's draining edge (min BFS distance, compass-priority ties,
+    d8_key = 0 on flats). The only dir = -1 survivors are raster-EDGE
+    drains (no lower in-raster neighbor but touching off-raster ground) —
+    the engine's existing sink semantics, so flow_edges / basins /
+    flow_accumulation compose unchanged; on a filled surface no INTERIOR
+    cell keeps dir = -1.
+
+    The flat gradient d(c) — hops to the nearest draining cell through
+    equal-elevation ground — is the same block-Jacobi halo fixpoint as the
+    fill (one radius-1 exchange per round, exact per-tile Dijkstra against
+    fixed ring estimates, monotone from INF, digest convergence; rounds ~
+    tiles the flat spans), with a vectorized stationarity fast path (unit-
+    weight Bellman has no spurious fixpoints: any mutually-supporting cycle
+    would need d values increasing by 1 around a cycle). Each d >= 1 cell
+    has an equal-W neighbor at d - 1 by construction, so the assigned
+    pointers descend to a drain — completeness is structural, not checked.
+
+    condition_dem composes fill + resolve. DuckDB twin: resolve_flats_sql.
+    Follows the simplification documented in SURVEY.md: the away-from-
+    higher aesthetic half of Barnes' mask changes WHERE parallel flow
+    converges inside wide flats but not THAT it drains; the towards-lower
+    half alone already yields complete, deterministic, provable drainage."""
+    if elev_col != "counts":
+        filled = filled.select(
+            "tx", "ty", F.col(elev_col).alias("counts")
+        )
+    lo, hi = -_FILL_SHIFT, _FILL_SHIFT
+    init = filled.select(
+        "tx", "ty",
+        F.transform(
+            "counts",
+            lambda z: (
+                F.lit(_FLAT_INF) * F.lit(1 << 31)
+                + (z + F.lit(_FILL_SHIFT))
+                + F.coalesce(
+                    F.assert_true(
+                        (z >= F.lit(lo)) & (z < F.lit(hi)),
+                        F.lit(
+                            "resolve_flats: elevation out of"
+                            " |z| < 2^30 domain"
+                        ),
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        ).alias("counts"),
+    )
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        d = halo >> 31
+        wb = halo & _FILL_MASK
+        inside = mask > 0
+        c = wb[1 : res + 1, 1 : res + 1]
+        dc = d[1 : res + 1, 1 : res + 1]
+        # stationarity fast path: recompute seeds + one Bellman sweep
+        seed = np.zeros((res, res), dtype=bool)
+        m = np.full((res, res), _FLAT_INF, dtype=np.int64)
+        for dx, dy in _D8_OFFSETS:
+            nw = wb[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nm = inside[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nd = d[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            seed |= (~nm) | (nm & (nw < c))
+            m = np.minimum(
+                m, np.where(nm & (nw == c), np.minimum(nd + 1, _FLAT_INF),
+                            np.int64(_FLAT_INF))
+            )
+        want = np.where(seed, 0, m)
+        if np.array_equal(want, dc):
+            return (dc * (1 << 31) + c).reshape(-1)
+        nd = _np_flat_dist(wb, d, inside, res)
+        return (nd * (1 << 31) + c).reshape(-1)
+
+    state = _halo_fixpoint(init, res, finish, max_iters, "resolve_flats")
+
+    # final pass: assign directions from the converged (W, d) state — the
+    # d8 steepest-descent argmax where a lower neighbor exists (identical
+    # to d8_flow's kernel), else the min-(d, compass) equal-W neighbor
+    nbrs = [
+        (1, 0, True), (1, 1, False), (0, 1, True), (-1, 1, False),
+        (-1, 0, True), (0, -1, True), (-1, -1, False), (1, -1, False),
+    ]
+
+    def assign(halo: np.ndarray, mask: np.ndarray) -> dict:
+        d = halo >> 31
+        wb = halo & _FILL_MASK
+        inside = mask > 0
+        c = wb[1 : res + 1, 1 : res + 1]
+        dc = d[1 : res + 1, 1 : res + 1]
+        best_key = np.zeros((res, res), dtype=np.int64)
+        best_dir = np.full((res, res), -1, dtype=np.int64)
+        # steepest descent (exact d8_flow replica on the filled surface)
+        for i, (dx, dy, orth) in enumerate(nbrs):
+            nz = wb[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nm = inside[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            drop = c - nz
+            key = drop * drop * (2 if orth else 1)
+            better = (drop > 0) & nm & (key > best_key)
+            best_key[better] = key[better]
+            best_dir[better] = i
+        # flat gradient descent where no lower neighbor exists: min
+        # (neighbor d, compass index) among equal-W in-raster neighbors
+        # strictly below own d — packed as d * 16 + i so one running min
+        # resolves both orderings at once
+        flat = best_dir == -1
+        best_fd = np.full((res, res), np.iinfo(np.int64).max, dtype=np.int64)
+        for i, (dx, dy, _o) in enumerate(nbrs):
+            nw = wb[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nm = inside[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nd = d[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            ok = flat & nm & (nw == c) & (nd < dc)
+            cand = nd * 16 + i
+            upd = ok & (cand < best_fd)
+            best_fd[upd] = cand[upd]
+        resolved = flat & (best_fd < np.iinfo(np.int64).max)
+        best_dir[resolved] = best_fd[resolved] % 16
+        return {
+            "d8_dir": best_dir.reshape(-1).tolist(),
+            "d8_key": best_key.reshape(-1).tolist(),
+            "flat_d": np.where(dc >= _FLAT_INF, -1, dc).reshape(-1).tolist(),
+        }
+
+    from engine.focal import _halo_apply
+
+    return _halo_apply(
+        state, res, 1, assign,
+        fields=[
+            ("d8_dir", T.ArrayType(T.LongType())),
+            ("d8_key", T.ArrayType(T.LongType())),
+            ("flat_d", T.ArrayType(T.LongType())),
+        ],
+    )
+
+
+def condition_dem(
+    tiles: DataFrame, res: int, connectivity: int = 8, max_iters: int = 64
+) -> DataFrame:
+    """Full hydrological conditioning: fill_depressions + resolve_flats —
+    raw DEM in, complete D8 flow frame out (every cell drains; dir = -1
+    only at raster-edge sinks). The standard preprocessing in front of
+    flow_accumulation / basins / catchments."""
+    filled = fill_depressions(tiles, res, connectivity, max_iters)
+    return resolve_flats(filled, res, max_iters)
+
+
+def resolve_flats_sql(cells_sql: str) -> str:
+    """DuckDB twin of resolve_flats over a filled surface: `cells_sql` must
+    emit (gx, gy, w). Independent derivation — seeds (lower in-raster
+    neighbor or missing neighbor) via EXISTS, the flat gradient as a
+    level-tracked recursive-CTE BFS over equal-w adjacency (UNION dedup;
+    depth capped by the raster's L1 span, a valid upper bound on any
+    8-connected in-raster BFS distance), the d8 half as the packed argmax
+    of _d8_sql, and the flat argmin as MIN(d_n * 16 + dir) — the identical
+    (distance, compass) lexicographic tie-break. Emits
+    (gx, gy, dir, key, flat_d)."""
+    nbrs = [
+        (0, 1, 0, 2), (1, 1, 1, 1), (2, 0, 1, 2), (3, -1, 1, 1),
+        (4, -1, 0, 2), (5, 0, -1, 2), (6, -1, -1, 1), (7, 1, -1, 1),
+    ]
+    nbr_rows = ", ".join(f"({d}, {dx}, {dy}, {m})" for d, dx, dy, m in nbrs)
+    return f"""
+        WITH RECURSIVE rcells AS MATERIALIZED ({cells_sql}),
+        rnbr(dir, dx, dy, mult) AS (SELECT * FROM (VALUES {nbr_rows})),
+        rcap AS (
+          SELECT MAX(gx) - MIN(gx) + MAX(gy) - MIN(gy) + 1 AS cap
+          FROM rcells
+        ),
+        rseeds AS (
+          SELECT c.gx, c.gy FROM rcells c
+          WHERE EXISTS (
+            SELECT 1 FROM rnbr n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM rcells c2
+              WHERE c2.gx = c.gx + n.dx AND c2.gy = c.gy + n.dy
+            )
+          )
+          OR EXISTS (
+            SELECT 1 FROM rnbr n
+            JOIN rcells c2
+              ON c2.gx = c.gx + n.dx AND c2.gy = c.gy + n.dy
+            WHERE c2.w < c.w
+          )
+        ),
+        rwalk AS (
+          SELECT gx, gy, 0 AS d FROM rseeds
+          UNION
+          SELECT c.gx, c.gy, r.d + 1
+          FROM rwalk r
+          JOIN rnbr n ON TRUE
+          JOIN rcells rc ON rc.gx = r.gx AND rc.gy = r.gy
+          JOIN rcells c
+            ON c.gx = r.gx + n.dx AND c.gy = r.gy + n.dy AND c.w = rc.w
+          WHERE r.d + 1 < (SELECT cap FROM rcap)
+        ),
+        rdist AS MATERIALIZED (
+          SELECT gx, gy, MIN(d) AS d FROM rwalk GROUP BY gx, gy
+        ),
+        rbest AS (
+          SELECT c.gx, c.gy,
+                 MAX((c.w - n.w) * (c.w - n.w) * o.mult * 16
+                     + (15 - o.dir)) AS packed
+          FROM rcells c
+          JOIN rnbr o ON TRUE
+          JOIN rcells n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+          WHERE c.w - n.w > 0
+          GROUP BY c.gx, c.gy
+        ),
+        rflat AS (
+          SELECT c.gx, c.gy, MIN(dn.d * 16 + o.dir) AS fpacked
+          FROM rcells c
+          JOIN rdist dc ON dc.gx = c.gx AND dc.gy = c.gy
+          JOIN rnbr o ON TRUE
+          JOIN rcells n
+            ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy AND n.w = c.w
+          JOIN rdist dn ON dn.gx = n.gx AND dn.gy = n.gy AND dn.d < dc.d
+          GROUP BY c.gx, c.gy
+        )
+        SELECT c.gx, c.gy,
+               CAST(CASE WHEN b.packed IS NOT NULL THEN 15 - (b.packed % 16)
+                         WHEN f.fpacked IS NOT NULL THEN f.fpacked % 16
+                         ELSE -1 END AS BIGINT) AS dir,
+               CAST(COALESCE(b.packed // 16, 0) AS BIGINT) AS key,
+               CAST(COALESCE(dd.d, -1) AS BIGINT) AS flat_d
+        FROM rcells c
+        LEFT JOIN rbest b ON b.gx = c.gx AND b.gy = c.gy
+        LEFT JOIN rflat f ON f.gx = c.gx AND f.gy = c.gy
+        LEFT JOIN rdist dd ON dd.gx = c.gx AND dd.gy = c.gy
     """

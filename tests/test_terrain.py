@@ -1364,3 +1364,252 @@ def test_fill_spiral_depression(spark):
     tiles = {(0, 0): g, (1, 0): [4000] * (res * res)}
     out = terrain.fill_depressions(_mk_df(spark, tiles), res)
     assert _collect_fill(out, res) == _py_fill(tiles, res, 8)
+
+
+# ---------------------------------------------------------------------------
+# resolve_flats / condition_dem (flat drainage assignment)
+# ---------------------------------------------------------------------------
+_NBRS_PRI = [
+    (1, 0, True), (1, 1, False), (0, 1, True), (-1, 1, False),
+    (-1, 0, True), (0, -1, True), (-1, -1, False), (1, -1, False),
+]
+
+
+def _py_resolve(tiles, res):
+    """Python oracle for resolve_flats over a filled surface: BFS distance
+    to the nearest draining cell through equal-W ground, then dirs —
+    steepest-descent d8 where a lower neighbor exists, else the
+    (min d, compass) equal-W neighbor. Returns (x,y) -> (dir, key, d)."""
+    from collections import deque
+
+    cells = {}
+    for (tx, ty), g in tiles.items():
+        for pix, z in enumerate(g):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = z
+    INF = (1 << 31) - 1
+    dist = {}
+    dq = deque()
+    for (x, y), w in cells.items():
+        drains = False
+        for dx, dy, _o in _NBRS_PRI:
+            n = (x + dx, y + dy)
+            if n not in cells or cells[n] < w:
+                drains = True
+                break
+        if drains:
+            dist[(x, y)] = 0
+            dq.append((x, y))
+    while dq:
+        x, y = dq.popleft()
+        for dx, dy, _o in _NBRS_PRI:
+            n = (x + dx, y + dy)
+            if n in cells and cells[n] == cells[(x, y)] and n not in dist:
+                dist[n] = dist[(x, y)] + 1
+                dq.append(n)
+    out = {}
+    for (x, y), w in cells.items():
+        best_key, best_dir = 0, -1
+        for i, (dx, dy, orth) in enumerate(_NBRS_PRI):
+            n = (x + dx, y + dy)
+            if n in cells and cells[n] < w:
+                drop = w - cells[n]
+                key = drop * drop * (2 if orth else 1)
+                if key > best_key:
+                    best_key, best_dir = key, i
+        d_own = dist.get((x, y), INF)
+        if best_dir == -1 and d_own > 0:
+            best_fd = None
+            for i, (dx, dy, _o) in enumerate(_NBRS_PRI):
+                n = (x + dx, y + dy)
+                if (
+                    n in cells and cells[n] == w
+                    and dist.get(n, INF) < d_own
+                ):
+                    cand = (dist[n], i)
+                    if best_fd is None or cand < best_fd:
+                        best_fd = cand
+            if best_fd is not None:
+                best_dir = best_fd[1]
+        out[(x, y)] = (best_dir, best_key, -1 if d_own >= INF else d_own)
+    return out
+
+
+def _collect_resolve(df, res):
+    return {
+        (row["tx"] * res + p % res, row["ty"] * res + p // res):
+            (dirv, keyv, dv)
+        for row in df.collect()
+        for p, (dirv, keyv, dv) in enumerate(
+            zip(row["d8_dir"], row["d8_key"], row["flat_d"])
+        )
+    }
+
+
+def test_resolve_flats_oracle_parity(spark):
+    """Random DEM -> python fill -> resolve on the filled surface: dirs,
+    keys and flat distances all match the oracle exactly."""
+    rng = random.Random(4201)
+    raw = _bowl_tiles(8, rng)
+    res = 8
+    W = _py_fill(raw, res, 8)
+    filled_tiles = {}
+    for (tx, ty), g in raw.items():
+        filled_tiles[(tx, ty)] = [
+            W[(tx * res + p % res, ty * res + p // res)]
+            for p in range(res * res)
+        ]
+    out = terrain.resolve_flats(
+        _mk_df(spark, filled_tiles).withColumnRenamed("counts", "filled"),
+        res,
+    )
+    assert _collect_resolve(out, res) == _py_resolve(filled_tiles, res)
+
+
+def test_resolve_flats_plateau_drains_east(spark):
+    """A flat plateau whose east edge steps down: every plateau cell points
+    toward cells nearer the step (flat_d decreases eastward), edge cells of
+    the raster drain off (dir -1 only there)."""
+    res = 8
+    # one tile: columns 0..5 at 100 (flat), columns 6..7 at 50
+    g = [100 if (p % res) <= 5 else 50 for p in range(res * res)]
+    tiles = {(0, 0): g}
+    got = _collect_resolve(
+        terrain.resolve_flats(
+            _mk_df(spark, tiles).withColumnRenamed("counts", "filled"), res
+        ),
+        res,
+    )
+    oracle = _py_resolve(tiles, res)
+    assert got == oracle
+    # column 5 cells see the drop east: steepest descent, dir = 0 (E)
+    for y in range(1, res - 1):
+        assert got[(5, y)][0] == 0
+        # interior plateau cells at column 4 point at column 5 (d: 1 -> 0)
+        assert got[(4, y)][2] == 1 and got[(5, y)][2] == 0
+
+
+def test_condition_dem_complete_drainage(spark):
+    """fill + resolve on a random DEM: every cell's pointer chain reaches a
+    raster-edge sink; no interior dir = -1; no cycles."""
+    rng = random.Random(4202)
+    res = 8
+    raw = _bowl_tiles(res, rng)
+    flow = terrain.condition_dem(_mk_df(spark, raw), res)
+    got = _collect_resolve(flow, res)
+    cells = set(got)
+    from engine.terrain import _D8_OFFSETS
+
+    def at_edge(x, y):
+        return any((x + dx, y + dy) not in cells for dx, dy in _D8_OFFSETS)
+
+    for (x, y), (d, _k, _fd) in got.items():
+        if d == -1:
+            assert at_edge(x, y), (x, y)
+    # pointer walk: every cell terminates at a dir=-1 edge cell
+    for start in cells:
+        seen = set()
+        cur = start
+        while True:
+            assert cur not in seen, f"cycle via {start}"
+            seen.add(cur)
+            d = got[cur][0]
+            if d == -1:
+                assert at_edge(*cur)
+                break
+            dx, dy, _o = _NBRS_PRI[d]
+            cur = (cur[0] + dx, cur[1] + dy)
+            assert cur in cells
+
+
+def test_condition_dem_acc_conserves_mass(spark):
+    """flow_accumulation over the conditioned flow frame: total mass at the
+    edge sinks equals the raster cell count (nothing is lost in a pit)."""
+    rng = random.Random(4203)
+    res = 8
+    raw = _bowl_tiles(res, rng)
+    flow = terrain.condition_dem(_mk_df(spark, raw), res)
+    acc = terrain.flow_accumulation(
+        flow.select("tx", "ty", "d8_dir", "d8_key"), res
+    )
+    got = _collect_resolve(flow, res)
+    accs = _collect_acc(acc, res)
+    sink_sum = sum(
+        accs[(x, y)] for (x, y), (d, _k, _fd) in got.items() if d == -1
+    )
+    assert sink_sum == len(got)
+
+
+def test_resolve_flats_partition_invariance(spark):
+    rng = random.Random(4204)
+    size = 16
+    field = {}
+    for x in range(size):
+        for y in range(size):
+            field[(x, y)] = rng.choice([40, 40, 40, 70, 90])
+    for res in (8, 16):
+        tiles = {}
+        for (x, y), z in field.items():
+            key = (x // res, y // res)
+            tiles.setdefault(key, [0] * (res * res))[
+                (y % res) * res + (x % res)
+            ] = z
+        out = _collect_resolve(
+            terrain.resolve_flats(
+                _mk_df(spark, tiles).withColumnRenamed("counts", "filled"),
+                res,
+            ),
+            res,
+        )
+        if res == 8:
+            first = out
+    assert out == first
+
+
+def test_resolve_flats_matches_d8_on_sloped_cells(spark):
+    """Cells with a strictly lower neighbor keep d8_flow's exact choice."""
+    rng = random.Random(4205)
+    res = 8
+    raw = _bowl_tiles(res, rng)
+    fdf = terrain.fill_depressions(_mk_df(spark, raw), res)
+    resolved = _collect_resolve(terrain.resolve_flats(fdf, res), res)
+    d8 = terrain.d8_flow(
+        fdf.withColumnRenamed("filled", "counts"), res
+    )
+    base = {
+        (row["tx"] * res + p % res, row["ty"] * res + p // res): (d, k)
+        for row in d8.collect()
+        for p, (d, k) in enumerate(zip(row["d8_dir"], row["d8_key"]))
+    }
+    for pos, (d, k) in base.items():
+        if d != -1:
+            assert resolved[pos][0] == d and resolved[pos][1] == k, pos
+
+
+def test_resolve_flats_duckdb_twin(spark):
+    """Spark fill + resolve vs the composed DuckDB twins (fill threshold-
+    reachability feeding the flats BFS/argmax derivation) — dir, key and
+    flat_d all exact."""
+    import duckdb
+
+    rng = random.Random(4206)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    df = _mk_df(spark, tiles)
+    got = _collect_resolve(
+        terrain.resolve_flats(terrain.fill_depressions(df, res), res), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    fill_sql = terrain.fill_depressions_sql("tiles", res)
+    flats_sql = terrain.resolve_flats_sql(
+        f"SELECT gx, gy, w FROM ({fill_sql}) q"
+    )
+    want = {
+        (gx, gy): (d, k, fd)
+        for gx, gy, d, k, fd in con.execute(
+            f"SELECT gx, gy, dir, key, flat_d FROM ({flats_sql}) z"
+        ).fetchall()
+    }
+    assert got == want

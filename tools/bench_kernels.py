@@ -3171,6 +3171,43 @@ def part_fill() -> None:
         "cells_per_s": round(w * w / wall),
         "exact": "W == H for all cells; fill volume == ring-sum closed form",
     }))
+    # conditioning phase: resolve_flats over the filled surface — which is
+    # ONE raster-wide flat at H, so the flat gradient has the closed form
+    # flat_d = min(gx, gy, w-1-gx, w-1-gy) (8-connected distance to the
+    # edge drains) for ALL 16.8M cells; dir = -1 exactly on the perimeter.
+    filled = terrain.fill_depressions(tiles, res).persist()
+    filled.count()
+    t0 = time.time()
+    flow = terrain.resolve_flats(filled, res)
+    px = flow.select(
+        "tx", "ty",
+        F.posexplode(F.arrays_zip("d8_dir", "flat_d")).alias("pix", "v"),
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+        F.col("v.d8_dir").alias("dir"),
+        F.col("v.flat_d").alias("fd"),
+    )
+    want_fd = F.least(
+        F.col("gx"), F.col("gy"),
+        F.lit(w - 1) - F.col("gx"), F.lit(w - 1) - F.col("gy"),
+    )
+    agg2 = px.agg(
+        F.count("*").alias("cells"),
+        F.sum(F.when(F.col("fd") != want_fd, 1).otherwise(0)).alias("bad_fd"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).alias("sinks"),
+    ).collect()[0]
+    wall2 = round(time.time() - t0, 2)
+    assert agg2["cells"] == w * w and agg2["bad_fd"] == 0, agg2
+    assert agg2["sinks"] == 4 * (w - 1), agg2["sinks"]
+    print(_json.dumps({
+        "bench": "resolve_flats_16p8M_one_flat",
+        "cells": w * w,
+        "wall_s": wall2,
+        "cells_per_s": round(w * w / wall2),
+        "exact": "flat_d == edge-distance closed form for all cells; "
+                 "dir == -1 exactly on the perimeter",
+    }))
     spark.stop()
 
 
