@@ -953,7 +953,15 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable). The twin (resolve_flats_sql over the fill twin's W)
     re-derives seeds via EXISTS, the flat gradient as a level-tracked
     recursive-CTE BFS capped by the raster's L1 span, and both argmax/
-    argmin packed tie-breaks."""
+    argmin packed tie-breaks.
+    tag='strahler' — engine.terrain.strahler_order over the conditioned
+    flow frame (all-cells stream mask): per pixel (a=gx, b=gy, c=Strahler
+    order, d=-1, e=-1) — 1 at heads, max(upstream)+1 exactly at >=2-way
+    max-ties, the least fixpoint climbed from below on the shared halo
+    exchange with an exact per-tile Kahn peel. The twin re-derives orders
+    as counted order-level memberships S_k (seed = >=2-way S_{k-1}
+    confluence, then the downstream recursive-CTE closure), a fully
+    independent characterization of the same fixpoint."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1178,8 +1186,9 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     filled_r = terrain.fill_depressions(tiles_r, res)
+    flats_r = terrain.resolve_flats(filled_r, res)
     fla = (
-        terrain.resolve_flats(filled_r, res)
+        flats_r
         .select(
             "tx", "ty",
             F.posexplode(
@@ -1215,11 +1224,25 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    stro = (
+        terrain.strahler_order(flats_r, res)
+        .select("tx", "ty", F.posexplode("strahler").alias("pix", "v"))
+        .select(
+            F.lit("strahler").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
-        .unionByName(fla)
+        .unionByName(fla).unionByName(stro)
     )
 
 
@@ -1621,6 +1644,11 @@ def raster_field_sql() -> str:
                flat_d AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_flats_sql()}) q) fz
+        UNION ALL
+        SELECT 'strahler' AS tag, gx AS a, gy AS b, strahler AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_strahler_sql()}) q) sz
     """
 
 
@@ -1641,6 +1669,14 @@ def _flats_sql() -> str:
 
     fill = fill_depressions_sql("tiles", _HOTSPOT_RES)
     return resolve_flats_sql(f"SELECT gx, gy, w FROM ({fill}) ff")
+
+
+def _strahler_sql() -> str:
+    from engine.terrain import strahler_order_sql
+
+    return strahler_order_sql(
+        f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff", max_order=16
+    )
 
 
 def _stat_sql() -> str:

@@ -1898,3 +1898,228 @@ def resolve_flats_sql(cells_sql: str) -> str:
         LEFT JOIN rflat f ON f.gx = c.gx AND f.gy = c.gy
         LEFT JOIN rdist dd ON dd.gx = c.gx AND dd.gy = c.gy
     """
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order
+# ---------------------------------------------------------------------------
+# State packing: packed = order * 2^31 + (stream_flag << 4) + (dir + 1).
+# dir in [-1, 7] fits 4 bits; order is bounded by log2(#stream heads) + 1
+# (order k needs >= 2^(k-1) heads), so 31 high bits are beyond generous.
+
+
+def _np_tile_strahler(
+    dirv: np.ndarray, stream: np.ndarray, order: np.ndarray,
+    inside: np.ndarray, res: int,
+) -> np.ndarray:
+    """Exact per-tile Strahler solve given FIXED ring estimates: a Kahn
+    topological peel of the tile-interior flow DAG (conditioned dirs are
+    acyclic; cells on a cycle would simply keep their current order). Each
+    interior cell's order is recomputed from its upstream STREAM neighbors'
+    orders — ring neighbors contribute their current (monotone-from-below)
+    estimates, interior neighbors their freshly peeled values; zero-order
+    contributions are 'not yet known upstream' and are ignored, which is
+    exactly what makes the global iteration a least-fixpoint climb.
+    order(c) = 1 when no positive contribution, else max + 1 if the max is
+    contributed at least twice, else max. Non-stream cells keep order 0
+    (they gate topology but contribute nothing). Returns the res*res
+    interior order grid."""
+    pad = res + 2
+    offs = np.array(_D8_OFFSETS, dtype=np.int64)  # (8, 2) as (dx, dy)
+    # per-cell running contribution stats
+    maxo = np.zeros((pad, pad), dtype=np.int64)
+    cnt = np.zeros((pad, pad), dtype=np.int64)
+    indeg = np.zeros((pad, pad), dtype=np.int64)
+    out = order.copy()
+
+    def contribute(sy, sx, o):
+        """Fold contributions o (array) from source cells (sy, sx) into
+        their flow targets' running (maxo, cnt_at_max)."""
+        d = dirv[sy, sx]
+        ok = d >= 0
+        sy, sx, o, d = sy[ok], sx[ok], o[ok], d[ok]
+        ty_ = sy + offs[d, 1]
+        tx_ = sx + offs[d, 0]
+        ok2 = (ty_ >= 1) & (ty_ <= res) & (tx_ >= 1) & (tx_ <= res)
+        ty_, tx_, o = ty_[ok2], tx_[ok2], o[ok2]
+        pos = o > 0
+        # sequential fold (targets repeat within a wave): python loop over
+        # the wave's edges — waves are small after the first
+        for y, x, oo in zip(ty_[pos], tx_[pos], o[pos]):
+            if oo > maxo[y, x]:
+                maxo[y, x] = oo
+                cnt[y, x] = 1
+            elif oo == maxo[y, x]:
+                cnt[y, x] += 1
+
+    # in-degree of interior cells counting INTERIOR upstream only
+    iy, ix = np.mgrid[1 : res + 1, 1 : res + 1]
+    iy, ix = iy.ravel(), ix.ravel()
+    d_all = dirv[iy, ix]
+    has = d_all >= 0
+    t_y = iy[has] + offs[d_all[has], 1]
+    t_x = ix[has] + offs[d_all[has], 0]
+    okt = (t_y >= 1) & (t_y <= res) & (t_x >= 1) & (t_x <= res)
+    np.add.at(indeg, (t_y[okt], t_x[okt]), 1)
+
+    # ring entries: fixed contributions into the interior
+    ry, rx = np.nonzero(
+        np.pad(np.zeros((res, res), dtype=bool), 1, constant_values=True)
+    )
+    rin = inside[ry, rx]
+    contribute(ry[rin], rx[rin],
+               np.where(stream[ry, rx][rin] > 0, order[ry, rx][rin], 0))
+
+    frontier_y, frontier_x = np.nonzero(
+        (indeg[1 : res + 1, 1 : res + 1] == 0)
+    )
+    fy, fx = frontier_y + 1, frontier_x + 1
+    while fy.size:
+        is_s = stream[fy, fx] > 0
+        o = np.where(
+            is_s,
+            np.where(
+                maxo[fy, fx] == 0, 1,
+                maxo[fy, fx] + (cnt[fy, fx] >= 2).astype(np.int64),
+            ),
+            0,
+        )
+        out[fy, fx] = o
+        contribute(fy, fx, np.where(is_s, o, 0))
+        # advance the wave: decrement targets' indegree
+        d = dirv[fy, fx]
+        ok = d >= 0
+        ty_ = fy[ok] + offs[d[ok], 1]
+        tx_ = fx[ok] + offs[d[ok], 0]
+        ok2 = (ty_ >= 1) & (ty_ <= res) & (tx_ >= 1) & (tx_ <= res)
+        ty_, tx_ = ty_[ok2], tx_[ok2]
+        np.subtract.at(indeg, (ty_, tx_), 1)
+        nxt = indeg[ty_, tx_] == 0
+        # dedup: two in-wave sources can feed the SAME target (a confluence
+        # whose tributaries peel in the same wave) — the post-subtract check
+        # then selects the target once per feeding edge, and processing it
+        # twice would double-fold its contribution and push its own target's
+        # indegree negative (stalling the chain). Unique (y, x) pairs only.
+        packed = ty_[nxt] * np.int64(pad) + tx_[nxt]
+        packed = np.unique(packed)
+        fy, fx = packed // pad, packed % pad
+    return out[1 : res + 1, 1 : res + 1]
+
+
+def strahler_order(
+    flow: DataFrame,
+    res: int,
+    stream_col: str | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Strahler stream order over a conditioned D8 flow frame (tx, ty,
+    d8_dir [, `stream_col`: 0/1 int array marking stream cells, e.g.
+    flow_accumulation >= threshold; None = every cell is a stream cell]):
+    (tx, ty, strahler: array<long>) with order 0 on non-stream cells,
+    1 on stream heads, and max(upstream orders) + 1 exactly when >= 2
+    direct stream neighbors tie at the max — ESRI Stream Order (Strahler)
+    semantics with DIRECT-neighbor contribution (a non-stream gap restarts
+    the order, the standard raster behavior when the mask comes from an
+    accumulation threshold, where gaps cannot occur).
+
+    Distributed shape: Strahler is the LEAST fixpoint of its defining
+    equations, so the engine climbs it from below on the shared halo
+    fixpoint (_halo_fixpoint): per round, one radius-1 exchange ships each
+    tile's current orders + dirs to its neighbors and an exact per-tile
+    Kahn peel (_np_tile_strahler) re-solves the tile with ring entries
+    fixed. Orders only rise and are bounded by log2(#heads) + 1, each
+    round's solve is exact given its boundary, so convergence takes ~the
+    longest flow path measured in TILES (same class as fill_depressions).
+    Requires acyclic dirs (condition_dem output); max_iters is the rail.
+
+    DuckDB twin: strahler_order_sql — unrolled order-level memberships
+    S_k (order >= k iff downstream of a >=2-way S_{k-1} confluence), each
+    a recursive-CTE downstream closure; 12 levels covers any raster with
+    < 2^11 stream heads."""
+    cols = ["tx", "ty", F.col("d8_dir")]
+    stream_expr = (
+        F.transform("d8_dir", lambda _: F.lit(1))
+        if stream_col is None
+        else F.col(stream_col)
+    )
+    init = flow.select(
+        *cols[:2],
+        F.zip_with(
+            "d8_dir", stream_expr.alias("_s"),
+            lambda d, s: (
+                (F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(16))
+                + (d + F.lit(1))
+            ).cast("long"),
+        ).alias("counts"),
+    )
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        order = halo >> 31
+        low = halo & _FILL_MASK
+        dirv = (low & 15) - 1
+        stream = (low >> 4) & 1
+        inside = mask > 0
+        # off-raster ring cells must not flow anywhere or contribute
+        dirv = np.where(inside, dirv, np.int64(-1))
+        new_o = _np_tile_strahler(dirv, stream, order, inside, res)
+        lowc = low[1 : res + 1, 1 : res + 1]
+        return (new_o * (1 << 31) + lowc).reshape(-1)
+
+    state = _halo_fixpoint(init, res, finish, max_iters, "strahler_order")
+    return state.select(
+        "tx", "ty",
+        F.transform(
+            "counts", lambda p: F.shiftright(p, 31).cast("long")
+        ).alias("strahler"),
+    )
+
+
+def strahler_order_sql(cells_sql: str, max_order: int = 12) -> str:
+    """DuckDB twin of strahler_order (all-cells stream mask): `cells_sql`
+    emits (gx, gy, dir) — the conditioned flow frame exploded to pixels
+    (dir -1 = sink). Independent derivation via order-level memberships:
+    S_1 = all cells; S_{k+1} = the downstream closure of cells receiving
+    >= 2 upstream S_k members (order is monotone nondecreasing downstream,
+    so membership IS a closure); order = count of memberships. Each level
+    is one recursive CTE; `max_order` levels is exact whenever the raster
+    has < 2^(max_order - 1) heads (order k needs >= 2^(k-1) heads)."""
+    nbrs = [
+        (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+        (4, -1, 0), (5, 0, -1), (6, -1, -1), (7, 1, -1),
+    ]
+    nbr_rows = ", ".join(f"({d}, {dx}, {dy})" for d, dx, dy in nbrs)
+    parts = [f"""
+        scells AS MATERIALIZED ({cells_sql}),
+        snbr(dir, dx, dy) AS (SELECT * FROM (VALUES {nbr_rows})),
+        sedges AS MATERIALIZED (
+          SELECT c.gx AS sgx, c.gy AS sgy,
+                 c.gx + n.dx AS dgx, c.gy + n.dy AS dgy
+          FROM scells c JOIN snbr n ON n.dir = c.dir
+          JOIN scells t ON t.gx = c.gx + n.dx AND t.gy = c.gy + n.dy
+        ),
+        s1 AS (SELECT gx, gy FROM scells)"""]
+    for k in range(2, max_order + 1):
+        parts.append(f"""
+        seed{k} AS (
+          SELECT e.dgx AS gx, e.dgy AS gy
+          FROM sedges e JOIN s{k - 1} p
+            ON p.gx = e.sgx AND p.gy = e.sgy
+          GROUP BY e.dgx, e.dgy HAVING COUNT(*) >= 2
+        ),
+        s{k} AS (
+          SELECT gx, gy FROM seed{k}
+          UNION
+          SELECT e.dgx, e.dgy
+          FROM s{k} r JOIN sedges e ON e.sgx = r.gx AND e.sgy = r.gy
+        )""")
+    unions = "\n          UNION ALL\n          ".join(
+        f"SELECT gx, gy FROM s{k}" for k in range(1, max_order + 1)
+    )
+    return f"""
+        WITH RECURSIVE {", ".join(parts)}
+        SELECT gx, gy, COUNT(*) AS strahler
+        FROM (
+          {unions}
+        ) m
+        GROUP BY gx, gy
+    """

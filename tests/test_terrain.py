@@ -1613,3 +1613,179 @@ def test_resolve_flats_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order
+# ---------------------------------------------------------------------------
+def _py_strahler(dirs, stream):
+    """Global Kahn-peel oracle: dirs {(gx,gy): d8 dir or -1}, stream
+    {(gx,gy): 0/1}. order 0 on non-stream cells; on stream cells 1 when no
+    positive upstream contribution, else max(+1 iff the max arrives >= 2x).
+    Non-stream cells gate topology but contribute nothing."""
+    from collections import deque
+
+    offs = terrain._D8_OFFSETS
+    tgt = {}
+    indeg = {c: 0 for c in dirs}
+    for c, d in dirs.items():
+        if d >= 0:
+            t = (c[0] + offs[d][0], c[1] + offs[d][1])
+            if t in dirs:
+                tgt[c] = t
+                indeg[t] += 1
+    q = deque(c for c in dirs if indeg[c] == 0)
+    contrib = {c: [] for c in dirs}
+    order = {}
+    done = 0
+    while q:
+        c = q.popleft()
+        done += 1
+        if stream.get(c, 0):
+            pos = [o for o in contrib[c] if o > 0]
+            o = 1 if not pos else max(pos) + (1 if pos.count(max(pos)) >= 2 else 0)
+        else:
+            o = 0
+        order[c] = o
+        t = tgt.get(c)
+        if t is not None:
+            contrib[t].append(o if stream.get(c, 0) else 0)
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                q.append(t)
+    assert done == len(dirs), "cycle in dirs"
+    return order
+
+
+def _collect_strahler(df, res):
+    out = {}
+    for r in df.collect():
+        for pix, o in enumerate(r["strahler"]):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = o
+    return out
+
+
+def _flow_dirs(flow_rows, res):
+    dirs = {}
+    for r in flow_rows:
+        for pix, d in enumerate(r["d8_dir"]):
+            dirs[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = d
+    return dirs
+
+
+def test_strahler_confluence_closed_form(spark):
+    """Y-shaped network in one tile: two heads meet (order 2), a third
+    tributary of order 1 joins later without raising the max."""
+    res = 4
+    code = {o: i for i, o in enumerate(terrain._D8_OFFSETS)}
+    dirs = [-1] * (res * res)
+
+    def put(x, y, dxdy):
+        dirs[y * res + x] = code[dxdy]
+
+    put(0, 0, (1, 1))   # head A -> (1,1)
+    put(0, 2, (1, -1))  # head B -> (1,1)
+    put(1, 1, (1, 0))   # confluence -> (2,1)
+    put(2, 1, (1, 0))   # -> (3,1)
+    put(0, 3, (1, 0))   # head C -> (1,3)
+    put(1, 3, (1, -1))  # -> (2,2)
+    put(2, 2, (1, -1))  # tributary joins main stem at (3,1)
+    flow = spark.createDataFrame(
+        [(0, 0, dirs)], "tx long, ty long, d8_dir array<long>"
+    )
+    got = _collect_strahler(terrain.strahler_order(flow, res), res)
+    assert got[(0, 0)] == 1 and got[(0, 2)] == 1
+    assert got[(1, 1)] == 2
+    assert got[(2, 1)] == 2
+    assert got[(0, 3)] == 1 and got[(1, 3)] == 1 and got[(2, 2)] == 1
+    # main stem (order 2) + tributary (order 1): max is unique -> stays 2
+    assert got[(3, 1)] == 2
+
+
+def test_strahler_oracle_parity_conditioned(spark):
+    """Random multi-tile DEM, conditioned, all-cells mask: halo fixpoint
+    == global python Kahn peel."""
+    rng = random.Random(4301)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.7)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res).persist()
+    flow_rows = flow.select("tx", "ty", "d8_dir").collect()
+    dirs = _flow_dirs(flow_rows, res)
+    want = _py_strahler(dirs, {c: 1 for c in dirs})
+    got = _collect_strahler(terrain.strahler_order(flow, res), res)
+    flow.unpersist()
+    assert got == want
+
+
+def test_strahler_stream_mask_restart(spark):
+    """A non-stream gap restarts the order downstream; non-stream cells
+    emit order 0 but still gate topology (python oracle parity)."""
+    rng = random.Random(4302)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    masked = flow.select(
+        "tx", "ty", "d8_dir",
+        F.expr(
+            f"transform(d8_dir, (d, i) -> CAST("
+            f"((tx * {res} + i % {res}) + (ty * {res} + i DIV {res})) % 3 "
+            f"!= 0 AS LONG))"
+        ).alias("stream"),
+    ).persist()
+    rows = masked.collect()
+    dirs = _flow_dirs(rows, res)
+    stream = {}
+    for r in rows:
+        for pix, s in enumerate(r["stream"]):
+            stream[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = s
+    want = _py_strahler(dirs, stream)
+    got = _collect_strahler(
+        terrain.strahler_order(masked, res, stream_col="stream"), res
+    )
+    masked.unpersist()
+    assert got == want
+
+
+def test_strahler_partition_invariance(spark):
+    rng = random.Random(4303)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=3, density=0.6)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res).persist()
+    a = _collect_strahler(
+        terrain.strahler_order(flow.repartition(1), res), res
+    )
+    b = _collect_strahler(
+        terrain.strahler_order(flow.repartition(7), res), res
+    )
+    flow.unpersist()
+    assert a == b
+
+
+def test_strahler_duckdb_twin(spark):
+    """Spark condition_dem + strahler vs the fully composed DuckDB twins
+    (fill -> flats -> order-level membership closure)."""
+    import duckdb
+
+    rng = random.Random(4304)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    got = _collect_strahler(terrain.strahler_order(flow, res), res)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    fill_sql = terrain.fill_depressions_sql("tiles", res)
+    flats_sql = terrain.resolve_flats_sql(
+        f"SELECT gx, gy, w FROM ({fill_sql}) q"
+    )
+    st_sql = terrain.strahler_order_sql(
+        f"SELECT gx, gy, dir FROM ({flats_sql}) ff"
+    )
+    want = {
+        (gx, gy): o
+        for gx, gy, o in con.execute(
+            f"SELECT gx, gy, strahler FROM ({st_sql}) z"
+        ).fetchall()
+    }
+    assert got == want
