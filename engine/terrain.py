@@ -2123,3 +2123,341 @@ def strahler_order_sql(cells_sql: str, max_order: int = 12) -> str:
         ) m
         GROUP BY gx, gy
     """
+
+
+# ---------------------------------------------------------------------------
+# Cost surface (nearest-source accumulated cost; tile-native halo kernel)
+# ---------------------------------------------------------------------------
+# State packing: packed = dist * 2^22 + src_flag * 2^21 + cost, where cost
+# in [1, 2^20) marks a passable cell (0 = barrier / nodata), src_flag pins
+# the multi-source seeds, and dist uses the remaining 41 bits with
+# INF = 2^41 - 1 (unreached / unreachable / barrier).
+
+_COST_INF = (1 << 41) - 1
+_COST_MASK = (1 << 21) - 1
+_COST_CARD = 5
+_COST_DIAG = 7
+
+
+def _cost_mults(conn: int):
+    offs = _D8_OFFSETS if conn == 8 else _D4_OFFSETS
+    return offs, [
+        _COST_DIAG if abs(dx) + abs(dy) == 2 else _COST_CARD
+        for dx, dy in offs
+    ]
+
+
+def _np_tile_dijkstra(
+    dist: np.ndarray, cost: np.ndarray, srcf: np.ndarray,
+    inside: np.ndarray, res: int, conn: int,
+) -> np.ndarray:
+    """Exact per-tile multi-source Dijkstra given FIXED ring estimates:
+    the heap is seeded by the tile's own source cells (at 0) and by every
+    passable in-raster ring cell holding a finite current estimate; a move
+    a->b costs (cost_a + cost_b) * (5 cardinal / 7 diagonal). First-pop
+    settles a cell (nonneg move costs). Returns the res*res interior dist
+    grid (INF where unreached or impassable)."""
+    import heapq
+
+    pad = res + 2
+    offs, mults = _cost_mults(conn)
+    passable = inside & (cost > 0)
+    out = np.full((pad, pad), _COST_INF, dtype=np.int64)
+    heap: list = []
+    for y in range(pad):
+        xs = (0, pad - 1) if 0 < y < pad - 1 else range(pad)
+        for x in xs:
+            if passable[y, x] and dist[y, x] < _COST_INF:
+                heap.append((int(dist[y, x]), y * pad + x))
+    iy, ix = np.nonzero(srcf[1 : res + 1, 1 : res + 1] > 0)
+    for y, x in zip(iy + 1, ix + 1):
+        if passable[y, x]:
+            heap.append((0, y * pad + x))
+    heapq.heapify(heap)
+    settled = np.zeros((pad, pad), dtype=bool)
+    while heap:
+        d, idx = heapq.heappop(heap)
+        y, x = divmod(idx, pad)
+        if settled[y, x]:
+            continue
+        settled[y, x] = True
+        if 1 <= y <= res and 1 <= x <= res:
+            out[y, x] = d
+        c = int(cost[y, x])
+        for (dx, dy), m in zip(offs, mults):
+            ny, nx = y + dy, x + dx
+            if (
+                1 <= ny <= res and 1 <= nx <= res
+                and passable[ny, nx] and not settled[ny, nx]
+            ):
+                nd = d + (c + int(cost[ny, nx])) * m
+                if nd >= _COST_INF:
+                    raise ValueError(
+                        "cost_surface: accumulated cost exceeds the"
+                        " 2^41 domain"
+                    )
+                heapq.heappush(heap, (nd, ny * pad + nx))
+    return out[1 : res + 1, 1 : res + 1]
+
+
+def _cost_init(
+    tiles: DataFrame, res: int, sources
+) -> DataFrame:
+    spark = tiles.sparkSession
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in sources], "gx long, gy long"
+        )
+    spt = (
+        sources.select(
+            F.floor(F.col("gx") / res).cast("long").alias("tx"),
+            F.floor(F.col("gy") / res).cast("long").alias("ty"),
+            (F.pmod(F.col("gy"), res) * res + F.pmod(F.col("gx"), res))
+            .cast("int").alias("pix"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.collect_set("pix").alias("_spix"))
+    )
+    hi = 1 << 20
+    src_set = F.coalesce(F.col("_spix"), F.array().cast("array<int>"))
+    return (
+        tiles.join(F.broadcast(spt), ["tx", "ty"], "left")
+        .select(
+            "tx", "ty",
+            F.transform(
+                "counts",
+                lambda c, i: (
+                    F.when(
+                        array_contains_safe(src_set, i) & (c > 0),
+                        F.lit(0),
+                    )
+                    .otherwise(F.lit(_COST_INF))
+                    * F.lit(1 << 22)
+                    + F.when(
+                        array_contains_safe(src_set, i) & (c > 0),
+                        F.lit(1 << 21),
+                    ).otherwise(F.lit(0))
+                    + F.when(c > 0, c).otherwise(F.lit(0))
+                    + F.coalesce(
+                        F.assert_true(
+                            c < F.lit(hi),
+                            F.lit(
+                                "cost_surface: cost out of the"
+                                " cost < 2^20 domain"
+                            ),
+                        ).cast("long"),
+                        F.lit(0),
+                    )
+                ).cast("long"),
+            ).alias("counts"),
+        )
+    )
+
+
+def array_contains_safe(arr, i):
+    """array_contains with a Column needle (F.array_contains needs a
+    literal in some Spark versions): EXISTS x == i."""
+    return F.exists(arr, lambda x: x == i)
+
+
+def _cost_state(
+    tiles: DataFrame, res: int, sources, connectivity: int, max_iters: int
+) -> DataFrame:
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    init = _cost_init(tiles, res, sources)
+    conn = connectivity
+    offs, mults = _cost_mults(conn)
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        dist = halo >> 22
+        low = halo & _COST_MASK
+        srcf = (halo >> 21) & 1
+        inside = mask > 0
+        cost = np.where(inside, low, np.int64(0))
+        passable = cost > 0
+        # vectorized stationarity fast path: one Jacobi relaxation sweep;
+        # if no interior estimate improves, the tile already satisfies its
+        # local Bellman equations for the current ring (sources are pinned
+        # at 0 from init; move costs are strictly positive), so it IS the
+        # least fixpoint given its boundary and the heap solve is skipped.
+        g = np.where(passable, dist, _COST_INF)
+        cc = cost[1 : res + 1, 1 : res + 1]
+        best = g[1 : res + 1, 1 : res + 1].copy()
+        for (dx, dy), m in zip(offs, mults):
+            nb_d = g[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nb_c = cost[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            cand = nb_d + (nb_c + cc) * np.int64(m)
+            best = np.minimum(best, cand)
+        pc = passable[1 : res + 1, 1 : res + 1]
+        dc = dist[1 : res + 1, 1 : res + 1]
+        new = np.where(pc, np.minimum(dc, best), np.int64(_COST_INF))
+        lowc = low[1 : res + 1, 1 : res + 1]
+        if np.array_equal(new, dc):
+            return (dc * (1 << 22) + (srcf[1 : res + 1, 1 : res + 1] << 21)
+                    + lowc).reshape(-1)
+        nd = _np_tile_dijkstra(dist, cost, srcf, inside, res, conn)
+        return (nd * (1 << 22) + (srcf[1 : res + 1, 1 : res + 1] << 21)
+                + lowc).reshape(-1)
+
+    return _halo_fixpoint(init, res, finish, max_iters, "cost_surface")
+
+
+def cost_surface(
+    tiles: DataFrame,
+    res: int,
+    sources,
+    connectivity: int = 8,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Cost surface (ESRI Cost Distance / GRASS r.cost semantics — the
+    NEAREST-source accumulated cost; see cost_distance for the per-source
+    (source, cell) labeling on the exploded cell graph, the right shape
+    for few sources / path extraction) over a friction raster: (tx, ty, counts) with counts read as int64 per-cell
+    costs (>= 1 passable, <= 0 barrier/nodata, < 2^20) -> (tx, ty,
+    cost_dist: array<long>) where cost_dist[p] is the MINIMUM accumulated
+    cost from the nearest source over 8- (or 4-) connected paths, with a
+    move a->b costing (cost_a + cost_b) * (5 cardinal / 7 diagonal) — the
+    classic (c_a+c_b)/2 x {1, sqrt2} metric scaled by 10 with sqrt2 ~= 1.4,
+    kept EXACT in int64 so the python oracle and both parallelism levels
+    match bit for bit. -1 = barrier or unreachable. `sources` is a (gx, gy)
+    DataFrame or list of pairs (pour points / facilities — broadcast-sized
+    by nature); sources on barrier cells or off-raster are ignored.
+
+    Distributed shape: block-Jacobi from above on the shared halo fixpoint
+    (_halo_fixpoint, same machinery as fill_depressions/resolve_flats/
+    strahler_order): per round, ONE radius-1 exchange ships each tile's
+    current estimates + (cost, src) statics to its neighbors, and an exact
+    per-tile multi-source Dijkstra (_np_tile_dijkstra) re-solves the tile
+    against those fixed ring values, with a vectorized one-sweep
+    stationarity fast path so converged tiles cost a numpy relaxation, not
+    a heap walk. Estimates start at INF, decrease monotonically (the solve
+    is monotone in its ring), and are bounded below by the true distance,
+    so the sweep converges in ~(tile-crossings of the longest optimal
+    path) rounds; cells never leave their tile. max_iters is the rail.
+
+    DuckDB twin: none — Dijkstra's priority order has no bounded-recursion
+    SQL expression (duckdb 1.0 lacks USING KEY recursive CTEs), so parity
+    is pinned by the global-heap python oracle in tests (the
+    flow_accumulation / catchments precedent) and by closed forms at
+    16.8M cells in bench_kernels.py. Reference provenance: the reference
+    has no raster surface; this extends the SURVEY.md raster family
+    (fill/flats/d8/acc/strahler/EDT/viewshed + cost surfaces)."""
+    state = _cost_state(tiles, res, sources, connectivity, max_iters)
+    return state.select(
+        "tx", "ty",
+        F.transform(
+            "counts",
+            lambda p: F.when(
+                F.shiftright(p, 22) == F.lit(_COST_INF), F.lit(-1)
+            ).otherwise(F.shiftright(p, 22)).cast("long"),
+        ).alias("cost_dist"),
+    )
+
+
+def cost_allocation(
+    tiles: DataFrame,
+    res: int,
+    sources,
+    connectivity: int = 8,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Cost allocation (ESRI Cost Allocation): (gx, gy, cost_dist, src_gx,
+    src_gy) — every reachable passable cell assigned to the source that
+    attains its minimum accumulated cost, ties broken by the FIRST
+    optimal predecessor in packed (gx, gy) order at every step (fully
+    deterministic; the python oracle replays the same rule). Barrier and
+    unreachable cells are omitted.
+
+    Shape: the converged cost_distance state + ONE more halo pass deriving
+    each cell's optimal-predecessor pointer (argmin over neighbors of
+    dist_n + move cost == dist_c, min packed id on ties; sources self-
+    root), then the shared _jump_fixpoint pointer doubling (catchments /
+    basins machinery) walks every cell to its source in O(log diameter)
+    rounds. Move costs are strictly positive (cost >= 1), so dist strictly
+    decreases along pointers — the forest cannot cycle."""
+    from engine.focal import _halo_apply
+    from pyspark.sql import types as T
+
+    state = _cost_state(tiles, res, sources, connectivity, max_iters)
+    conn = connectivity
+    offs, mults = _cost_mults(conn)
+    off_lit = 1 << 20
+
+    def pred_finish(halo: np.ndarray, mask: np.ndarray, key) -> dict:
+        tx, ty = key
+        pad = res + 2
+        dist = halo >> 22
+        low = halo & _COST_MASK
+        srcf = (halo >> 21) & 1
+        inside = mask > 0
+        cost = np.where(inside, low, np.int64(0))
+        passable = cost > 0
+        g = np.where(passable, dist, _COST_INF)
+        yy, xx = np.mgrid[0:pad, 0:pad]
+        ggx = tx * res + (xx - 1)
+        ggy = ty * res + (yy - 1)
+        pid = (ggx + off_lit) * (1 << 32) + (ggy + off_lit)
+        cc = cost[1 : res + 1, 1 : res + 1]
+        dc = g[1 : res + 1, 1 : res + 1]
+        best = np.full((res, res), np.iinfo(np.int64).max, dtype=np.int64)
+        for (dx, dy), m in zip(offs, mults):
+            nb_d = g[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nb_c = cost[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            nb_id = pid[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+            opt = (nb_d < _COST_INF) & (nb_d + (nb_c + cc) * np.int64(m) == dc)
+            best = np.where(opt, np.minimum(best, nb_id), best)
+        ctr = pid[1 : res + 1, 1 : res + 1]
+        sc = srcf[1 : res + 1, 1 : res + 1] > 0
+        fin = (dc < _COST_INF) & (cc > 0)
+        parent = np.where(
+            sc & fin, ctr,
+            np.where(fin & (best < np.iinfo(np.int64).max), best,
+                     np.int64(-1)),
+        )
+        return {
+            "parent": parent.reshape(-1).tolist(),
+            "dist": np.where(fin, dc, np.int64(-1)).reshape(-1).tolist(),
+        }
+
+    fields = [
+        ("parent", T.ArrayType(T.LongType())),
+        ("dist", T.ArrayType(T.LongType())),
+    ]
+    ptr = _halo_apply(state, res, 1, pred_finish, fields=fields,
+                      pass_key=True)
+    cells = ptr.select(
+        "tx", "ty",
+        F.posexplode(F.arrays_zip("parent", "dist")).alias("pix", "v"),
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res))
+        .cast("long").alias("gy"),
+        F.col("v.parent").alias("parent"),
+        F.col("v.dist").alias("cost_dist"),
+    ).filter(F.col("parent") >= 0)
+    pack = lambda x, y: (  # noqa: E731
+        (x + F.lit(off_lit)) * F.lit(1 << 32) + (y + F.lit(off_lit))
+    )
+    edges = cells.select(
+        pack(F.col("gx"), F.col("gy")).alias("src"), "parent"
+    )
+    p = _jump_fixpoint(_truncate_lineage(edges), max_iters,
+                       "cost_allocation")
+    spark = tiles.sparkSession
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in sources], "gx long, gy long"
+        )
+    spack = sources.select(
+        pack(F.col("gx"), F.col("gy")).alias("s_id"),
+        F.col("gx").alias("src_gx"),
+        F.col("gy").alias("src_gy"),
+    ).dropDuplicates(["s_id"])
+    return (
+        cells.select("gx", "gy", "cost_dist",
+                     pack(F.col("gx"), F.col("gy")).alias("src"))
+        .join(p, "src")
+        .join(F.broadcast(spack), F.col("parent") == F.col("s_id"))
+        .select("gx", "gy", "cost_dist", "src_gx", "src_gy")
+    )

@@ -1789,3 +1789,211 @@ def test_strahler_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cost surface / cost allocation (halo kernel)
+# ---------------------------------------------------------------------------
+def _py_cost_distance(cells_cost, sources, conn=8):
+    """Global-heap Dijkstra oracle: cells_cost {(gx,gy): cost}, barrier
+    where cost <= 0; move a->b costs (c_a + c_b) * (5 cardinal/7 diag)."""
+    import heapq
+
+    offs, mults = terrain._cost_mults(conn)
+    dist = {}
+    h = [(0, s) for s in set(sources) if cells_cost.get(s, 0) > 0]
+    heapq.heapify(h)
+    while h:
+        d, c = heapq.heappop(h)
+        if c in dist:
+            continue
+        dist[c] = d
+        cc = cells_cost[c]
+        for (dx, dy), m in zip(offs, mults):
+            n = (c[0] + dx, c[1] + dy)
+            nc = cells_cost.get(n, 0)
+            if nc > 0 and n not in dist:
+                heapq.heappush(h, (d + (cc + nc) * m, n))
+    return dist
+
+
+def _py_cost_alloc(cells_cost, sources, conn=8):
+    """Allocation oracle: min-packed-id optimal predecessor at every step,
+    walked to the root source."""
+    offs, mults = terrain._cost_mults(conn)
+    dist = _py_cost_distance(cells_cost, sources, conn)
+    srcset = {s for s in set(sources) if cells_cost.get(s, 0) > 0}
+    off = 1 << 20
+
+    def pid(c):
+        return (c[0] + off) * (1 << 32) + (c[1] + off)
+
+    pred = {}
+    for c, d in dist.items():
+        if c in srcset:
+            pred[c] = c
+            continue
+        best = None
+        for (dx, dy), m in zip(offs, mults):
+            n = (c[0] + dx, c[1] + dy)
+            if n in dist and dist[n] + (cells_cost[n] + cells_cost[c]) * m == d:
+                if best is None or pid(n) < pid(best):
+                    best = n
+        pred[c] = best
+    out = {}
+    for c in dist:
+        r = c
+        while pred[r] != r:
+            r = pred[r]
+        out[c] = (dist[c], r)
+    return out
+
+
+def _collect_cost(df, res):
+    out = {}
+    for r in df.collect():
+        for pix, d in enumerate(r["cost_dist"]):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = d
+    return out
+
+
+def _cells_of(tiles, res):
+    cells = {}
+    for (tx, ty), g in tiles.items():
+        for pix, c in enumerate(g):
+            cells[(tx * res + pix % res, ty * res + pix // res)] = c
+    return cells
+
+
+@pytest.mark.parametrize("conn", [8, 4])
+def test_cost_surface_oracle_parity(spark, conn):
+    rng = random.Random(4401 + conn)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.8)
+    cells = _cells_of(tiles, res)
+    passable = [c for c, v in sorted(cells.items()) if v > 0]
+    sources = [passable[0], passable[len(passable) // 2]]
+    got = _collect_cost(
+        terrain.cost_surface(_mk_df(spark, tiles), res, sources, conn), res
+    )
+    want = _py_cost_distance(cells, sources, conn)
+    for c, v in cells.items():
+        exp = want.get(c, -1) if v > 0 else -1
+        assert got[c] == exp, (c, got[c], exp)
+
+
+def test_cost_surface_uniform_plane_closed_form(spark):
+    """Uniform cost c: diagonal step 14c, cardinal 10c — dist(dx,dy) =
+    c*(14*min + 10*(max-min))."""
+    res = 8
+    c = 3
+    tiles = {(tx, ty): [c] * (res * res) for tx in (0, 1) for ty in (0, 1)}
+    src = (5, 6)
+    got = _collect_cost(
+        terrain.cost_surface(_mk_df(spark, tiles), res, [src]), res
+    )
+    for (gx, gy), d in got.items():
+        ax, ay = abs(gx - src[0]), abs(gy - src[1])
+        lo, hi = min(ax, ay), max(ax, ay)
+        assert d == c * (14 * lo + 10 * (hi - lo))
+
+
+def test_cost_surface_barrier_detour_and_unreachable(spark):
+    """A wall with one gate forces the detour; a sealed room is -1."""
+    res = 8
+    grid = [1] * (res * res)
+    for gy in range(res):         # wall at gx=4, gate at gy=6
+        if gy != 6:
+            grid[gy * res + 4] = 0
+    # sealed room: cell (7,0) enclosed by barriers
+    grid[0 * res + 6] = 0
+    grid[1 * res + 6] = 0
+    grid[1 * res + 7] = 0
+    tiles = {(0, 0): grid}
+    cells = _cells_of(tiles, res)
+    src = (0, 0)
+    got = _collect_cost(
+        terrain.cost_surface(_mk_df(spark, tiles), res, [src]), res
+    )
+    want = _py_cost_distance(cells, [src])
+    for c, v in cells.items():
+        assert got[c] == (want.get(c, -1) if v > 0 else -1)
+    assert got[(7, 0)] == -1            # sealed
+    assert got[(4, 6)] > 0              # the gate is on the detour
+    assert got[(5, 0)] > got[(3, 0)]    # crossing costs more
+
+
+def test_cost_surface_partition_invariance(spark):
+    rng = random.Random(4403)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=3, density=0.7)
+    cells = _cells_of(tiles, res)
+    passable = [c for c, v in sorted(cells.items()) if v > 0]
+    sources = [passable[3]]
+    df = _mk_df(spark, tiles)
+    a = _collect_cost(
+        terrain.cost_surface(df.repartition(1), res, sources), res
+    )
+    b = _collect_cost(
+        terrain.cost_surface(df.repartition(7), res, sources), res
+    )
+    assert a == b
+
+
+def test_cost_allocation_oracle_parity(spark):
+    rng = random.Random(4404)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.85)
+    cells = _cells_of(tiles, res)
+    passable = [c for c, v in sorted(cells.items()) if v > 0]
+    sources = [passable[0], passable[len(passable) // 3],
+               passable[2 * len(passable) // 3]]
+    got = {
+        (r["gx"], r["gy"]): (r["cost_dist"], (r["src_gx"], r["src_gy"]))
+        for r in terrain.cost_allocation(
+            _mk_df(spark, tiles), res, sources
+        ).collect()
+    }
+    want = _py_cost_alloc(cells, sources)
+    assert got == want
+
+
+def test_cost_allocation_equidistant_tie_deterministic(spark):
+    """Cell exactly between two sources on a uniform line: allocation
+    follows the min-packed-id predecessor chain."""
+    res = 8
+    tiles = {(0, 0): [1] * (res * res)}
+    # sources at (1, 4) and (5, 4): (3, 4) is 2 cardinal steps from both
+    got = {
+        (r["gx"], r["gy"]): (r["src_gx"], r["src_gy"])
+        for r in terrain.cost_allocation(
+            _mk_df(spark, tiles), res, [(1, 4), (5, 4)]
+        ).collect()
+    }
+    want = {c: s for c, (_, s) in
+            _py_cost_alloc(_cells_of(tiles, res), [(1, 4), (5, 4)]).items()}
+    assert got == want
+    assert got[(3, 4)] == want[(3, 4)]
+
+
+def test_cost_surface_source_on_barrier_ignored(spark):
+    res = 8
+    grid = [1] * (res * res)
+    grid[0] = 0  # (0,0) barrier
+    tiles = {(0, 0): grid}
+    got = _collect_cost(
+        terrain.cost_surface(_mk_df(spark, tiles), res, [(0, 0), (4, 4)]),
+        res,
+    )
+    want = _py_cost_distance(_cells_of(tiles, res), [(4, 4)])
+    for c in _cells_of(tiles, res):
+        assert got[c] == want.get(c, -1)
+
+
+def test_cost_surface_domain_guard(spark):
+    res = 4
+    tiles = {(0, 0): [1 << 20] * (res * res)}
+    with pytest.raises(Exception, match="cost_surface"):
+        terrain.cost_surface(
+            _mk_df(spark, tiles), res, [(0, 0)]
+        ).collect()

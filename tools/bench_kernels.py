@@ -2540,6 +2540,85 @@ def part_edt() -> None:
     }))
 
 
+def part_costsurface() -> None:
+    """Nearest-source cost surface at raster scale, local[32]: the full
+    4096x4096 uniform cost-1 raster (16x16 tiles at res 256, 16.8M cells),
+    ONE center source, NO cost cap — the regime where the per-(source,cell)
+    edge-frontier cost_distance is structurally wrong (hop diameter ~2048 =
+    ~2048 Bellman rounds over 134M directed edges) and the tile-native halo
+    Dijkstra (terrain.cost_surface) is the scale path: ~9 block-Jacobi
+    rounds (the wavefront crosses 8 tile seams), one 66k-cell in-tile exact
+    solve per frontier tile per round, stationarity sweeps elsewhere, cells
+    never shuffled. Closed-form exact for ALL 16.8M cells: dist =
+    14*min(ax, ay) + 10*(max - min) octile from the center, checked via one
+    Column filter. Min-of-2 walls."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+
+    spark = _spark("bench-costsurface")
+    res = 256
+    side = int(os.environ.get("COST_BENCH_TILES", "16"))
+    w = side * res
+    cx = cy = w // 2
+    tiles = (
+        spark.range(0, side * side, 1, 32)
+        .select(
+            F.pmod(F.col("id"), side).alias("tx"),
+            (F.col("id") / side).cast("long").alias("ty"),
+        )
+        .select(
+            "tx", "ty",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(res * res - 1)),
+                lambda i: F.lit(1).cast("long"),
+            ).alias("counts"),
+        )
+        .persist()
+    )
+    tiles.count()
+    walls = []
+    oks = []
+    for _ in range(2):
+        t0 = time.time()
+        d = terrain.cost_surface(tiles, res, [(cx, cy)])
+        cells = d.select(
+            "tx", "ty", F.posexplode("cost_dist").alias("pix", "d")
+        ).select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("gy"),
+            "d",
+        )
+        ax = F.abs(F.col("gx") - cx)
+        ay = F.abs(F.col("gy") - cy)
+        lo = F.least(ax, ay)
+        hi = F.greatest(ax, ay)
+        agg = cells.agg(
+            F.count("*").alias("cells"),
+            F.sum(
+                F.when(
+                    F.col("d") != F.lit(14) * lo + F.lit(10) * (hi - lo), 1
+                ).otherwise(0)
+            ).alias("bad"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        oks.append(int(agg["bad"]) == 0 and agg["cells"] == w * w)
+    assert all(oks), oks
+    wall = min(walls)
+    print(_json.dumps({
+        "bench": "costsurface_16p8M_center_source",
+        "cells": w * w,
+        "walls_s": walls,
+        "wall_s": wall,
+        "cells_per_s": round(w * w / wall),
+        "exact": "dist == 14*min+10*(max-min) octile for all 16.8M cells",
+    }))
+
+
+
 def part_catchcost() -> None:
     """Catchments + cost-distance at raster scale, closed-form exact.
 
@@ -3219,6 +3298,7 @@ if __name__ == "__main__":
         "flowacc": part_flowacc,
         "fill": part_fill,
         "catchcost": part_catchcost,
+        "costsurface": part_costsurface,
         "viewshed": part_viewshed,
         "edt": part_edt,
         "blobs": part_blobs,
