@@ -961,7 +961,16 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange with an exact per-tile Kahn peel. The twin re-derives orders
     as counted order-level memberships S_k (seed = >=2-way S_{k-1}
     confluence, then the downstream recursive-CTE closure), a fully
-    independent characterization of the same fixpoint."""
+    independent characterization of the same fixpoint.
+    tag='cost' — engine.terrain.cost_surface (multi-source halo Dijkstra)
+    over an all-ones cost raster on the explicit full world rectangle,
+    sources = the 3 busiest pixels: per pixel (a=gx, b=gy, c=accumulated
+    octile cost to the nearest source, d=-1, e=-1). Uniform cost makes the
+    exact int64 metric closed-form (14*min(|dx|,|dy|) + 10*(max-min), min
+    over sources), so the distributed block-Jacobi Dijkstra — seams,
+    stationarity fast path and all — is hash-checked against an
+    independent pure-SQL derivation; barrier/unreachable semantics are
+    python-oracle-pinned in tests/test_terrain.py."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1238,11 +1247,43 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    # cost half: uniform-cost (all-ones) raster over the EXPLICIT full world
+    # rectangle (tx -2..1, ty -1..0 at the 90-degree tile grid — anchors span
+    # lon [-180,180) x lat [-90,90), so every data pixel is inside), sources
+    # = the 3 busiest pixels (the viewshed observer discipline). On a
+    # barrier-free full rectangle the octile metric has an exact closed form
+    # (14*min(|dx|,|dy|) + 10*(max-min) per source, min over sources), so the
+    # twin checks the PRODUCTION multi-tile halo Dijkstra — multi-source min,
+    # both move multipliers, seam exchange, stationarity fast path — bit for
+    # bit; barrier/unreachable semantics stay python-oracle-pinned in
+    # tests/test_terrain.py.
+    fullt = spark.createDataFrame(
+        [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
+        "tx long, ty long",
+    )
+    ones_cost = fullt.select(
+        "tx", "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    cost = (
+        terrain.cost_surface(ones_cost, res, obs_df, connectivity=8)
+        .select("tx", "ty", F.posexplode("cost_dist").alias("pix", "v"))
+        .select(
+            F.lit("cost").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     return (
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
-        .unionByName(fla).unionByName(stro)
+        .unionByName(fla).unionByName(stro).unionByName(cost)
     )
 
 
@@ -1649,6 +1690,8 @@ def raster_field_sql() -> str:
                CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_strahler_sql()}) q) sz
+        UNION ALL
+        SELECT * FROM ({_cost_sql()})
     """
 
 
@@ -1677,6 +1720,44 @@ def _strahler_sql() -> str:
     return strahler_order_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff", max_order=16
     )
+
+
+def _cost_sql() -> str:
+    """DuckDB twin of the raster_field 'cost' half: on the barrier-free
+    all-ones full world rectangle the (c_a+c_b)x(5 cardinal / 7 diagonal)
+    metric of engine.terrain.cost_surface collapses to the exact octile
+    closed form 14*min(|dx|,|dy|) + 10*(max-min) per source; the nearest-
+    source surface is its MIN over the 3 busiest pixels (z DESC, gx, gy —
+    the identical deterministic selection the Spark side feeds as
+    sources). A fully independent derivation: no Dijkstra, no recursion —
+    if the distributed halo solve under-relaxes a single seam cell the
+    hash flips."""
+    res = _HOTSPOT_RES
+    return f"""
+        WITH qtiles AS ({_hotspot_tiles_cte()}),
+        qcells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM qtiles, range(0, {res * res}) t(i)
+        ), qobs AS (
+          SELECT gx AS ox, gy AS oy
+          FROM qcells ORDER BY z DESC, gx, gy LIMIT {_VIS_N_OBS}
+        ), qgrid AS (
+          SELECT x.gx, y.gy
+          FROM range({-2 * res}, {2 * res}) x(gx),
+               range({-1 * res}, {1 * res}) y(gy)
+        )
+        SELECT 'cost' AS tag, g.gx AS a, g.gy AS b,
+               CAST(MIN(
+                 14 * LEAST(ABS(g.gx - o.ox), ABS(g.gy - o.oy))
+                 + 10 * (GREATEST(ABS(g.gx - o.ox), ABS(g.gy - o.oy))
+                         - LEAST(ABS(g.gx - o.ox), ABS(g.gy - o.oy)))
+               ) AS BIGINT) AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM qgrid g CROSS JOIN qobs o
+        GROUP BY g.gx, g.gy
+    """
 
 
 def _stat_sql() -> str:
