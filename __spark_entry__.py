@@ -962,6 +962,14 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     as counted order-level memberships S_k (seed = >=2-way S_{k-1}
     confluence, then the downstream recursive-CTE closure), a fully
     independent characterization of the same fixpoint.
+    tag='flowacc' — engine.terrain.flow_accumulation over the same
+    conditioned flow frame: per pixel (a=gx, b=gy, c=exact upstream cell
+    count incl. itself, d=-1, e=-1) — the production two-level
+    decomposition (per-tile vectorized Kahn + contracted tile-entry
+    forest) hash-checked against the twin's INDEPENDENT per-source
+    pointer-walk closure count (flow_accumulation_sql): the complete
+    Fill -> Flats -> FlowAcc hydrology chain is now oracle-checked end
+    to end.
     tag='cost' — engine.terrain.cost_surface (multi-source halo Dijkstra)
     over an all-ones cost raster on the explicit full world rectangle,
     sources = the 3 busiest pixels: per pixel (a=gx, b=gy, c=accumulated
@@ -1247,6 +1255,20 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
+    facc = (
+        terrain.flow_accumulation(flats_r, res)
+        .select("tx", "ty", F.posexplode("acc").alias("pix", "v"))
+        .select(
+            F.lit("flowacc").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     # cost half: uniform-cost (all-ones) raster over the EXPLICIT full world
     # rectangle (tx -2..1, ty -1..0 at the 90-degree tile grid — anchors span
     # lon [-180,180) x lat [-90,90), so every data pixel is inside), sources
@@ -1283,7 +1305,8 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot.unionByName(pyr).unionByName(ter).unionByName(d8)
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
-        .unionByName(fla).unionByName(stro).unionByName(cost)
+        .unionByName(fla).unionByName(stro).unionByName(facc)
+        .unionByName(cost)
     )
 
 
@@ -1691,6 +1714,11 @@ def raster_field_sql() -> str:
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_strahler_sql()}) q) sz
         UNION ALL
+        SELECT 'flowacc' AS tag, gx AS a, gy AS b, acc AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_flowacc_sql()}) q) fa
+        UNION ALL
         SELECT * FROM ({_cost_sql()})
     """
 
@@ -1719,6 +1747,14 @@ def _strahler_sql() -> str:
 
     return strahler_order_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff", max_order=16
+    )
+
+
+def _flowacc_sql() -> str:
+    from engine.terrain import flow_accumulation_sql
+
+    return flow_accumulation_sql(
+        f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff"
     )
 
 

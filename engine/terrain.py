@@ -2125,6 +2125,44 @@ def strahler_order_sql(cells_sql: str, max_order: int = 12) -> str:
     """
 
 
+def flow_accumulation_sql(cells_sql: str) -> str:
+    """DuckDB twin of flow_accumulation (unit weights) over a conditioned
+    flow frame: `cells_sql` emits (gx, gy, dir) — the flow frame exploded to
+    pixels (dir -1 = sink; dirs presence-masked as everywhere in the d8
+    family). INDEPENDENT derivation — no Kahn peel, no two-level contraction:
+    acc(c) = COUNT of cells s whose downstream pointer walk passes through c,
+    s = c included, i.e. ONE recursive-CTE closure seeding every cell at
+    itself and stepping each (source, cursor) pair one pointer at a time,
+    counted by cursor. Terminates because conditioned flow is acyclic
+    (resolve_flats drains every interior cell; the flat pointer's BFS
+    distance strictly decreases along it) and UNION dedups (s, c) pairs; the
+    existence join keeps the walk inside the emitted domain, matching the
+    engine's presence-masked edges."""
+    nbrs = [
+        (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+        (4, -1, 0), (5, 0, -1), (6, -1, -1), (7, 1, -1),
+    ]
+    nbr_rows = ", ".join(f"({d}, {dx}, {dy})" for d, dx, dy in nbrs)
+    return f"""
+        WITH RECURSIVE fcells AS MATERIALIZED ({cells_sql}),
+        fnbr(dir, dx, dy) AS (SELECT * FROM (VALUES {nbr_rows})),
+        fedges AS MATERIALIZED (
+          SELECT c.gx AS sgx, c.gy AS sgy,
+                 c.gx + n.dx AS dgx, c.gy + n.dy AS dgy
+          FROM fcells c JOIN fnbr n ON n.dir = c.dir
+          JOIN fcells t ON t.gx = c.gx + n.dx AND t.gy = c.gy + n.dy
+        ),
+        fwalk(sx, sy, cx, cy) AS (
+          SELECT gx, gy, gx, gy FROM fcells
+          UNION
+          SELECT w.sx, w.sy, e.dgx, e.dgy
+          FROM fwalk w JOIN fedges e ON e.sgx = w.cx AND e.sgy = w.cy
+        )
+        SELECT cx AS gx, cy AS gy, COUNT(*) AS acc
+        FROM fwalk GROUP BY cx, cy
+    """
+
+
 # ---------------------------------------------------------------------------
 # Cost surface (nearest-source accumulated cost; tile-native halo kernel)
 # ---------------------------------------------------------------------------

@@ -1791,6 +1791,40 @@ def test_strahler_duckdb_twin(spark):
     assert got == want
 
 
+def test_flowacc_duckdb_twin(spark):
+    """Spark condition_dem + flow_accumulation (the two-level Kahn/contracted
+    forest machinery) vs the fully composed DuckDB twins: fill -> flats ->
+    the INDEPENDENT per-source pointer-walk closure count
+    (flow_accumulation_sql)."""
+    import duckdb
+
+    rng = random.Random(4305)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    got = _collect_acc(terrain.flow_accumulation(flow, res), res)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    fill_sql = terrain.fill_depressions_sql("tiles", res)
+    flats_sql = terrain.resolve_flats_sql(
+        f"SELECT gx, gy, w FROM ({fill_sql}) q"
+    )
+    acc_sql = terrain.flow_accumulation_sql(
+        f"SELECT gx, gy, dir FROM ({flats_sql}) ff"
+    )
+    want = {
+        (gx, gy): a
+        for gx, gy, a in con.execute(
+            f"SELECT gx, gy, acc FROM ({acc_sql}) z"
+        ).fetchall()
+    }
+    assert got == want
+    # every cell drains to an edge sink, so sink mass == cell count
+    assert sum(want.values()) > 0 and len(got) == len(want)
+
+
 # ---------------------------------------------------------------------------
 # Cost surface / cost allocation (halo kernel)
 # ---------------------------------------------------------------------------
