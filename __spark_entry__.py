@@ -3318,20 +3318,52 @@ _IDW_CELL = 2048.0
 _IDW_RADIUS = 3000.0
 
 
+_GWR_RADIUS = 4096.0
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IDW interpolation onto the tile grid (engine.interp.idw_grid):
-    document anchors folded to the 2^15 planar space (the line_join fold),
-    values from integer key math; the clamped unit-free 1/d^2 weights
-    accumulate as FLOOR-scaled int64 sums, so num/den AND the double ratio
-    are hash-exact against interp.idw_grid_sql."""
+    """Interpolation / local-regression field family, tagged union (the
+    raster_field merge discipline — the key stays `idw` for round-over-round
+    comparability; both halves hash-exact):
+
+    tag='idw' — engine.interp.idw_grid over document anchors folded to the
+    2^15 planar space (the line_join fold), values from integer key math;
+    the clamped unit-free 1/d^2 weights accumulate as FLOOR-scaled int64
+    sums, so num/den (s1/s2) AND the double ratio (v1) hash-match
+    interp.idw_grid_sql. s3..s5=-1, v2=NULL.
+    tag='gwr' — engine.interp.gwr_grid: geographically weighted regression
+    value ~ beta0 + beta1*attr at every cell center, bisquare kernel,
+    bandwidth {_GWR_RADIUS}; attr from independent integer key math
+    (doc_id % 83). The five WLS moments (s1..s5 = sw/swa/swv/swaa/swav,
+    FLOOR-scaled int64 — order-independent sums) and the closed-form
+    coefficient doubles (v1=beta1, v2=beta0, NULL on singular windows)
+    hash-match interp.gwr_grid_sql bit for bit."""
     from engine import interp
 
     pts = _docs_points(spark, sf_dir).select(
         F.shiftrightunsigned(F.col("x"), 17).cast("double").alias("x"),
         F.shiftrightunsigned(F.col("y"), 16).cast("double").alias("y"),
+        ((F.col("doc_id") % 83).cast("double") / 10.0).alias("a"),
         ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
     )
-    return interp.idw_grid(pts, _IDW_CELL, _IDW_RADIUS)
+    nl = F.lit(-1).cast("long")
+    nd = F.lit(None).cast("double")
+    i = interp.idw_grid(pts, _IDW_CELL, _IDW_RADIUS).select(
+        F.lit("idw").alias("tag"), "cx", "cy",
+        F.col("n_samples").cast("long").alias("n"),
+        F.col("num_e9").alias("s1"), F.col("den_e9").alias("s2"),
+        nl.alias("s3"), nl.alias("s4"), nl.alias("s5"),
+        F.col("value").alias("v1"), nd.alias("v2"),
+    )
+    g = interp.gwr_grid(pts, _IDW_CELL, _GWR_RADIUS).select(
+        F.lit("gwr").alias("tag"), "cx", "cy",
+        F.col("n_samples").cast("long").alias("n"),
+        F.col("sw_e9").alias("s1"), F.col("swa_e9").alias("s2"),
+        F.col("swv_e9").alias("s3"), F.col("swaa_e9").alias("s4"),
+        F.col("swav_e9").alias("s5"),
+        F.col("beta1").alias("v1"), F.col("beta0").alias("v2"),
+    )
+    return i.unionByName(g)
 
 
 def idw_sql() -> str:
@@ -3342,10 +3374,25 @@ def idw_sql() -> str:
     yi = f"((({phash}) // 4294967296) % 2147483648)"
     samples = f"""
         SELECT {xi} // 131072 AS x, {yi} // 65536 AS y,
+               CAST(CAST(doc_id AS BIGINT) % 83 AS DOUBLE) / 10.0 AS a,
                CAST(CAST(doc_id AS BIGINT) % 997 AS DOUBLE) / 10.0 AS value
         FROM documents
     """
-    return interp.idw_grid_sql(samples, _IDW_CELL, _IDW_RADIUS)
+    idw = interp.idw_grid_sql(samples, _IDW_CELL, _IDW_RADIUS)
+    gwr = interp.gwr_grid_sql(samples, _IDW_CELL, _GWR_RADIUS)
+    return f"""
+        SELECT 'idw' AS tag, cx, cy, CAST(n_samples AS BIGINT) AS n,
+               num_e9 AS s1, den_e9 AS s2,
+               CAST(-1 AS BIGINT) AS s3, CAST(-1 AS BIGINT) AS s4,
+               CAST(-1 AS BIGINT) AS s5,
+               value AS v1, CAST(NULL AS DOUBLE) AS v2
+        FROM ({idw}) qi
+        UNION ALL
+        SELECT 'gwr' AS tag, cx, cy, CAST(n_samples AS BIGINT) AS n,
+               sw_e9 AS s1, swa_e9 AS s2, swv_e9 AS s3, swaa_e9 AS s4,
+               swav_e9 AS s5, beta1 AS v1, beta0 AS v2
+        FROM ({gwr}) qg
+    """
 
 
 _GEOFENCE_RECTS = [

@@ -163,6 +163,189 @@ def idw_grid_sql(
     """
 
 
+def gwr_grid(
+    samples: DataFrame,
+    cell_size: float,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    attr_col: str = "a",
+    value_col: str = "value",
+    min_samples: int = 3,
+) -> DataFrame:
+    """Geographically weighted regression (GWR, Fotheringham et al.) of
+    value ~ beta0 + beta1*attr, fitted LOCALLY at every grid-cell center
+    with bisquare kernel weights over samples within `radius` (the
+    bandwidth): the local-regression step above IDW (which is GWR's
+    intercept-only special case) — per-cell coefficient surfaces for
+    spatially varying relationships (e.g. caption-quality ~ image-entropy
+    slope by region).
+
+    Plan: the idw_grid bounded scatter verbatim — each sample emits the
+    <= (2*ceil(radius/cell)+1)^2 candidate cells, ONE groupBy(cell)
+    aggregation, no join — so the 100 TB argument carries over unchanged
+    (one scan, constant fan-out, map-side combine).
+
+    Exactness: the bisquare weight w = ((h2-d2)/h2)^2 (h2 = radius^2,
+    support d2 < h2) and the five WLS moments are per-row double
+    expressions FLOOR-scaled to int64 BEFORE the sum — sw = sum floor(1e9*
+    w), swa = sum floor(1e9*w*a), swv, swaa, swav likewise — so the
+    aggregation is order-independent and hash-exact (the oracle float
+    rule). The closed-form simple-WLS coefficients are then ONE fixed
+    double expression over the exact sums:
+        beta1 = (sw*swav - swa*swv) / (sw*swaa - swa*swa)
+        beta0 = (swv - beta1*swa) / sw
+    (sums cast to double first — products can exceed int64; double ops are
+    IEEE-deterministic so both engines agree bit for bit). beta1/beta0 are
+    NULL where the local design matrix is singular (denominator == 0:
+    constant attr in the window). DuckDB twin: gwr_grid_sql."""
+    if radius <= 0 or cell_size <= 0:
+        raise ValueError("radius and cell_size must be > 0")
+    s = float(cell_size)
+    r = int(-(-radius // s))
+    h2 = float(radius) * float(radius)
+    p = samples.select(
+        F.col(x_col).cast("double").alias("_sx"),
+        F.col(y_col).cast("double").alias("_sy"),
+        F.col(attr_col).cast("double").alias("_a"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    base_cx = F.floor(F.col("_sx") / s).cast("long")
+    base_cy = F.floor(F.col("_sy") / s).cast("long")
+    cand = p.select(
+        "_sx", "_sy", "_a", "_v",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(base_cx - r, base_cx + r),
+                    lambda cx: F.transform(
+                        F.sequence(base_cy - r, base_cy + r),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
+            )
+        ).alias("_c"),
+    ).select(
+        "_sx", "_sy", "_a", "_v",
+        F.col("_c.cx").alias("cx"), F.col("_c.cy").alias("cy"),
+    )
+    ctr_x = (F.col("cx") + 0.5) * s
+    ctr_y = (F.col("cy") + 0.5) * s
+    d2 = (ctr_x - F.col("_sx")) * (ctr_x - F.col("_sx")) + (
+        ctr_y - F.col("_sy")
+    ) * (ctr_y - F.col("_sy"))
+    cand = cand.withColumn("_d2", d2).filter(F.col("_d2") < F.lit(h2))
+    t = (F.lit(h2) - F.col("_d2")) / F.lit(h2)
+    w = t * t
+    # ew = (1e9 * w) FIRST, then left-associated products — the twin's SQL
+    # `FLOOR(1e9 * w * a * v)` parses left to right, and double multiply is
+    # NOT associative: matching the association order is what keeps the
+    # floor-scaled rows bit-equal across engines (the idw_grid discipline).
+    ew = F.lit(float(E9)) * w
+    a_, v_ = F.col("_a"), F.col("_v")
+
+    def fs(expr):
+        return F.sum(F.floor(expr).cast("long"))
+
+    agg = (
+        cand.groupBy("cx", "cy")
+        .agg(
+            F.count("*").alias("n_samples"),
+            fs(ew).alias("sw_e9"),
+            fs(ew * a_).alias("swa_e9"),
+            fs(ew * v_).alias("swv_e9"),
+            fs(ew * a_ * a_).alias("swaa_e9"),
+            fs(ew * a_ * v_).alias("swav_e9"),
+        )
+        .filter(F.col("n_samples") >= min_samples)
+    )
+    dsw = F.col("sw_e9").cast("double")
+    dsa = F.col("swa_e9").cast("double")
+    dsv = F.col("swv_e9").cast("double")
+    dsaa = F.col("swaa_e9").cast("double")
+    dsav = F.col("swav_e9").cast("double")
+    den = dsw * dsaa - dsa * dsa
+    b1 = F.when(den != F.lit(0.0), (dsw * dsav - dsa * dsv) / den)
+    b0 = F.when(den != F.lit(0.0), (dsv - ((dsw * dsav - dsa * dsv) / den) * dsa) / dsw)
+    return agg.select(
+        "cx", "cy", "n_samples",
+        "sw_e9", "swa_e9", "swv_e9", "swaa_e9", "swav_e9",
+        b1.alias("beta1"), b0.alias("beta0"),
+    )
+
+
+def gwr_grid_sql(
+    samples_sql: str,
+    cell_size: float,
+    radius: float,
+    min_samples: int = 3,
+) -> str:
+    """DuckDB twin of gwr_grid: identical scatter, bisquare weight, per-row
+    FLOOR-scaled int64 moments and the identical double coefficient graph
+    (samples_sql -> (x, y, a, value))."""
+    s = float(cell_size)
+    r = int(-(-radius // s))
+    h2 = float(radius) * float(radius)
+    w = f"((({h2} - d2) / {h2}) * (({h2} - d2) / {h2}))"
+    e9 = float(E9)
+
+    def fs(expr: str) -> str:
+        return f"CAST(SUM(CAST(FLOOR({e9} * {expr}) AS BIGINT)) AS BIGINT)"
+
+    return f"""
+        WITH gsm AS ({samples_sql}),
+        gcand AS (
+          SELECT
+            CAST(x AS DOUBLE) AS sx, CAST(y AS DOUBLE) AS sy,
+            CAST(a AS DOUBLE) AS a, CAST(value AS DOUBLE) AS v,
+            CAST(FLOOR(x / {s}) AS BIGINT) + dx.g AS cx,
+            CAST(FLOOR(y / {s}) AS BIGINT) + dy.g AS cy
+          FROM gsm,
+               (SELECT UNNEST(generate_series(-{r}, {r})) AS g) dx,
+               (SELECT UNNEST(generate_series(-{r}, {r})) AS g) dy
+        ),
+        gscored AS (
+          SELECT cx, cy, a, v,
+            ((cx + 0.5) * {s} - sx) * ((cx + 0.5) * {s} - sx)
+            + ((cy + 0.5) * {s} - sy) * ((cy + 0.5) * {s} - sy) AS d2
+          FROM gcand
+        ),
+        gagg AS (
+          SELECT cx, cy,
+            COUNT(*) AS n_samples,
+            {fs(w)} AS sw_e9,
+            {fs(f"{w} * a")} AS swa_e9,
+            {fs(f"{w} * v")} AS swv_e9,
+            {fs(f"{w} * a * a")} AS swaa_e9,
+            {fs(f"{w} * a * v")} AS swav_e9
+          FROM gscored
+          WHERE d2 < {h2}
+          GROUP BY cx, cy
+          HAVING COUNT(*) >= {min_samples}
+        )
+        SELECT cx, cy, n_samples,
+          sw_e9, swa_e9, swv_e9, swaa_e9, swav_e9,
+          CASE WHEN CAST(sw_e9 AS DOUBLE) * CAST(swaa_e9 AS DOUBLE)
+                    - CAST(swa_e9 AS DOUBLE) * CAST(swa_e9 AS DOUBLE) <> 0.0
+               THEN (CAST(sw_e9 AS DOUBLE) * CAST(swav_e9 AS DOUBLE)
+                     - CAST(swa_e9 AS DOUBLE) * CAST(swv_e9 AS DOUBLE))
+                    / (CAST(sw_e9 AS DOUBLE) * CAST(swaa_e9 AS DOUBLE)
+                       - CAST(swa_e9 AS DOUBLE) * CAST(swa_e9 AS DOUBLE))
+          END AS beta1,
+          CASE WHEN CAST(sw_e9 AS DOUBLE) * CAST(swaa_e9 AS DOUBLE)
+                    - CAST(swa_e9 AS DOUBLE) * CAST(swa_e9 AS DOUBLE) <> 0.0
+               THEN (CAST(swv_e9 AS DOUBLE)
+                     - ((CAST(sw_e9 AS DOUBLE) * CAST(swav_e9 AS DOUBLE)
+                         - CAST(swa_e9 AS DOUBLE) * CAST(swv_e9 AS DOUBLE))
+                        / (CAST(sw_e9 AS DOUBLE) * CAST(swaa_e9 AS DOUBLE)
+                           - CAST(swa_e9 AS DOUBLE) * CAST(swa_e9 AS DOUBLE)))
+                       * CAST(swa_e9 AS DOUBLE))
+                    / CAST(sw_e9 AS DOUBLE)
+          END AS beta0
+        FROM gagg
+    """
+
+
 # ---------------------------------------------------------------------------
 # Ordinary kriging — the geostatistics step above IDW: weights come from a
 # fitted variogram model and a per-target linear solve, not a fixed kernel.

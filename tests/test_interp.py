@@ -287,3 +287,138 @@ def test_fit_then_krige_end_to_end(spark):
     hi = max(p[3] for p in pts) + 3
     for r in out:
         assert lo <= r.est <= hi
+
+
+# ---------------------------------------------------------------------------
+# GWR (geographically weighted regression)
+# ---------------------------------------------------------------------------
+def _gwr_spark_rows(spark, rows, cell_size, radius, min_samples=3):
+    df = spark.createDataFrame(rows, "x double, y double, a double, value double")
+    out = interp.gwr_grid(df, cell_size, radius, min_samples=min_samples)
+    return {
+        (r.cx, r.cy): (
+            r.n_samples, r.sw_e9, r.swa_e9, r.swv_e9, r.swaa_e9, r.swav_e9,
+            r.beta1, r.beta0,
+        )
+        for r in out.collect()
+    }
+
+
+def _gwr_duck_rows(rows, cell_size, radius, min_samples=3):
+    con = duckdb.connect()
+    vals = ", ".join(f"({x}, {y}, {a}, {v})" for x, y, a, v in rows)
+    sql = interp.gwr_grid_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(x, y, a, value)",
+        cell_size, radius, min_samples=min_samples,
+    )
+    return {
+        (cx, cy): tuple(rest)
+        for cx, cy, *rest in con.execute(sql).fetchall()
+    }
+
+
+def _gwr_py_oracle(rows, cell_size, radius, min_samples=3):
+    """Independent python replay: per cell, bisquare-weighted floor-scaled
+    moments with the engines' left-associated multiply order, then the
+    closed-form simple-WLS coefficients."""
+    import math
+
+    s = float(cell_size)
+    r = int(-(-radius // s))
+    h2 = radius * radius
+    cells = {}
+    for x, y, a, v in rows:
+        bx, by = math.floor(x / s), math.floor(y / s)
+        for cx in range(bx - r, bx + r + 1):
+            for cy in range(by - r, by + r + 1):
+                dx = (cx + 0.5) * s - x
+                dy = (cy + 0.5) * s - y
+                d2 = dx * dx + dy * dy
+                if d2 >= h2:
+                    continue
+                t = (h2 - d2) / h2
+                ew = 1e9 * (t * t)
+                m = cells.setdefault((cx, cy), [0, 0, 0, 0, 0, 0])
+                m[0] += 1
+                m[1] += math.floor(ew)
+                m[2] += math.floor(ew * a)
+                m[3] += math.floor(ew * v)
+                m[4] += math.floor(ew * a * a)
+                m[5] += math.floor(ew * a * v)
+    out = {}
+    for k, (n, sw, sa, sv, saa, sav) in cells.items():
+        if n < min_samples:
+            continue
+        den = float(sw) * float(saa) - float(sa) * float(sa)
+        if den != 0.0:
+            b1 = (float(sw) * float(sav) - float(sa) * float(sv)) / den
+            b0 = (float(sv) - b1 * float(sa)) / float(sw)
+        else:
+            b1 = b0 = None
+        out[k] = (n, sw, sa, sv, saa, sav, b1, b0)
+    return out
+
+
+@pytest.mark.parametrize("seed,n,cell,rad", [(11, 120, 1.0, 2.5), (12, 60, 2.0, 5.0)])
+def test_gwr_twin_and_oracle_parity(spark, seed, n, cell, rad):
+    """Spark == DuckDB twin (int64 moments AND double betas bit-equal) ==
+    the independent python floor replay."""
+    rng = random.Random(seed)
+    rows = [
+        (
+            round(rng.uniform(0, 15), 6),
+            round(rng.uniform(0, 15), 6),
+            round(rng.uniform(-3, 3), 6),
+            round(rng.uniform(-5, 5), 6),
+        )
+        for _ in range(n)
+    ]
+    got = _gwr_spark_rows(spark, rows, cell, rad)
+    want = _gwr_duck_rows(rows, cell, rad)
+    py = _gwr_py_oracle(rows, cell, rad)
+    assert set(got) == set(want) == set(py)
+    for k in want:
+        assert got[k][:6] == want[k][:6] == py[k][:6], (k, got[k], want[k])
+        assert got[k][6] == want[k][6], (k, got[k][6], want[k][6])
+        assert got[k][7] == want[k][7]
+
+
+def test_gwr_recovers_linear_field(spark):
+    """v = 2a + 3 exactly everywhere -> every cell's local fit recovers
+    beta1 ~= 2, beta0 ~= 3 (floor-scale granularity only)."""
+    rng = random.Random(13)
+    rows = []
+    for _ in range(200):
+        a = round(rng.uniform(-4, 4), 6)
+        rows.append((
+            round(rng.uniform(0, 10), 6), round(rng.uniform(0, 10), 6),
+            a, 2.0 * a + 3.0,
+        ))
+    got = _gwr_spark_rows(spark, rows, 1.0, 3.0)
+    assert got
+    for k, r in got.items():
+        assert r[6] is not None, k
+        assert abs(r[6] - 2.0) < 1e-5, (k, r[6])
+        assert abs(r[7] - 3.0) < 1e-4, (k, r[7])
+
+
+def test_gwr_singular_design_null_betas(spark):
+    """Constant attr in every window -> singular normal equations -> NULL
+    coefficients, moments still emitted."""
+    rows = [(float(i), 0.0, 1.5, float(i % 3)) for i in range(10)]
+    got = _gwr_spark_rows(spark, rows, 1.0, 2.0, min_samples=1)
+    assert got
+    for k, r in got.items():
+        assert r[6] is None and r[7] is None, (k, r)
+        assert r[1] > 0
+
+
+def test_gwr_min_samples_and_guard(spark):
+    rows = [(0.5, 0.5, 1.0, 2.0), (0.6, 0.5, 2.0, 4.0)]
+    got = _gwr_spark_rows(spark, rows, 1.0, 1.0, min_samples=3)
+    assert got == {}
+    with pytest.raises(ValueError):
+        interp.gwr_grid(
+            spark.createDataFrame(rows, "x double, y double, a double, value double"),
+            0.0, 1.0,
+        )
