@@ -1408,6 +1408,60 @@ def part_geo_misc() -> None:
         "bad_cells": chk["bad"],
         "wall_s": round(wall, 2), "samples_per_sec": round(n / wall),
     }
+
+    # --- gwr ---
+    # exact linear field v = 2a + 3: every local bisquare WLS fit recovers
+    # beta1 = 2, beta0 = 3 up to floor-scale granularity (<= ~1e-6 relative)
+    # on EVERY cell with a nonsingular window — a closed-form full-field
+    # check of the local-regression machinery at the same 16M-sample scale.
+    # exact linear field v = 2a + 3: in EXACT arithmetic every WLS fit
+    # returns (2, 3) regardless of weights, so at scale the check is about
+    # floor-scale noise amplification. Per cell the floor error per moment
+    # is < n_samples (each row drops < 1 e9-unit), which propagates to
+    # |d_beta1| <= 16*M*n/D with M = max |moment|, D = Sw*Swaa - Swa^2 —
+    # so the closed form is ASSERTED exactly where that bound is < 1e-5
+    # (D > 2e6*M*n, plus Sw > 1e8 so beta0's 3n/Sw term vanishes), the
+    # bound-excluded remainder (low-weight / near-collinear windows where
+    # any local regression is meaningless) is counted and must stay < 10%.
+    gsamples = spark.range(0, n, 1, 64).select(
+        (cellw * 10.0 + F.pmod(F.xxhash64("id", F.lit(2)), 10)).alias("x"),
+        (cellh * 10.0 + F.pmod(F.xxhash64("id", F.lit(3)), 10)).alias("y"),
+        (F.abs(F.xxhash64("id", F.lit(4))) / float(2**63)).alias("a"),
+    ).withColumn("value", F.col("a") * 2.0 + 3.0)
+    t0 = time.time()
+    ggrid = interp.gwr_grid(gsamples, cell_size=10.0, radius=19.0,
+                            min_samples=5)
+    dsw = F.col("sw_e9").cast("double")
+    dsa = F.col("swa_e9").cast("double")
+    dsv = F.col("swv_e9").cast("double")
+    dsaa = F.col("swaa_e9").cast("double")
+    dsav = F.col("swav_e9").cast("double")
+    dn = F.col("n_samples").cast("double")
+    det = dsw * dsaa - dsa * dsa
+    mmax = F.greatest(F.abs(dsw), F.abs(dsa), F.abs(dsv),
+                      F.abs(dsaa), F.abs(dsav))
+    gated = (F.col("beta1").isNotNull() & (det > 2e6 * mmax * dn)
+             & (dsw > 1e8))
+    gchk = ggrid.agg(
+        F.count("*").alias("cells"),
+        F.sum("n_samples").alias("contrib"),
+        F.sum(
+            (gated
+             & ((F.abs(F.col("beta1") - 2.0) > 1e-5)
+                | (F.abs(F.col("beta0") - 3.0) > 1e-4))).cast("long")
+        ).alias("bad"),
+        F.sum((~gated).cast("long")).alias("excluded"),
+    ).collect()[0]
+    gwall = time.time() - t0
+    assert gchk["bad"] == 0, gchk["bad"]
+    assert gchk["contrib"] >= n
+    assert gchk["excluded"] < gchk["cells"] // 10, gchk
+    out["gwr"] = {
+        "samples": n, "cells": gchk["cells"],
+        "contributions": gchk["contrib"], "bad_cells": gchk["bad"],
+        "bound_excluded_cells": gchk["excluded"],
+        "wall_s": round(gwall, 2), "samples_per_sec": round(n / gwall),
+    }
     spark.stop()
     print(_json.dumps(out))
 

@@ -358,6 +358,21 @@ def main() -> int:
                 must_not=["CartesianProduct", "Exchange hashpartitioning(_sx",
                           "BatchEvalPython", "ArrowEvalPython"])
 
+    # 14b. GWR local regression: identical bounded-scatter shape — ONE cell
+    # agg exchange, Generate fan-out, all-JVM (no Python eval anywhere)
+    gsamples = samples.withColumn("a", F.col("value") * 0.5)
+    gw = interp.gwr_grid(gsamples, cell_size=8.0, radius=12.0)
+    p = formatted(gw)
+    print("\n## GWR local regression (bounded scatter + one agg)")
+    if args.full:
+        print(p)
+    n_shuffles = n_shuffles_of(p)
+    print(f"  shuffle exchanges: {n_shuffles} (expect 1: the cell agg)")
+    ok &= n_shuffles == 1
+    ok &= check("gwr", p, must=["Generate", "partial_count", "HashAggregate"],
+                must_not=["CartesianProduct", "Exchange hashpartitioning(_sx",
+                          "BatchEvalPython", "ArrowEvalPython"])
+
     # 15. geofence transitions: zone labeling is in-row HOF algebra over an
     # inlined literal; ONE entity-key window shuffle total
     from engine import trajectory as trajmod
