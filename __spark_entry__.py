@@ -1202,8 +1202,37 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
-    filled_r = terrain.fill_depressions(tiles_r, res)
-    flats_r = terrain.resolve_flats(filled_r, res)
+    # The iterative terrain halves are independent chains once their inputs
+    # exist: cost needs only the all-ones rect + obs_df; strahler and
+    # flowacc both read the conditioned frame. Each chain's _halo_fixpoint
+    # loop runs driver-side with a ~0.5 s fixed per-action scheduling
+    # latency on this host, which DOMINATES wall at this sf-independent
+    # 512-px registry raster (per-cell throughput is evidenced by the
+    # 16.8M-cell closed-form benches, not here) — so independent chains
+    # submit their Spark jobs from concurrent driver threads and the
+    # scheduler interleaves them. Results are deterministic regardless of
+    # interleaving (every op is a fixpoint / exact solve on its own input).
+    from concurrent.futures import ThreadPoolExecutor
+
+    fullt = spark.createDataFrame(
+        [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
+        "tx long, ty long",
+    )
+    ones_cost = fullt.select(
+        "tx", "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    with ThreadPoolExecutor(2) as _ex:
+        _cost_fut = _ex.submit(
+            terrain.cost_surface, ones_cost, res, obs_df, 8
+        )
+        filled_r = terrain.fill_depressions(tiles_r, res)
+        flats_r = terrain.resolve_flats(filled_r, res)
+        with ThreadPoolExecutor(2) as _ex2:
+            _st_fut = _ex2.submit(terrain.strahler_order, flats_r, res)
+            acc_r = terrain.flow_accumulation(flats_r, res)
+            st_r = _st_fut.result()
+        cost_r = _cost_fut.result()
     fla = (
         flats_r
         .select(
@@ -1242,7 +1271,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stro = (
-        terrain.strahler_order(flats_r, res)
+        st_r
         .select("tx", "ty", F.posexplode("strahler").alias("pix", "v"))
         .select(
             F.lit("strahler").alias("tag"),
@@ -1256,7 +1285,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     facc = (
-        terrain.flow_accumulation(flats_r, res)
+        acc_r
         .select("tx", "ty", F.posexplode("acc").alias("pix", "v"))
         .select(
             F.lit("flowacc").alias("tag"),
@@ -1279,16 +1308,8 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both move multipliers, seam exchange, stationarity fast path — bit for
     # bit; barrier/unreachable semantics stay python-oracle-pinned in
     # tests/test_terrain.py.
-    fullt = spark.createDataFrame(
-        [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
-        "tx long, ty long",
-    )
-    ones_cost = fullt.select(
-        "tx", "ty",
-        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
-    )
     cost = (
-        terrain.cost_surface(ones_cost, res, obs_df, connectivity=8)
+        cost_r
         .select("tx", "ty", F.posexplode("cost_dist").alias("pix", "v"))
         .select(
             F.lit("cost").alias("tag"),
