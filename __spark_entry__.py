@@ -978,7 +978,15 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     over sources), so the distributed block-Jacobi Dijkstra — seams,
     stationarity fast path and all — is hash-checked against an
     independent pure-SQL derivation; barrier/unreachable semantics are
-    python-oracle-pinned in tests/test_terrain.py."""
+    python-oracle-pinned in tests/test_terrain.py.
+    tag='gdal' — engine.terrain.surface_products over the same raster
+    (counts read as elevations): per pixel (a=gx, b=gy, c=TRI sum
+    |z-z_n|, d=tpi_num*16+tpi_den packed — TPI's exact numerator
+    n*z-sum(z_n) with its presence-masked neighbor count (den in 3..8),
+    e=roughness max-min over the 3x3 incl. center). With
+    slope/aspect/hillshade ('ter') this completes the gdaldem product
+    family, all hash-checked vs the twin's independent 8-offset
+    neighbor-join aggregates (surface_products_sql)."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1233,6 +1241,26 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc_r = terrain.flow_accumulation(flats_r, res)
             st_r = _st_fut.result()
         cost_r = _cost_fut.result()
+    gdal = (
+        terrain.surface_products(tiles_r, res)
+        .select(
+            "tx", "ty",
+            F.posexplode(
+                F.arrays_zip("tri", "tpi_num", "tpi_den", "rough")
+            ).alias("pix", "v"),
+        )
+        .select(
+            F.lit("gdal").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v.tri").cast("long").alias("c"),
+            (F.col("v.tpi_num") * 16 + F.col("v.tpi_den"))
+            .cast("long").alias("d"),
+            F.col("v.rough").cast("long").alias("e"),
+        )
+    )
     fla = (
         flats_r
         .select(
@@ -1327,7 +1355,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
         .unionByName(fla).unionByName(stro).unionByName(facc)
-        .unionByName(cost)
+        .unionByName(cost).unionByName(gdal)
     )
 
 
@@ -1741,6 +1769,11 @@ def raster_field_sql() -> str:
               SELECT * FROM ({_flowacc_sql()}) q) fa
         UNION ALL
         SELECT * FROM ({_cost_sql()})
+        UNION ALL
+        SELECT 'gdal' AS tag, gx AS a, gy AS b, tri AS c,
+               tpi_num * 16 + tpi_den AS d, rough AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_gdal_sql()}) q) gd
     """
 
 
@@ -1777,6 +1810,19 @@ def _flowacc_sql() -> str:
     return flow_accumulation_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff"
     )
+
+
+def _gdal_sql() -> str:
+    from engine.terrain import surface_products_sql
+
+    res = _HOTSPOT_RES
+    pixels = f"""
+        SELECT tx * {res} + i % {res} AS gx,
+               ty * {res} + i // {res} AS gy,
+               counts[i + 1] AS z
+        FROM tiles, range(0, {res * res}) t(i)
+    """
+    return surface_products_sql(pixels)
 
 
 def _cost_sql() -> str:

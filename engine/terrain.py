@@ -143,6 +143,98 @@ def _shade_exprs(
     return slope, aspect, shade
 
 
+def surface_products(tiles: DataFrame, res: int) -> DataFrame:
+    """(tx, ty, counts) -> (tx, ty, tri, tpi_num, tpi_den, rough): the
+    remaining gdaldem surface products as EXACT int64 arrays, one fused
+    strip-exchange pass (engine.focal._halo_apply, radius 1), neighbors
+    presence-masked exactly like terrain_gradients/d8_flow (cells outside
+    the raster contribute nothing — gdaldem's edge behavior generalized to
+    ragged tile sets):
+
+      tri     = sum over present neighbors of |z - z_n|            (Wilson
+                TRI x n_neighbors — the mean's exact integer numerator)
+      tpi_num = n_neighbors * z - sum(z_n)   (TPI x n_neighbors: positive
+                on ridges, negative in valleys, 0 on planes exactly)
+      tpi_den = n_neighbors (8 interior; fewer on raster borders)
+      rough   = max - min over the 3x3 window INCLUDING the center
+                (gdaldem roughness, already integer-exact)
+
+    Together with slope_aspect_hillshade (Horn) this completes the gdaldem
+    product family (slope/aspect/hillshade/TRI/TPI/roughness). The float
+    views are trivial Column ratios (tri/tpi_den, tpi_num/tpi_den); the
+    exact numerators are what the DuckDB twin (surface_products_sql) and
+    the registry hash-check. Reference provenance: the reference has no
+    raster surface; this extends the SURVEY.md raster family."""
+    from pyspark.sql import types as T
+
+    from engine.focal import _halo_apply
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+        zc = halo[1 : res + 1, 1 : res + 1]
+        tri = np.zeros((res, res), dtype=np.int64)
+        ssum = np.zeros((res, res), dtype=np.int64)
+        cnt = np.zeros((res, res), dtype=np.int64)
+        mx = zc.copy()
+        mn = zc.copy()
+        inside = mask > 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                zn = halo[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+                nin = inside[1 + dy : 1 + dy + res, 1 + dx : 1 + dx + res]
+                tri += np.where(nin, np.abs(zc - zn), 0)
+                ssum += np.where(nin, zn, 0)
+                cnt += nin.astype(np.int64)
+                mx = np.where(nin & (zn > mx), zn, mx)
+                mn = np.where(nin & (zn < mn), zn, mn)
+        return {
+            "tri": tri.reshape(-1).tolist(),
+            "tpi_num": (cnt * zc - ssum).reshape(-1).tolist(),
+            "tpi_den": cnt.reshape(-1).tolist(),
+            "rough": (mx - mn).reshape(-1).tolist(),
+        }
+
+    fields = [
+        ("tri", T.ArrayType(T.LongType())),
+        ("tpi_num", T.ArrayType(T.LongType())),
+        ("tpi_den", T.ArrayType(T.LongType())),
+        ("rough", T.ArrayType(T.LongType())),
+    ]
+    return _halo_apply(tiles, res, 1, finish, fields=fields)
+
+
+def surface_products_sql(cells_sql: str) -> str:
+    """DuckDB twin of surface_products: `cells_sql` emits the dense pixels
+    (gx, gy, z); per pixel one 8-offset neighbor equi-join (absent cells
+    contribute nothing, the presence-mask semantics), then the identical
+    integer aggregates. z is constant per group so MIN(z) reads it back."""
+    nbrs = ", ".join(
+        f"({dx}, {dy})"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+        WITH spcells AS MATERIALIZED ({cells_sql}),
+        spnbr(dx, dy) AS (SELECT * FROM (VALUES {nbrs})),
+        sppairs AS (
+          SELECT c.gx, c.gy, c.z, t.z AS zn
+          FROM spcells c
+          JOIN spnbr n ON TRUE
+          JOIN spcells t
+            ON t.gx = c.gx + n.dx AND t.gy = c.gy + n.dy
+        )
+        SELECT gx, gy,
+               CAST(SUM(ABS(z - zn)) AS BIGINT) AS tri,
+               CAST(COUNT(*) * MIN(z) - SUM(zn) AS BIGINT) AS tpi_num,
+               CAST(COUNT(*) AS BIGINT) AS tpi_den,
+               CAST(GREATEST(MAX(zn), MIN(z))
+                    - LEAST(MIN(zn), MIN(z)) AS BIGINT) AS rough
+        FROM sppairs
+        GROUP BY gx, gy
+    """
+
+
 def d8_flow(tiles: DataFrame, res: int) -> DataFrame:
     """D8 flow direction over the tile raster, exact int64: for every pixel,
     the steepest-DESCENT neighbor among the 8 (standard drop/distance

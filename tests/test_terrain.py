@@ -2031,3 +2031,110 @@ def test_cost_surface_domain_guard(spark):
         terrain.cost_surface(
             _mk_df(spark, tiles), res, [(0, 0)]
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Surface products (TRI / TPI / roughness — the rest of the gdaldem family)
+# ---------------------------------------------------------------------------
+def _collect_surface(df, res):
+    out = {}
+    for r in df.collect():
+        for pix in range(res * res):
+            gx = r["tx"] * res + pix % res
+            gy = r["ty"] * res + pix // res
+            out[(gx, gy)] = (
+                r["tri"][pix], r["tpi_num"][pix],
+                r["tpi_den"][pix], r["rough"][pix],
+            )
+    return out
+
+
+def _py_surface(cells):
+    out = {}
+    for (gx, gy), z in cells.items():
+        tri = s = cnt = 0
+        mx = mn = z
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                zn = cells.get((gx + dx, gy + dy))
+                if zn is None:
+                    continue
+                tri += abs(z - zn)
+                s += zn
+                cnt += 1
+                mx = max(mx, zn)
+                mn = min(mn, zn)
+        out[(gx, gy)] = (tri, cnt * z - s, cnt, mx - mn)
+    return out
+
+
+def test_surface_products_oracle_parity(spark):
+    """Random ragged tile set vs the independent python oracle."""
+    rng = random.Random(4400)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.7)
+    cells = {
+        (tx * res + i % res, ty * res + i // res): g[i]
+        for (tx, ty), g in tiles.items()
+        for i in range(res * res)
+    }
+    got = _collect_surface(
+        terrain.surface_products(_mk_df(spark, tiles), res), res
+    )
+    assert got == _py_surface(cells)
+
+
+def test_surface_products_plane_closed_form(spark):
+    """z = 3x + 5y: interior TRI = 2*(3+5+8+2) = 36, TPI = 0 (plane
+    antisymmetry, exact), roughness = 2*(3+5) = 16 (corner-to-corner)."""
+    res = 8
+    tiles = {
+        (tx, ty): [
+            3 * (tx * res + i % res) + 5 * (ty * res + i // res)
+            for i in range(res * res)
+        ]
+        for tx in range(2) for ty in range(2)
+    }
+    got = _collect_surface(
+        terrain.surface_products(_mk_df(spark, tiles), res), res
+    )
+    for (gx, gy), (tri, tpn, tpd, rough) in got.items():
+        interior = 1 <= gx <= 2 * res - 2 and 1 <= gy <= 2 * res - 2
+        if interior:
+            assert (tri, tpn, tpd, rough) == (36, 0, 8, 16), (gx, gy)
+        else:
+            assert tpd < 8
+    # constant raster: everything 0
+    flat = {(0, 0): [7] * (res * res)}
+    for v in _collect_surface(
+        terrain.surface_products(_mk_df(spark, flat), res), res
+    ).values():
+        assert v[0] == v[1] == v[3] == 0
+
+
+def test_surface_products_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(4401)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    got = _collect_surface(
+        terrain.surface_products(_mk_df(spark, tiles), res), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells (gx BIGINT, gy BIGINT, z BIGINT)")
+    for (tx, ty), g in tiles.items():
+        for i in range(res * res):
+            con.execute(
+                "INSERT INTO cells VALUES (?, ?, ?)",
+                [tx * res + i % res, ty * res + i // res, g[i]],
+            )
+    want = {
+        (gx, gy): tuple(rest)
+        for gx, gy, *rest in con.execute(
+            f"SELECT * FROM ({terrain.surface_products_sql('SELECT gx, gy, z FROM cells')}) q"
+        ).fetchall()
+    }
+    assert got == want
