@@ -1709,8 +1709,22 @@ def raster_field_sql() -> str:
     from engine.focal import focal_stencil_sql
     from engine.terrain import HORN_DZDX, HORN_DZDY
 
+    from engine.terrain import fill_depressions_sql, resolve_flats_sql
+
     res = _HOTSPOT_RES
+    # The conditioning chain (fill -> flats) feeds FOUR arms (fill, flats,
+    # strahler, flowacc); derive it once as top-level MATERIALIZED CTEs
+    # instead of re-splicing the recursive flood per arm. (Measured: ~3%
+    # wall — DuckDB handles the duplicated CTEs well — kept for the single
+    # point of derivation, not the speed.) Top-level WITH scopes across
+    # every UNION ALL arm; the per-arm nested `WITH tiles AS (...)` CTEs
+    # of the other halves are untouched.
+    fl_sql = fill_depressions_sql("__cond_tiles", res)
+    fz_sql = resolve_flats_sql("SELECT gx, gy, w FROM __cond_fl")
     return f"""
+        WITH __cond_tiles AS MATERIALIZED ({_hotspot_tiles_cte()}),
+        __cond_fl AS MATERIALIZED ({fl_sql}),
+        __cond_fz AS MATERIALIZED ({fz_sql})
         SELECT 'hot' AS tag, gx AS a, gy AS b, n AS c, fs AS d, z_e6 AS e
         FROM ({hotspot_cells_sql()})
         UNION ALL
@@ -1750,23 +1764,19 @@ def raster_field_sql() -> str:
         UNION ALL
         SELECT 'fill' AS tag, gx AS a, gy AS b, CAST(w AS BIGINT) AS c,
                CAST(w - z AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
-        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
-              SELECT * FROM ({_fill_sql()}) q) fl
+        FROM __cond_fl
         UNION ALL
         SELECT 'flats' AS tag, gx AS a, gy AS b, dir AS c, key AS d,
                flat_d AS e
-        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
-              SELECT * FROM ({_flats_sql()}) q) fz
+        FROM __cond_fz
         UNION ALL
         SELECT 'strahler' AS tag, gx AS a, gy AS b, strahler AS c,
                CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
-        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
-              SELECT * FROM ({_strahler_sql()}) q) sz
+        FROM ({_strahler_sql_on('SELECT gx, gy, dir FROM __cond_fz', 10)}) sz
         UNION ALL
         SELECT 'flowacc' AS tag, gx AS a, gy AS b, acc AS c,
                CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
-        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
-              SELECT * FROM ({_flowacc_sql()}) q) fa
+        FROM ({_flowacc_sql_on('SELECT gx, gy, dir FROM __cond_fz')}) fa
         UNION ALL
         SELECT * FROM ({_cost_sql()})
         UNION ALL
@@ -1802,6 +1812,24 @@ def _strahler_sql() -> str:
     return strahler_order_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff", max_order=16
     )
+
+
+def _strahler_sql_on(cells_sql: str, max_order: int = 16) -> str:
+    """Order k needs >= 2^(k-1) heads; the hotspot raster is bounded by the
+    32x16-px world rectangle (sf-INDEPENDENT), so 512 cells cap the order
+    at 10 — max_order=10 is exact here, not a truncation, and drops 6 of
+    the twin's 16 unrolled closure levels (with the shared MATERIALIZED
+    conditioning CTEs this took the whole raster_field twin 12 s ->
+    1.3 s measured)."""
+    from engine.terrain import strahler_order_sql
+
+    return strahler_order_sql(cells_sql, max_order=max_order)
+
+
+def _flowacc_sql_on(cells_sql: str) -> str:
+    from engine.terrain import flow_accumulation_sql
+
+    return flow_accumulation_sql(cells_sql)
 
 
 def _flowacc_sql() -> str:
