@@ -994,22 +994,20 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE raster build + persist feeds all four halves (hot, pyr, ter, d8)
     # — previously each half re-rasterized the document anchors (4 scans)
     tiles_r = _hotspot_tiles(spark, sf_dir).persist()
+    # warm the shared cache with ONE action so the concurrent chains below
+    # don't race to materialize it
+    tiles_r.count()
     grads = terrain.terrain_gradients(tiles_r, res)
     ed = terrain.flow_edges(terrain.d8_flow(tiles_r, res), res).persist()
-    comp = connected_components(
+    # the CC loop (iterative, driver actions) overlaps the terrain fixpoint
+    # chains further down; its future is resolved after they launch
+    from concurrent.futures import ThreadPoolExecutor
+
+    _cc_pool = ThreadPoolExecutor(1)
+    _comp_fut = _cc_pool.submit(
+        connected_components,
         ed.filter(F.col("dst").isNotNull()).select("src", "dst"),
         src="src", dst="dst", nodes=ed.select("src"), id_col="src",
-    )
-    d8 = (
-        ed.join(comp, ed["src"] == comp["id"])
-        .select(
-            F.lit("d8").alias("tag"),
-            F.col("gx").alias("a"),
-            F.col("gy").alias("b"),
-            F.col("d8_dir").alias("c"),
-            F.col("d8_key").alias("d"),
-            F.col("comp").alias("e"),
-        )
     )
     ter = (
         grads.select(
@@ -1220,8 +1218,6 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     # submit their Spark jobs from concurrent driver threads and the
     # scheduler interleaves them. Results are deterministic regardless of
     # interleaving (every op is a fixpoint / exact solve on its own input).
-    from concurrent.futures import ThreadPoolExecutor
-
     fullt = spark.createDataFrame(
         [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
         "tx long, ty long",
@@ -1241,6 +1237,19 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc_r = terrain.flow_accumulation(flats_r, res)
             st_r = _st_fut.result()
         cost_r = _cost_fut.result()
+    comp = _comp_fut.result()
+    _cc_pool.shutdown()
+    d8 = (
+        ed.join(comp, ed["src"] == comp["id"])
+        .select(
+            F.lit("d8").alias("tag"),
+            F.col("gx").alias("a"),
+            F.col("gy").alias("b"),
+            F.col("d8_dir").alias("c"),
+            F.col("d8_key").alias("d"),
+            F.col("comp").alias("e"),
+        )
+    )
     gdal = (
         terrain.surface_products(tiles_r, res)
         .select(
