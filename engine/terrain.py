@@ -819,6 +819,77 @@ def flow_accumulation(
     )
 
 
+def wetness_indices(
+    acc: DataFrame,
+    grads: DataFrame,
+    res: int,
+    cellsize: float = 1.0,
+) -> DataFrame:
+    """TWI and SPI — the classic hydrology composite products over the
+    exact building blocks this module already emits:
+
+      tan_beta = sqrt(dzdx8^2 + dzdy8^2) / (8*cellsize)  (Horn numerators)
+      a        = acc * cellsize   (specific catchment area, unit contour
+                                   width; acc from flow_accumulation)
+      TWI      = ln(a / tan_beta)   (topographic wetness, Beven-Kirkby)
+      SPI      = ln(a * tan_beta)   (stream power)
+
+    Inputs: acc (tx, ty, acc) and grads (tx, ty, dzdx8, dzdy8) — both
+    EXACT int64 tile arrays, so the double graph has exact inputs and one
+    fixed expression order; emitted FLOOR-scaled e6 (the tfidf/Gi*
+    discipline: ln/sqrt are IEEE-deterministic and measured ulp-identical
+    across Spark and DuckDB on this stack — wetness_indices_sql is the
+    bit-exact twin). Flat pixels (both numerators 0) have no defined
+    tan_beta: twi_e6/spi_e6 are NULL there (resolve_flats is the operator
+    that drains them; this is a per-pixel product, not a router).
+    ONE equi-join on the tile key, Column-only HOFs, no Python."""
+    if cellsize <= 0:
+        raise ValueError("cellsize must be > 0")
+    j = acc.join(grads, ["tx", "ty"])
+    cs = float(cellsize)
+    z = F.arrays_zip("acc", "dzdx8", "dzdy8")
+
+    def per_pixel(out_name: str, spi: bool):
+        # transform over the zipped struct array keeps the plan LINEAR in
+        # res (one shared lambda), vs res^2 element_at expressions
+        def expr(s):
+            av = s["acc"].cast("double")
+            gx = s["dzdx8"].cast("double")
+            gy = s["dzdy8"].cast("double")
+            tanb = F.sqrt(gx * gx + gy * gy) / F.lit(8.0 * cs)
+            a = av * F.lit(cs)
+            v = a * tanb if spi else a / tanb
+            nonflat = (s["dzdx8"] != 0) | (s["dzdy8"] != 0)
+            return F.when(
+                nonflat, F.floor(F.lit(1e6) * F.log(v)).cast("long")
+            )
+
+        return F.transform(z, expr).alias(out_name)
+
+    return j.select(
+        "tx", "ty", per_pixel("twi_e6", False), per_pixel("spi_e6", True)
+    )
+
+
+def wetness_indices_sql(cells_sql: str, cellsize: float = 1.0) -> str:
+    """DuckDB twin of wetness_indices: `cells_sql` emits per-pixel
+    (gx, gy, acc, dzdx8, dzdy8); identical expression graph, NULL on
+    flats."""
+    cs = float(cellsize)
+    tanb = f"(SQRT(CAST(dzdx8 AS DOUBLE) * CAST(dzdx8 AS DOUBLE) + CAST(dzdy8 AS DOUBLE) * CAST(dzdy8 AS DOUBLE)) / {8.0 * cs})"
+    a = f"(CAST(acc AS DOUBLE) * {cs})"
+    return f"""
+        SELECT gx, gy,
+          CASE WHEN dzdx8 <> 0 OR dzdy8 <> 0
+               THEN CAST(FLOOR(1000000.0 * LN({a} / {tanb})) AS BIGINT)
+          END AS twi_e6,
+          CASE WHEN dzdx8 <> 0 OR dzdy8 <> 0
+               THEN CAST(FLOOR(1000000.0 * LN({a} * {tanb})) AS BIGINT)
+          END AS spi_e6
+        FROM ({cells_sql}) wic
+    """
+
+
 def stream_cells(acc: DataFrame, res: int, threshold: int) -> DataFrame:
     """flow_accumulation frame -> sparse (gx, gy, acc) rows with
     acc >= threshold: the classic stream-network extraction (output is

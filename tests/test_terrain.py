@@ -2138,3 +2138,75 @@ def test_surface_products_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wetness / stream-power indices (TWI, SPI)
+# ---------------------------------------------------------------------------
+def test_wetness_indices_end_to_end_twin(spark):
+    """Full pipeline: condition_dem -> flow_accumulation + terrain_gradients
+    -> TWI/SPI, vs the DuckDB twin replaying the identical double graph
+    over the same exact int64 inputs — e6 floors bit-equal, NULL exactly on
+    the flat (both-numerators-0) pixels."""
+    import duckdb
+
+    rng = random.Random(4500)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    df = _mk_df(spark, tiles)
+    acc = terrain.flow_accumulation(terrain.condition_dem(df, res), res)
+    grads = terrain.terrain_gradients(df, res)
+    out = terrain.wetness_indices(acc, grads, res)
+    got = {}
+    for r in out.collect():
+        for pix in range(res * res):
+            gx = r["tx"] * res + pix % res
+            gy = r["ty"] * res + pix // res
+            got[(gx, gy)] = (r["twi_e6"][pix], r["spi_e6"][pix])
+    # independent inputs for the twin: collect the exact int64 arrays
+    rows = []
+    accs = {(r["tx"], r["ty"]): r["acc"] for r in acc.collect()}
+    for r in grads.collect():
+        a = accs[(r["tx"], r["ty"])]
+        for pix in range(res * res):
+            rows.append((
+                r["tx"] * res + pix % res, r["ty"] * res + pix // res,
+                a[pix], r["dzdx8"][pix], r["dzdy8"][pix],
+            ))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c (gx BIGINT, gy BIGINT, acc BIGINT,"
+        " dzdx8 BIGINT, dzdy8 BIGINT)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?, ?, ?, ?)", rows)
+    want = {
+        (gx, gy): (t, s)
+        for gx, gy, t, s in con.execute(
+            terrain.wetness_indices_sql("SELECT * FROM c")
+        ).fetchall()
+    }
+    assert got == want
+    assert any(v[0] is None for v in got.values()) or all(
+        v[0] is not None for v in got.values()
+    )
+
+
+def test_wetness_indices_closed_forms(spark):
+    """acc=1, gradient numerator (8,0), cellsize 1 -> tan_beta = 1 ->
+    TWI = SPI = ln(1) = 0 exactly; flats -> NULL; acc=e^k scaling shifts
+    TWI by ~k*1e6."""
+    res = 4
+    n = res * res
+    acc = spark.createDataFrame(
+        [(0, 0, [1] * n)], "tx long, ty long, acc array<long>"
+    )
+    grads = spark.createDataFrame(
+        [(0, 0, [8] * (n - 1) + [0], [0] * n)],
+        "tx long, ty long, dzdx8 array<long>, dzdy8 array<long>",
+    )
+    r = terrain.wetness_indices(acc, grads, res).collect()[0]
+    assert r["twi_e6"][:3] == [0, 0, 0]
+    assert r["spi_e6"][:3] == [0, 0, 0]
+    assert r["twi_e6"][n - 1] is None and r["spi_e6"][n - 1] is None
+    with pytest.raises(ValueError):
+        terrain.wetness_indices(acc, grads, res, cellsize=0.0)
