@@ -819,6 +819,115 @@ def flow_accumulation(
     )
 
 
+def flow_length(
+    flow: DataFrame, res: int, max_iters: int = 64
+) -> DataFrame:
+    """Downstream flow length (ESRI Flow Length, direction=DOWNSTREAM):
+    per pixel the accumulated distance along its D8 flow path to the sink
+    it drains to, in the module's exact int64 octile scale (10 cardinal /
+    14 diagonal steps = cellsize x10 with sqrt2 ~= 1.4 — the cost-surface
+    metric), 0 at sinks. Input: a conditioned flow frame (tx, ty, d8_dir)
+    — condition_dem guarantees acyclicity, which the accumulation needs.
+
+    Distributed shape: WEIGHTED pointer doubling on the flow forest —
+    (src, parent, d) starts as one D8 step with its own weight (sinks
+    self-loop at 0), then per round parent <- parent's parent AND
+    d <- d + parent's d (one self-equi-join + reliable checkpoint), so d
+    telescopes to the full path length in ceil(log2(longest path)) rounds
+    — the _jump_fixpoint machinery (catchments/basins/cost_allocation)
+    extended with the additive label. Convergence by the same
+    order-independent digest, here over (src, parent, d).
+    DuckDB twin: flow_length_sql (per-source recursive-CTE walk summing
+    step weights — terminal distance = MAX over the walk)."""
+    ed = flow_edges(flow, res).persist()
+    # step weight by the dir's OFFSET (the _D8_OFFSETS order is compass,
+    # not parity-alternating: dir 5 = (0,-1) is cardinal)
+    wts = [
+        10 if abs(dx) + abs(dy) == 1 else 14 for dx, dy in _D8_OFFSETS
+    ]
+    w = F.when(F.col("d8_dir") < 0, F.lit(0)).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in wts]),
+            F.col("d8_dir").cast("int") + 1,
+        )
+    )
+    p = _truncate_lineage(
+        ed.select(
+            "src",
+            F.coalesce("dst", "src").alias("parent"),
+            w.cast("long").alias("d"),
+        )
+    )
+
+    def _digest(df: DataFrame):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src", "parent", "d")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _digest(p)
+    for _ in range(max_iters):
+        nxt = _truncate_lineage(
+            p.alias("a")
+            .join(
+                p.select(
+                    F.col("src").alias("_ps"),
+                    F.col("parent").alias("_pp"),
+                    F.col("d").alias("_pd"),
+                ).alias("b"),
+                F.col("a.parent") == F.col("_ps"),
+            )
+            .select(
+                "src",
+                F.col("_pp").alias("parent"),
+                (F.col("a.d") + F.col("_pd")).alias("d"),
+            )
+        )
+        cur = _digest(nxt)
+        p = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"flow_length: no convergence in {max_iters}")
+    out = (
+        ed.select("gx", "gy", "src")
+        .join(p, "src")
+        .select("gx", "gy", F.col("d").alias("length"))
+    )
+    ed.unpersist()
+    return out
+
+
+def flow_length_sql(cells_sql: str) -> str:
+    """DuckDB twin of flow_length: `cells_sql` emits (gx, gy, dir); every
+    cell walks its own chain accumulating 10/14 step weights; the chain
+    stops at the sink (dir < 0 joins no next step) and the terminal
+    accumulated distance is the per-source MAX (dist strictly increases
+    along the acyclic conditioned path)."""
+    nbrs = ", ".join(
+        f"({d}, {dx}, {dy}, {10 if abs(dx) + abs(dy) == 1 else 14})"
+        for d, (dx, dy) in enumerate(_D8_OFFSETS)
+    )
+    return f"""
+        WITH RECURSIVE flcells AS MATERIALIZED ({cells_sql}),
+        flnbr(dir, dx, dy, w) AS (SELECT * FROM (VALUES {nbrs})),
+        flwalk(sx, sy, cx, cy, dist) AS (
+          SELECT gx, gy, gx, gy, CAST(0 AS BIGINT) FROM flcells
+          UNION ALL
+          SELECT w.sx, w.sy, c.gx + n.dx, c.gy + n.dy, w.dist + n.w
+          FROM flwalk w
+          JOIN flcells c ON c.gx = w.cx AND c.gy = w.cy AND c.dir >= 0
+          JOIN flnbr n ON n.dir = c.dir
+        )
+        SELECT sx AS gx, sy AS gy, MAX(dist) AS length
+        FROM flwalk GROUP BY sx, sy
+    """
+
+
 def wetness_indices(
     acc: DataFrame,
     grads: DataFrame,

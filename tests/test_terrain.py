@@ -2210,3 +2210,59 @@ def test_wetness_indices_closed_forms(spark):
     assert r["twi_e6"][n - 1] is None and r["spi_e6"][n - 1] is None
     with pytest.raises(ValueError):
         terrain.wetness_indices(acc, grads, res, cellsize=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Flow length (downstream distance to sink, weighted pointer doubling)
+# ---------------------------------------------------------------------------
+def test_flow_length_duckdb_twin(spark):
+    """condition_dem -> flow_length (weighted jump) vs the per-source
+    recursive-CTE walk over the flats twin's identical dirs."""
+    import duckdb
+
+    rng = random.Random(4600)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    got = {
+        (r["gx"], r["gy"]): r["length"]
+        for r in terrain.flow_length(flow, res).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    fill_sql = terrain.fill_depressions_sql("tiles", res)
+    flats_sql = terrain.resolve_flats_sql(
+        f"SELECT gx, gy, w FROM ({fill_sql}) q"
+    )
+    want = {
+        (gx, gy): d
+        for gx, gy, d in con.execute(
+            terrain.flow_length_sql(
+                f"SELECT gx, gy, dir FROM ({flats_sql}) ff"
+            )
+        ).fetchall()
+    }
+    assert got == want
+    assert min(got.values()) == 0  # sinks
+
+
+def test_flow_length_plane_closed_form(spark):
+    """z = 3x + 5y on one tile: every cell flows diagonally toward (0,0)
+    then along the axis (the 2*drop^2 key prefers the diagonal: 64/2=32 >
+    25 > 9), so length = 14*min(x,y) + 10*|x-y| exactly; (0,0) is the only
+    sink."""
+    res = 8
+    tiles = {
+        (0, 0): [
+            3 * (i % res) + 5 * (i // res) for i in range(res * res)
+        ]
+    }
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    got = {
+        (r["gx"], r["gy"]): r["length"]
+        for r in terrain.flow_length(flow, res).collect()
+    }
+    for (x, y), ln in got.items():
+        assert ln == 14 * min(x, y) + 10 * abs(x - y), (x, y, ln)
