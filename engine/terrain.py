@@ -819,6 +819,120 @@ def flow_accumulation(
     )
 
 
+def stream_links(
+    flow: DataFrame,
+    acc: DataFrame,
+    res: int,
+    threshold: int,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Stream-network vectorization (ArcGIS Stream to Feature / GRASS
+    r.stream analog): raster stream cells (acc >= threshold over the
+    conditioned flow frame) -> one row per stream LINK — the maximal chain
+    from a head or confluence down to the cell before the next confluence
+    (or the sink) — with its ordered vertex list and downstream topology:
+
+      (link_id, n_cells, pts: array<struct<x,y>> upstream->downstream,
+       dst_link: the link this one flows into, NULL at terminal links)
+
+    Everything composes from machinery this module already ships:
+    * START cells (the link identity) = stream cells with 0 or >= 2 stream
+      in-edges (heads and confluences) — one edge groupBy.
+    * link_id = each cell's nearest start at-or-above along its unique
+      in-link chain: pointer doubling (_jump_fixpoint) on UP-pointers
+      (interior link cells have exactly one stream in-edge; starts
+      self-root) — O(log link length) rounds, the catchments kernel on the
+      reversed forest.
+    * in-link ordering needs no per-group sort key invention: position =
+      flow_length(start) - flow_length(cell), strictly increasing
+      downstream along a chain (flow_length is the exact octile distance
+      to the sink), so ONE array_sort over collected (position, x, y)
+      structs assembles each polyline.
+    * dst_link = link of the D8 target of the link's LAST cell.
+    Deterministic throughout (ids are packed cell ids; ties impossible on
+    a chain). DuckDB twin: none — pytest pins a python replay (the
+    component kernels are registry/twin-checked individually)."""
+    ed = flow_edges(flow, res).persist()
+    accx = acc.select(
+        "tx", "ty", F.posexplode("acc").alias("pix", "accv")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res))
+        .cast("long").alias("gy"),
+        "accv",
+    )
+    cells = (
+        ed.join(accx, ["gx", "gy"])
+        .filter(F.col("accv") >= F.lit(int(threshold)))
+        .select("gx", "gy", "src", "dst")
+        .persist()
+    )
+    sset = cells.select(F.col("src").alias("_s"))
+    # stream edges: both ends on the stream
+    sedges = (
+        cells.filter(F.col("dst").isNotNull())
+        .join(sset, F.col("dst") == F.col("_s"))
+        .select("src", "dst")
+        .persist()
+    )
+    indeg = sedges.groupBy("dst").agg(
+        F.count("*").alias("_n"),
+        F.min("src").alias("_only_in"),  # unique when _n == 1
+    ).select(F.col("dst").alias("_din"), "_n", "_only_in")
+    lab = cells.join(
+        indeg, cells["src"] == F.col("_din"), "left"
+    ).select(
+        cells["src"].alias("src"),
+        F.when(
+            F.coalesce(F.col("_n"), F.lit(0)) == 1, F.col("_only_in")
+        ).otherwise(cells["src"]).alias("parent"),
+    )
+    roots = _jump_fixpoint(_truncate_lineage(lab), max_iters, "stream_links")
+    fl = flow_length(flow, res).select(
+        "gx", "gy", F.col("length").alias("_fl")
+    )
+    mem = (
+        cells.join(roots, "src")
+        .join(fl, ["gx", "gy"])
+        .select(
+            "gx", "gy", "src", "dst",
+            F.col("parent").alias("link_id"), "_fl",
+        )
+        .persist()
+    )
+    start_fl = mem.filter(F.col("src") == F.col("link_id")).select(
+        F.col("link_id").alias("_lid"), F.col("_fl").alias("_sfl")
+    )
+    memp = mem.join(start_fl, mem["link_id"] == start_fl["_lid"]).select(
+        "gx", "gy", "src", "dst", "link_id",
+        (F.col("_sfl") - F.col("_fl")).alias("pos"),
+    )
+    links = memp.groupBy("link_id").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"), F.col("gx").alias("x"),
+                        F.col("gy").alias("y"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+        ).alias("pts"),
+        F.max_by(F.col("dst"), F.col("pos")).alias("_end_dst"),
+    )
+    dstl = mem.select(
+        F.col("src").alias("_ds"), F.col("link_id").alias("dst_link")
+    )
+    out = links.join(
+        dstl, links["_end_dst"] == dstl["_ds"], "left"
+    ).select("link_id", "n_cells", "pts", "dst_link")
+    for df in (ed, cells, sedges, mem):
+        df.unpersist()
+    return out
+
+
 def flow_length(
     flow: DataFrame, res: int, max_iters: int = 64
 ) -> DataFrame:

@@ -2266,3 +2266,92 @@ def test_flow_length_plane_closed_form(spark):
     }
     for (x, y), ln in got.items():
         assert ln == 14 * min(x, y) + 10 * abs(x - y), (x, y, ln)
+
+
+# ---------------------------------------------------------------------------
+# Stream-network vectorization (stream_links)
+# ---------------------------------------------------------------------------
+def _py_stream_links(cells, dirs, fl, threshold, accs):
+    """Independent replay: stream mask, starts (0 or >=2 stream in-edges),
+    chain walk upstream->downstream, per-link ordered vertices + topology."""
+    offs = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (0, -1), (-1, -1), (1, -1)]
+    stream = {c for c in cells if accs[c] >= threshold}
+    dst = {}
+    for c in stream:
+        d = dirs[c]
+        if d >= 0:
+            t = (c[0] + offs[d][0], c[1] + offs[d][1])
+            if t in stream:
+                dst[c] = t
+    indeg = {}
+    for s, t in dst.items():
+        indeg[t] = indeg.get(t, 0) + 1
+    starts = {c for c in stream if indeg.get(c, 0) != 1}
+    links = {}
+    for s in starts:
+        chain = [s]
+        cur = s
+        while cur in dst:
+            nxt = dst[cur]
+            if nxt in starts:
+                break
+            chain.append(nxt)
+            cur = nxt
+        end = chain[-1]
+        links[s] = {
+            "pts": chain,
+            "n": len(chain),
+            "dst_link": None,
+        }
+        if end in dst:
+            # the next cell is a start (a confluence) = its own link id
+            links[s]["dst_link"] = dst[end]
+    # pack ids like the engine: (gx+2^20)*2^32 + (gy+2^20)
+    pk = lambda c: (c[0] + (1 << 20)) * (1 << 32) + (c[1] + (1 << 20))
+    return {
+        pk(s): (
+            v["n"],
+            [(x, y) for x, y in v["pts"]],
+            pk(v["dst_link"]) if v["dst_link"] else None,
+        )
+        for s, v in links.items()
+    }
+
+
+@pytest.mark.parametrize("threshold", [1, 3])
+def test_stream_links_oracle_parity(spark, threshold):
+    rng = random.Random(4700)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    flow = terrain.condition_dem(_mk_df(spark, tiles), res)
+    acc = terrain.flow_accumulation(flow, res)
+    out = terrain.stream_links(flow, acc, res, threshold).collect()
+    got = {
+        r["link_id"]: (
+            r["n_cells"],
+            [(p["x"], p["y"]) for p in r["pts"]],
+            r["dst_link"],
+        )
+        for r in out
+    }
+    cells = {}
+    accs = {}
+    dirs = {}
+    fl = {}
+    for r in acc.collect():
+        for pix in range(res * res):
+            c = (r["tx"] * res + pix % res, r["ty"] * res + pix // res)
+            accs[c] = r["acc"][pix]
+            cells[c] = True
+    fr = flow.select("tx", "ty", "d8_dir").collect()
+    for r in fr:
+        for pix in range(res * res):
+            c = (r["tx"] * res + pix % res, r["ty"] * res + pix // res)
+            dirs[c] = r["d8_dir"][pix]
+    want = _py_stream_links(cells, dirs, fl, threshold, accs)
+    assert got == want
+    # structural invariants: every link's vertices are consecutive D8 steps
+    for lid, (n, pts, dl) in got.items():
+        assert n == len(pts)
+        for a, b in zip(pts, pts[1:]):
+            assert max(abs(a[0] - b[0]), abs(a[1] - b[1])) == 1
