@@ -819,6 +819,82 @@ def flow_accumulation(
     )
 
 
+def hypsometry(
+    tiles: DataFrame,
+    basin_cells: DataFrame,
+    res: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Hypsometric analysis per drainage basin (Strahler's hypsometric
+    curve + integral), EXACT end to end — no floats anywhere:
+
+      curve row: (basin, bin 0..n_bins-1, n_cells) — relative-elevation
+        bins via pure integer math, bin = ((z - zmin) * n_bins) //
+        (zmax - zmin + 1) (the +1 closes the top edge; constant basins
+        collapse into bin 0);
+      integral:  (basin, hi_num, hi_den) — the hypsometric integral
+        (mean - min)/(max - min) as an exact int64 rational,
+        hi_num = sum(z) - n*zmin, hi_den = n*(zmax - zmin); den 0 flags a
+        flat basin. HI > 1/2 young/convex, < 1/2 old/concave.
+
+    Inputs: the elevation raster (tx, ty, counts) and basins() output
+    (gx, gy, basin). Shape: one equi-join + two hash aggs (per-basin
+    moments broadcast back onto the binned rows via a second agg — both
+    map-side combined). Emitted long: (basin, bin, n_cells, hi_num,
+    hi_den) — curve rows carry the basin's integral on every row so one
+    frame serves both products. DuckDB twin: hypsometry_sql."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    z = tiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "z")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res))
+        .cast("long").alias("gy"),
+        "z",
+    )
+    j = basin_cells.join(z, ["gx", "gy"])
+    mom = j.groupBy("basin").agg(
+        F.count("*").alias("_n"),
+        F.min("z").alias("_zmin"),
+        F.max("z").alias("_zmax"),
+        F.sum("z").alias("_zsum"),
+    )
+    b = j.join(mom, "basin").select(
+        "basin",
+        (
+            ((F.col("z") - F.col("_zmin")) * F.lit(int(n_bins)))
+            / (F.col("_zmax") - F.col("_zmin") + F.lit(1))
+        ).cast("long").alias("bin"),
+        (F.col("_zsum") - F.col("_n") * F.col("_zmin")).alias("hi_num"),
+        (F.col("_n") * (F.col("_zmax") - F.col("_zmin"))).alias("hi_den"),
+    )
+    return b.groupBy("basin", "bin", "hi_num", "hi_den").agg(
+        F.count("*").cast("long").alias("n_cells")
+    ).select("basin", "bin", "n_cells", "hi_num", "hi_den")
+
+
+def hypsometry_sql(cells_sql: str, n_bins: int = 10) -> str:
+    """DuckDB twin of hypsometry: `cells_sql` emits (basin, z) per cell;
+    identical integer binning and rational integral."""
+    return f"""
+        WITH hcells AS ({cells_sql}),
+        hmom AS (
+          SELECT basin, COUNT(*) AS n, MIN(z) AS zmin, MAX(z) AS zmax,
+                 SUM(z) AS zsum
+          FROM hcells GROUP BY basin
+        )
+        SELECT c.basin,
+               CAST(((c.z - m.zmin) * {int(n_bins)})
+                    // (m.zmax - m.zmin + 1) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(m.zsum - m.n * m.zmin AS BIGINT) AS hi_num,
+               CAST(m.n * (m.zmax - m.zmin) AS BIGINT) AS hi_den
+        FROM hcells c JOIN hmom m USING (basin)
+        GROUP BY c.basin, bin, hi_num, hi_den
+    """
+
+
 def stream_links(
     flow: DataFrame,
     acc: DataFrame,

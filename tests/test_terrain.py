@@ -2355,3 +2355,77 @@ def test_stream_links_oracle_parity(spark, threshold):
         assert n == len(pts)
         for a, b in zip(pts, pts[1:]):
             assert max(abs(a[0] - b[0]), abs(a[1] - b[1])) == 1
+
+
+# ---------------------------------------------------------------------------
+# Hypsometric curve + integral
+# ---------------------------------------------------------------------------
+def test_hypsometry_twin_parity(spark):
+    """condition -> basins -> hypsometry vs the DuckDB twin over the
+    identical (basin, z) cells; bins, counts and the exact rational HI all
+    hash-equal."""
+    import duckdb
+
+    rng = random.Random(4800)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    df = _mk_df(spark, tiles)
+    flow = terrain.condition_dem(df, res)
+    bas = terrain.basins(flow, res)
+    out = terrain.hypsometry(df, bas, res, n_bins=8).collect()
+    got = {
+        (r["basin"], r["bin"]): (r["n_cells"], r["hi_num"], r["hi_den"])
+        for r in out
+    }
+    zmap = {}
+    for (tx, ty), g in tiles.items():
+        for i in range(res * res):
+            zmap[(tx * res + i % res, ty * res + i // res)] = g[i]
+    rows = [
+        (r["basin"], zmap[(r["gx"], r["gy"])]) for r in bas.collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bc (basin BIGINT, z BIGINT)")
+    con.executemany("INSERT INTO bc VALUES (?, ?)", rows)
+    want = {
+        (b, bn): (n, hn, hd)
+        for b, bn, n, hn, hd in con.execute(
+            terrain.hypsometry_sql("SELECT basin, z FROM bc", n_bins=8)
+        ).fetchall()
+    }
+    assert got == want
+    # per-basin cell counts conserve
+    from collections import Counter
+    per_basin = Counter()
+    for (b, _bn), (n, _hn, _hd) in got.items():
+        per_basin[b] += n
+    want_counts = Counter(b for b, _z in rows)
+    assert per_basin == want_counts
+
+
+def test_hypsometry_closed_forms(spark):
+    """One basin over a linear ramp: HI = 1/2 exactly (2*num == den) and
+    the 8 bins are uniform; a constant basin collapses to bin 0 with
+    den 0."""
+    res = 4
+    n = res * res
+    ramp = list(range(n))
+    df = spark.createDataFrame(
+        [(0, 0, ramp)], "tx long, ty long, counts array<long>"
+    )
+    cells = spark.createDataFrame(
+        [(x, y, 7) for x in range(res) for y in range(res)],
+        "gx long, gy long, basin long",
+    )
+    out = terrain.hypsometry(df, cells, res, n_bins=8).collect()
+    assert sum(r["n_cells"] for r in out) == n
+    for r in out:
+        assert 2 * r["hi_num"] == r["hi_den"]
+        assert r["n_cells"] == n // 8
+    flat = spark.createDataFrame(
+        [(0, 0, [5] * n)], "tx long, ty long, counts array<long>"
+    )
+    fo = terrain.hypsometry(flat, cells, res, n_bins=8).collect()
+    assert len(fo) == 1 and fo[0]["bin"] == 0 and fo[0]["hi_den"] == 0
+    with pytest.raises(ValueError):
+        terrain.hypsometry(df, cells, res, n_bins=0)
