@@ -986,7 +986,18 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     e=roughness max-min over the 3x3 incl. center). With
     slope/aspect/hillshade ('ter') this completes the gdaldem product
     family, all hash-checked vs the twin's independent 8-offset
-    neighbor-join aggregates (surface_products_sql)."""
+    neighbor-join aggregates (surface_products_sql).
+    tag='curv' — engine.terrain.curvature_numerators over the same raster:
+    per pixel with any nonzero second difference (a=gx, b=gy, c=zt_d,
+    d=zt_e, e=zt_f) — the Zevenbergen-Thorne quadric's three
+    second-derivative NUMERATORS (axis-aligned second differences + the
+    cross term), exact int64, everything the profile/plan/general
+    curvature surfaces float-divide by cell area. The production fused
+    halo pass (all five ZT stencils in one strip exchange) hash-matches
+    three focal_stencil_sql scatter passes joined on the tile key — the
+    'ter' derivation pattern extended to second order; the first-
+    difference numerators (zt_g, zt_h) and the float curvature layer are
+    pytest-pinned (tests/test_terrain.py curvature block)."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1250,6 +1261,29 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("e"),
         )
     )
+    curv = (
+        terrain.curvature_numerators(tiles_r, res)
+        .select(
+            "tx", "ty",
+            F.posexplode(
+                F.arrays_zip("zt_d", "zt_e", "zt_f")
+            ).alias("pix", "v"),
+        )
+        .filter(
+            (F.col("v.zt_d") != 0) | (F.col("v.zt_e") != 0)
+            | (F.col("v.zt_f") != 0)
+        )
+        .select(
+            F.lit("curv").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v.zt_d").cast("long").alias("c"),
+            F.col("v.zt_e").cast("long").alias("d"),
+            F.col("v.zt_f").cast("long").alias("e"),
+        )
+    )
     gdal = (
         terrain.surface_products(tiles_r, res)
         .select(
@@ -1364,7 +1398,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vis).unionByName(edt).unionByName(burn)
         .unionByName(stat).unionByName(lisa).unionByName(fil)
         .unionByName(fla).unionByName(stro).unionByName(facc)
-        .unionByName(cost).unionByName(gdal)
+        .unionByName(cost).unionByName(gdal).unionByName(curv)
     )
 
 
@@ -1793,6 +1827,24 @@ def raster_field_sql() -> str:
                tpi_num * 16 + tpi_den AS d, rough AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_gdal_sql()}) q) gd
+        UNION ALL
+        SELECT 'curv' AS tag,
+               c1.tx * {res} + i % {res} AS a,
+               c1.ty * {res} + i // {res} AS b,
+               c1.focal[i + 1] AS c,
+               c2.focal[i + 1] AS d,
+               c3.focal[i + 1] AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_curv_sql('zt_d')}) s1) c1
+        JOIN (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_curv_sql('zt_e')}) s2) c2
+          USING (tx, ty)
+        JOIN (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_curv_sql('zt_f')}) s3) c3
+          USING (tx, ty),
+             range(0, {res * res}) t(i)
+        WHERE c1.focal[i + 1] <> 0 OR c2.focal[i + 1] <> 0
+           OR c3.focal[i + 1] <> 0
     """
 
 
@@ -1847,6 +1899,13 @@ def _flowacc_sql() -> str:
     return flow_accumulation_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff"
     )
+
+
+def _curv_sql(stencil: str) -> str:
+    from engine.focal import focal_stencil_sql
+    from engine.terrain import ZT_STENCILS
+
+    return focal_stencil_sql("tiles", _HOTSPOT_RES, ZT_STENCILS[stencil])
 
 
 def _gdal_sql() -> str:

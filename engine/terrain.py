@@ -235,6 +235,138 @@ def surface_products_sql(cells_sql: str) -> str:
     """
 
 
+# Zevenbergen-Thorne (1987) 3x3 quadric coefficients as focal_stencil weight
+# maps, kept as integer NUMERATORS (y up; the cellsize denominators are
+# deferred to the float layer, curvature_surfaces):
+#   zt_d = z_W + z_E - 2 z_c            D = zt_d / (2 L^2)
+#   zt_e = z_N + z_S - 2 z_c            E = zt_e / (2 L^2)
+#   zt_f = -z_NW + z_NE + z_SW - z_SE   F = zt_f / (4 L^2)
+#   zt_g = z_E - z_W                    G = zt_g / (2 L)
+#   zt_h = z_N - z_S                    H = zt_h / (2 L)
+# (D, E are the axis-aligned second differences, F the cross term, G, H the
+# CENTRAL first differences — distinct from the Horn 6-point gradients in
+# terrain_gradients, which weight the corner rows; both are shipped because
+# slope/aspect consumers standardize on Horn while the curvature closed
+# forms below are derived from the ZT quadric.)
+ZT_STENCILS = {
+    "zt_d": {(-1, 0): 1, (1, 0): 1, (0, 0): -2},
+    "zt_e": {(0, 1): 1, (0, -1): 1, (0, 0): -2},
+    "zt_f": {(-1, 1): -1, (1, 1): 1, (-1, -1): 1, (1, -1): -1},
+    "zt_g": {(1, 0): 1, (-1, 0): -1},
+    "zt_h": {(0, 1): 1, (0, -1): -1},
+}
+
+
+def curvature_numerators(
+    tiles: DataFrame, res: int, kernel: str = "halo"
+) -> DataFrame:
+    """(tx, ty, counts) -> (tx, ty, zt_d, zt_e, zt_f, zt_g, zt_h): the five
+    Zevenbergen-Thorne quadric-coefficient NUMERATORS per pixel as exact
+    int64 arrays — everything the curvature surfaces (profile / plan /
+    general) need, and nothing floats. kernel='halo' fuses all five
+    stencils into ONE strip-exchange pass (terrain_gradients' fusion
+    pattern: shuffle O(perimeter) per tile, numpy slice arithmetic in the
+    Arrow kernel); kernel='scatter' joins five Column-only focal_stencil
+    passes on the tile key — exact-equal by construction and the
+    transliteration path for the DuckDB twin (focal.focal_stencil_sql per
+    stencil, the registry's `raster_field` 'curv' half). Zero padding
+    outside the input tile set, consistent with the whole focal family.
+
+    Reference provenance: the reference (osm-history-analysis) has no
+    raster surface; this completes the terrain-derivative family
+    (Horn slope/aspect/hillshade + gdaldem TRI/TPI/roughness + ZT
+    curvature) of SURVEY.md's raster additions."""
+    from engine.focal import _halo_apply, focal_stencil
+
+    names = list(ZT_STENCILS)
+    if kernel == "scatter":
+        out = None
+        for name in names:
+            part = focal_stencil(
+                tiles, res, ZT_STENCILS[name], kernel="scatter"
+            ).select("tx", "ty", F.col("focal").alias(name))
+            out = part if out is None else out.join(part, ["tx", "ty"])
+        return out
+    if kernel != "halo":
+        raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
+
+    r = 1
+
+    def finish(halo: np.ndarray, _mask: np.ndarray) -> dict:
+        def sh(dx: int, dy: int) -> np.ndarray:
+            return halo[r + dy : r + dy + res, r + dx : r + dx + res]
+
+        zc = sh(0, 0)
+        zn, zs, ze, zw = sh(0, 1), sh(0, -1), sh(1, 0), sh(-1, 0)
+        return {
+            "zt_d": (zw + ze - 2 * zc).reshape(-1).tolist(),
+            "zt_e": (zn + zs - 2 * zc).reshape(-1).tolist(),
+            "zt_f": (-sh(-1, 1) + sh(1, 1) + sh(-1, -1) - sh(1, -1))
+            .reshape(-1).tolist(),
+            "zt_g": (ze - zw).reshape(-1).tolist(),
+            "zt_h": (zn - zs).reshape(-1).tolist(),
+        }
+
+    return _halo_apply(
+        tiles, res, r, finish,
+        fields=[(n, T.ArrayType(T.LongType())) for n in names],
+    )
+
+
+def curvature_surfaces(
+    curv: DataFrame, cellsize: float = 1.0, z_factor: float = 1.0
+) -> DataFrame:
+    """Attach per-pixel double arrays (curv_general, curv_profile,
+    curv_plan) to a curvature_numerators frame — pure Column HOFs over the
+    exact int64 arrays, no Python. ESRI/ArcGIS Curvature conventions on the
+    Zevenbergen-Thorne quadric (all values scaled x100 as ArcGIS does, so
+    a unit paraboloid reads +-200):
+
+      general = -200 * (D + E)                  > 0 convex up (ridge/peak)
+      profile = 200 * (D G^2 + E H^2 + F G H) / (G^2 + H^2)
+                                                < 0 upwardly convex along
+                                                the slope line
+      plan    = -200 * (D H^2 + E G^2 - F G H) / (G^2 + H^2)
+                                                > 0 laterally convex
+                                                (diverging contours)
+
+    profile/plan are NULL on flat pixels (G = H = 0), where the slope-line
+    decomposition is undefined; general is defined everywhere."""
+    li2 = float(z_factor) / float(cellsize) ** 2
+
+    def surf(which: int):
+        def expr(s):
+            d = s["zt_d"].cast("double") * F.lit(0.5 * li2)
+            e = s["zt_e"].cast("double") * F.lit(0.5 * li2)
+            f = s["zt_f"].cast("double") * F.lit(0.25 * li2)
+            # G, H only ever appear as degree-2 monomials (G^2, H^2, GH)
+            # over (G^2 + H^2): the 1/(2L) scale cancels, so use the raw
+            # integer numerators and fold the leftover L^2 into li2
+            g = s["zt_g"].cast("double")
+            h = s["zt_h"].cast("double")
+            den = g * g + h * h
+            if which == 0:
+                return F.lit(-200.0) * (d + e)
+            if which == 1:
+                num = F.lit(200.0) * (d * g * g + e * h * h + f * g * h)
+            else:
+                num = F.lit(-200.0) * (d * h * h + e * g * g - f * g * h)
+            return F.when(
+                (s["zt_g"] == 0) & (s["zt_h"] == 0), F.lit(None).cast("double")
+            ).otherwise(num / den)
+
+        return F.transform(
+            F.arrays_zip("zt_d", "zt_e", "zt_f", "zt_g", "zt_h"), expr
+        )
+
+    return curv.select(
+        "*",
+        surf(0).alias("curv_general"),
+        surf(1).alias("curv_profile"),
+        surf(2).alias("curv_plan"),
+    )
+
+
 def d8_flow(tiles: DataFrame, res: int) -> DataFrame:
     """D8 flow direction over the tile raster, exact int64: for every pixel,
     the steepest-DESCENT neighbor among the 8 (standard drop/distance

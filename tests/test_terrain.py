@@ -2429,3 +2429,185 @@ def test_hypsometry_closed_forms(spark):
     assert len(fo) == 1 and fo[0]["bin"] == 0 and fo[0]["hi_den"] == 0
     with pytest.raises(ValueError):
         terrain.hypsometry(df, cells, res, n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# Zevenbergen-Thorne curvature (profile / plan / general)
+# ---------------------------------------------------------------------------
+def _collect_curv(df, res):
+    out = {}
+    for r in df.collect():
+        for pix in range(res * res):
+            gx = r["tx"] * res + pix % res
+            gy = r["ty"] * res + pix // res
+            out[(gx, gy)] = tuple(
+                r[n][pix] for n in ("zt_d", "zt_e", "zt_f", "zt_g", "zt_h")
+            )
+    return out
+
+
+def _py_curv(cells):
+    """Python oracle: the five ZT numerators with zero padding (y up)."""
+    out = {}
+    for (gx, gy) in cells:
+        def z(dx, dy):
+            return cells.get((gx + dx, gy + dy), 0)
+
+        zc = z(0, 0)
+        out[(gx, gy)] = (
+            z(-1, 0) + z(1, 0) - 2 * zc,
+            z(0, 1) + z(0, -1) - 2 * zc,
+            -z(-1, 1) + z(1, 1) + z(-1, -1) - z(1, -1),
+            z(1, 0) - z(-1, 0),
+            z(0, 1) - z(0, -1),
+        )
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_curvature_numerators_oracle_parity(spark, kernel):
+    rng = random.Random(4500)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=2, density=0.6)
+    cells = {
+        (tx * res + i % res, ty * res + i // res): g[i]
+        for (tx, ty), g in tiles.items()
+        for i in range(res * res)
+    }
+    got = _collect_curv(
+        terrain.curvature_numerators(_mk_df(spark, tiles), res, kernel=kernel),
+        res,
+    )
+    assert got == _py_curv(cells)
+
+
+def test_curvature_paraboloid_closed_form(spark):
+    """z = x^2 + y^2 (a bowl, integers exactly): interior pixels have
+    zt_d = zt_e = 2, zt_f = 0, zt_g = 4x, zt_h = 4y; the ESRI-convention
+    surfaces are general = -400 (concave up), profile = +200 (upwardly
+    concave along the slope line), plan = -200 (laterally concave) at
+    every non-flat interior pixel — exact constants."""
+    res = 8
+    tiles = {
+        (tx, ty): [
+            (tx * res + i % res) ** 2 + (ty * res + i // res) ** 2
+            for i in range(res * res)
+        ]
+        for tx in (-1, 0) for ty in (-1, 0)
+    }
+    df = _mk_df(spark, tiles)
+    nums = terrain.curvature_numerators(df, res)
+    got = _collect_curv(nums, res)
+    for (gx, gy), (d, e, f, g, h) in got.items():
+        if -res + 1 <= gx <= res - 2 and -res + 1 <= gy <= res - 2:
+            assert (d, e, f, g, h) == (2, 2, 0, 4 * gx, 4 * gy), (gx, gy)
+    surf = terrain.curvature_surfaces(nums).collect()
+    for r in surf:
+        for pix in range(res * res):
+            gx = r["tx"] * res + pix % res
+            gy = r["ty"] * res + pix // res
+            if not (-res + 1 <= gx <= res - 2 and -res + 1 <= gy <= res - 2):
+                continue
+            assert r["curv_general"][pix] == -400.0, (gx, gy)
+            if (gx, gy) == (0, 0):
+                assert r["curv_profile"][pix] is None
+                assert r["curv_plan"][pix] is None
+            else:
+                assert abs(r["curv_profile"][pix] - 200.0) < 1e-9
+                assert abs(r["curv_plan"][pix] + 200.0) < 1e-9
+
+
+def test_curvature_cylinder_and_flat(spark):
+    """z = x^2 (a parabolic trough): contours are straight lines, so
+    plan = 0 exactly; profile = 200, general = -200. A constant raster:
+    general = 0 everywhere, profile/plan NULL (flat pixels)."""
+    res = 8
+    tiles = {
+        (tx, 0): [(tx * res + i % res) ** 2 for i in range(res * res)]
+        for tx in (-1, 0)
+    }
+    df = _mk_df(spark, tiles)
+    surf = terrain.curvature_surfaces(
+        terrain.curvature_numerators(df, res)
+    ).collect()
+    for r in surf:
+        for pix in range(res * res):
+            gx = r["tx"] * res + pix % res
+            gy = r["ty"] * res + pix // res
+            if not (-res + 1 <= gx <= res - 2 and 1 <= gy <= res - 2):
+                continue
+            assert r["curv_general"][pix] == -200.0
+            if gx == 0:
+                assert r["curv_profile"][pix] is None
+            else:
+                assert abs(r["curv_profile"][pix] - 200.0) < 1e-9
+                assert abs(r["curv_plan"][pix]) < 1e-9
+    flat = {(0, 0): [9] * (res * res)}
+    fs = terrain.curvature_surfaces(
+        terrain.curvature_numerators(_mk_df(spark, flat), res)
+    ).collect()[0]
+    for pix in range(res * res):
+        gx, gy = pix % res, pix // res
+        if 1 <= gx <= res - 2 and 1 <= gy <= res - 2:
+            assert fs["curv_general"][pix] == 0.0
+            assert fs["curv_profile"][pix] is None
+            assert fs["curv_plan"][pix] is None
+
+
+def test_curvature_zfactor_cellsize_scaling(spark):
+    """general scales by z_factor / cellsize^2; profile/plan likewise (the
+    G/H quadratic ratio is scale-free)."""
+    res = 8
+    rng = random.Random(4501)
+    tiles = _rand_tiles(rng, res, 3, span=1, density=0.9)
+    nums = terrain.curvature_numerators(_mk_df(spark, tiles), res)
+    base = terrain.curvature_surfaces(nums).collect()
+    scaled = terrain.curvature_surfaces(
+        nums, cellsize=2.0, z_factor=3.0
+    ).collect()
+    k = 3.0 / 4.0
+    bm = {(r["tx"], r["ty"]): r for r in base}
+    for r in scaled:
+        b = bm[(r["tx"], r["ty"])]
+        for pix in range(res * res):
+            for col in ("curv_general", "curv_profile", "curv_plan"):
+                x, y = b[col][pix], r[col][pix]
+                assert (x is None) == (y is None)
+                if x is not None:
+                    assert abs(y - k * x) <= 1e-9 * max(1.0, abs(x))
+
+
+def test_curvature_duckdb_twin(spark):
+    """Halo kernel vs five focal_stencil_sql scatter passes in DuckDB —
+    the registry 'curv' half's derivation, exact-int equality."""
+    import duckdb
+
+    from engine.focal import focal_stencil_sql
+
+    rng = random.Random(4502)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.7)
+    got = _collect_curv(
+        terrain.curvature_numerators(_mk_df(spark, tiles), res), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    want = {}
+    per = {}
+    for name, w in terrain.ZT_STENCILS.items():
+        per[name] = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                f"SELECT tx, ty, focal FROM ({focal_stencil_sql('tiles', res, w)}) q"
+            ).fetchall()
+        }
+    names = list(terrain.ZT_STENCILS)
+    for key in per["zt_d"]:
+        tx, ty = key
+        for pix in range(res * res):
+            want[(tx * res + pix % res, ty * res + pix // res)] = tuple(
+                per[n][key][pix] for n in names
+            )
+    assert got == want
