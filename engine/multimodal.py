@@ -773,3 +773,84 @@ def image_equalize(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=AFFINE_SCHEMA
     )
+
+
+def np_template_ssd(pixels: np.ndarray, template: np.ndarray) -> np.ndarray | None:
+    """EXACT integer sum-of-squared-differences template-match map: out[y, x] =
+    sum over the template window at (x, y) of (I - T)^2, summed across RGB —
+    all int64, no floats (uint8 inputs bound the total at
+    3 * 65025 * template_area, far inside int64). Decomposed as
+    sum I^2 (integral image over windows) - 2 * cross-correlation (one
+    vectorized shift-accumulate per template pixel, O(template_area) passes
+    over the output lattice) + sum T^2 (a constant). None when the template
+    does not fit. The arg-min convention downstream is (ssd, y, x)
+    lexicographic — row-major np.argmin's first-occurrence rule, exactly."""
+    I = pixels.astype(np.int64)
+    T = template.astype(np.int64)
+    th, tw = T.shape[:2]
+    h, w = I.shape[:2]
+    oh, ow = h - th + 1, w - tw + 1
+    if oh <= 0 or ow <= 0:
+        return None
+    i2 = (I * I).sum(axis=2)
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = i2.cumsum(0).cumsum(1)
+    win_i2 = ii[th:, tw:] - ii[:-th, tw:] - ii[th:, :-tw] + ii[:-th, :-tw]
+    cross = np.zeros((oh, ow), dtype=np.int64)
+    for dy in range(th):
+        for dx in range(tw):
+            cross += (I[dy : dy + oh, dx : dx + ow, :] * T[dy, dx, :]).sum(
+                axis=2
+            )
+    return win_i2 - 2 * cross + int((T * T).sum())
+
+
+TEMPLATE_SCHEMA = (
+    "image_id string, best_x int, best_y int, ssd long, n_pos long, "
+    "error string"
+)
+
+
+def template_match(df: DataFrame, template: np.ndarray) -> DataFrame:
+    """Find the best placement of a small RGB template inside every image:
+    per image the (best_x, best_y) minimizing the EXACT integer SSD (ties by
+    smallest y then x — np_template_ssd's deterministic argmin), the minimal
+    ssd itself, and the number of candidate positions. The template is a
+    driver-side (th, tw, 3) uint8-ranged array, broadcast by closure — the
+    GEMM-guard discipline: one small constant operand, never a joined side.
+    Images the template does not fit in (or that fail to decode) surface a
+    per-row error instead of failing the batch. Input needs (image_id,
+    bytes, w, h, fmt)."""
+    T = np.ascontiguousarray(np.asarray(template, dtype=np.int64))
+    if T.ndim != 3 or T.shape[2] != 3 or T.shape[0] < 1 or T.shape[1] < 1:
+        raise ValueError(
+            f"template must be (th, tw, 3), got {T.shape}"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, None, None, None, err))
+                    continue
+                ssd = np_template_ssd(px, T)
+                if ssd is None:
+                    out.append((
+                        row.image_id, None, None, None, None,
+                        "template larger than image",
+                    ))
+                    continue
+                flat = int(np.argmin(ssd))
+                oh, ow = ssd.shape
+                out.append((
+                    row.image_id, flat % ow, flat // ow,
+                    int(ssd.reshape(-1)[flat]), oh * ow, None,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "best_x", "best_y", "ssd", "n_pos", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=TEMPLATE_SCHEMA
+    )

@@ -456,3 +456,83 @@ def test_augmentation_error_isolation(spark):
     ):
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# template matching (exact integer SSD)
+# ---------------------------------------------------------------------------
+def _py_ssd_best(px, T):
+    """Brute-force oracle: direct O(positions x area) loops, (ssd, y, x)
+    lexicographic argmin."""
+    import numpy as np
+
+    I = px.astype(np.int64)
+    th, tw = T.shape[:2]
+    oh, ow = I.shape[0] - th + 1, I.shape[1] - tw + 1
+    best = None
+    for y in range(oh):
+        for x in range(ow):
+            s = int(((I[y:y + th, x:x + tw] - T) ** 2).sum())
+            if best is None or s < best[0]:
+                best = (s, y, x)
+    return best, oh * ow
+
+
+def test_template_match_oracle_and_planted(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    rng = np.random.default_rng(77)
+    T = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    rows, want = [], {}
+    for i in range(6):
+        h, w = int(rng.integers(12, 24)), int(rng.integers(12, 24))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 2 == 0:  # plant an exact copy at a known offset
+            py0, px0 = int(rng.integers(0, h - 5)), int(rng.integers(0, w - 4))
+            px[py0:py0 + 5, px0:px0 + 4] = T
+        fmt = "png" if i % 3 == 0 else "raw"
+        data = (
+            image_codec.encode_png(px) if fmt == "png"
+            else image_codec.encode_raw(px)
+        )
+        rows.append((f"im{i}", data, w, h, fmt))
+        want[f"im{i}"] = _py_ssd_best(px, T.astype(np.int64))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in multimodal.template_match(df, T).collect()}
+    assert len(got) == 6
+    for k, ((ssd, by, bx), n_pos) in want.items():
+        r = got[k]
+        assert r["error"] is None
+        assert (r["ssd"], r["best_y"], r["best_x"]) == (ssd, by, bx), k
+        assert r["n_pos"] == n_pos
+        if int(k[2:]) % 2 == 0:
+            assert r["ssd"] == 0  # the planted copy is an exact match
+
+
+def test_template_match_tie_break_and_errors(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    T = np.full((3, 3, 3), 9, dtype=np.uint8)
+    const = np.full((8, 8, 3), 9, dtype=np.uint8)
+    rows = [
+        ("flat", image_codec.encode_raw(const), 8, 8, "raw"),
+        ("tiny", image_codec.encode_raw(const[:2, :2]), 2, 2, "raw"),
+        ("bad", b"\x00\x01", 8, 8, "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in multimodal.template_match(df, T).collect()}
+    # all-tie surface -> first row-major position wins deterministically
+    assert (got["flat"]["best_x"], got["flat"]["best_y"], got["flat"]["ssd"]) \
+        == (0, 0, 0)
+    assert got["tiny"]["error"] == "template larger than image"
+    assert got["bad"]["error"] is not None and got["bad"]["best_x"] is None
+    with pytest.raises(ValueError):
+        multimodal.template_match(df, np.zeros((4, 4), dtype=np.uint8))
