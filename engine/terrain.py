@@ -367,6 +367,248 @@ def curvature_surfaces(
     )
 
 
+def tpi_at(
+    tiles: DataFrame, res: int, radius: int, kernel: str = "halo"
+) -> DataFrame:
+    """Multi-radius Topographic Position Index: (tx, ty, tpi_num, tpi_den)
+    where per pixel tpi_num = cnt * z - sum(z_n) over the PRESENT cells of
+    the (2*radius+1)^2 window excluding the center, tpi_den = cnt — the
+    radius-generalized exact-int64 form of surface_products' TPI (identical
+    at radius 1, asserted in tests). kernel='halo': one strip-exchange pass,
+    both window sums via integral images (O(pad^2) for any radius);
+    kernel='scatter': two Column-only focal_sum scatter passes (values +
+    an all-ones presence raster) joined on the tile key — the oracle-twin
+    shape. TPI's scale dependence is the point: small radii see channels
+    and ridgelines, large radii see valleys and massifs; landform_classes
+    combines two radii into the Weiss position classes."""
+    from engine.focal import _box_sums, _halo_apply, focal_sum
+
+    if kernel == "scatter":
+        zs = focal_sum(tiles, res, radius, kernel="scatter").select(
+            "tx", "ty", F.col("focal").alias("_zsum")
+        )
+        ones = tiles.select(
+            "tx", "ty",
+            F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+        )
+        cs = focal_sum(ones, res, radius, kernel="scatter").select(
+            "tx", "ty", F.col("focal").alias("_csum")
+        )
+        j = tiles.join(zs, ["tx", "ty"]).join(cs, ["tx", "ty"])
+        z3 = F.arrays_zip("counts", "_zsum", "_csum")
+        return j.select(
+            "tx", "ty",
+            F.transform(
+                z3,
+                lambda s: (s["_csum"] - 1) * s["counts"]
+                - (s["_zsum"] - s["counts"]),
+            ).alias("tpi_num"),
+            F.transform(z3, lambda s: s["_csum"] - 1).alias("tpi_den"),
+        )
+    if kernel != "halo":
+        raise ValueError(f"kernel must be 'halo' or 'scatter', got {kernel!r}")
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+        zc = halo[radius : radius + res, radius : radius + res]
+        zsum = _box_sums(halo, res, radius) - zc
+        cnt = _box_sums(mask, res, radius) - 1
+        return {
+            "tpi_num": (cnt * zc - zsum).reshape(-1).tolist(),
+            "tpi_den": cnt.reshape(-1).tolist(),
+        }
+
+    return _halo_apply(
+        tiles, res, radius, finish,
+        fields=[
+            ("tpi_num", T.ArrayType(T.LongType())),
+            ("tpi_den", T.ArrayType(T.LongType())),
+        ],
+    )
+
+
+def _fdiv(a: Column, b: Column) -> Column:
+    """Exact int64 FLOOR division (pmod keeps the remainder nonnegative, so
+    the quotient floors toward -inf for negative numerators — the engine's
+    standard no-raw-double division, engine.trajectory.kinematics)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def landform_classes(
+    tiles: DataFrame,
+    res: int,
+    r_small: int = 1,
+    r_large: int = 3,
+    thresh_small_e3: int = 1000,
+    thresh_large_e3: int = 1000,
+    flat_num2: int = 64,
+) -> DataFrame:
+    """Weiss (2001) slope-position landform classification from TPI at two
+    scales — ALL integer comparisons, no float enters any decision:
+
+      t_e3 = floor(1000 * tpi_num / tpi_den)   (exact int64 floor division)
+      low / mid / high per scale: t_e3 <= -thresh | between | >= thresh
+      flat: dzdx8^2 + dzdy8^2 <= flat_num2 (Horn numerators, exact squares
+      — flat_num2 is the squared threshold in 8*cellsize-scaled z units)
+
+      class: 1 canyon (low, low)      2 midslope drainage (low, mid)
+             3 upland drainage (low, high)   4 U-valley (mid, low)
+             5 plains (mid, mid, flat)       6 open slope (mid, mid, steep)
+             7 upper slope (mid, high)       8 valley-local ridge (high, low)
+             9 midslope ridge (high, mid)   10 mountain top (high, high)
+
+    Weiss standardizes TPI to SD units and cuts at +-1 SD; the exact-engine
+    form takes the cut points as INTEGER e3-scaled mean-TPI thresholds (the
+    caller computes +-1 SD once if they want the classic calibration) so the
+    classification is bit-deterministic and SQL-twin-able. Three halo passes
+    (two TPI radii + the Horn gradients) joined on the tile key; per-pixel
+    output (tx, ty, landform: array<long> 1..10)."""
+    if r_small >= r_large:
+        raise ValueError(
+            f"need r_small < r_large, got {r_small} >= {r_large}"
+        )
+    small = tpi_at(tiles, res, r_small).select(
+        "tx", "ty",
+        F.col("tpi_num").alias("sn"), F.col("tpi_den").alias("sd"),
+    )
+    large = tpi_at(tiles, res, r_large).select(
+        "tx", "ty",
+        F.col("tpi_num").alias("ln"), F.col("tpi_den").alias("ld"),
+    )
+    grads = terrain_gradients(tiles, res)
+    j = small.join(large, ["tx", "ty"]).join(grads, ["tx", "ty"])
+
+    def cls(s):
+        ts = _fdiv(F.lit(1000) * s["sn"], s["sd"])
+        tl = _fdiv(F.lit(1000) * s["ln"], s["ld"])
+        lo_s = ts <= -thresh_small_e3
+        hi_s = ts >= thresh_small_e3
+        lo_l = tl <= -thresh_large_e3
+        hi_l = tl >= thresh_large_e3
+        mid_l = ~lo_l & ~hi_l
+        flat = (
+            s["dzdx8"] * s["dzdx8"] + s["dzdy8"] * s["dzdy8"]
+            <= F.lit(flat_num2)
+        )
+        return (
+            F.when(lo_s & lo_l, 1)
+            .when(lo_s & mid_l, 2)
+            .when(lo_s, 3)
+            .when(hi_s & lo_l, 8)
+            .when(hi_s & mid_l, 9)
+            .when(hi_s, 10)
+            .when(lo_l, 4)
+            .when(hi_l, 7)
+            .when(flat, 5)
+            .otherwise(6)
+            .cast("long")
+        )
+
+    return j.select(
+        "tx", "ty",
+        F.transform(
+            F.arrays_zip("sn", "sd", "ln", "ld", "dzdx8", "dzdy8"), cls
+        ).alias("landform"),
+    )
+
+
+def landform_classes_sql(
+    tiles_table: str,
+    res: int,
+    r_small: int = 1,
+    r_large: int = 3,
+    thresh_small_e3: int = 1000,
+    thresh_large_e3: int = 1000,
+    flat_num2: int = 64,
+) -> str:
+    """DuckDB twin of landform_classes, exploded to (gx, gy, landform):
+    an INDEPENDENT derivation — per-pixel neighbor aggregation over explicit
+    offset ranges (no integral images, no stencil scatter), the same exact
+    integer floor divisions and decision table."""
+    def tpi_cte(name, r):
+        return f"""
+        {name} AS (
+          SELECT c.gx, c.gy,
+                 COUNT(t.z)::BIGINT * MIN(c.z) - COALESCE(SUM(t.z), 0)::BIGINT
+                   AS num,
+                 COUNT(t.z)::BIGINT AS den
+          FROM spcells c
+          LEFT JOIN spoffs{r} o ON TRUE
+          LEFT JOIN spcells t
+            ON t.gx = c.gx + o.dx AND t.gy = c.gy + o.dy
+          GROUP BY c.gx, c.gy
+        )"""
+
+    def offs(r):
+        rows = ", ".join(
+            f"({dx}, {dy})"
+            for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+            if not (dx == 0 and dy == 0)
+        )
+        return f"spoffs{r}(dx, dy) AS (SELECT * FROM (VALUES {rows}))"
+
+    horn = """
+        sphorn AS (
+          SELECT c.gx, c.gy,
+                 COALESCE(SUM(CASE WHEN o.dx = 1 THEN o.w * t.z
+                          WHEN o.dx = -1 THEN -o.w * t.z ELSE 0 END), 0)
+                   ::BIGINT AS gx8,
+                 COALESCE(SUM(CASE WHEN o.dy = 1 THEN o.w * t.z
+                          WHEN o.dy = -1 THEN -o.w * t.z ELSE 0 END), 0)
+                   ::BIGINT AS gy8
+          FROM spcells c
+          LEFT JOIN spoffs1w o ON TRUE
+          LEFT JOIN spcells t
+            ON t.gx = c.gx + o.dx AND t.gy = c.gy + o.dy
+          GROUP BY c.gx, c.gy
+        )"""
+    # Horn weights as |dx| row weights: corner 1, edge 2 — encode via a
+    # weights column on the radius-1 offsets
+    offs1w = """
+        spoffs1w(dx, dy, w) AS (SELECT * FROM (VALUES
+          (-1, -1, 1), (0, -1, 2), (1, -1, 1),
+          (-1, 0, 2), (1, 0, 2),
+          (-1, 1, 1), (0, 1, 2), (1, 1, 1)))"""
+    fdiv = (
+        lambda a, b: f"CAST(({a} - ((({a}) % ({b})) + ({b})) % ({b}))"
+        f" / ({b}) AS BIGINT)"
+    )
+    ts = fdiv("1000 * s.num", "s.den")
+    tl = fdiv("1000 * l.num", "l.den")
+    off_ctes = [offs1w, offs(r_small), offs(r_large)]
+    return f"""
+        WITH spcells AS MATERIALIZED (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS z
+          FROM {tiles_table}, range(0, {res * res}) t(i)
+        ),
+        {','.join(off_ctes)},
+        {tpi_cte('sps', r_small)},
+        {tpi_cte('spl', r_large)},
+        {horn}
+        SELECT s.gx, s.gy,
+          CASE
+            WHEN {ts} <= -{thresh_small_e3} AND {tl} <= -{thresh_large_e3}
+              THEN 1
+            WHEN {ts} <= -{thresh_small_e3}
+             AND {tl} < {thresh_large_e3} THEN 2
+            WHEN {ts} <= -{thresh_small_e3} THEN 3
+            WHEN {ts} >= {thresh_small_e3} AND {tl} <= -{thresh_large_e3}
+              THEN 8
+            WHEN {ts} >= {thresh_small_e3}
+             AND {tl} < {thresh_large_e3} THEN 9
+            WHEN {ts} >= {thresh_small_e3} THEN 10
+            WHEN {tl} <= -{thresh_large_e3} THEN 4
+            WHEN {tl} >= {thresh_large_e3} THEN 7
+            WHEN h.gx8 * h.gx8 + h.gy8 * h.gy8 <= {flat_num2} THEN 5
+            ELSE 6
+          END::BIGINT AS landform
+        FROM sps s
+        JOIN spl l ON l.gx = s.gx AND l.gy = s.gy
+        JOIN sphorn h ON h.gx = s.gx AND h.gy = s.gy
+    """
+
+
 def d8_flow(tiles: DataFrame, res: int) -> DataFrame:
     """D8 flow direction over the tile raster, exact int64: for every pixel,
     the steepest-DESCENT neighbor among the 8 (standard drop/distance

@@ -2611,3 +2611,171 @@ def test_curvature_duckdb_twin(spark):
                 per[n][key][pix] for n in names
             )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-radius TPI + Weiss landform classification
+# ---------------------------------------------------------------------------
+def _py_tpi(cells, radius):
+    out = {}
+    for (gx, gy), z in cells.items():
+        s = cnt = 0
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                zn = cells.get((gx + dx, gy + dy))
+                if zn is not None:
+                    s += zn
+                    cnt += 1
+        out[(gx, gy)] = (cnt * z - s, cnt)
+    return out
+
+
+def _cells_of_tiles(tiles, res):
+    return {
+        (tx * res + i % res, ty * res + i // res): g[i]
+        for (tx, ty), g in tiles.items()
+        for i in range(res * res)
+    }
+
+
+@pytest.mark.parametrize("kernel", ["halo", "scatter"])
+def test_tpi_at_radius2_oracle(spark, kernel):
+    rng = random.Random(4600)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.7)
+    got = {}
+    for r in terrain.tpi_at(_mk_df(spark, tiles), res, 2, kernel=kernel).collect():
+        for pix in range(res * res):
+            got[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = (
+                r["tpi_num"][pix], r["tpi_den"][pix]
+            )
+    assert got == _py_tpi(_cells_of_tiles(tiles, res), 2)
+
+
+def test_tpi_at_radius1_equals_surface_products(spark):
+    rng = random.Random(4601)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.8)
+    df = _mk_df(spark, tiles)
+    a = {
+        (r["tx"], r["ty"]): (list(r["tpi_num"]), list(r["tpi_den"]))
+        for r in terrain.tpi_at(df, res, 1).collect()
+    }
+    b = {
+        (r["tx"], r["ty"]): (list(r["tpi_num"]), list(r["tpi_den"]))
+        for r in terrain.surface_products(df, res).collect()
+    }
+    assert a == b
+
+
+def _py_landform(cells, r_small, r_large, ts_thr, tl_thr, flat2):
+    ts_map = _py_tpi(cells, r_small)
+    tl_map = _py_tpi(cells, r_large)
+    out = {}
+    for (gx, gy), z in cells.items():
+        def zz(dx, dy):
+            return cells.get((gx + dx, gy + dy), 0)
+
+        gx8 = (zz(1, -1) + 2 * zz(1, 0) + zz(1, 1)
+               - zz(-1, -1) - 2 * zz(-1, 0) - zz(-1, 1))
+        gy8 = (zz(-1, 1) + 2 * zz(0, 1) + zz(1, 1)
+               - zz(-1, -1) - 2 * zz(0, -1) - zz(1, -1))
+        sn, sd = ts_map[(gx, gy)]
+        ln, ld = tl_map[(gx, gy)]
+        ts = (1000 * sn) // sd
+        tl = (1000 * ln) // ld
+        lo_s, hi_s = ts <= -ts_thr, ts >= ts_thr
+        lo_l, hi_l = tl <= -tl_thr, tl >= tl_thr
+        flat = gx8 * gx8 + gy8 * gy8 <= flat2
+        if lo_s:
+            c = 1 if lo_l else (3 if hi_l else 2)
+        elif hi_s:
+            c = 8 if lo_l else (10 if hi_l else 9)
+        elif lo_l:
+            c = 4
+        elif hi_l:
+            c = 7
+        else:
+            c = 5 if flat else 6
+        out[(gx, gy)] = c
+    return out
+
+
+def test_landform_classes_oracle_and_twin(spark):
+    """Random ragged tiles: Spark == python decision-table oracle == the
+    independent DuckDB neighbor-join twin, every pixel."""
+    import duckdb
+
+    rng = random.Random(4602)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.7)
+    args = dict(r_small=1, r_large=2, thresh_small_e3=500,
+                thresh_large_e3=700, flat_num2=1000)
+    got = {}
+    out = terrain.landform_classes(
+        _mk_df(spark, tiles), res,
+        args["r_small"], args["r_large"],
+        args["thresh_small_e3"], args["thresh_large_e3"], args["flat_num2"],
+    ).collect()
+    for r in out:
+        for pix in range(res * res):
+            got[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = \
+                r["landform"][pix]
+    want = _py_landform(
+        _cells_of_tiles(tiles, res), args["r_small"], args["r_large"],
+        args["thresh_small_e3"], args["thresh_large_e3"], args["flat_num2"],
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiles (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO tiles VALUES (?, ?, ?)", [tx, ty, g])
+    sql = terrain.landform_classes_sql(
+        "tiles", res, args["r_small"], args["r_large"],
+        args["thresh_small_e3"], args["thresh_large_e3"], args["flat_num2"],
+    )
+    twin = {(gx, gy): c for gx, gy, c in con.execute(sql).fetchall()}
+    assert twin == want
+
+
+def test_landform_valley_ridge_closed_form(spark):
+    """z = 50*|x - 11.5| rounded to ints on a 24-px strip: the valley floor
+    classifies as canyon (1), the steep flanks as open slopes (6), and a
+    constant raster as plains (5) everywhere."""
+    res = 8
+    def zf(gx):
+        return 50 * abs(2 * gx - 23)  # 100*|x-11.5|, integer
+
+    tiles = {
+        (tx, 0): [zf(tx * res + i % res) for i in range(res * res)]
+        for tx in (0, 1, 2)
+    }
+    out = terrain.landform_classes(
+        _mk_df(spark, tiles), res, r_small=1, r_large=2,
+        thresh_small_e3=10000, thresh_large_e3=10000, flat_num2=100,
+    ).collect()
+    cls = {}
+    for r in out:
+        for pix in range(res * res):
+            cls[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = \
+                r["landform"][pix]
+    # valley floor (gx 11, 12 are the two minimum columns), interior rows
+    for gy in range(2, res - 2):
+        assert cls[(11, gy)] == 1 and cls[(12, gy)] == 1
+        # mid-flank pixels: straight steep slope -> open slope
+        assert cls[(6, gy)] == 6 and cls[(17, gy)] == 6
+    flat = {(0, 0): [7] * (res * res)}
+    fo = terrain.landform_classes(
+        _mk_df(spark, flat), res, r_small=1, r_large=2,
+        thresh_small_e3=1000, thresh_large_e3=1000, flat_num2=0,
+    ).collect()[0]
+    # interior pixels of a constant raster are plains; border pixels see the
+    # zero-padded outside (Horn gradients nonzero there), so are excluded
+    for pix, c in enumerate(fo["landform"]):
+        gx, gy = pix % res, pix // res
+        if 1 <= gx <= res - 2 and 1 <= gy <= res - 2:
+            assert c == 5, (gx, gy)
+    with pytest.raises(ValueError):
+        terrain.landform_classes(_mk_df(spark, flat), res, 2, 2)
