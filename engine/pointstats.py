@@ -332,3 +332,263 @@ def ripleys_k_sql(
                  / (nn.n * (nn.n - 1.0))) / {repr(math.pi)}) AS l_hat
         FROM cum, nn ORDER BY r
     """
+
+
+def nn_distances(
+    points: DataFrame,
+    nn_radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-point nearest-neighbor SQUARED distance (id, nn_d2), exact for
+    every point: the blocked lag_pairs self-join at cell = nn_radius finds
+    each point's NN when it lies within nn_radius (the overwhelmingly
+    common case at any sane radius — a few expected NN spacings); the
+    RESIDUE (points whose nearest neighbor is farther than nn_radius) is
+    resolved by a quarantined brute-force join against the full point set
+    — bounded because it IS the residue, the knn_join straggler
+    discipline. Coincident distinct points give nn_d2 = 0."""
+    pts = points.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    )
+    pairs = lag_pairs(points, nn_radius, id_col=id_col, x_col=x_col, y_col=y_col)
+    sym = pairs.select(F.col("_ida").alias("_id"), "d2").unionByName(
+        pairs.select(F.col("_idb").alias("_id"), "d2")
+    )
+    near = sym.groupBy("_id").agg(F.min("d2").alias("nn_d2"))
+    residue = pts.join(near, "_id", "left_anti")
+    # the residue is the bounded side — broadcast it so the full point set
+    # streams through the nested-loop min without shuffling
+    res_nn = (
+        F.broadcast(
+            residue.select(
+                F.col("_id").alias("_rid"),
+                F.col("_px").alias("_rx"), F.col("_py").alias("_ry"),
+            )
+        )
+        .crossJoin(pts)
+        .filter(F.col("_id") != F.col("_rid"))
+        .groupBy(F.col("_rid").alias("_id"))
+        .agg(
+            F.min(
+                (F.col("_rx") - F.col("_px")) * (F.col("_rx") - F.col("_px"))
+                + (F.col("_ry") - F.col("_py")) * (F.col("_ry") - F.col("_py"))
+            ).alias("nn_d2")
+        )
+    )
+    return near.unionByName(res_nn).select(F.col("_id").alias("id"), "nn_d2")
+
+
+def clark_evans(
+    points: DataFrame,
+    area: float,
+    nn_radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index over a study window of the given
+    area — ONE summary row:
+
+        n, sum_nnd_e6 = sum over points of floor(1e6 * sqrt(nn_d2))
+        r_index = mean_nn / (0.5 * sqrt(area / n))      1 = CSR,
+                                  -> 0 clustered, -> 2.149 lattice-regular
+        z = (mean_nn - expected) / (0.26136 * sqrt(area) / n)
+
+    The observed mean rides the house float discipline: per-point FLOOR-
+    scaled int64 NN distances summed exactly, the mean and the index one
+    fixed double graph on top (bit-equal with clark_evans_sql's brute-force
+    twin in pytest). The naive (no edge-correction) estimator, like
+    ripleys_k; nn_radius bounds the blocked join, the residue brute-forces
+    (nn_distances)."""
+    if area <= 0:
+        raise ValueError("area must be > 0")
+    nn = nn_distances(
+        points, nn_radius, id_col=id_col, x_col=x_col, y_col=y_col
+    )
+    agg = nn.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.sqrt(F.col("nn_d2")) * F.lit(1000000.0)).cast("long")
+        ).alias("sum_nnd_e6"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_nn = F.col("sum_nnd_e6").cast("double") / F.lit(1e6) / n_d
+    expected = F.lit(0.5) * F.sqrt(F.lit(float(area)) / n_d)
+    se = F.lit(0.26136) * F.sqrt(F.lit(float(area))) / n_d
+    return agg.select(
+        "n", "sum_nnd_e6",
+        (mean_nn / expected).alias("r_index"),
+        ((mean_nn - expected) / se).alias("z"),
+    )
+
+
+def clark_evans_sql(
+    points_table: str,
+    area: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of clark_evans: per-point NN via a brute-force O(n^2)
+    min (no radius, no blocking — an independent derivation), then the
+    identical e6 floors and double graph."""
+    a = repr(float(area))
+    return f"""
+        WITH p AS (
+          SELECT CAST({id_col} AS BIGINT) AS id,
+                 CAST({x_col} AS DOUBLE) AS x,
+                 CAST({y_col} AS DOUBLE) AS y
+          FROM {points_table}
+        ), nnd AS (
+          SELECT a.id,
+                 MIN((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y)) AS nn_d2
+          FROM p a JOIN p b ON a.id <> b.id
+          GROUP BY a.id
+        ), s AS (
+          SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(FLOOR(SQRT(nn_d2) * 1000000.0) AS BIGINT))::BIGINT
+                   AS sum_nnd_e6
+          FROM nnd
+        )
+        SELECT n, sum_nnd_e6,
+               (CAST(sum_nnd_e6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                 / (0.5 * SQRT({a} / CAST(n AS DOUBLE))) AS r_index,
+               ((CAST(sum_nnd_e6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                  - 0.5 * SQRT({a} / CAST(n AS DOUBLE)))
+                 / (0.26136 * SQRT({a}) / CAST(n AS DOUBLE)) AS z
+        FROM s
+    """
+
+
+def quadrat_counts(
+    points: DataFrame,
+    x0: float,
+    y0: float,
+    width: float,
+    height: float,
+    nx: int,
+    ny: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Quadrat-count dispersion test: the [x0, x0+width) x [y0, y0+height)
+    study window split into nx * ny equal quadrats (half-open cells; points
+    outside the window are DROPPED and reported), each point binned by pure
+    Column floor math, one map-side-combined hash agg — then ONE summary
+    row of exact integer moments plus the classic statistics on a fixed
+    double graph:
+
+        n_quadrats, n_points, n_outside, sum_sq (= sum of c_q^2 over the
+        nx*ny quadrats, empties included — derived exactly from the
+        nonempty counts), vmr = s^2 / mean (index of dispersion; 1 = CSR,
+        > 1 clustered, < 1 regular), chi2 = (Q - 1) * vmr.
+
+    s^2 is the POPULATION variance over all Q quadrats: (sum_sq - n^2/Q)/Q
+    — everything before the final division is integer-exact, so the twin
+    (quadrat_counts_sql) matches bit for bit."""
+    if nx < 1 or ny < 1:
+        raise ValueError("need nx, ny >= 1")
+    if width <= 0 or height <= 0:
+        raise ValueError("window must have positive extent")
+    wx = float(width) / nx
+    wy = float(height) / ny
+    px = F.col(x_col).cast("double")
+    py = F.col(y_col).cast("double")
+    inside = (
+        (px >= x0) & (px < x0 + width) & (py >= y0) & (py < y0 + height)
+    )
+    qx = F.floor((px - F.lit(float(x0))) / F.lit(wx)).cast("long")
+    qy = F.floor((py - F.lit(float(y0))) / F.lit(wy)).cast("long")
+    tagged = points.select(
+        inside.alias("_in"),
+        F.when(inside, F.least(qx, F.lit(nx - 1))).alias("_qx"),
+        F.when(inside, F.least(qy, F.lit(ny - 1))).alias("_qy"),
+    )
+    per_q = (
+        tagged.filter("_in")
+        .groupBy("_qx", "_qy")
+        .agg(F.count("*").alias("c"))
+    )
+    outside = tagged.filter(~F.col("_in")).agg(
+        F.count("*").alias("n_outside")
+    )
+    q_tot = nx * ny
+    s = per_q.agg(
+        F.sum("c").alias("n_points"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    n_d = F.col("n_points").cast("double")
+    mean = n_d / F.lit(float(q_tot))
+    var = (
+        F.col("sum_sq").cast("double") - n_d * n_d / F.lit(float(q_tot))
+    ) / F.lit(float(q_tot))
+    return s.crossJoin(outside).select(
+        F.lit(q_tot).cast("long").alias("n_quadrats"),
+        F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        F.col("n_outside").cast("long").alias("n_outside"),
+        F.coalesce(F.col("sum_sq"), F.lit(0)).alias("sum_sq"),
+        (var / mean).alias("vmr"),
+        (F.lit(float(q_tot - 1)) * var / mean).alias("chi2"),
+    )
+
+
+def quadrat_counts_sql(
+    points_table: str,
+    x0: float,
+    y0: float,
+    width: float,
+    height: float,
+    nx: int,
+    ny: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of quadrat_counts: identical half-open binning, floors
+    and double graph."""
+    wx = repr(float(width) / nx)
+    wy = repr(float(height) / ny)
+    x0r, y0r = repr(float(x0)), repr(float(y0))
+    q = nx * ny
+    return f"""
+        WITH p AS (
+          SELECT CAST({x_col} AS DOUBLE) AS x, CAST({y_col} AS DOUBLE) AS y
+          FROM {points_table}
+        ), tagged AS (
+          SELECT (x >= {x0r} AND x < {x0r} + {repr(float(width))}
+                  AND y >= {y0r} AND y < {y0r} + {repr(float(height))})
+                   AS inp,
+                 LEAST(CAST(FLOOR((x - {x0r}) / {wx}) AS BIGINT),
+                       {nx - 1}) AS qx,
+                 LEAST(CAST(FLOOR((y - {y0r}) / {wy}) AS BIGINT),
+                       {ny - 1}) AS qy
+          FROM p
+        ), per_q AS (
+          SELECT qx, qy, COUNT(*)::BIGINT AS c FROM tagged
+          WHERE inp GROUP BY qx, qy
+        ), s AS (
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_points,
+                 COALESCE(SUM(c * c), 0)::BIGINT AS sum_sq
+          FROM per_q
+        ), o AS (
+          SELECT COUNT(*)::BIGINT AS n_outside FROM tagged WHERE NOT inp
+        )
+        SELECT CAST({q} AS BIGINT) AS n_quadrats, n_points, n_outside,
+               sum_sq,
+               ((CAST(sum_sq AS DOUBLE)
+                 - CAST(n_points AS DOUBLE) * CAST(n_points AS DOUBLE)
+                   / {repr(float(q))}) / {repr(float(q))})
+                 / (CAST(n_points AS DOUBLE) / {repr(float(q))}) AS vmr,
+               {repr(float(q - 1))}
+                 * ((CAST(sum_sq AS DOUBLE)
+                     - CAST(n_points AS DOUBLE) * CAST(n_points AS DOUBLE)
+                       / {repr(float(q))}) / {repr(float(q))})
+                 / (CAST(n_points AS DOUBLE) / {repr(float(q))}) AS chi2
+        FROM s, o
+    """

@@ -195,3 +195,125 @@ def test_lag_pairs_blocking_complete_across_cells(spark):
         if (0.6 * 5.0 * (j - i)) ** 2 <= 25.0
     )
     assert got == brute == 29  # only adjacent points qualify (0.6 < 1)
+
+
+# ---------------------------------------------------------------------------
+# Clark-Evans nearest-neighbor index + quadrat-count dispersion
+# ---------------------------------------------------------------------------
+def _py_nn_e6_sum(pts):
+    tot = 0
+    for i, (ida, xa, ya, _v) in enumerate(pts):
+        best = None
+        for j, (idb, xb, yb, _w) in enumerate(pts):
+            if ida == idb:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if best is None or d2 < best:
+                best = d2
+        tot += math.floor(math.sqrt(best) * 1e6)
+    return tot
+
+
+def test_clark_evans_oracle_and_twin(spark):
+    """Blocked NN (+ residue brute force) == python brute force on the int
+    sum, and the whole summary row == the DuckDB twin bit for bit —
+    including a far-away straggler that exercises the residue path."""
+    import duckdb
+
+    rng = random.Random(91)
+    pts = _rand_points(rng, 80, span=30.0, dup_every=13)
+    pts.append((9000, 500.0, 500.0, 0))  # NN ~666 away >> nn_radius
+    df = _mk_df(spark, pts).repartition(5)
+    got = pointstats.clark_evans(df, area=900.0, nn_radius=8.0).collect()[0]
+    assert got["n"] == len(pts)
+    assert got["sum_nnd_e6"] == _py_nn_e6_sum(pts)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts_t(id BIGINT, x DOUBLE, y DOUBLE, v BIGINT)")
+    con.executemany("INSERT INTO pts_t VALUES (?, ?, ?, ?)", pts)
+    want = con.execute(
+        pointstats.clark_evans_sql("pts_t", 900.0)
+    ).fetchall()[0]
+    assert tuple(got) == want
+
+
+def test_clark_evans_lattice_vs_clustered(spark):
+    """Square lattice: every NN distance is the spacing -> R = 2 * spacing
+    * sqrt(n / area) exactly (up to the e6 floor). All-coincident pairs:
+    R = 0 exactly."""
+    s = 5.0
+    pts = [
+        (y * 10 + x, x * s, y * s, 0) for x in range(10) for y in range(10)
+    ]
+    area = (10 * s) ** 2
+    r = pointstats.clark_evans(
+        _mk_df(spark, pts), area=area, nn_radius=7.0
+    ).collect()[0]
+    n = 100
+    expect_r = (s) / (0.5 * math.sqrt(area / n))
+    assert r["r_index"] == pytest.approx(expect_r, rel=1e-6)
+    assert r["z"] > 10  # strongly regular
+    dup = [(i, 3.0, 4.0, 0) for i in range(10)]
+    r2 = pointstats.clark_evans(
+        _mk_df(spark, dup), area=100.0, nn_radius=2.0
+    ).collect()[0]
+    assert r2["r_index"] == 0.0 and r2["sum_nnd_e6"] == 0
+
+
+def _py_quadrat(pts, x0, y0, w, h, nx, ny):
+    counts = {}
+    out = 0
+    for _i, x, y, _v in pts:
+        if not (x0 <= x < x0 + w and y0 <= y < y0 + h):
+            out += 1
+            continue
+        qx = min(int((x - x0) // (w / nx)), nx - 1)
+        qy = min(int((y - y0) // (h / ny)), ny - 1)
+        counts[(qx, qy)] = counts.get((qx, qy), 0) + 1
+    n = sum(counts.values())
+    ssq = sum(c * c for c in counts.values())
+    return n, out, ssq
+
+
+def test_quadrat_counts_oracle_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(93)
+    pts = _rand_points(rng, 150, span=50.0)  # span > window: outside rows
+    df = _mk_df(spark, pts).repartition(4)
+    got = pointstats.quadrat_counts(
+        df, x0=5.0, y0=5.0, width=40.0, height=35.0, nx=4, ny=5
+    ).collect()[0]
+    n, out, ssq = _py_quadrat(pts, 5.0, 5.0, 40.0, 35.0, 4, 5)
+    assert (got["n_points"], got["n_outside"], got["sum_sq"]) == (n, out, ssq)
+    q = 20.0
+    mean = n / q
+    var = (ssq - n * n / q) / q
+    assert got["vmr"] == pytest.approx(var / mean, rel=1e-12)
+    assert got["chi2"] == pytest.approx(19.0 * var / mean, rel=1e-12)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts_t(id BIGINT, x DOUBLE, y DOUBLE, v BIGINT)")
+    con.executemany("INSERT INTO pts_t VALUES (?, ?, ?, ?)", pts)
+    want = con.execute(
+        pointstats.quadrat_counts_sql("pts_t", 5.0, 5.0, 40.0, 35.0, 4, 5)
+    ).fetchall()[0]
+    assert tuple(got) == want
+
+
+def test_quadrat_uniform_vs_clustered(spark):
+    # one point dead center of every quadrat -> variance 0 -> vmr = chi2 = 0
+    pts = [
+        (y * 4 + x, x + 0.5, y + 0.5, 0) for x in range(4) for y in range(4)
+    ]
+    r = pointstats.quadrat_counts(
+        _mk_df(spark, pts), 0.0, 0.0, 4.0, 4.0, 4, 4
+    ).collect()[0]
+    assert r["vmr"] == 0.0 and r["chi2"] == 0.0
+    # everything in one quadrat -> vmr = Q - 1... with n=16, Q=16:
+    # var = (256 - 16)/16 = 15, mean = 1 -> vmr = 15, chi2 = 225
+    clus = [(i, 0.1 + 0.01 * i, 0.1, 0) for i in range(16)]
+    r2 = pointstats.quadrat_counts(
+        _mk_df(spark, clus), 0.0, 0.0, 4.0, 4.0, 4, 4
+    ).collect()[0]
+    assert r2["vmr"] == pytest.approx(15.0) and r2["chi2"] == pytest.approx(225.0)
+    with pytest.raises(ValueError):
+        pointstats.quadrat_counts(_mk_df(spark, pts), 0, 0, 4.0, 4.0, 0, 4)
