@@ -360,6 +360,48 @@ def morph_close(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
     return erode(_rename_focal(dilate(tiles, res, radius)), res, radius)
 
 
+def _tile_diff(a: DataFrame, b: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-pixel a - b of two aligned tile rasters: one tile-key equi-join
+    + zip_with — exact int64, no UDF."""
+    return (
+        a.select("tx", "ty", F.col(a_col).alias("_a"))
+        .join(b.select("tx", "ty", F.col(b_col).alias("_b")), ["tx", "ty"])
+        .select(
+            "tx", "ty",
+            F.zip_with("_a", "_b", lambda x, y: x - y).alias("focal"),
+        )
+    )
+
+
+def morph_gradient(
+    tiles: DataFrame, res: int, radius: int = 1, pad=None
+) -> DataFrame:
+    """Morphological gradient: dilate - erode — the classic morphology edge
+    detector (0 on constant regions, the local value range on boundaries).
+    One halo pass per extremum + a tile-key equi-join; pad overrides both
+    identities symmetrically (e.g. pad=0 to treat off-raster as
+    background, making borders of the tile union read as edges)."""
+    return _tile_diff(
+        dilate(tiles, res, radius, pad=pad),
+        erode(tiles, res, radius, pad=pad),
+        "focal", "focal",
+    )
+
+
+def top_hat(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
+    """White top-hat: x - open(x) — isolates bright features thinner than
+    the window (speckles, small peaks) on a varying background. >= 0
+    everywhere by opening's anti-extensivity."""
+    return _tile_diff(tiles, morph_open(tiles, res, radius), "counts", "focal")
+
+
+def black_hat(tiles: DataFrame, res: int, radius: int = 1) -> DataFrame:
+    """Black top-hat: close(x) - x — isolates dark features narrower than
+    the window (pinholes, small pits). >= 0 everywhere by closing's
+    extensivity."""
+    return _tile_diff(morph_close(tiles, res, radius), tiles, "focal", "counts")
+
+
 def focal_mode(
     tiles: DataFrame,
     res: int,

@@ -821,3 +821,41 @@ def test_median_validation(spark):
         focal.focal_median(df, 4, radius=0)
     with pytest.raises(ValueError):
         focal.focal_median(df, 4, radius=4)
+
+
+def test_morph_gradient_tophat_blackhat(spark):
+    """gradient = dilate - erode (python-oracle parity on random tiles;
+    zero on constants away from borders with symmetric pad); white top-hat
+    isolates a bright speckle (and only it); black top-hat isolates a
+    pinhole; both are >= 0 pointwise."""
+    rng = random.Random(520)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6)
+    df = _mk_df(spark, tiles).repartition(4)
+    got = _collect(focal.morph_gradient(df, res, 1, pad=0))
+    ermax = _py_extremum(tiles, res, 1, "max", 0)
+    ermin = _py_extremum(tiles, res, 1, "min", 0)
+    want = {
+        k: [a - b for a, b in zip(ermax[k], ermin[k])] for k in tiles
+    }
+    assert got == want
+    # constant raster, symmetric pad: zero gradient in the interior, an
+    # edge response at the raster border with pad=0
+    const = {(0, 0): [5] * (res * res)}
+    cg = _collect(focal.morph_gradient(_mk_df(spark, const), res, 1, pad=0))
+    for py in range(res):
+        for px in range(res):
+            border = px in (0, res - 1) or py in (0, res - 1)
+            assert cg[(0, 0)][py * res + px] == (5 if border else 0)
+    base = [10] * (res * res)
+    base[3 * res + 4] = 2          # pinhole (dark feature)
+    speck = [0] * (res * res)
+    speck[5 * res + 2] = 9         # bright speckle
+    mdf = _mk_df(spark, {(0, 0): base, (4, 0): speck})
+    th = _collect(focal.top_hat(mdf, res, 1))
+    bh = _collect(focal.black_hat(mdf, res, 1))
+    assert th[(4, 0)][5 * res + 2] == 9
+    assert sum(th[(4, 0)]) == 9            # ONLY the speckle
+    assert bh[(0, 0)][3 * res + 4] == 8    # pinhole depth 10-2
+    assert all(v >= 0 for v in th[(0, 0)] + th[(4, 0)])
+    assert all(v >= 0 for v in bh[(0, 0)] + bh[(4, 0)])
