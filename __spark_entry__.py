@@ -997,7 +997,17 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     three focal_stencil_sql scatter passes joined on the tile key — the
     'ter' derivation pattern extended to second order; the first-
     difference numerators (zt_g, zt_h) and the float curvature layer are
-    pytest-pinned (tests/test_terrain.py curvature block)."""
+    pytest-pinned (tests/test_terrain.py curvature block).
+    tag='hor' — engine.terrain.horizon_angles over the same raster, EIGHT
+    rows per pixel: (a=gx, b=gy, c=compass direction 0..7 packed with the
+    winning step as c=dir, d=num, e=den) — the bounded-radius horizon per
+    direction as the winning sample's EXACT rational (dz, step), clamped
+    at flat sky (0,1), nearest-sample tie-break. The production fused halo
+    scan (8 directions x R steps of cross-multiplied numpy compares in one
+    strip exchange) hash-matches the twin's INDEPENDENT derivation: a
+    lateral dirs-x-steps sample join with the argmax selected by NOT
+    EXISTS cross-multiplication. The sky-view-factor float layer is
+    pytest-pinned (tests/test_terrain.py horizon block)."""
     from engine import terrain
     from engine.graph import connected_components
 
@@ -1284,6 +1294,38 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.zt_f").cast("long").alias("e"),
         )
     )
+    _hz16 = [c for i in range(8) for c in (f"h{i}_num", f"h{i}_den")]
+    hor = (
+        terrain.horizon_angles(tiles_r, res, _VIS_RADIUS)
+        .select(
+            "tx", "ty",
+            F.posexplode(F.arrays_zip(*_hz16)).alias("pix", "v"),
+        )
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("dir"),
+                            F.col(f"v.h{i}_num").cast("long").alias("num"),
+                            F.col(f"v.h{i}_den").cast("long").alias("den"),
+                        )
+                        for i in range(8)
+                    ]
+                )
+            ).alias("d"),
+        )
+        .select(
+            F.lit("hor").alias("tag"), "a", "b",
+            F.col("d.dir").alias("c"),
+            F.col("d.num").alias("d"),
+            F.col("d.den").alias("e"),
+        )
+    )
     gdal = (
         terrain.surface_products(tiles_r, res)
         .select(
@@ -1399,6 +1441,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stat).unionByName(lisa).unionByName(fil)
         .unionByName(fla).unionByName(stro).unionByName(facc)
         .unionByName(cost).unionByName(gdal).unionByName(curv)
+        .unionByName(hor)
     )
 
 
@@ -1845,6 +1888,11 @@ def raster_field_sql() -> str:
              range(0, {res * res}) t(i)
         WHERE c1.focal[i + 1] <> 0 OR c2.focal[i + 1] <> 0
            OR c3.focal[i + 1] <> 0
+        UNION ALL
+        SELECT 'hor' AS tag, hz.gx AS a, hz.gy AS b, hz.dir AS c,
+               hz.num AS d, hz.den AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_horizon_sql()}) q) hz
     """
 
 
@@ -1899,6 +1947,19 @@ def _flowacc_sql() -> str:
     return flow_accumulation_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff"
     )
+
+
+def _horizon_sql() -> str:
+    from engine.terrain import horizon_angles_sql
+
+    res = _HOTSPOT_RES
+    pixels = f"""
+        SELECT tx * {res} + i % {res} AS gx,
+               ty * {res} + i // {res} AS gy,
+               counts[i + 1] AS z
+        FROM tiles, range(0, {res * res}) t(i)
+    """
+    return horizon_angles_sql(pixels, _VIS_RADIUS)
 
 
 def _curv_sql(stencil: str) -> str:

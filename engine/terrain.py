@@ -3335,3 +3335,163 @@ def cost_allocation(
         .join(F.broadcast(spack), F.col("parent") == F.col("s_id"))
         .select("gx", "gy", "cost_dist", "src_gx", "src_gy")
     )
+
+
+# Horizon-scan directions, compass-indexed: E, NE, N, NW, W, SW, S, SE.
+# Cardinal steps have unit ground length, diagonal sqrt(2) — the factor is
+# constant within a direction so the EXACT rational horizon search below
+# never sees it; only the float SVF layer multiplies it back in.
+_HORIZON_DIRS = [
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)
+]
+
+
+def horizon_angles(
+    tiles: DataFrame, res: int, radius: int
+) -> DataFrame:
+    """Bounded-radius horizon (maximum elevation angle) per pixel in the 8
+    compass directions — the primitive under sky-view factor, topographic
+    openness and cast-shadow products (SAGA SVF / gdaldem-adjacent family).
+    For direction d, the horizon tangent is
+
+        tan(h_d) = max over steps s = 1..radius of (z_s - z_c) / (s * len_d)
+
+    over the PRESENT sample cells along the direction's lattice ray
+    (absent cells are transparent, like viewshed; negative drops clamp to
+    horizon 0 = flat sky). The max is kept EXACT as the winning sample's
+    rational pair (h{i}_num = dz, h{i}_den = s) compared by
+    cross-multiplication — no float enters the search; ties prefer the
+    NEAREST sample (smallest s), and no-positive-drop pixels emit (0, 1).
+    One radius-R halo pass, numpy shift-accumulate over 8 * R window
+    slices. sky_view_factor composes the float layer.
+
+    Reference provenance: the reference has no raster surface; this
+    extends SURVEY.md's terrain family (the viewshed LOS discipline turned
+    into a per-pixel all-directions product)."""
+    from engine.focal import _halo_apply
+
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    r = radius
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> dict:
+        zc = halo[r : r + res, r : r + res]
+        out = {}
+        for i, (dx, dy) in enumerate(_HORIZON_DIRS):
+            bn = np.zeros((res, res), dtype=np.int64)
+            bd = np.ones((res, res), dtype=np.int64)
+            for s in range(1, r + 1):
+                ox, oy = s * dx, s * dy
+                zn = halo[r + oy : r + oy + res, r + ox : r + ox + res]
+                mn = mask[r + oy : r + oy + res, r + ox : r + ox + res] > 0
+                dz = zn - zc
+                better = mn & (dz * bd > bn * s)
+                bn = np.where(better, dz, bn)
+                bd = np.where(better, s, bd)
+            out[f"h{i}_num"] = bn.reshape(-1).tolist()
+            out[f"h{i}_den"] = bd.reshape(-1).tolist()
+        return out
+
+    fields = []
+    for i in range(8):
+        fields.append((f"h{i}_num", T.ArrayType(T.LongType())))
+        fields.append((f"h{i}_den", T.ArrayType(T.LongType())))
+    return _halo_apply(tiles, res, r, finish, fields=fields)
+
+
+def sky_view_factor(
+    horizons: DataFrame, cellsize: float = 1.0, z_factor: float = 1.0
+) -> DataFrame:
+    """Attach per-pixel double arrays (svf, mean_horizon_rad) to a
+    horizon_angles frame — pure Column HOFs over the 16 exact rational
+    arrays. The classic n-direction estimator (Zakšek et al. 2011
+    convention):
+
+        svf = 1 - (1/8) * sum over directions of sin(h_d)
+
+    with tan(h_d) = z_factor * num / (den * len_d * cellsize), len_d = 1
+    cardinal / sqrt(2) diagonal, and sin t = tan / sqrt(1 + tan^2). svf = 1
+    on flat open terrain, -> 0 in a deep pit; mean_horizon_rad is the plain
+    directional mean of h_d."""
+    import math as _math
+
+    pairs = F.arrays_zip(
+        *[c for i in range(8) for c in (f"h{i}_num", f"h{i}_den")]
+    )
+
+    def per_pixel(out: str):
+        def expr(s):
+            sins = []
+            hs = []
+            for i in range(8):
+                ln = _math.sqrt(2.0) if _HORIZON_DIRS[i][0] * _HORIZON_DIRS[i][1] != 0 else 1.0
+                t = (
+                    s[f"h{i}_num"].cast("double") * F.lit(float(z_factor))
+                    / (
+                        s[f"h{i}_den"].cast("double")
+                        * F.lit(ln * float(cellsize))
+                    )
+                )
+                sins.append(t / F.sqrt(F.lit(1.0) + t * t))
+                hs.append(F.atan(t))
+            if out == "svf":
+                total = sins[0]
+                for x in sins[1:]:
+                    total = total + x
+                return F.lit(1.0) - total / F.lit(8.0)
+            total = hs[0]
+            for x in hs[1:]:
+                total = total + x
+            return total / F.lit(8.0)
+
+        return F.transform(pairs, expr)
+
+    return horizons.select(
+        "*",
+        per_pixel("svf").alias("svf"),
+        per_pixel("mean").alias("mean_horizon_rad"),
+    )
+
+
+def horizon_angles_sql(cells_sql: str, radius: int) -> str:
+    """DuckDB twin of horizon_angles, exploded to one row per (pixel,
+    direction): (gx, gy, dir, num, den) — an INDEPENDENT derivation: every
+    (pixel, dir, step) sample row is generated by a lateral range join and
+    the rational argmax is selected by a NOT EXISTS cross-multiplication
+    (a strictly better or equally-good-but-nearer sample kills a
+    candidate), not by any incremental fold."""
+    dirs = ", ".join(
+        f"({i}, {dx}, {dy})" for i, (dx, dy) in enumerate(_HORIZON_DIRS)
+    )
+    return f"""
+        WITH hzcells AS MATERIALIZED ({cells_sql}),
+        hzdirs(dir, dx, dy) AS (SELECT * FROM (VALUES {dirs})),
+        hzsteps AS (SELECT CAST(s AS BIGINT) AS s
+                    FROM range(1, {radius + 1}) r(s)),
+        hzsamples AS (
+          SELECT c.gx, c.gy, d.dir, st.s, t.z - c.z AS dz
+          FROM hzcells c
+          JOIN hzdirs d ON TRUE
+          JOIN hzsteps st ON TRUE
+          JOIN hzcells t
+            ON t.gx = c.gx + d.dx * st.s AND t.gy = c.gy + d.dy * st.s
+          WHERE t.z > c.z
+        ),
+        hzbest AS (
+          SELECT a.gx, a.gy, a.dir, a.dz AS num, a.s AS den
+          FROM hzsamples a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hzsamples b
+            WHERE b.gx = a.gx AND b.gy = a.gy AND b.dir = a.dir
+              AND (b.dz * a.s > a.dz * b.s
+                   OR (b.dz * a.s = a.dz * b.s AND b.s < a.s))
+          )
+        )
+        SELECT c.gx, c.gy, d.dir,
+               COALESCE(h.num, 0)::BIGINT AS num,
+               COALESCE(h.den, 1)::BIGINT AS den
+        FROM hzcells c
+        JOIN hzdirs d ON TRUE
+        LEFT JOIN hzbest h
+          ON h.gx = c.gx AND h.gy = c.gy AND h.dir = d.dir
+    """

@@ -2779,3 +2779,137 @@ def test_landform_valley_ridge_closed_form(spark):
             assert c == 5, (gx, gy)
     with pytest.raises(ValueError):
         terrain.landform_classes(_mk_df(spark, flat), res, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Horizon angles + sky-view factor
+# ---------------------------------------------------------------------------
+_HZ_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def _py_horizon(cells, radius):
+    out = {}
+    for (gx, gy), z in cells.items():
+        per = []
+        for dx, dy in _HZ_DIRS:
+            bn, bd = 0, 1
+            for s in range(1, radius + 1):
+                zn = cells.get((gx + dx * s, gy + dy * s))
+                if zn is None:
+                    continue
+                dz = zn - z
+                if dz * bd > bn * s:
+                    bn, bd = dz, s
+            per.append((bn, bd))
+        out[(gx, gy)] = per
+    return out
+
+
+def _collect_hz(df, res):
+    out = {}
+    for r in df.collect():
+        for pix in range(res * res):
+            out[(r["tx"] * res + pix % res, r["ty"] * res + pix // res)] = [
+                (r[f"h{i}_num"][pix], r[f"h{i}_den"][pix]) for i in range(8)
+            ]
+    return out
+
+
+def test_horizon_angles_oracle_parity(spark):
+    rng = random.Random(4700)
+    res = 8
+    tiles = _rand_tiles(rng, res, 5, span=2, density=0.6)
+    cells = _cells_of_tiles(tiles, res)
+    got = _collect_hz(
+        terrain.horizon_angles(_mk_df(spark, tiles), res, 3), res
+    )
+    assert got == _py_horizon(cells, 3)
+
+
+def test_horizon_wall_and_flat_closed_form(spark):
+    """Flat plane: every horizon (0,1), svf == 1.0 exactly. A 1-px-wide
+    wall of height 40 in column x=5: a pixel at x=2 sees tan = 40/3 east
+    ((40, 3)), nothing west; beyond the radius the wall vanishes."""
+    res = 8
+    flat = {(0, 0): [7] * (res * res)}
+    hz = terrain.horizon_angles(_mk_df(spark, flat), res, 3)
+    got = _collect_hz(hz, res)
+    assert all(v == [(0, 1)] * 8 for v in got.values())
+    svf = terrain.sky_view_factor(hz).collect()[0]
+    assert all(v == 1.0 for v in svf["svf"])
+    assert all(v == 0.0 for v in svf["mean_horizon_rad"])
+    wall = [7] * (res * res)
+    for gy in range(res):
+        wall[gy * res + 5] = 47
+    got = _collect_hz(
+        terrain.horizon_angles(_mk_df(spark, {(0, 0): wall}), res, 3), res
+    )
+    assert got[(2, 3)][0] == (40, 3)   # E: wall 3 away
+    assert got[(2, 3)][4] == (0, 1)    # W: flat
+    assert got[(1, 3)][0] == (0, 1)    # wall 4 away > radius 3
+    assert got[(6, 3)][4] == (40, 1)   # W from the other side, 1 away
+    # on top of the wall everything is below: all flat sky
+    assert got[(5, 4)] == [(0, 1)] * 8
+
+
+def test_horizon_nearest_tie_and_transparency(spark):
+    """Two samples with the SAME tangent in one direction: the nearer wins.
+    A missing (absent-tile) sample is transparent, not a horizon."""
+    res = 8
+    g = [0] * (res * res)
+    # along +x from (1, 2): z=10 at distance 1 and z=20 at distance 2 have
+    # equal tangent 10 -> winner (10, 1)
+    g[2 * res + 2] = 10
+    g[2 * res + 3] = 20
+    got = _collect_hz(
+        terrain.horizon_angles(_mk_df(spark, {(0, 0): g}), res, 4), res
+    )
+    assert got[(1, 2)][0] == (10, 1)
+    # lone tile: all outside samples transparent; border pixel sees only
+    # in-tile cells
+    assert got[(0, 0)][4] == (0, 1)
+
+
+def test_horizon_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(4701)
+    res = 8
+    tiles = _rand_tiles(rng, res, 4, span=2, density=0.7)
+    got = _collect_hz(
+        terrain.horizon_angles(_mk_df(spark, tiles), res, 3), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hzc (gx BIGINT, gy BIGINT, z BIGINT)")
+    for (gx, gy), z in _cells_of_tiles(tiles, res).items():
+        con.execute("INSERT INTO hzc VALUES (?, ?, ?)", [gx, gy, z])
+    want = {}
+    for gx, gy, d, num, den in con.execute(
+        terrain.horizon_angles_sql("SELECT gx, gy, z FROM hzc", 3)
+    ).fetchall():
+        want.setdefault((gx, gy), [None] * 8)[d] = (num, den)
+    assert got == want
+
+
+def test_sky_view_factor_pit_numpy_parity(spark):
+    """A pixel at the bottom of a uniform-depth pit: svf matches the numpy
+    replay of the identical formula, and is well below the rim's."""
+    import numpy as np
+
+    res = 8
+    g = [50] * (res * res)
+    g[3 * res + 3] = 0  # pit pixel at (3, 3)
+    hz = terrain.horizon_angles(_mk_df(spark, {(0, 0): g}), res, 2)
+    out = {
+        (r["tx"], r["ty"]): r
+        for r in terrain.sky_view_factor(hz, cellsize=5.0).collect()
+    }[(0, 0)]
+    pix = 3 * res + 3
+    sins = []
+    for i in range(8):
+        ln = math.sqrt(2.0) if _HZ_DIRS[i][0] * _HZ_DIRS[i][1] != 0 else 1.0
+        t = out[f"h{i}_num"][pix] / (out[f"h{i}_den"][pix] * ln * 5.0)
+        sins.append(t / math.sqrt(1.0 + t * t))
+    want = 1.0 - sum(sins) / 8.0
+    assert out["svf"][pix] == pytest.approx(want, rel=1e-12)
+    assert out["svf"][pix] < 0.35 < out["svf"][0]
