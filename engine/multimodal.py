@@ -854,3 +854,76 @@ def template_match(df: DataFrame, template: np.ndarray) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=TEMPLATE_SCHEMA
     )
+
+
+MOTION_SCHEMA = (
+    "pair_id string, bx int, by int, dx int, dy int, ssd long, error string"
+)
+
+
+def block_motion(
+    df: DataFrame, block: int = 8, search: int = 4
+) -> DataFrame:
+    """Block-matching motion estimation between two frames — the classic
+    video-codec/optical-flow primitive, EXACT integer SSD end to end. Input
+    rows carry two same-size frames (pair_id, bytes_a, bytes_b, w, h, fmt);
+    frame A is tiled into non-overlapping block x block blocks (partial
+    border blocks dropped), and every block searches frame B over the
+    displacement window [-search, +search]^2 (placements clamped to frame
+    B's bounds near borders). One output row per (pair, block): the best
+    displacement and its SSD. Ties: the first minimum in row-major
+    (dy, dx) order over the displacement lattice — deterministic.
+    Per-row errors (undecodable frames, frame-size mismatch, frame smaller
+    than one block) isolate instead of failing the batch."""
+    if block < 1 or search < 1:
+        raise ValueError(f"need block >= 1 and search >= 1, got {block}, {search}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    a = image_codec.decode_image(row.bytes_a, row.fmt, row.w, row.h)
+                    b = image_codec.decode_image(row.bytes_b, row.fmt, row.w, row.h)
+                except NotImplementedError as e:
+                    out.append((row.pair_id, None, None, None, None, None,
+                                f"unsupported format: {e}"))
+                    continue
+                except Exception as e:
+                    out.append((row.pair_id, None, None, None, None, None,
+                                f"decode error: {e}"))
+                    continue
+                if a.shape != b.shape:
+                    out.append((row.pair_id, None, None, None, None, None,
+                                "frame size mismatch"))
+                    continue
+                h, w = a.shape[:2]
+                nbx, nby = w // block, h // block
+                if nbx == 0 or nby == 0:
+                    out.append((row.pair_id, None, None, None, None, None,
+                                "frame smaller than one block"))
+                    continue
+                A = a.astype(np.int64)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        y0, x0 = by * block, bx * block
+                        blk = A[y0 : y0 + block, x0 : x0 + block]
+                        # clamp the search region to frame B
+                        sy0, sx0 = max(0, y0 - search), max(0, x0 - search)
+                        sy1 = min(h, y0 + block + search)
+                        sx1 = min(w, x0 + block + search)
+                        ssd = np_template_ssd(b[sy0:sy1, sx0:sx1], blk)
+                        flat = int(np.argmin(ssd))
+                        ow = ssd.shape[1]
+                        py, px = flat // ow, flat % ow
+                        out.append((
+                            row.pair_id, bx, by,
+                            sx0 + px - x0, sy0 + py - y0,
+                            int(ssd.reshape(-1)[flat]), None,
+                        ))
+            yield pd.DataFrame(out, columns=[
+                "pair_id", "bx", "by", "dx", "dy", "ssd", "error"])
+
+    return df.select(
+        "pair_id", "bytes_a", "bytes_b", "w", "h", "fmt"
+    ).mapInPandas(kernel, schema=MOTION_SCHEMA)

@@ -536,3 +536,79 @@ def test_template_match_tie_break_and_errors(spark):
     assert got["bad"]["error"] is not None and got["bad"]["best_x"] is None
     with pytest.raises(ValueError):
         multimodal.template_match(df, np.zeros((4, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# block-matching motion estimation
+# ---------------------------------------------------------------------------
+def _py_block_motion(a, b, block, search):
+    import numpy as np
+
+    h, w = a.shape[:2]
+    A, B = a.astype(np.int64), b.astype(np.int64)
+    out = {}
+    for by in range(h // block):
+        for bx in range(w // block):
+            y0, x0 = by * block, bx * block
+            blk = A[y0:y0 + block, x0:x0 + block]
+            best = None
+            for dy in range(-search, search + 1):
+                for dx in range(-search, search + 1):
+                    py, px = y0 + dy, x0 + dx
+                    if py < 0 or px < 0 or py + block > h or px + block > w:
+                        continue
+                    s = int(((B[py:py + block, px:px + block] - blk) ** 2).sum())
+                    if best is None or s < best[0]:
+                        best = (s, dy, dx)
+            out[(bx, by)] = best
+    return out
+
+
+def test_block_motion_planted_shift_and_oracle(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    rng = np.random.default_rng(88)
+    h = w = 20
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = np.zeros_like(a)
+    b[2:, 3:] = a[:-2, :-3]  # frame B = A shifted by (+3, +2)
+    rows = [
+        ("shift", image_codec.encode_raw(a), image_codec.encode_raw(b),
+         w, h, "raw"),
+    ]
+    # plus a pure-random pair for exhaustive oracle parity
+    c = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    d = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rows.append(("rand", image_codec.encode_raw(c), image_codec.encode_raw(d),
+                 16, 12, "raw"))
+    rows.append(("bad", b"xx", b"yy", 8, 8, "jpeg"))
+    rows.append(("mismatch", image_codec.encode_raw(c),
+                 image_codec.encode_raw(c[:8]), 16, 12, "raw"))
+    df = spark.createDataFrame(
+        rows,
+        "pair_id string, bytes_a binary, bytes_b binary, w int, h int, fmt string",
+    )
+    got = multimodal.block_motion(df, block=4, search=4).collect()
+    by_pair = {}
+    for r in got:
+        by_pair.setdefault(r["pair_id"], {})[(r["bx"], r["by"])] = r
+    # interior blocks of the shifted pair recover exactly (+3, +2), ssd 0
+    sh = by_pair["shift"]
+    for (bx, by), r in sh.items():
+        x0, y0 = bx * 4, by * 4
+        if x0 >= 3 and y0 >= 2 and x0 + 4 + 3 <= w and y0 + 4 + 2 <= h:
+            assert (r["dx"], r["dy"], r["ssd"]) == (3, 2, 0), (bx, by)
+    # exhaustive-parity on the random pair, every block incl. borders
+    want = _py_block_motion(c, d, 4, 4)
+    assert set(by_pair["rand"]) == set(want)
+    for k, (s, dy, dx) in want.items():
+        r = by_pair["rand"][k]
+        assert (r["ssd"], r["dy"], r["dx"]) == (s, dy, dx), k
+    assert by_pair["bad"][(None, None)]["error"] is not None \
+        if (None, None) in by_pair["bad"] else True
+    errs = [r for r in got if r["error"] is not None]
+    assert {r["pair_id"] for r in errs} == {"bad", "mismatch"}
+    with pytest.raises(ValueError):
+        multimodal.block_motion(df, block=0)
