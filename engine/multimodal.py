@@ -927,3 +927,115 @@ def block_motion(
     return df.select(
         "pair_id", "bytes_a", "bytes_b", "w", "h", "fmt"
     ).mapInPandas(kernel, schema=MOTION_SCHEMA)
+
+
+def np_harris(
+    pixels: np.ndarray,
+    window_radius: int = 1,
+    k_den: int = 20,
+    thresh: int = 0,
+) -> list[tuple[int, int, int]]:
+    """EXACT-integer Harris corner response + strict local-max extraction.
+    Luminance = r + g + b (0..765, integer); Sobel gradients with
+    clamp-to-edge padding (borders read zero gradient, so the frame edge
+    never fires); structure-tensor window sums over the (2w+1)^2 box via
+    integral images; response scaled by k_den so k = 1/k_den needs no
+    float:
+
+        resp = k_den * (Sxx * Syy - Sxy^2) - (Sxx + Syy)^2    (all int64)
+
+    Corners: pixels with resp > thresh that are STRICTLY greater than all
+    8 neighbors (plateau cells suppress each other — deterministic), as
+    (x, y, resp) sorted by (resp desc, y, x)."""
+    # int64 bound: |ix| <= 4*765, window (2r+1)^2 cells, so
+    # k_den * Sxx * Syy <= 20 * ((2r+1)^2 * (4*765)^2)^2 — stays under
+    # 2^63 through r = 3 (~4.2e18) and overflows at r = 4
+    if not (1 <= window_radius <= 3):
+        raise ValueError(
+            f"window_radius must be in [1, 3] (int64 bound), got {window_radius}"
+        )
+    I = pixels.astype(np.int64).sum(axis=2)
+    h, w = I.shape
+    if h < 3 or w < 3:
+        return []
+    # clamp-to-edge pad, then Sobel by shift algebra
+    P = np.pad(I, 1, mode="edge")
+
+    def sh(dx: int, dy: int) -> np.ndarray:
+        return P[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    ix = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+          - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1))
+    iy = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+          - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1))
+
+    def boxsum(g: np.ndarray, r: int) -> np.ndarray:
+        gp = np.pad(g, r)  # zero pad: off-frame products contribute 0
+        ii = np.zeros((h + 2 * r + 1, w + 2 * r + 1), dtype=np.int64)
+        np.cumsum(gp, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        k = 2 * r + 1
+        return ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+
+    r = window_radius
+    sxx = boxsum(ix * ix, r)
+    syy = boxsum(iy * iy, r)
+    sxy = boxsum(ix * iy, r)
+    resp = k_den * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    rp = np.pad(resp, 1, constant_values=np.iinfo(np.int64).min)
+
+    def rsh(dx: int, dy: int) -> np.ndarray:
+        return rp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    is_max = resp > thresh
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            is_max &= resp > rsh(dx, dy)
+    ys, xs = np.nonzero(is_max)
+    found = [(int(x), int(y), int(resp[y, x])) for y, x in zip(ys, xs)]
+    found.sort(key=lambda t: (-t[2], t[1], t[0]))
+    return found
+
+
+HARRIS_SCHEMA = "image_id string, x int, y int, resp long, error string"
+
+
+def harris_corners(
+    df: DataFrame,
+    max_corners: int = 32,
+    window_radius: int = 1,
+    k_den: int = 20,
+    thresh: int = 0,
+) -> DataFrame:
+    """Per-image Harris corners (np_harris): up to max_corners rows per
+    image ordered strongest-first by the deterministic (resp desc, y, x)
+    key — detection candidates that drop straight into nms/matching. A
+    cornerless image emits ONE row with NULL coords (so every input is
+    accounted for); undecodable rows isolate as per-row errors. Exact
+    int64 response end to end (the pytest oracle asserts ==, not approx).
+    Input needs (image_id, bytes, w, h, fmt)."""
+    if max_corners < 1:
+        raise ValueError(f"max_corners must be >= 1, got {max_corners}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, None, None, err))
+                    continue
+                cs = np_harris(px, window_radius, k_den, thresh)
+                if not cs:
+                    out.append((row.image_id, None, None, None, None))
+                    continue
+                for x, y, resp in cs[:max_corners]:
+                    out.append((row.image_id, x, y, resp, None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "x", "y", "resp", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=HARRIS_SCHEMA
+    )

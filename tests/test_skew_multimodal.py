@@ -612,3 +612,100 @@ def test_block_motion_planted_shift_and_oracle(spark):
     assert {r["pair_id"] for r in errs} == {"bad", "mismatch"}
     with pytest.raises(ValueError):
         multimodal.block_motion(df, block=0)
+
+
+# ---------------------------------------------------------------------------
+# Harris corners (exact integer response)
+# ---------------------------------------------------------------------------
+def _py_harris(px, r, k_den, thresh):
+    """Independent loop oracle: same luminance/Sobel/box/response algebra,
+    written directly (no integral images, no shift slices)."""
+    import numpy as np
+
+    I = px.astype(np.int64).sum(axis=2)
+    h, w = I.shape
+
+    def lum(x, y):
+        return I[min(max(y, 0), h - 1), min(max(x, 0), w - 1)]
+
+    ix = np.zeros((h, w), dtype=np.int64)
+    iy = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            ix[y, x] = (lum(x + 1, y - 1) + 2 * lum(x + 1, y) + lum(x + 1, y + 1)
+                        - lum(x - 1, y - 1) - 2 * lum(x - 1, y) - lum(x - 1, y + 1))
+            iy[y, x] = (lum(x - 1, y + 1) + 2 * lum(x, y + 1) + lum(x + 1, y + 1)
+                        - lum(x - 1, y - 1) - 2 * lum(x, y - 1) - lum(x + 1, y - 1))
+    resp = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            sxx = syy = sxy = 0
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        sxx += int(ix[yy, xx]) ** 2
+                        syy += int(iy[yy, xx]) ** 2
+                        sxy += int(ix[yy, xx]) * int(iy[yy, xx])
+            resp[y, x] = k_den * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    found = []
+    for y in range(h):
+        for x in range(w):
+            if resp[y, x] <= thresh:
+                continue
+            ok = True
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and resp[yy, xx] >= resp[y, x]:
+                        ok = False
+            if ok:
+                found.append((x, y, int(resp[y, x])))
+    found.sort(key=lambda t: (-t[2], t[1], t[0]))
+    return found
+
+
+def test_harris_oracle_parity_and_square(spark):
+    import numpy as np
+
+    from engine import image_codec
+
+    rng = np.random.default_rng(99)
+    rows, want = [], {}
+    for i in range(3):
+        h, w = 14, 12
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((f"r{i}", image_codec.encode_raw(px), w, h, "raw"))
+        want[f"r{i}"] = _py_harris(px, 1, 20, 0)[:8]
+    # white square on black: exactly 4 strongest corners, one per square
+    # corner, all with the SAME response (symmetry)
+    sq = np.zeros((16, 16, 3), dtype=np.uint8)
+    sq[4:12, 4:12] = 255
+    rows.append(("sq", image_codec.encode_raw(sq), 16, 16, "raw"))
+    # straight vertical edge: gradients but no corners anywhere
+    edge = np.zeros((12, 12, 3), dtype=np.uint8)
+    edge[:, 6:] = 255
+    rows.append(("edge", image_codec.encode_raw(edge), 12, 12, "raw"))
+    rows.append(("bad", b"z", 4, 4, "gif"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {}
+    for r in multimodal.harris_corners(df, max_corners=8).collect():
+        got.setdefault(r["image_id"], []).append(r)
+    for i in range(3):
+        rs = [r for r in got[f"r{i}"] if r["error"] is None]
+        assert [(r["x"], r["y"], r["resp"]) for r in rs] == want[f"r{i}"]
+    sq_rows = got["sq"]
+    top4 = sq_rows[:4]
+    assert len({r["resp"] for r in top4}) == 1  # 4-fold symmetry
+    xs = {(r["x"], r["y"]) for r in top4}
+    # one per quadrant around the square's corners
+    assert len({(x < 8, y < 8) for x, y in xs}) == 4
+    assert len(got["edge"]) == 1 and got["edge"][0]["x"] is None \
+        and got["edge"][0]["error"] is None
+    assert got["bad"][0]["error"] is not None
+    with pytest.raises(ValueError):
+        multimodal.np_harris(sq, window_radius=4)
