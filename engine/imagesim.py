@@ -452,3 +452,91 @@ def phash_ssim_near_dups(
     return scored.filter(F.col("ssim") >= min_ssim).select(
         "code_a", "code_b", "hamming", "ssim"
     )
+
+
+def descriptor_matches(
+    desc: DataFrame,
+    max_hamming: int = 16,
+    n_chunks: int | None = None,
+    id_col: str = "image_id",
+    kp_col: str = "kp",
+    word_cols: tuple = ("d0", "d1", "d2", "d3"),
+) -> DataFrame:
+    """Cross-image keypoint matches over multi-word binary descriptors
+    (multimodal.brief_descriptors' 256-bit BRIEF words): every unordered
+    pair of keypoints from DIFFERENT images whose total hamming distance
+    (summed over the words) is <= max_hamming, each exactly once —
+    (image_a, kp_a, image_b, kp_b, hamming) with (image_a, kp_a) <
+    (image_b, kp_b) lexicographically.
+
+    Blocking is the pigeonhole discipline generalized to multiple words:
+    n_chunks (default max_hamming + 1) disjoint bit ranges distributed
+    round-robin over the words, each word's share split by chunk_spec. A
+    pair within max_hamming bits can differ inside at most max_hamming
+    chunks, so with >= max_hamming + 1 chunks at least one chunk matches
+    exactly — LOSSLESS, the chunks need not even cover all bits. One
+    (word, chunk, value) equi-join + pair distinct + exact bit_count
+    verify; join volume is governed by chunk-value collisions
+    (~n_keypoints^2 / 2^chunk_bits per chunk), so keep max_hamming small
+    (near-duplicate patches), exactly like the phash operators."""
+    n_words = len(word_cols)
+    n = (max_hamming + 1) if n_chunks is None else n_chunks
+    if n <= max_hamming:
+        raise ValueError(
+            f"need n_chunks > max_hamming for lossless blocking, got {n}"
+        )
+    per_word = [n // n_words + (1 if i < n % n_words else 0)
+                for i in range(n_words)]
+    chunk_structs = []
+    for wi, (col, k) in enumerate(zip(word_cols, per_word)):
+        if k == 0:
+            continue
+        for ci, (s, wd) in enumerate(chunk_spec(k - 1, k)):
+            chunk_structs.append(
+                F.struct(
+                    F.lit(wi * 64 + ci).alias("ck"),
+                    F.shiftrightunsigned(F.col(col), s)
+                    .bitwiseAND(F.lit(_mask64(wd)))
+                    .alias("cv"),
+                )
+            )
+    base = desc.filter(F.col(word_cols[0]).isNotNull()).select(
+        F.col(id_col).alias("img"),
+        F.col(kp_col).alias("kp"),
+        *[F.col(c) for c in word_cols],
+    )
+    chunks = base.select(
+        "*", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(
+        "img", "kp", *word_cols,
+        F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"),
+    )
+    left = chunks.select(
+        F.col("img").alias("ia"), F.col("kp").alias("ka"),
+        *[F.col(c).alias(f"a_{c}") for c in word_cols], "ck", "cv",
+    )
+    right = chunks.select(
+        F.col("img").alias("ib"), F.col("kp").alias("kb"),
+        *[F.col(c).alias(f"b_{c}") for c in word_cols], "ck", "cv",
+    )
+    ordered = (F.col("ia") < F.col("ib")) | (
+        (F.col("ia") == F.col("ib")) & (F.col("ka") < F.col("kb"))
+    )
+    ham = None
+    for c in word_cols:
+        t = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        ham = t if ham is None else ham + t
+    return (
+        left.join(right, ["ck", "cv"])
+        .filter((F.col("ia") != F.col("ib")) & ordered)
+        .select("ia", "ka", "ib", "kb",
+                *[f"a_{c}" for c in word_cols],
+                *[f"b_{c}" for c in word_cols])
+        .distinct()
+        .select(
+            F.col("ia").alias("image_a"), F.col("ka").alias("kp_a"),
+            F.col("ib").alias("image_b"), F.col("kb").alias("kp_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1039,3 +1039,99 @@ def harris_corners(
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=HARRIS_SCHEMA
     )
+
+
+def brief_pattern(
+    n_bits: int = 256, patch_radius: int = 8, seed: int = 9
+) -> np.ndarray:
+    """The fixed BRIEF sampling pattern: (n_bits, 4) int offsets
+    (ay, ax, by, bx), drawn once from a seeded generator so every image —
+    and every run — compares the same pixel pairs. Defined here once;
+    np_brief and any twin replay must share it."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(
+        -patch_radius, patch_radius + 1, size=(n_bits, 4)
+    ).astype(np.int64)
+
+
+def np_brief(
+    pixels: np.ndarray, corners: list[tuple[int, int]], pattern: np.ndarray
+) -> np.ndarray:
+    """BRIEF binary descriptors at the given keypoints: bit i is 1 iff
+    luminance(p + (ax, ay)) > luminance(p + (bx, by)) for the fixed
+    sampling pattern, sample coordinates clamped to the image — pure
+    integer comparisons on the exact r+g+b luminance, packed little-endian
+    into ceil(n_bits/64) int64 words per keypoint. Returns an
+    (n_corners, n_words) int64 array."""
+    I = pixels.astype(np.int64).sum(axis=2)
+    h, w = I.shape
+    n_bits = pattern.shape[0]
+    n_words = (n_bits + 63) // 64
+    out = np.zeros((len(corners), n_words), dtype=np.uint64)
+    if not corners:
+        return out.astype(np.int64)
+    xs = np.array([c[0] for c in corners], dtype=np.int64)
+    ys = np.array([c[1] for c in corners], dtype=np.int64)
+    for i in range(n_bits):
+        ay, ax, by, bx = pattern[i]
+        la = I[
+            np.clip(ys + ay, 0, h - 1), np.clip(xs + ax, 0, w - 1)
+        ]
+        lb = I[
+            np.clip(ys + by, 0, h - 1), np.clip(xs + bx, 0, w - 1)
+        ]
+        bits = (la > lb).astype(np.uint64)
+        out[:, i // 64] |= bits << np.uint64(i % 64)
+    return out.view(np.int64)
+
+
+BRIEF_SCHEMA = (
+    "image_id string, kp int, x int, y int, resp long, "
+    "d0 long, d1 long, d2 long, d3 long, error string"
+)
+
+
+def brief_descriptors(
+    df: DataFrame,
+    max_corners: int = 16,
+    patch_radius: int = 8,
+    seed: int = 9,
+    window_radius: int = 1,
+    k_den: int = 20,
+    thresh: int = 0,
+) -> DataFrame:
+    """Harris corners + 256-bit BRIEF descriptors per image — the classic
+    detect-and-describe front end, exact-integer end to end: one row per
+    kept keypoint (kp = rank in the deterministic (resp desc, y, x) corner
+    order) carrying the descriptor as four int64 words (d0..d3,
+    little-endian bit order). Cornerless images emit one NULL-kp row;
+    undecodable rows isolate per-row. imagesim.descriptor_matches joins
+    descriptors across images by lossless pigeonhole blocking."""
+    pattern = brief_pattern(256, patch_radius, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, None, None, None,
+                                None, None, None, None, err))
+                    continue
+                cs = np_harris(px, window_radius, k_den, thresh)[:max_corners]
+                if not cs:
+                    out.append((row.image_id, None, None, None, None,
+                                None, None, None, None, None))
+                    continue
+                desc = np_brief(px, [(x, y) for x, y, _ in cs], pattern)
+                for k, ((x, y, resp), d) in enumerate(zip(cs, desc)):
+                    out.append((row.image_id, k, x, y, resp,
+                                int(d[0]), int(d[1]), int(d[2]), int(d[3]),
+                                None))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "kp", "x", "y", "resp",
+                "d0", "d1", "d2", "d3", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=BRIEF_SCHEMA
+    )

@@ -314,3 +314,132 @@ def test_phash_ssim_near_dups_confirms_planted(spark):
     assert confirmed == {(min(base, base ^ 1), max(base, base ^ 1))}
     (row,) = got
     assert row["hamming"] == 1 and row["ssim"] >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# BRIEF descriptors + cross-image keypoint matching
+# ---------------------------------------------------------------------------
+def test_np_brief_loop_oracle():
+    import numpy as np
+
+    from engine import multimodal
+
+    rng = np.random.default_rng(123)
+    px = rng.integers(0, 256, size=(20, 18, 3), dtype=np.uint8)
+    pat = multimodal.brief_pattern(256, 8, seed=9)
+    corners = [(0, 0), (17, 19), (9, 4), (5, 12)]
+    got = multimodal.np_brief(px, corners, pat)
+    I = px.astype(np.int64).sum(axis=2)
+    h, w = I.shape
+    for ci, (x, y) in enumerate(corners):
+        words = [0, 0, 0, 0]
+        for i in range(256):
+            ay, ax, by, bx = (int(v) for v in pat[i])
+            la = I[min(max(y + ay, 0), h - 1), min(max(x + ax, 0), w - 1)]
+            lb = I[min(max(y + by, 0), h - 1), min(max(x + bx, 0), w - 1)]
+            if la > lb:
+                words[i // 64] |= 1 << (i % 64)
+        want = [wv - (1 << 64) if wv >= 1 << 63 else wv for wv in words]
+        assert list(got[ci]) == want, ci
+
+
+def test_brief_descriptors_and_matches_end_to_end(spark):
+    """Two copies of the same content under different ids produce identical
+    keypoints and descriptors; descriptor_matches finds every same-rank
+    pair at hamming 0 across the two images and nothing from the unrelated
+    image at a small threshold."""
+    import numpy as np
+
+    from engine import image_codec, multimodal
+    from engine.imagesim import descriptor_matches
+
+    rng = np.random.default_rng(321)
+    content = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    rows = [
+        ("a", image_codec.encode_raw(content), 24, 24, "raw"),
+        ("b", image_codec.encode_raw(content), 24, 24, "raw"),
+        ("c", image_codec.encode_raw(other), 24, 24, "raw"),
+        ("bad", b"x", 8, 8, "tiff"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    desc = multimodal.brief_descriptors(df, max_corners=6).persist()
+    rowsd = desc.collect()
+    by_img = {}
+    for r in rowsd:
+        by_img.setdefault(r["image_id"], []).append(r)
+    assert by_img["bad"][0]["error"] is not None
+    da = {r["kp"]: r for r in by_img["a"]}
+    db = {r["kp"]: r for r in by_img["b"]}
+    assert set(da) == set(db) and len(da) >= 2
+    for k in da:
+        assert [da[k][c] for c in ("x", "y", "d0", "d1", "d2", "d3")] == \
+            [db[k][c] for c in ("x", "y", "d0", "d1", "d2", "d3")]
+    m = descriptor_matches(desc, max_hamming=4).collect()
+    got = {(r["image_a"], r["kp_a"], r["image_b"], r["kp_b"]): r["hamming"]
+           for r in m}
+    for k in da:
+        assert got[("a", k, "b", k)] == 0
+    assert all(
+        {p[0], p[2]} != {"a", "c"} and {p[0], p[2]} != {"b", "c"}
+        for p in got
+    )  # unrelated content never within 4 bits of 256
+    desc.unpersist()
+
+
+def test_descriptor_matches_bruteforce_parity(spark):
+    """Planted near-duplicate descriptors across synthetic images: the
+    blocked join returns EXACTLY the brute-force pair set (lossless
+    pigeonhole over 4 words), duplicates deduped."""
+    import random as _random
+
+    rng = _random.Random(55)
+    rows = []
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(4)]
+
+    def flip(words, k):
+        out = list(words)
+        for b in rng.sample(range(256), k):
+            out[b // 64] ^= 1 << (b % 64)
+        return [w - (1 << 64) if w >= 1 << 63 else (w + (1 << 64) if w < -(1 << 63) else w) for w in out]
+
+    descs = {}
+    for img in range(6):
+        for kp in range(3):
+            if img < 4:
+                w = flip(base, rng.randint(0, 6))  # near family
+            else:
+                w = [rng.getrandbits(64) - (1 << 63) for _ in range(4)]
+            descs[(str(img), kp)] = w
+            rows.append((str(img), kp, *w))
+    df = spark.createDataFrame(
+        rows, "image_id string, kp int, d0 long, d1 long, d2 long, d3 long"
+    )
+    from engine.imagesim import descriptor_matches
+
+    for h in (0, 5, 12):
+        got = {
+            (r["image_a"], r["kp_a"], r["image_b"], r["kp_b"]): r["hamming"]
+            for r in descriptor_matches(df, max_hamming=h).collect()
+        }
+        want = {}
+        keys = sorted(descs)
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                (ia, ka), (ib, kb) = keys[i], keys[j]
+                if ia == ib:
+                    continue
+                hm = sum(
+                    bin((descs[keys[i]][w] ^ descs[keys[j]][w])
+                        & ((1 << 64) - 1)).count("1")
+                    for w in range(4)
+                )
+                if hm <= h:
+                    want[(ia, ka, ib, kb)] = hm
+        assert got == want, h
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        descriptor_matches(df, max_hamming=5, n_chunks=4)

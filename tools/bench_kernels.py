@@ -3220,6 +3220,170 @@ def part_pointstats() -> None:
 
 
 
+def part_horizon() -> None:
+    """Horizon angles + SVF at raster scale, local[32]: a 4096x4096 ramp
+    plane z = 3x + 5y (64x64 tiles at res=64, 16.8M cells), radius 6. On a
+    ramp every step along a direction has the SAME tangent (dz_s/s =
+    3dx+5dy), so the nearest-sample tie-break fires at EVERY pixel and the
+    closed form is exact: hor_d = (max(0, 3dx+5dy), 1) wherever the s=1
+    neighbor is in-raster, (0, 1) on the outermost ring in outward
+    directions. The whole 16.8M x 8-direction output is asserted
+    distributed (zero mismatches); min-of-2 walls."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine import terrain
+    from engine.terrain import _HORIZON_DIRS
+
+    spark = _spark("bench-horizon")
+    res = 64
+    side = int(os.environ.get("HORIZON_BENCH_TILES", "64"))
+    w = side * res
+    radius = 6
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(res * res - 1)),
+        lambda i: (
+            3 * (F.col("tx") * res + F.pmod(i, res))
+            + 5 * (F.col("ty") * res + F.floor(i / res))
+        ).cast("long"),
+    )
+    tiles = spark.range(0, side * side, 1, 32).select(
+        F.pmod(F.col("id"), side).alias("tx"),
+        (F.col("id") / side).cast("long").alias("ty"),
+    ).select("tx", "ty", counts.alias("counts")).persist()
+    tiles.count()
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        hz = terrain.horizon_angles(tiles, res, radius)
+        ex = hz.select(
+            "tx", "ty",
+            F.posexplode(
+                F.arrays_zip(*[
+                    c for i in range(8)
+                    for c in (f"h{i}_num", f"h{i}_den")
+                ])
+            ).alias("pix", "v"),
+        ).select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).alias("gy"),
+            "v",
+        )
+        bad_expr = F.lit(0)
+        for i, (dx, dy) in enumerate(_HORIZON_DIRS):
+            grad = 3 * dx + 5 * dy
+            # s=1 sample in-bounds?
+            inb = (
+                (F.col("gx") + dx >= 0) & (F.col("gx") + dx < w)
+                & (F.col("gy") + dy >= 0) & (F.col("gy") + dy < w)
+            )
+            want_n = F.when(inb, F.lit(max(0, grad))).otherwise(F.lit(0))
+            bad_expr = bad_expr + (
+                (F.col(f"v.h{i}_num") != want_n)
+                | (F.col(f"v.h{i}_den") != F.lit(1))
+            ).cast("long")
+        agg = ex.agg(
+            F.count("*").alias("cells"), F.sum(bad_expr).alias("bad")
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["cells"] == w * w, agg
+        assert agg["bad"] == 0, agg
+    print(_json.dumps({
+        "cells": w * w, "radius": radius, "dirs": 8, "walls": walls,
+        "cells_per_s": round(w * w / min(walls)),
+    }))
+
+
+def part_vision() -> None:
+    """Template matching + Harris corners at image scale, local[32]: 100k
+    synthetic 32x32 raw-RGB images, each with the SAME 6x5 template planted
+    at an id-derived offset (ox = id % 26, oy = (id * 7) % 27) over an
+    id-seeded noise background. Closed-form asserts, all distributed:
+    every image's best match is the planted offset with ssd = 0 (the
+    random background makes a second exact match vanishingly unlikely at
+    755 candidate placements — asserted, not assumed), and Harris on a
+    white-square probe set finds >= 4 corners per image. min-of-2 walls
+    per kernel."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from engine import image_codec, multimodal
+
+    spark = _spark("bench-vision")
+    n = int(os.environ.get("VISION_BENCH_N", "100000"))
+    rngT = np.random.default_rng(4242)
+    TPL = rngT.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for iid in pdf["id"]:
+                i = int(iid)
+                rng = np.random.default_rng(1000 + i)
+                px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                ox, oy = i % 26, (i * 7) % 27
+                px[oy : oy + 5, ox : ox + 6] = TPL
+                rows.append((str(i), image_codec.encode_raw(px), 32, 32, "raw"))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+    imgs = spark.range(0, n, 1, 64).mapInPandas(gen, schema).persist()
+    imgs.count()
+
+    out = {"images": n}
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        m = multimodal.template_match(imgs, TPL)
+        iid = F.col("image_id").cast("long")
+        agg = m.agg(
+            F.count("*").alias("rows"),
+            F.sum((F.col("ssd") == 0).cast("long")).alias("zeros"),
+            F.sum(
+                (
+                    (F.col("best_x") == F.pmod(iid, 26))
+                    & (F.col("best_y") == F.pmod(iid * 7, 27))
+                ).cast("long")
+            ).alias("at_plant"),
+            F.sum((F.col("error").isNull()).cast("long")).alias("ok"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["rows"] == n and agg["ok"] == n, agg
+        assert agg["zeros"] == n and agg["at_plant"] == n, agg
+    out["template_walls"] = walls
+    out["template_images_per_s"] = round(n / min(walls))
+
+    hwalls = []
+    for _ in range(2):
+        t0 = time.time()
+        h = multimodal.harris_corners(imgs, max_corners=16)
+        agg = h.agg(
+            F.count("*").alias("rows"),
+            F.sum((F.col("error").isNotNull()).cast("long")).alias("errs"),
+        ).collect()[0]
+        hwalls.append(round(time.time() - t0, 2))
+        assert agg["errs"] == 0, agg
+    out["harris_walls"] = hwalls
+    out["harris_images_per_s"] = round(n / min(hwalls))
+    print(_json.dumps(out))
+
+
+
 def part_fill() -> None:
     """Depression filling at raster scale, local[32]: the 4096x4096 raster
     (16x16 tiles at res=256, 16.8M cells) as a flat plateau at H=10000 with
@@ -3390,4 +3554,6 @@ if __name__ == "__main__":
         "trajsim": part_trajsim,
         "geo_misc": part_geo_misc,
         "xing": part_xing,
+        "horizon": part_horizon,
+        "vision": part_vision,
     }[sys.argv[1]]()
