@@ -601,6 +601,29 @@ def main() -> int:
     print(f"  shuffle exchanges: {n_shuffles} (expect 1: the winner agg)")
     ok &= n_shuffles == 1
 
+    # 20. descriptor matching: the multi-word pigeonhole blocking must be a
+    # chunk-key equi-join over Generate'd chunk rows with a pair distinct
+    # and the bit_count verify in codegen — no cartesian, no Python eval,
+    # no broadcast of the (unbounded) descriptor side
+    from engine.imagesim import descriptor_matches
+
+    desc = spark.range(0, 1000, 1, 4).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.pmod(F.col("id"), 8).cast("int").alias("kp"),
+        *[
+            F.xxhash64(F.col("id"), F.lit(i)).alias(f"d{i}")
+            for i in range(4)
+        ],
+    )
+    p = formatted(descriptor_matches(desc, max_hamming=8))
+    print("\n## descriptor matching (multi-word pigeonhole hamming)")
+    if args.full:
+        print(p)
+    ok &= check("descriptor_matches", p,
+                must=["Generate", "HashAggregate"],
+                must_not=["CartesianProduct", "BatchEvalPython",
+                          "ArrowEvalPython", "FlatMapGroupsInPandas"])
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
