@@ -592,3 +592,194 @@ def quadrat_counts_sql(
                  / (CAST(n_points AS DOUBLE) / {repr(float(q))}) AS chi2
         FROM s, o
     """
+
+
+def radius_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius: float,
+    a_cols: tuple = ("id", "x", "y"),
+    b_cols: tuple = ("id", "x", "y"),
+) -> DataFrame:
+    """Two-frame planar radius join: all (a, b) pairs at euclidean distance
+    <= radius — lag_pairs' grid-blocked discipline for DIFFERENT frames
+    (cell size = radius; a explodes into its 3x3 cell neighborhood, b
+    keeps its home cell, so every qualifying pair meets exactly once; no
+    id< halving — the pair is ordered by construction). Returns
+    (a_id, b_id, d2)."""
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    e = float(radius)
+    ai, ax, ay = a_cols
+    bi, bx, by = b_cols
+    pa = a.select(
+        F.col(ai).alias("_aid"),
+        F.col(ax).cast("double").alias("_ax"),
+        F.col(ay).cast("double").alias("_ay"),
+    )
+    pb = b.select(
+        F.col(bi).alias("_bid"),
+        F.col(bx).cast("double").alias("_bx"),
+        F.col(by).cast("double").alias("_by"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)
+        ]
+    )
+    ae = (
+        pa.withColumn("_o", F.explode(offsets))
+        .select(
+            "_aid", "_ax", "_ay",
+            (F.floor(F.col("_ax") / e).cast("long") + F.col("_o.dx"))
+            .alias("_cx"),
+            (F.floor(F.col("_ay") / e).cast("long") + F.col("_o.dy"))
+            .alias("_cy"),
+        )
+    )
+    be = pb.select(
+        "_bid", "_bx", "_by",
+        F.floor(F.col("_bx") / e).cast("long").alias("_cx"),
+        F.floor(F.col("_by") / e).cast("long").alias("_cy"),
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    return (
+        ae.join(be, ["_cx", "_cy"])
+        .filter(d2 <= F.lit(e * e))
+        .select(
+            F.col("_aid").alias("a_id"), F.col("_bid").alias("b_id"),
+            d2.alias("d2"),
+        )
+    )
+
+
+def accessibility_2sfca(
+    supply: DataFrame,
+    demand: DataFrame,
+    radius: float,
+    supply_cols: tuple = ("id", "x", "y", "capacity"),
+    demand_cols: tuple = ("id", "x", "y", "population"),
+) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang 2003) —
+    the classic supply/demand spatial-access score, both steps blocked
+    radius joins (never quadratic):
+
+      step 1 (per supply site j): ratio_j = capacity_j / sum of population
+              over demand within radius of j — kept EXACT as the int64
+              pair (capacity_j, pop_j); sites with zero catchment
+              population are dropped (no one to serve, standard 2SFCA).
+      step 2 (per demand point i): access_e9 = sum over supply within
+              radius of i of floor(1e9 * capacity_j / pop_j) — each term
+              floor-scaled to int64 BEFORE the sum, so the aggregate is
+              exact and order-independent (the house float discipline),
+              bit-reproducible against the brute-force SQL twin.
+
+    Returns one row per demand point: (id, access_e9, n_sites) —
+    n_sites = reachable supply sites; demand with no site in radius gets
+    access_e9 = 0, n_sites = 0 (kept: 'no access' is the signal). Capacity
+    and population must be integral (cast to long)."""
+    si, sx, sy, sc = supply_cols
+    di, dx_, dy_, dp = demand_cols
+    sup = supply.select(
+        F.col(si).alias("sid"),
+        F.col(sx).cast("double").alias("x"),
+        F.col(sy).cast("double").alias("y"),
+        F.col(sc).cast("long").alias("cap"),
+    )
+    dem = demand.select(
+        F.col(di).alias("did"),
+        F.col(dx_).cast("double").alias("x"),
+        F.col(dy_).cast("double").alias("y"),
+        F.col(dp).cast("long").alias("pop"),
+    )
+    # step 1: catchment population per supply site
+    p1 = radius_join(
+        sup, dem, radius, a_cols=("sid", "x", "y"), b_cols=("did", "x", "y")
+    )
+    pop_j = (
+        p1.join(dem.select("did", "pop"), F.col("b_id") == F.col("did"))
+        .groupBy(F.col("a_id").alias("sid"))
+        .agg(F.sum("pop").alias("pop_sum"))
+        .filter(F.col("pop_sum") > 0)
+    )
+    ratios = sup.join(pop_j, "sid").select(
+        "sid", "x", "y",
+        F.floor(
+            F.col("cap").cast("double") * F.lit(1e9)
+            / F.col("pop_sum").cast("double")
+        ).cast("long").alias("ratio_e9"),
+    )
+    # step 2: sum reachable ratios per demand point
+    p2 = radius_join(
+        dem, ratios, radius, a_cols=("did", "x", "y"), b_cols=("sid", "x", "y")
+    )
+    acc = (
+        p2.join(ratios.select("sid", "ratio_e9"), F.col("b_id") == F.col("sid"))
+        .groupBy(F.col("a_id").alias("did"))
+        .agg(
+            F.sum("ratio_e9").alias("access_e9"),
+            F.count("*").alias("n_sites"),
+        )
+    )
+    return (
+        dem.select("did")
+        .join(acc, "did", "left")
+        .select(
+            F.col("did").alias("id"),
+            F.coalesce(F.col("access_e9"), F.lit(0)).alias("access_e9"),
+            F.coalesce(F.col("n_sites"), F.lit(0)).alias("n_sites"),
+        )
+    )
+
+
+def accessibility_2sfca_sql(
+    supply_table: str,
+    demand_table: str,
+    radius: float,
+    supply_cols: tuple = ("id", "x", "y", "capacity"),
+    demand_cols: tuple = ("id", "x", "y", "population"),
+) -> str:
+    """DuckDB twin of accessibility_2sfca: brute-force O(n*m) distance
+    joins (no blocking — an independent derivation), the identical floors
+    and integer sums."""
+    e = repr(float(radius))
+    si, sx, sy, sc = supply_cols
+    di, dx_, dy_, dp = demand_cols
+    return f"""
+        WITH fca_sup AS (
+          SELECT {si} AS sid, CAST({sx} AS DOUBLE) AS x,
+                 CAST({sy} AS DOUBLE) AS y, CAST({sc} AS BIGINT) AS cap
+          FROM {supply_table}
+        ), fca_dem AS (
+          SELECT {di} AS did, CAST({dx_} AS DOUBLE) AS x,
+                 CAST({dy_} AS DOUBLE) AS y, CAST({dp} AS BIGINT) AS pop
+          FROM {demand_table}
+        ), fca_popj AS (
+          SELECT s.sid, SUM(d.pop)::BIGINT AS pop_sum
+          FROM fca_sup s JOIN fca_dem d
+            ON (s.x - d.x) * (s.x - d.x) + (s.y - d.y) * (s.y - d.y)
+               <= {e} * {e}
+          GROUP BY s.sid
+          HAVING SUM(d.pop) > 0
+        ), fca_ratios AS (
+          SELECT s.sid, s.x, s.y,
+                 CAST(FLOOR(CAST(s.cap AS DOUBLE) * 1e9
+                            / CAST(p.pop_sum AS DOUBLE)) AS BIGINT)
+                   AS ratio_e9
+          FROM fca_sup s JOIN fca_popj p USING (sid)
+        ), fca_acc AS (
+          SELECT d.did, SUM(r.ratio_e9)::BIGINT AS access_e9,
+                 COUNT(*)::BIGINT AS n_sites
+          FROM fca_dem d JOIN fca_ratios r
+            ON (d.x - r.x) * (d.x - r.x) + (d.y - r.y) * (d.y - r.y)
+               <= {e} * {e}
+          GROUP BY d.did
+        )
+        SELECT d.did AS id,
+               COALESCE(a.access_e9, 0)::BIGINT AS access_e9,
+               COALESCE(a.n_sites, 0)::BIGINT AS n_sites
+        FROM fca_dem d LEFT JOIN fca_acc a USING (did)
+    """

@@ -317,3 +317,110 @@ def test_quadrat_uniform_vs_clustered(spark):
     assert r2["vmr"] == pytest.approx(15.0) and r2["chi2"] == pytest.approx(225.0)
     with pytest.raises(ValueError):
         pointstats.quadrat_counts(_mk_df(spark, pts), 0, 0, 4.0, 4.0, 0, 4)
+
+
+# ---------------------------------------------------------------------------
+# 2SFCA accessibility (supply/demand catchment scores)
+# ---------------------------------------------------------------------------
+def _py_2sfca(sup, dem, radius):
+    r2 = radius * radius
+    ratios = {}
+    for sid, sx, sy, cap in sup:
+        pop = sum(
+            p for did, dx, dy, p in dem
+            if (sx - dx) ** 2 + (sy - dy) ** 2 <= r2
+        )
+        if pop > 0:
+            ratios[sid] = (sx, sy, math.floor(cap * 1e9 / pop))
+    out = {}
+    for did, dx, dy, _p in dem:
+        tot = n = 0
+        for sid, (sx, sy, r9) in ratios.items():
+            if (sx - dx) ** 2 + (sy - dy) ** 2 <= r2:
+                tot += r9
+                n += 1
+        out[did] = (tot, n)
+    return out
+
+
+def test_2sfca_oracle_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(97)
+    sup = [
+        (i, rng.uniform(0, 40), rng.uniform(0, 40), rng.randint(1, 50))
+        for i in range(15)
+    ]
+    sup.append((99, 200.0, 200.0, 10))  # isolated site: empty catchment
+    dem = [
+        (i, rng.uniform(0, 40), rng.uniform(0, 40), rng.randint(1, 30))
+        for i in range(60)
+    ]
+    dem.append((999, -100.0, -100.0, 5))  # demand with no reachable site
+    sdf = spark.createDataFrame(
+        sup, "id long, x double, y double, capacity long"
+    ).repartition(3)
+    ddf = spark.createDataFrame(
+        dem, "id long, x double, y double, population long"
+    ).repartition(4)
+    got = {
+        r["id"]: (r["access_e9"], r["n_sites"])
+        for r in pointstats.accessibility_2sfca(sdf, ddf, 9.0).collect()
+    }
+    assert got == _py_2sfca(sup, dem, 9.0)
+    assert got[999] == (0, 0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sup(id BIGINT, x DOUBLE, y DOUBLE, capacity BIGINT)")
+    con.execute("CREATE TABLE dem(id BIGINT, x DOUBLE, y DOUBLE, population BIGINT)")
+    con.executemany("INSERT INTO sup VALUES (?, ?, ?, ?)", sup)
+    con.executemany("INSERT INTO dem VALUES (?, ?, ?, ?)", dem)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            pointstats.accessibility_2sfca_sql("sup", "dem", 9.0)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_2sfca_closed_form(spark):
+    """One site capacity 30, three demand points population 10 each inside
+    the radius: ratio = 30/30 = 1.0 -> every demand scores 1e9 with
+    n_sites=1. A second far site reaches only its own demand pair."""
+    sup = [(1, 0.0, 0.0, 30), (2, 100.0, 0.0, 7)]
+    dem = [
+        (1, 1.0, 0.0, 10), (2, 0.0, 2.0, 10), (3, -2.0, -1.0, 10),
+        (4, 101.0, 0.0, 2),
+    ]
+    sdf = spark.createDataFrame(sup, "id long, x double, y double, capacity long")
+    ddf = spark.createDataFrame(dem, "id long, x double, y double, population long")
+    got = {
+        r["id"]: (r["access_e9"], r["n_sites"])
+        for r in pointstats.accessibility_2sfca(sdf, ddf, 5.0).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i] == (10 ** 9, 1)
+    assert got[4] == (math.floor(7e9 / 2), 1)
+    with pytest.raises(ValueError):
+        pointstats.accessibility_2sfca(sdf, ddf, 0.0)
+
+
+def test_radius_join_blocking_complete(spark):
+    """Two-frame radius join: exact parity with a brute-force filter
+    across cell boundaries (the blocking-completeness property)."""
+    rng = random.Random(98)
+    a = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(50)]
+    b = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(70)]
+    adf = spark.createDataFrame(a, "id long, x double, y double")
+    bdf = spark.createDataFrame(b, "id long, x double, y double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in pointstats.radius_join(adf, bdf, 4.0).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, xa, ya in a
+        for ib, xb, yb in b
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= 16.0
+    }
+    assert got == want
