@@ -1,0 +1,113 @@
+"""engine.classify: Fisher-Jenks natural breaks (exact-optimal vs a
+Fraction-exact brute-force enumeration), quantile / equal-interval breaks,
+and the classify step's DuckDB twin."""
+
+import itertools
+import random
+from fractions import Fraction
+
+import pytest
+
+from engine import classify
+from tests.conftest import spark  # noqa: F401
+
+
+def _mk(spark, values):
+    return spark.createDataFrame([(int(v),) for v in values], "v long")
+
+
+def _exact_cost(values, breaks):
+    """Total within-class SSD of the partition induced by the breaks,
+    exact (Fractions)."""
+    classes = {}
+    for v in values:
+        c = sum(1 for b in breaks if v > b)
+        classes.setdefault(c, []).append(v)
+    tot = Fraction(0)
+    for vs in classes.values():
+        s1 = sum(vs)
+        s2 = sum(x * x for x in vs)
+        tot += Fraction(s2) - Fraction(s1 * s1, len(vs))
+    return tot
+
+
+def test_jenks_matches_bruteforce_optimum(spark):
+    """The DP's partition cost equals the exact brute-force minimum over
+    every possible split placement (Fraction arithmetic, no float in the
+    verdict)."""
+    rng = random.Random(11)
+    for trial in range(4):
+        values = [rng.randint(0, 40) for _ in range(30)]
+        k = 3 + trial % 2
+        distinct = sorted(set(values))
+        if len(distinct) <= k:
+            continue
+        got = classify.jenks_breaks(_mk(spark, values), "v", k)
+        assert len(got) == k - 1
+        best = min(
+            _exact_cost(values, list(c))
+            for c in itertools.combinations(distinct[:-1], k - 1)
+        )
+        assert _exact_cost(values, got) == best, (trial, got)
+
+
+def test_jenks_planted_clusters_and_degenerate(spark):
+    rng = random.Random(12)
+    values = (
+        [rng.randint(0, 5) for _ in range(20)]
+        + [rng.randint(100, 105) for _ in range(20)]
+        + [rng.randint(200, 205) for _ in range(20)]
+    )
+    br = classify.jenks_breaks(_mk(spark, values), "v", 3)
+    assert 5 <= br[0] < 100 and 105 <= br[1] < 200
+    # degenerate: fewer distinct values than classes -> m-1 breaks fully
+    # separate the m values (a break at the max would make an empty class)
+    assert classify.jenks_breaks(_mk(spark, [7, 7, 9]), "v", 4) == [7]
+    assert classify.jenks_breaks(_mk(spark, [3, 7, 9]), "v", 3) == [3, 7]
+    with pytest.raises(ValueError):
+        classify.jenks_breaks(_mk(spark, values), "v", 1)
+    with pytest.raises(ValueError, match="distinct"):
+        classify.jenks_breaks(
+            _mk(spark, list(range(100))), "v", 3, max_distinct=50
+        )
+
+
+def test_quantile_and_equal_interval(spark):
+    values = list(range(1, 13))  # 1..12, N=12
+    q = classify.quantile_breaks(_mk(spark, values), "v", 4)
+    assert q == [3, 6, 9]
+    heavy = [5] * 30 + [6, 7]
+    qh = classify.quantile_breaks(_mk(spark, heavy), "v", 4)
+    assert qh == [5]  # duplicate bounds collapse
+    ei = classify.equal_interval_breaks(_mk(spark, [0, 100]), "v", 4)
+    assert ei == [25, 50, 75]
+    assert classify.equal_interval_breaks(_mk(spark, [7]), "v", 3) == [7]
+
+
+def test_classify_twin_parity(spark):
+    import duckdb
+
+    rng = random.Random(13)
+    values = [rng.randint(-50, 50) for _ in range(200)]
+    df = _mk(spark, values).repartition(4)
+    br = classify.jenks_breaks(df, "v", 5)
+    out = classify.classify(df, "v", br)
+    got = sorted(
+        (r["v"], r["class"]) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = sorted(
+        con.execute(
+            f"SELECT v, {classify.classify_sql('v', br)} AS c FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    # class indices span 0..k-1 and are monotone in v
+    assert {c for _, c in got} == set(range(5))
+    prev = None
+    for v, c in got:
+        if prev is not None:
+            assert c >= prev
+        prev = c
