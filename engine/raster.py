@@ -563,7 +563,38 @@ def raster_regions(
     comp = connected_components(
         edges, "u", "v", nodes=cells.select("id"), id_col="id"
     )
-    return (
+    # region perimeter from rook adjacencies: every same-class rook pair is
+    # same-region (the rook edge connects them under either connectivity),
+    # so perimeter = 4 * n_cells - 2 * rook_pairs — exact, no second CC
+    if connectivity == 4:
+        rook_edges = edges
+    else:
+        rook_probe = cells.select(
+            F.col("id").alias("u"), "cls",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+                    F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+                )
+            ).alias("o"),
+            "gx", "gy",
+        ).select(
+            "u", "cls",
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        rook_edges = rook_probe.join(
+            cells.select(
+                F.col("id").alias("v"), "gx", "gy", F.col("cls").alias("cls2")
+            ),
+            ["gx", "gy"],
+        ).filter(F.col("cls") == F.col("cls2")).select("u", "v")
+    adj = (
+        rook_edges.join(comp, rook_edges["u"] == comp["id"])
+        .groupBy(F.col("comp").alias("region_id"))
+        .agg(F.count("*").alias("_n_adj"))
+    )
+    base = (
         cells.join(comp, "id")
         .groupBy(F.col("comp").alias("region_id"))
         .agg(
@@ -576,6 +607,24 @@ def raster_regions(
             F.max("gy").alias("max_gy"),
         )
         .filter(F.col("n_cells") >= int(min_cells))
+    )
+    peri = (
+        F.lit(4) * F.col("n_cells")
+        - F.lit(2) * F.coalesce(F.col("_n_adj"), F.lit(0))
+    ).cast("long")
+    import math as _math
+
+    return (
+        base.join(adj, "region_id", "left")
+        .withColumn("perimeter", peri)
+        .withColumn(
+            # isoperimetric quotient 4*pi*A/P^2 in cell units: 1 for a
+            # disk, pi/4 ~ 0.785 for a square region, -> 0 for filaments
+            "compactness",
+            F.lit(4.0 * _math.pi) * F.col("n_cells").cast("double")
+            / (F.col("perimeter") * F.col("perimeter")).cast("double"),
+        )
+        .drop("_n_adj")
     )
 
 
@@ -776,6 +825,105 @@ def zonal_stats_tiles(
             F.max("value").alias("vmax"),
         )
     )
+
+
+def zonal_categorical(
+    zones: DataFrame,
+    values: DataFrame,
+    res: int = 16,
+) -> DataFrame:
+    """Per-zone CATEGORICAL statistics of an aligned value raster — the
+    rest of the ESRI Zonal Statistics family for class-valued rasters:
+    majority (most frequent value), minority (least frequent), their
+    counts, and variety (distinct values), per nonzero zone label. Ties
+    break to the SMALLEST value — deterministic and twin-reproducible.
+
+    Plan: the zonal_stats_tiles explode/equi-join, then ONE
+    (zone, value) hash agg (map-side combined) whose output is bounded by
+    zone x class pairs, then a zone-keyed argmin/argmax — never touches
+    raw cells twice. Returns (zone, variety, majority, majority_n,
+    minority, minority_n)."""
+    z = (
+        zones.select("tx", "ty", F.posexplode("counts").alias("pix", "zone"))
+        .filter(F.col("zone") != 0)
+        .select(
+            (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+            .alias("gy"),
+            F.col("zone").cast("long").alias("zone"),
+        )
+    )
+    v = values.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "value")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+        .alias("gy"),
+        F.col("value").cast("long").alias("value"),
+    )
+    zv = (
+        z.join(v, ["gx", "gy"])
+        .groupBy("zone", "value")
+        .agg(F.count("*").alias("c"))
+    )
+    # deterministic argmax/argmin by packed struct ordering: min-struct of
+    # (-c, value) is the majority (largest count, smallest value on ties);
+    # min-struct of (c, value) the minority
+    return zv.groupBy("zone").agg(
+        F.count("*").alias("variety"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("value").alias("v")))
+        .alias("_maj"),
+        F.min(F.struct(F.col("c").alias("c"), F.col("value").alias("v")))
+        .alias("_min"),
+    ).select(
+        "zone", "variety",
+        F.col("_maj.v").alias("majority"),
+        (-F.col("_maj.nc")).cast("long").alias("majority_n"),
+        F.col("_min.v").alias("minority"),
+        F.col("_min.c").cast("long").alias("minority_n"),
+    )
+
+
+def zonal_categorical_sql(zones_table: str, values_table: str,
+                          res: int) -> str:
+    """DuckDB twin of zonal_categorical — identical explode/join/agg and
+    the same (-count, value) / (count, value) struct-min tie-breaks via
+    ORDER BY ... LIMIT 1 arg selection."""
+    def cells(table: str, col: str, skip_zero: bool) -> str:
+        where = "WHERE counts[i + 1] <> 0" if skip_zero else ""
+        return f"""
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 CAST(counts[i + 1] AS BIGINT) AS {col}
+          FROM {table}, range(0, {res * res}) t(i) {where}
+        """
+
+    return f"""
+        WITH zc AS ({cells(zones_table, "zone", True)}),
+        vc AS ({cells(values_table, "value", False)}),
+        zv AS (
+          SELECT z.zone, v.value, COUNT(*)::BIGINT AS c
+          FROM zc z JOIN vc v ON v.gx = z.gx AND v.gy = z.gy
+          GROUP BY z.zone, v.value
+        ), ranked AS (
+          SELECT zone, value, c,
+                 ROW_NUMBER() OVER (PARTITION BY zone
+                                    ORDER BY c DESC, value ASC) AS rmaj,
+                 ROW_NUMBER() OVER (PARTITION BY zone
+                                    ORDER BY c ASC, value ASC) AS rmin
+          FROM zv
+        ), vty AS (
+          SELECT zone, COUNT(*)::BIGINT AS variety FROM zv GROUP BY zone
+        )
+        SELECT v.zone, v.variety,
+               maj.value AS majority, maj.c AS majority_n,
+               mnr.value AS minority, mnr.c AS minority_n
+        FROM vty v
+        JOIN (SELECT zone, value, c FROM ranked WHERE rmaj = 1) maj
+          USING (zone)
+        JOIN (SELECT zone, value, c FROM ranked WHERE rmin = 1) mnr
+          USING (zone)
+    """
 
 
 def zonal_stats_tiles_sql(zones_table: str, values_table: str,

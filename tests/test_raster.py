@@ -738,3 +738,128 @@ def test_kde_matches_python_and_scatter(spark):
     gw = raster.kde_weights(3, kernel="gaussian")
     assert gw[(0, 0)] == 1000 and gw[(1, 0)] == gw[(0, 1)] == gw[(-1, 0)]
     assert gw[(0, 0)] > gw[(1, 1)] > gw[(3, 0)] > 0
+
+
+# ---------------------------------------------------------------------------
+# region perimeter / compactness + zonal categorical stats
+# ---------------------------------------------------------------------------
+def _py_perimeters(tiles, res, classify, conn=4):
+    """region_id -> exposed-rook-edge count (= 4n - 2*internal pairs)."""
+    cells = {}
+    for (tx, ty), g in tiles.items():
+        for i, v in enumerate(g):
+            if v:
+                c = classify(v)
+                if c is not None:
+                    cells[(tx * res + i % res, ty * res + i // res)] = c
+    nbrs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    alln = nbrs + ([(1, 1), (-1, -1), (1, -1), (-1, 1)] if conn == 8 else [])
+    seen, out = set(), {}
+    for start in cells:
+        if start in seen:
+            continue
+        seen.add(start)
+        stack, members = [start], {start}
+        while stack:
+            cur = stack.pop()
+            for dx, dy in alln:
+                nxt = (cur[0] + dx, cur[1] + dy)
+                if (nxt in cells and nxt not in seen
+                        and cells[nxt] == cells[cur]):
+                    seen.add(nxt)
+                    stack.append(nxt)
+                    members.add(nxt)
+        rid = min((gx + _OFF) * _K + (gy + _OFF) for gx, gy in members)
+        peri = 0
+        for gx, gy in members:
+            for dx, dy in nbrs:
+                if (gx + dx, gy + dy) not in members:
+                    peri += 1
+        out[rid] = peri
+    return out
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_perimeter_matches_oracle(spark, conn):
+    rng = random.Random(31)
+    res = 6
+    tiles = {
+        (tx, ty): [
+            rng.randint(0, 9) if rng.random() < 0.6 else 0
+            for _ in range(res * res)
+        ]
+        for tx in range(2) for ty in range(2)
+    }
+    out = raster.raster_regions(
+        _mk_tiles(spark, tiles).repartition(3), res, connectivity=conn
+    ).collect()
+    want = _py_perimeters(tiles, res, lambda v: 1, conn=conn)
+    import math as _m
+
+    for r in out:
+        assert r["perimeter"] == want[r["region_id"]], r["region_id"]
+        assert r["compactness"] == pytest.approx(
+            4.0 * _m.pi * r["n_cells"] / r["perimeter"] ** 2, rel=1e-12
+        )
+    # closed forms: a lone cell has perimeter 4; a 2x2 square 8,
+    # compactness pi/4
+    g = [0] * 16
+    g[0] = 5
+    g[2 * 4 + 2] = g[2 * 4 + 3] = g[3 * 4 + 2] = g[3 * 4 + 3] = 7
+    rows = {
+        r["n_cells"]: r
+        for r in raster.raster_regions(
+            _mk_tiles(spark, {(0, 0): g}), 4
+        ).collect()
+    }
+    assert rows[1]["perimeter"] == 4
+    assert rows[4]["perimeter"] == 8
+    assert rows[4]["compactness"] == pytest.approx(_m.pi / 4.0)
+
+
+def test_zonal_categorical_oracle_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(33)
+    res = 4
+    zt, vt = {}, {}
+    for tx in range(2):
+        for ty in range(2):
+            zt[(tx, ty)] = [rng.randint(0, 3) for _ in range(res * res)]
+            vt[(tx, ty)] = [rng.randint(0, 5) for _ in range(res * res)]
+    got = {
+        r["zone"]: (r["variety"], r["majority"], r["majority_n"],
+                    r["minority"], r["minority_n"])
+        for r in raster.zonal_categorical(
+            _mk_tiles(spark, zt), _mk_tiles(spark, vt), res
+        ).collect()
+    }
+    # python oracle
+    from collections import Counter
+
+    per_zone = {}
+    for (tx, ty), zg in zt.items():
+        vg = vt[(tx, ty)]
+        for i, z in enumerate(zg):
+            if z != 0:
+                per_zone.setdefault(z, Counter())[vg[i]] += 1
+    want = {}
+    for z, cnt in per_zone.items():
+        maj = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        mnr = min(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        want[z] = (len(cnt), maj[0], maj[1], mnr[0], mnr[1])
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE zt (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    con.execute("CREATE TABLE vt (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in zt.items():
+        con.execute("INSERT INTO zt VALUES (?, ?, ?)", [tx, ty, g])
+    for (tx, ty), g in vt.items():
+        con.execute("INSERT INTO vt VALUES (?, ?, ?)", [tx, ty, g])
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            raster.zonal_categorical_sql("zt", "vt", res)
+        ).fetchall()
+    }
+    assert twin == want
