@@ -1135,3 +1135,102 @@ def brief_descriptors(
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, schema=BRIEF_SCHEMA
     )
+
+
+TILES_SCHEMA = "image_id string, tx long, ty long, counts array<long>, error string"
+
+
+def image_to_tiles(
+    df: DataFrame,
+    res: int = 16,
+    stride_tiles: int = 1 << 20,
+    channel: str = "luminance",
+) -> DataFrame:
+    """The image -> raster bridge: decode each image and emit its pixels as
+    the engine's dense tile shape (tx, ty, counts) with integer LUMINANCE
+    (r+g+b, 0..765) — or a single channel — as the cell value, zero-padded
+    to tile boundaries. Every raster-family operator (focal filters,
+    morphology, Gi*, terrain gradients/curvature, D8 flow + basins =
+    classic WATERSHED segmentation, EDT, contours, regions) then applies
+    to images unchanged.
+
+    Rows must carry an integer id column `image_id` castable to long; each
+    image's tiles are offset by id * stride_tiles in ty, so a multi-image
+    frame shares one tile space without collisions — stride_tiles must
+    exceed ceil(h/res) + 2 * (the largest halo radius you will run) so no
+    strip exchange crosses images (2^20 tiles ~= 16M px at res=16: far
+    beyond any real frame). y is flipped so gy increases upward (the
+    raster family's convention) while image row 0 stays the TOP of the
+    frame at the highest gy. tiles_to_image inverts the bridge."""
+    if res < 1:
+        raise ValueError("res must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px, err = _decode_or_error(row)
+                if px is None:
+                    out.append((row.image_id, None, None, None, err))
+                    continue
+                if channel == "luminance":
+                    g = px.astype(np.int64).sum(axis=2)
+                elif channel in ("r", "g", "b"):
+                    g = px[:, :, "rgb".index(channel)].astype(np.int64)
+                else:
+                    out.append((row.image_id, None, None, None,
+                                f"unknown channel: {channel}"))
+                    continue
+                h, w = g.shape
+                base_ty = int(row.image_id) * stride_tiles
+                ntx = (w + res - 1) // res
+                nty = (h + res - 1) // res
+                # flip rows: image row 0 (top) -> highest gy
+                gflip = g[::-1]
+                for tyi in range(nty):
+                    for txi in range(ntx):
+                        block = np.zeros((res, res), dtype=np.int64)
+                        ys = gflip[tyi * res : (tyi + 1) * res,
+                                   txi * res : (txi + 1) * res]
+                        block[: ys.shape[0], : ys.shape[1]] = ys
+                        out.append((
+                            row.image_id, txi, base_ty + tyi,
+                            block.reshape(-1).tolist(), None,
+                        ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "tx", "ty", "counts", "error"])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=TILES_SCHEMA
+    )
+
+
+def tiles_to_image(
+    tiles: DataFrame, res: int, w: int, h: int,
+    stride_tiles: int = 1 << 20,
+) -> DataFrame:
+    """Inverse bridge: reassemble per-image (tx, ty, counts) tiles (the
+    image_to_tiles layout: ty offset by image_id * stride_tiles, y
+    flipped) into one row per image with a dense row-major int64 pixel
+    array of the ORIGINAL w x h frame (top row first). Pure Column
+    algebra: explode to in-frame pixels, drop padding, one
+    sorted-struct fold per image — the heatmap_tiles assembly."""
+    from pyspark.sql import functions as F
+
+    img = (F.col("ty") / stride_tiles).cast("long")
+    tyl = F.pmod(F.col("ty"), stride_tiles)
+    ex = tiles.select(
+        img.alias("image_id"), "tx", tyl.alias("tyl"),
+        F.posexplode("counts").alias("pix", "v"),
+    ).select(
+        "image_id", "v",
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("tyl") * res + F.floor(F.col("pix") / res)).alias("gyf"),
+    ).filter((F.col("gx") < w) & (F.col("gyf") < h))
+    # un-flip: image row = h - 1 - gyf
+    slot = (F.lit(h - 1) - F.col("gyf")) * w + F.col("gx")
+    dense = F.transform(
+        F.array_sort(F.collect_list(F.struct(slot.alias("s"), F.col("v")))),
+        lambda s: s["v"],
+    )
+    return ex.groupBy("image_id").agg(dense.alias("pixels"))

@@ -709,3 +709,93 @@ def test_harris_oracle_parity_and_square(spark):
     assert got["bad"][0]["error"] is not None
     with pytest.raises(ValueError):
         multimodal.np_harris(sq, window_radius=4)
+
+
+# ---------------------------------------------------------------------------
+# image <-> raster bridge (watershed-on-images composition)
+# ---------------------------------------------------------------------------
+def test_image_tiles_roundtrip_and_isolation(spark):
+    import numpy as np
+
+    from engine import focal, image_codec
+
+    rng = np.random.default_rng(61)
+    imgs = {}
+    rows = []
+    for i in (0, 1):
+        px = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+        imgs[i] = px
+        rows.append((str(i), image_codec.encode_raw(px), 14, 11, "raw"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = multimodal.image_to_tiles(df, res=8).persist()
+    assert tiles.filter("error IS NOT NULL").count() == 0
+    back = {
+        r["image_id"]: list(r["pixels"])
+        for r in multimodal.tiles_to_image(
+            tiles.select("tx", "ty", "counts"), 8, 14, 11
+        ).collect()
+    }
+    for i in (0, 1):
+        want = imgs[i].astype(np.int64).sum(axis=2).reshape(-1).tolist()
+        assert back[i] == want, i
+    # halo isolation: image 0's focal sums are identical whether image 1's
+    # tiles share the frame or not (the stride keeps strips apart)
+    t0 = tiles.filter(F.col("image_id") == "0").select("tx", "ty", "counts")
+    both = tiles.select("tx", "ty", "counts")
+    a = {
+        (r["tx"], r["ty"]): list(r["focal"])
+        for r in focal.focal_sum(t0, 8, radius=2).collect()
+    }
+    b = {
+        (r["tx"], r["ty"]): list(r["focal"])
+        for r in focal.focal_sum(both, 8, radius=2).collect()
+        if (r["tx"], r["ty"]) in a
+    }
+    assert a == b
+    tiles.unpersist()
+
+
+def test_image_watershed_two_basins(spark):
+    """The axes-A+B composition: decode -> image_to_tiles -> D8 flow ->
+    basins segments an image into watershed regions of its luminance
+    surface. Two L1 cones draining to (3,3) and (12,12) -> exactly two
+    basins, each containing its minimum."""
+    import numpy as np
+
+    from engine import image_codec, terrain
+
+    h = w = 16
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for iy in range(h):
+        for ix in range(w):
+            v = min(abs(ix - 3) + abs(iy - 3), abs(ix - 12) + abs(iy - 12))
+            px[iy, ix, 0] = 10 * v
+    df = spark.createDataFrame(
+        [("0", image_codec.encode_raw(px), w, h, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    tiles = multimodal.image_to_tiles(df, res=8, channel="r").select(
+        "tx", "ty", "counts"
+    )
+    flow = terrain.d8_flow(tiles, 8)
+    bas = terrain.basins(flow, 8).collect()
+    labels = {}
+    for r in bas:
+        labels[(r["gx"], r["gy"])] = r["basin"]
+    assert len(set(labels.values())) == 2
+    # the two minima are in different basins; y is flipped (row 0 = top,
+    # gy = h-1-row)
+    m1 = labels[(3, h - 1 - 3)]
+    m2 = labels[(12, h - 1 - 12)]
+    assert m1 != m2
+    # every cell strictly closer to one minimum (in L1) drains to it
+    for (gx, gy), lab in labels.items():
+        iy = h - 1 - gy
+        d1 = abs(gx - 3) + abs(iy - 3)
+        d2 = abs(gx - 12) + abs(iy - 12)
+        if d1 + 1 < d2:
+            assert lab == m1, (gx, gy)
+        elif d2 + 1 < d1:
+            assert lab == m2, (gx, gy)
