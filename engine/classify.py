@@ -54,7 +54,7 @@ def jenks_breaks(
     df: DataFrame,
     col: str,
     k: int,
-    max_distinct: int = 65536,
+    max_distinct: int = 4096,
 ) -> list[int]:
     """Fisher-Jenks natural breaks: the EXACT-optimal partition of the
     value histogram into k classes minimizing total within-class sum of
@@ -63,7 +63,10 @@ def jenks_breaks(
     ascending — class(x) = #{b in breaks : x > b}. Degenerate inputs
     (fewer distinct values than k) return the distinct values themselves
     as breaks. O(k m^2) numpy DP on int64 prefix moments; deterministic
-    (smallest split index on cost ties)."""
+    (smallest split index on cost ties). max_distinct defaults TIGHTER
+    than value_histogram's (4096, ~67M vectorized flops at k=4) because
+    the DP is quadratic in the histogram — requantize coarser rather than
+    raising it past ~16k."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     hist = value_histogram(df, col, max_distinct)
