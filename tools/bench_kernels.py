@@ -3384,6 +3384,86 @@ def part_vision() -> None:
 
 
 
+def part_access() -> None:
+    """2SFCA accessibility at scale, local[32]: 1M demand points on the
+    unit lattice (1000x1000, population 3 each), 100 supply sites on the
+    100-spaced center lattice (capacity 7), radius 30. Supply centers are
+    >= 100 apart so catchments never overlap: every supply sees exactly
+    n_disk = |{(dx,dy): dx^2+dy^2 <= 900}| demand points, and every demand
+    within 30 of its (unique) center scores floor(1e9 * 7 / (3 * n_disk)),
+    all others exactly 0 — the whole 1M-row output is closed-form checked
+    distributed. min-of-2 walls."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine import pointstats
+
+    spark = _spark("bench-access")
+    side = int(os.environ.get("ACCESS_BENCH_SIDE", "1000"))
+    spacing, radius, cap, pop = 100, 30.0, 7, 3
+    n_sup_side = side // spacing
+    dem = spark.range(0, side * side, 1, 64).select(
+        F.col("id").alias("id"),
+        F.pmod(F.col("id"), side).cast("double").alias("x"),
+        (F.col("id") / side).cast("long").cast("double").alias("y"),
+        F.lit(pop).alias("population"),
+    )
+    sup = spark.range(0, n_sup_side * n_sup_side).select(
+        F.col("id").alias("id"),
+        (F.pmod(F.col("id"), n_sup_side) * spacing + spacing // 2)
+        .cast("double").alias("x"),
+        ((F.col("id") / n_sup_side).cast("long") * spacing + spacing // 2)
+        .cast("double").alias("y"),
+        F.lit(cap).alias("capacity"),
+    )
+    d = np.arange(-int(radius), int(radius) + 1, dtype=np.int64)
+    n_disk = int(((d[:, None] ** 2 + d[None, :] ** 2)
+                  <= int(radius) ** 2).sum())
+    want = int(np.floor(1e9 * cap / (pop * n_disk)))
+
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        out = pointstats.accessibility_2sfca(sup, dem, radius)
+        cx = F.pmod(F.col("id"), side) - (
+            F.floor(F.pmod(F.col("id"), side) / spacing) * spacing
+            + spacing // 2
+        )
+        cy = (F.col("id") / side).cast("long") - (
+            F.floor((F.col("id") / side).cast("long") / spacing) * spacing
+            + spacing // 2
+        )
+        inside = (cx * cx + cy * cy) <= int(radius) ** 2
+        agg = out.select(
+            "id", "access_e9", "n_sites", inside.alias("inside")
+        ).agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                (
+                    (F.col("inside")
+                     & (F.col("access_e9") == want)
+                     & (F.col("n_sites") == 1))
+                    | (~F.col("inside")
+                       & (F.col("access_e9") == 0)
+                       & (F.col("n_sites") == 0))
+                ).cast("long")
+            ).alias("good"),
+            F.sum((F.col("access_e9") > 0).cast("long")).alias("served"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["rows"] == side * side, agg
+        assert agg["good"] == side * side, agg
+        assert agg["served"] == n_sup_side * n_sup_side * n_disk, agg
+    print(_json.dumps({
+        "demand": side * side, "supply": n_sup_side * n_sup_side,
+        "radius": radius, "n_disk": n_disk, "walls": walls,
+        "demand_per_s": round(side * side / min(walls)),
+    }))
+
+
+
 def part_fill() -> None:
     """Depression filling at raster scale, local[32]: the 4096x4096 raster
     (16x16 tiles at res=256, 16.8M cells) as a flat plateau at H=10000 with
@@ -3556,4 +3636,5 @@ if __name__ == "__main__":
         "xing": part_xing,
         "horizon": part_horizon,
         "vision": part_vision,
+        "access": part_access,
     }[sys.argv[1]]()
