@@ -61,7 +61,7 @@ def _quadrant_block(counts: Column, res: int) -> Column:
     )
 
 
-def _rollup_once(tiles: DataFrame, res: int) -> DataFrame:
+def _rollup_once(tiles: DataFrame, res: int, block_fn=None) -> DataFrame:
     """One level: children (tx, ty, counts) -> parents (tx>>1, ty>>1,
     counts). Arithmetic shiftright floors negative coords, matching the
     quadrant bits (tx & 1), so the grid is seamless across the origin."""
@@ -71,7 +71,7 @@ def _rollup_once(tiles: DataFrame, res: int) -> DataFrame:
         F.shiftright(F.col("ty"), 1).alias("ty"),
         ((F.col("ty").bitwiseAND(F.lit(1))) * 2
          + (F.col("tx").bitwiseAND(F.lit(1)))).cast("int").alias("q"),
-        _quadrant_block(F.col("counts"), res).alias("block"),
+        (block_fn or _quadrant_block)(F.col("counts"), res).alias("block"),
     )
     m = F.map_from_entries(F.collect_list(F.struct("q", "block")))
 
@@ -109,6 +109,97 @@ def pyramid_sum(tiles: DataFrame, res: int, levels: int = 1) -> DataFrame:
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+def _quadrant_block_mode(counts: Column, res: int) -> Column:
+    """Fold a child's res^2 grid into its (res/2)^2 grid of 2x2 block
+    MAJORITIES (nodata 0 skipped; all-zero block -> 0; ties to the
+    SMALLEST value) — Column HOFs only. With <= 4 votes per block the mode
+    is a tiny aggregate fold over the sorted nonzero values: walking
+    ascending with a strict > keeps the smallest value on count ties."""
+    half = res // 2
+
+    def block_mode(j: Column) -> Column:
+        by = (j / half).cast("int")
+        bx = F.pmod(j, half)
+        base = by * (2 * res) + bx * 2
+        vals = F.array(
+            F.element_at(counts, base + 1),
+            F.element_at(counts, base + 2),
+            F.element_at(counts, base + res + 1),
+            F.element_at(counts, base + res + 2),
+        )
+        nz = F.array_sort(F.filter(vals, lambda x: x != 0))
+        best = F.aggregate(
+            nz,
+            F.struct(
+                F.lit(0).cast("long").alias("v"),
+                F.lit(0).cast("long").alias("c"),
+            ),
+            lambda acc, x: F.when(
+                F.size(F.filter(nz, lambda y: y == x)) > acc["c"],
+                F.struct(
+                    x.alias("v"),
+                    F.size(F.filter(nz, lambda y: y == x))
+                    .cast("long").alias("c"),
+                ),
+            ).otherwise(acc),
+        )
+        return best["v"]
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(half * half - 1)), block_mode
+    )
+
+
+def pyramid_mode(tiles: DataFrame, res: int, levels: int = 1) -> DataFrame:
+    """Categorical (land-cover / classified-raster) pyramid: parent pixel =
+    MAJORITY of its 2x2 child-pixel block, 0 = nodata skipped, ties to the
+    smallest class — the gdaladdo 'mode' overview, iterated per level
+    (majority-of-majorities, the standard hierarchical behavior). Same
+    plan as pyramid_sum: one quadrant fold (no shuffle) + one parent
+    groupBy per level, shuffle volume halving every level."""
+    if res < 2 or res % 2:
+        raise ValueError(f"res must be even and >= 2, got {res}")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = None
+    cur = tiles.select("tx", "ty", "counts")
+    for lvl in range(1, levels + 1):
+        cur = _rollup_once(cur, res, block_fn=_quadrant_block_mode)
+        tagged = cur.select(
+            F.lit(lvl).alias("level"), "tx", "ty", "counts"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def pyramid_mode_sql_level1(tiles_table: str, res: int) -> str:
+    """DuckDB twin of pyramid_mode's FIRST level, derived independently:
+    per parent global pixel, votes grouped straight from base cells with
+    gx >> 1, winner by (count DESC, value ASC) — the exact tie rule.
+    Multi-level parity (majority-of-majorities) is pinned by the python
+    oracle in tests; level 1 is where the two derivations can disagree."""
+    return f"""
+        WITH pcells AS (
+          SELECT tx * {res} + i % {res} AS gx,
+                 ty * {res} + i // {res} AS gy,
+                 counts[i + 1] AS v
+          FROM {tiles_table}, range(0, {res * res}) t(i)
+          WHERE counts[i + 1] <> 0
+        ), votes AS (
+          SELECT CAST(FLOOR(gx / 2.0) AS BIGINT) AS pgx,
+                 CAST(FLOOR(gy / 2.0) AS BIGINT) AS pgy,
+                 v, COUNT(*)::BIGINT AS c
+          FROM pcells GROUP BY 1, 2, 3
+        ), win AS (
+          SELECT pgx, pgy, v,
+                 ROW_NUMBER() OVER (PARTITION BY pgx, pgy
+                                    ORDER BY c DESC, v ASC) AS rn
+          FROM votes
+        )
+        SELECT pgx, pgy, v FROM win WHERE rn = 1
+    """
 
 
 def pyramid_sum_sql(tiles_table: str, res: int, levels: int = 1) -> str:

@@ -179,3 +179,87 @@ def test_image_pyramid_two_levels_deterministic(spark):
     }
     assert sum(r["level"] == 1 for r in a) == 4
     assert sum(r["level"] == 2 for r in a) == 1
+
+
+# ---------------------------------------------------------------------------
+# categorical (majority) pyramid
+# ---------------------------------------------------------------------------
+def _py_mode_level(cells):
+    """cells: {(gx, gy): v != 0} -> parent {(pgx, pgy): majority}."""
+    from collections import Counter
+
+    votes = {}
+    for (gx, gy), v in cells.items():
+        votes.setdefault((gx // 2, gy // 2), Counter())[v] += 1
+    return {
+        k: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for k, c in votes.items()
+    }
+
+
+def test_pyramid_mode_oracle_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(41)
+    res = 8
+    tiles = {
+        (tx, ty): [
+            rng.randint(1, 4) if rng.random() < 0.7 else 0
+            for _ in range(res * res)
+        ]
+        for tx in range(-1, 1) for ty in range(0, 2)
+    }
+    df = spark.createDataFrame(
+        [(tx, ty, g) for (tx, ty), g in tiles.items()],
+        "tx long, ty long, counts array<long>",
+    )
+    out = pyramid.pyramid_mode(df, res, levels=2).collect()
+    got = {}
+    for r in out:
+        for pix in range(res * res):
+            v = r["counts"][pix]
+            if v:
+                got[(r["level"], r["tx"] * res + pix % res,
+                     r["ty"] * res + pix // res)] = v
+    cells = {
+        (tx * res + i % res, ty * res + i // res): g[i]
+        for (tx, ty), g in tiles.items()
+        for i in range(res * res) if g[i]
+    }
+    l1 = _py_mode_level(cells)
+    l2 = _py_mode_level({k: v for k, v in l1.items() if v})
+    want = {}
+    for (gx, gy), v in l1.items():
+        if v:
+            want[(1, gx, gy)] = v
+    for (gx, gy), v in l2.items():
+        if v:
+            want[(2, gx, gy)] = v
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pt (tx BIGINT, ty BIGINT, counts BIGINT[])")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO pt VALUES (?, ?, ?)", [tx, ty, g])
+    twin = {
+        (gx, gy): v
+        for gx, gy, v in con.execute(
+            pyramid.pyramid_mode_sql_level1("pt", res)
+        ).fetchall()
+    }
+    assert twin == {k: v for k, v in l1.items() if v}
+
+
+def test_pyramid_mode_tie_and_nodata(spark):
+    res = 4
+    # one 2x2 block: values 3, 5, 5, 3 -> tie at count 2 -> smallest (3);
+    # another block: 0, 0, 0, 7 -> nodata skipped -> 7; all-zero -> 0
+    g = [0] * 16
+    g[0], g[1], g[4], g[5] = 3, 5, 5, 3
+    g[2] = 7
+    df = spark.createDataFrame(
+        [(0, 0, g)], "tx long, ty long, counts array<long>"
+    )
+    out = pyramid.pyramid_mode(df, res, levels=1).collect()[0]
+    assert out["counts"][0] == 3
+    assert out["counts"][1] == 7
+    assert out["counts"][2] == 0
