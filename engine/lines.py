@@ -394,3 +394,113 @@ def line_intersection_join(
     return pairs.groupBy("a_id", "b_id").agg(
         F.count("*").alias("n_seg_pairs")
     )
+
+
+def dissolve_segments(
+    segs: DataFrame,
+    cls_col: str | None = None,
+    scale: float = 1000.0,
+    seg_id: str = "seg_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Polyline network dissolve (the line side of ArcGIS Dissolve / road-
+    network preprocessing): segments sharing an endpoint — after snapping
+    endpoints to a 1/scale tolerance grid — and the same class merge into
+    one network component. Returns (membership, summary):
+
+      membership: (seg_id, comp) — component id per segment (the
+        component's minimum packed endpoint key: deterministic);
+      summary: per (comp, cls): n_segs, length_e6 (sum of per-segment
+        FLOOR(1e6 * euclidean length) — exact int64, order-independent),
+        n_nodes (distinct snapped endpoints), n_odd (odd-degree nodes —
+        0 = closed loop(s) / Eulerian, 2 = one simple open path end to
+        end), is_path, is_loop.
+
+    Plan: endpoints quantize by half-up rounding to the snap grid; each
+    segment contributes one (u, v) edge; components via engine.graph
+    connected_components (O(log n) star rounds — the routable-network
+    'largest component' cut at scale); degrees are one endpoint hash agg.
+    Domain guard: |snapped coord| < 2^20 grid cells and class id in
+    [0, 2^21) so the packed node key (cls, qx, qy) stays int64 — raised
+    loudly, the engine's guard discipline.
+
+    Ordered vertex assembly is deliberately NOT done here: for simple
+    paths compose with the pointer-doubling ordering machinery
+    (engine.terrain.stream_links is the raster-side template); branching
+    components have no single vertex order."""
+    from engine.graph import connected_components
+
+    off, kbits = 1 << 20, 21
+    cls = (
+        F.col(cls_col).cast("long") if cls_col is not None
+        else F.lit(0).cast("long")
+    )
+    q = lambda c: F.floor(c.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")  # noqa: E731
+    base = segs.select(
+        F.col(seg_id).alias("_sid"),
+        cls.alias("_cls"),
+        q(F.col("x1")).alias("qx1"), q(F.col("y1")).alias("qy1"),
+        q(F.col("x2")).alias("qx2"), q(F.col("y2")).alias("qy2"),
+        F.sqrt(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ).alias("_len"),
+    )
+    guard = (
+        (F.abs(F.col("qx1")) < off) & (F.abs(F.col("qy1")) < off)
+        & (F.abs(F.col("qx2")) < off) & (F.abs(F.col("qy2")) < off)
+        & (F.col("_cls") >= 0) & (F.col("_cls") < (1 << 21))
+    )
+    def node(qx, qy):
+        # the domain guard is woven INTO the key expression (cells.
+        # pack_feature_id discipline) so Catalyst cannot prune it away
+        packed = (
+            F.col("_cls") * F.lit(1 << (2 * kbits))
+            + (qx + off) * F.lit(1 << kbits) + (qy + off)
+        )
+        return F.when(guard, packed).otherwise(
+            F.raise_error(F.lit(
+                "dissolve_segments: snapped coordinate beyond 2^20 grid "
+                "cells or class outside [0, 2^21) — rescale inputs"
+            ))
+        )
+
+    edges = base.select(
+        "_sid", "_cls", "_len",
+        node(F.col("qx1"), F.col("qy1")).alias("u"),
+        node(F.col("qx2"), F.col("qy2")).alias("v"),
+    )
+    nodes = edges.select(F.col("u").alias("id")).unionByName(
+        edges.select(F.col("v").alias("id"))
+    ).distinct()
+    comp = connected_components(
+        edges.select("u", "v"), "u", "v", nodes=nodes, id_col="id"
+    )
+    memb = edges.join(comp, edges["u"] == comp["id"]).select(
+        F.col("_sid").alias(seg_id), F.col("comp").alias("comp"),
+        "_cls", "_len",
+    )
+    # node degrees: count segment-endpoint incidences per snapped node
+    # (a zero-length segment contributes 2 to its single node's degree —
+    # consistent with the python oracle and Euler counting)
+    ends = edges.select(F.col("u").alias("nid")).unionByName(
+        edges.select(F.col("v").alias("nid"))
+    )
+    deg = ends.groupBy("nid").agg(F.count("*").alias("deg"))
+    node_comp = deg.join(comp, deg["nid"] == comp["id"]).select(
+        "comp", "deg"
+    )
+    node_sum = node_comp.groupBy("comp").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.pmod(F.col("deg"), 2)).alias("n_odd"),
+    )
+    seg_sum = memb.groupBy("comp", F.col("_cls").alias("cls")).agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.floor(F.col("_len") * F.lit(1e6)).cast("long"))
+        .alias("length_e6"),
+    )
+    summary = seg_sum.join(node_sum, "comp").select(
+        "comp", "cls", "n_segs", "length_e6", "n_nodes", "n_odd",
+        (F.col("n_odd") == 2).alias("is_path"),
+        (F.col("n_odd") == 0).alias("is_loop"),
+    )
+    return memb.select(seg_id, "comp"), summary

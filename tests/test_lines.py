@@ -195,3 +195,130 @@ def test_line_intersection_touch_and_collinear(spark):
         for r in L.line_intersection_join(la, lb, cell_size=8.0).collect()
     }
     assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 1}
+
+
+# ---------------------------------------------------------------------------
+# polyline network dissolve
+# ---------------------------------------------------------------------------
+def _py_dissolve(segs, scale=1000.0):
+    """Union-find oracle: {comp_members frozenset of seg ids -> summary}."""
+    import math
+
+    def q(v):
+        return math.floor(v * scale + 0.5)
+
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes_of = {}
+    for sid, cls, x1, y1, x2, y2 in segs:
+        u = (cls, q(x1), q(y1))
+        v = (cls, q(x2), q(y2))
+        for n in (u, v):
+            parent.setdefault(n, n)
+        union(u, v)
+        nodes_of[sid] = (u, v, cls, math.hypot(x2 - x1, y2 - y1))
+    comp_of_seg = {sid: find(t[0]) for sid, t in nodes_of.items()}
+    groups = {}
+    for sid, root in comp_of_seg.items():
+        groups.setdefault(root, []).append(sid)
+    out = {}
+    import collections
+
+    for root, sids in groups.items():
+        deg = collections.Counter()
+        ln = 0
+        for sid in sids:
+            u, v, cls, L = nodes_of[sid]
+            deg[u] += 1
+            deg[v] += 1
+            ln += math.floor(L * 1e6)
+        odd = sum(1 for d in deg.values() if d % 2)
+        out[frozenset(sids)] = (
+            len(sids), ln, len(deg), odd,
+        )
+    return out
+
+
+def test_dissolve_segments_oracle(spark):
+    import random as _r
+
+    rng = _r.Random(77)
+    # build a random planar mini-network on a lattice of junction points so
+    # endpoints genuinely coincide
+    pts = [(rng.uniform(0, 20), rng.uniform(0, 20)) for _ in range(12)]
+    segs = []
+    for sid in range(25):
+        a, b = rng.sample(range(12), 2)
+        cls = rng.randint(0, 1)
+        segs.append((sid, cls, *pts[a], *pts[b]))
+    df = spark.createDataFrame(
+        segs, "seg_id long, cls long, x1 double, y1 double, x2 double, y2 double"
+    ).repartition(3)
+    from engine.lines import dissolve_segments
+
+    memb, summ = dissolve_segments(df, cls_col="cls")
+    groups = {}
+    for r in memb.collect():
+        groups.setdefault(r["comp"], set()).add(r["seg_id"])
+    got = {}
+    for r in summ.collect():
+        got[frozenset(groups[r["comp"]])] = (
+            r["n_segs"], r["length_e6"], r["n_nodes"], r["n_odd"],
+        )
+    assert got == _py_dissolve(segs)
+
+
+def test_dissolve_closed_forms_and_snap(spark):
+    from engine.lines import dissolve_segments
+
+    segs = [
+        # an open 3-segment chain (path: 2 odd nodes)
+        (0, 0, 0.0, 0.0, 1.0, 0.0),
+        (1, 0, 1.0, 0.0, 2.0, 0.0),
+        (2, 0, 2.0, 0.0, 2.0, 1.0),
+        # a triangle loop (0 odd nodes)
+        (3, 0, 10.0, 0.0, 11.0, 0.0),
+        (4, 0, 11.0, 0.0, 10.5, 1.0),
+        (5, 0, 10.5, 1.0, 10.0, 0.0),
+        # same place as the chain but a different class: separate comp
+        (6, 1, 0.0, 0.0, 1.0, 0.0),
+        # endpoint within snap tolerance (scale=1000 -> 1e-3): merges
+        (7, 0, 2.0002, 1.0003, 3.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, cls long, x1 double, y1 double, x2 double, y2 double"
+    )
+    memb, summ = dissolve_segments(df, cls_col="cls")
+    comp_of = {r["seg_id"]: r["comp"] for r in memb.collect()}
+    rows = {r["comp"]: r for r in summ.collect()}
+    chain = comp_of[0]
+    assert comp_of[1] == chain and comp_of[2] == chain
+    assert comp_of[7] == chain  # snapped within tolerance
+    assert comp_of[6] != chain  # class wall
+    tri = comp_of[3]
+    assert comp_of[4] == tri == comp_of[5]
+    assert rows[chain]["is_path"] and not rows[chain]["is_loop"]
+    assert rows[chain]["n_segs"] == 4 and rows[chain]["n_odd"] == 2
+    assert rows[tri]["is_loop"] and rows[tri]["n_odd"] == 0
+    assert rows[comp_of[6]]["n_segs"] == 1
+    # guard: coordinates beyond the packed domain raise loudly
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(0, 0, 1e9, 0.0, 1e9, 1.0)],
+        "seg_id long, cls long, x1 double, y1 double, x2 double, y2 double",
+    )
+    with _pt.raises(Exception, match="dissolve_segments"):
+        m, s = dissolve_segments(bad)
+        m.collect()
