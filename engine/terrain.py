@@ -3495,3 +3495,152 @@ def horizon_angles_sql(cells_sql: str, radius: int) -> str:
         LEFT JOIN hzbest h
           ON h.gx = c.gx AND h.gy = c.gy AND h.dir = d.dir
     """
+
+
+def intervisibility(
+    tiles: DataFrame,
+    res: int,
+    points: DataFrame,
+    max_range: int,
+    height: int = 0,
+    id_col: str = "pid",
+) -> DataFrame:
+    """Point-to-point line-of-sight JOIN over the terrain raster (the
+    visibility-graph builder: comms planning, lookout networks): for every
+    unordered pair of points within euclidean max_range cells, whether the
+    straight sight line between their eyes clears the terrain. Pure Column
+    algebra — blocked pair join + lattice-ray sample explode + ONE
+    equi-join against the sparse cells + a per-pair aggregate; no UDF.
+
+    Conventions are np_viewshed_counts' exactly: samples at
+    k = 1..D-1 (D = chebyshev), position = A + round-half-away(k*delta/D)
+    componentwise; a PRESENT sample blocks iff its elevation angle from
+    the eye STRICTLY exceeds the target's (grazing lines stay visible),
+    compared by sign analysis + cross-multiplied squares — no float.
+    Absent cells are transparent. The ray is cast FROM the smaller pid
+    (lattice rounding makes the two directions differ on half-sample
+    edges; one documented deterministic direction, like the viewshed
+    twin). Points must sit on present raster cells (off-raster points
+    drop out of the join); both eyes are terrain + height. Returns
+    (pid_a, pid_b, dist2, n_blockers, visible), pid_a < pid_b.
+
+    Scale: the pair join is the lag_pairs grid blocking at cell =
+    max_range; the sample explode fans each pair by <= max_range rows and
+    equi-joins the sparse cell frame — O(pairs * range) slim rows, the
+    colocation/variogram shuffle discipline. |z| + height < 2^18 and
+    max_range <= 2^11 keep the squared products in int64 (the viewshed
+    guard, enforced here via the same raise discipline)."""
+    if not (1 <= int(max_range) <= (1 << 11)):
+        raise ValueError(f"max_range must be in [1, 2048], got {max_range}")
+    if not (0 <= int(height) < (1 << 17)):
+        raise ValueError(f"height out of range: {height}")
+    R = int(max_range)
+    h = int(height)
+    cells = tiles.select(
+        "tx", "ty", F.posexplode("counts").alias("pix", "z")
+    ).select(
+        (F.col("tx") * res + F.pmod(F.col("pix"), res)).alias("gx"),
+        (F.col("ty") * res + F.floor(F.col("pix") / res)).cast("long")
+        .alias("gy"),
+        F.when(
+            F.abs(F.col("z")) < F.lit(1 << 18), F.col("z").cast("long")
+        ).otherwise(
+            F.raise_error(F.lit(
+                "intervisibility: |elevation| must be < 2^18 for exact "
+                "int64 angle comparisons"
+            ))
+        ).alias("z"),
+    )
+    pts = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+    ).join(cells, ["gx", "gy"])  # off-raster points drop here
+    # blocked pair join at cell size R (each unordered pair once)
+    cx = F.floor(F.col("gx") / F.lit(R)).cast("long")
+    cy = F.floor(F.col("gy") / F.lit(R)).cast("long")
+    b_side = pts.select(
+        F.col("pid").alias("pid_b"), F.col("gx").alias("bx"),
+        F.col("gy").alias("by"), F.col("z").alias("bz"),
+        cx.alias("_cx"), cy.alias("_cy"),
+    )
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("dx"), F.lit(j).alias("dy"))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)
+        ])
+    )
+    a_side = pts.select(
+        F.col("pid").alias("pid_a"), F.col("gx").alias("ax"),
+        F.col("gy").alias("ay"), F.col("z").alias("az"),
+        cx.alias("_acx"), cy.alias("_acy"),
+    ).select(
+        "*", offs.alias("_o")
+    ).select(
+        "pid_a", "ax", "ay", "az",
+        (F.col("_acx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_acy") + F.col("_o.dy")).alias("_cy"),
+    )
+    ddx = F.col("bx") - F.col("ax")
+    ddy = F.col("by") - F.col("ay")
+    d2 = ddx * ddx + ddy * ddy
+    pairs = (
+        a_side.join(b_side, ["_cx", "_cy"])
+        .filter((F.col("pid_a") < F.col("pid_b")) & (d2 <= F.lit(R * R)))
+        .select(
+            "pid_a", "pid_b", "ax", "ay", "az", "bx", "by", "bz",
+            d2.alias("dist2"),
+            F.greatest(F.abs(ddx), F.abs(ddy)).alias("D"),
+        )
+    )
+    # lattice-ray samples k = 1..D-1 from the a side (pid_a < pid_b)
+    vx = F.col("k") * (F.col("bx") - F.col("ax"))
+    vy = F.col("k") * (F.col("by") - F.col("ay"))
+
+    def rha(v):  # round half away from zero of v / D
+        return F.signum(v).cast("long") * (
+            (F.lit(2) * F.abs(v) + F.col("D"))
+            / (F.lit(2) * F.col("D"))
+        ).cast("long")
+
+    samples = pairs.filter(F.col("D") >= 2).select(
+        "pid_a", "pid_b", "ax", "ay", "az", "bx", "by", "bz", "dist2", "D",
+        F.explode(F.sequence(F.lit(1), F.col("D") - 1)).alias("k"),
+    ).select(
+        "pid_a", "pid_b", "az", "bz", "dist2",
+        rha(vx).alias("px"), rha(vy).alias("py"),
+        (F.col("ax") + rha(vx)).alias("sgx"),
+        (F.col("ay") + rha(vy)).alias("sgy"),
+    )
+    zo = F.col("az") + F.lit(h)
+    a_ = F.col("z") - zo          # sample rise
+    b_ = F.col("bz") + F.lit(h) - zo  # target-eye rise
+    dp2 = F.col("px") * F.col("px") + F.col("py") * F.col("py")
+    lhs = a_ * a_ * F.col("dist2")
+    rhs = b_ * b_ * dp2
+    blocks = (
+        ((a_ >= 0) & (b_ < 0))
+        | ((a_ >= 0) & (b_ >= 0) & (lhs > rhs))
+        | ((a_ < 0) & (b_ < 0) & (lhs < rhs))
+    )
+    blocked = (
+        samples.join(
+            cells.select(
+                F.col("gx").alias("sgx"), F.col("gy").alias("sgy"), "z"
+            ),
+            ["sgx", "sgy"],
+        )  # absent samples are transparent: inner join drops them
+        .filter(blocks)
+        .groupBy("pid_a", "pid_b")
+        .agg(F.count("*").alias("n_blockers"))
+    )
+    return (
+        pairs.select("pid_a", "pid_b", "dist2")
+        .join(blocked, ["pid_a", "pid_b"], "left")
+        .select(
+            "pid_a", "pid_b", "dist2",
+            F.coalesce(F.col("n_blockers"), F.lit(0)).alias("n_blockers"),
+            (F.coalesce(F.col("n_blockers"), F.lit(0)) == 0)
+            .alias("visible"),
+        )
+    )

@@ -2913,3 +2913,104 @@ def test_sky_view_factor_pit_numpy_parity(spark):
     want = 1.0 - sum(sins) / 8.0
     assert out["svf"][pix] == pytest.approx(want, rel=1e-12)
     assert out["svf"][pix] < 0.35 < out["svf"][0]
+
+
+# ---------------------------------------------------------------------------
+# intervisibility pair join
+# ---------------------------------------------------------------------------
+def _py_los(cells, a, b, h):
+    """LOS from a -> b with the viewshed conventions (round-half-away
+    lattice ray, strict block, transparency)."""
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    D = max(abs(dx), abs(dy))
+    zo = cells[(ax, ay)] + h
+    bt = cells[(bx, by)] + h - zo
+    dist2 = dx * dx + dy * dy
+    nb = 0
+    for k in range(1, D):
+        def rha(v):
+            s = (v > 0) - (v < 0)
+            return s * ((2 * abs(v) + D) // (2 * D))
+
+        px, py = rha(k * dx), rha(k * dy)
+        z = cells.get((ax + px, ay + py))
+        if z is None:
+            continue
+        aa = z - zo
+        lhs = aa * aa * dist2
+        rhs = bt * bt * (px * px + py * py)
+        if (aa >= 0 and bt < 0) or (aa >= 0 and bt >= 0 and lhs > rhs) \
+                or (aa < 0 and bt < 0 and lhs < rhs):
+            nb += 1
+    return nb
+
+
+def test_intervisibility_oracle_and_cases(spark):
+    rng = random.Random(4800)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6, span=2, density=0.8)
+    cells = _cells_of_tiles(tiles, res)
+    pts = [
+        (i, gx, gy) for i, (gx, gy) in enumerate(
+            rng.sample(sorted(cells), 14)
+        )
+    ]
+    df = _mk_df(spark, tiles)
+    pdf = spark.createDataFrame(pts, "pid long, gx long, gy long")
+    got = {
+        (r["pid_a"], r["pid_b"]): (r["n_blockers"], r["visible"])
+        for r in terrain.intervisibility(df, res, pdf, max_range=9, height=1)
+        .collect()
+    }
+    coords = {p: (gx, gy) for p, gx, gy in pts}
+    want = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            pa, pb = pts[i][0], pts[j][0]
+            if pa > pb:
+                pa, pb = pb, pa
+            A, B = coords[pa], coords[pb]
+            d2 = (A[0] - B[0]) ** 2 + (A[1] - B[1]) ** 2
+            if d2 <= 81:
+                nb = _py_los(cells, A, B, 1)
+                want[(pa, pb)] = (nb, nb == 0)
+    assert got == want
+
+
+def test_intervisibility_wall_mast_flat(spark):
+    res = 8
+    flat = [5] * (res * res)
+    wall = list(flat)
+    for gy in range(res):
+        wall[gy * res + 4] = 50
+    tiles = {(0, 0): wall}
+    df = _mk_df(spark, tiles)
+    pts = spark.createDataFrame(
+        [(1, 1, 3), (2, 7, 3), (3, 4, 6)], "pid long, gx long, gy long"
+    )
+    out = {
+        (r["pid_a"], r["pid_b"]): r["visible"]
+        for r in terrain.intervisibility(df, res, pts, max_range=8).collect()
+    }
+    assert out[(1, 2)] is False       # the wall blocks across
+    assert out[(1, 3)] is True        # wall-top point sees over its wall
+    # tall masts see over the wall
+    out2 = {
+        (r["pid_a"], r["pid_b"]): r["visible"]
+        for r in terrain.intervisibility(
+            df, res, pts, max_range=8, height=60
+        ).collect()
+    }
+    assert out2[(1, 2)] is True
+    # flat terrain: everything within range sees everything; out of range
+    # pairs absent
+    fdf = _mk_df(spark, {(0, 0): flat})
+    # d2((1,3)-(4,6)) = d2((7,3)-(4,6)) = 18 <= 25; d2((1,3)-(7,3)) = 36 out
+    fout = terrain.intervisibility(fdf, res, pts, max_range=5)
+    rows = fout.collect()
+    assert all(r["visible"] for r in rows)
+    assert {(r["pid_a"], r["pid_b"]) for r in rows} == {(1, 3), (2, 3)}
+    with pytest.raises(ValueError):
+        terrain.intervisibility(fdf, res, pts, max_range=0)
