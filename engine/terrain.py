@@ -3644,3 +3644,93 @@ def intervisibility(
             .alias("visible"),
         )
     )
+
+
+def openness(
+    tiles: DataFrame,
+    res: int,
+    radius: int,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Topographic openness (Yokoyama et al. 2002): per pixel, positive
+    openness = mean over the 8 azimuths of the zenith angle (pi/2 -
+    horizon elevation angle) — large on exposed ridges/plains, small in
+    pits; negative openness = the same on the INVERTED surface (how open
+    the terrain is looking down) — large in valleys. Both from the exact
+    horizon_angles machinery: one halo scan per sign (the inverted scan
+    negates z, which the strip exchange carries as-is), the float layer a
+    Column HOF over the 16 rational pairs. Returns (tx, ty, pos_open,
+    neg_open) in radians, flat pixels = pi/2 exactly."""
+    import math as _math
+
+    pos = horizon_angles(tiles, res, radius)
+    neg_in = tiles.select(
+        "tx", "ty",
+        F.transform("counts", lambda c: -c).alias("counts"),
+    )
+    neg = horizon_angles(neg_in, res, radius)
+
+    def mean_zenith():
+        pairs = F.arrays_zip(
+            *[c for i in range(8) for c in (f"h{i}_num", f"h{i}_den")]
+        )
+
+        def expr(s):
+            tot = None
+            for i in range(8):
+                ln = (
+                    _math.sqrt(2.0)
+                    if _HORIZON_DIRS[i][0] * _HORIZON_DIRS[i][1] != 0
+                    else 1.0
+                )
+                t = (
+                    s[f"h{i}_num"].cast("double") * F.lit(float(z_factor))
+                    / (
+                        s[f"h{i}_den"].cast("double")
+                        * F.lit(ln * float(cellsize))
+                    )
+                )
+                z = F.lit(_math.pi / 2.0) - F.atan(t)
+                tot = z if tot is None else tot + z
+            return tot / F.lit(8.0)
+
+        return F.transform(pairs, expr)
+
+    p = pos.select("tx", "ty", mean_zenith().alias("pos_open"))
+    n = neg.select("tx", "ty", mean_zenith().alias("neg_open"))
+    return p.join(n, ["tx", "ty"])
+
+
+def multidirectional_hillshade(
+    grads: DataFrame,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    altitude_deg: float = 45.0,
+    azimuths_deg: tuple = (225.0, 270.0, 315.0, 360.0),
+    weights: tuple = (1.0, 1.0, 1.0, 1.0),
+) -> DataFrame:
+    """USGS-style multidirectional hillshade: the weighted mean of
+    single-azimuth Horn hillshades (default four suns W-through-N —
+    softens the single-source convention's washed-out NW slopes) as one
+    Column HOF over the exact gradient numerators; attach as `hillshade_md`
+    to a terrain_gradients frame."""
+    if len(azimuths_deg) != len(weights) or not azimuths_deg:
+        raise ValueError("azimuths_deg and weights must match and be nonempty")
+    wsum = float(sum(weights))
+
+    def arr():
+        def expr(s):
+            tot = None
+            for az, w in zip(azimuths_deg, weights):
+                shade = _shade_exprs(
+                    s["dzdx8"], s["dzdy8"], cellsize, z_factor,
+                    az, altitude_deg,
+                )[2]
+                term = shade * F.lit(float(w) / wsum)
+                tot = term if tot is None else tot + term
+            return tot
+
+        return F.transform(F.arrays_zip("dzdx8", "dzdy8"), expr)
+
+    return grads.select("*", arr().alias("hillshade_md"))

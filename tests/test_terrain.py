@@ -3014,3 +3014,81 @@ def test_intervisibility_wall_mast_flat(spark):
     assert {(r["pid_a"], r["pid_b"]) for r in rows} == {(1, 3), (2, 3)}
     with pytest.raises(ValueError):
         terrain.intervisibility(fdf, res, pts, max_range=0)
+
+
+# ---------------------------------------------------------------------------
+# openness + multidirectional hillshade
+# ---------------------------------------------------------------------------
+def test_openness_flat_pit_ridge(spark):
+    import numpy as np
+
+    res = 8
+    flat = {(0, 0): [9] * (res * res)}
+    out = terrain.openness(_mk_df(spark, flat), res, 3).collect()[0]
+    for pix in range(res * res):
+        assert out["pos_open"][pix] == pytest.approx(math.pi / 2, abs=1e-12)
+        assert out["neg_open"][pix] == pytest.approx(math.pi / 2, abs=1e-12)
+    # a pit pixel: pos_open stays pi/2 looking up... the pit sees walls ->
+    # pos < pi/2 at the bottom; the RIM's neg_open drops (it overlooks the
+    # pit). python replay over the horizon rationals:
+    g = [20] * (res * res)
+    g[3 * res + 3] = 0
+    hz = terrain.horizon_angles(_mk_df(spark, {(0, 0): g}), res, 2)
+    r = hz.collect()[0]
+    op = terrain.openness(_mk_df(spark, {(0, 0): g}), res, 2).collect()[0]
+    pix = 3 * res + 3
+    want = 0.0
+    for i in range(8):
+        ln = math.sqrt(2.0) if _HZ_DIRS[i][0] * _HZ_DIRS[i][1] != 0 else 1.0
+        t = r[f"h{i}_num"][pix] / (r[f"h{i}_den"][pix] * ln)
+        want += math.pi / 2 - math.atan(t)
+    assert op["pos_open"][pix] == pytest.approx(want / 8.0, rel=1e-12)
+    assert op["pos_open"][pix] < math.pi / 2 - 0.5
+    # the pit bottom is maximally open downward-looking... its neg_open
+    # is pi/2 (inverted surface: the pit becomes a peak)
+    assert op["neg_open"][pix] == pytest.approx(math.pi / 2, abs=1e-12)
+    # a rim neighbor overlooks the pit: neg_open < pi/2, pos_open = pi/2
+    rim = 3 * res + 4
+    assert op["neg_open"][rim] < math.pi / 2
+    assert op["pos_open"][rim] == pytest.approx(math.pi / 2, abs=1e-12)
+
+
+def test_multidirectional_hillshade(spark):
+    """Single-azimuth degenerate == slope_aspect_hillshade's value; the
+    4-sun default is the weighted mean of its components (python replay)."""
+    rng = random.Random(4900)
+    res = 8
+    tiles = _rand_tiles(rng, res, 3, span=1, density=0.9)
+    grads = terrain.terrain_gradients(_mk_df(spark, tiles), res)
+    one = terrain.multidirectional_hillshade(
+        grads, azimuths_deg=(315.0,), weights=(1.0,)
+    ).collect()
+    base = {
+        (r["tx"], r["ty"]): r
+        for r in terrain.slope_aspect_hillshade(grads).collect()
+    }
+    for r in one:
+        b = base[(r["tx"], r["ty"])]
+        for pix in range(res * res):
+            assert r["hillshade_md"][pix] == pytest.approx(
+                b["hillshade"][pix], rel=1e-12
+            )
+    multi = terrain.multidirectional_hillshade(grads).collect()
+    comps = {
+        az: {
+            (r["tx"], r["ty"]): r
+            for r in terrain.slope_aspect_hillshade(
+                grads, azimuth_deg=az
+            ).collect()
+        }
+        for az in (225.0, 270.0, 315.0, 360.0)
+    }
+    for r in multi:
+        for pix in range(res * res):
+            want = sum(
+                comps[az][(r["tx"], r["ty"])]["hillshade"][pix]
+                for az in (225.0, 270.0, 315.0, 360.0)
+            ) / 4.0
+            assert r["hillshade_md"][pix] == pytest.approx(want, rel=1e-9)
+    with pytest.raises(ValueError):
+        terrain.multidirectional_hillshade(grads, azimuths_deg=(), weights=())
