@@ -456,6 +456,51 @@ def focal_mode(
     return _halo_apply(tiles, res, r, finish)
 
 
+def focal_rank(
+    tiles: DataFrame,
+    res: int,
+    radius: int = 1,
+    q_e3: int = 500,
+) -> DataFrame:
+    """Focal RANK (percentile) filter — the generalization of focal_median
+    to any order statistic: each pixel takes the element at index
+    floor(q_e3 * (n - 1) / 1000) of the sorted n in-raster window values
+    (q_e3 = 0 -> min, 500 -> the lower median exactly as focal_median,
+    1000 -> max; the type-1 integer-exact convention — no interpolation,
+    output stays exact int64). Presence-masked like focal_mode/median;
+    one halo pass, one vectorized sort."""
+    if not (1 <= radius < res):
+        raise ValueError(f"radius must be in [1, res); got {radius}")
+    if not (0 <= q_e3 <= 1000):
+        raise ValueError(f"q_e3 must be in [0, 1000], got {q_e3}")
+    r = radius
+    sentinel = np.iinfo(np.int64).max
+
+    def finish(halo: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        ks = [
+            (dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ]
+        stack = np.stack(
+            [halo[r + dy : r + dy + res, r + dx : r + dx + res] for dy, dx in ks]
+        )
+        mstack = np.stack(
+            [
+                mask[r + dy : r + dy + res, r + dx : r + dx + res] > 0
+                for dy, dx in ks
+            ]
+        )
+        n = mstack.sum(axis=0)
+        arr = np.where(mstack, stack, sentinel)
+        arr.sort(axis=0, kind="stable")
+        idx = (q_e3 * (n - 1) // 1000).astype(np.int64)
+        out = np.take_along_axis(arr, idx[None, :, :], axis=0)[0]
+        return out.reshape(-1)
+
+    return _halo_apply(tiles, res, r, finish)
+
+
 def focal_median(
     tiles: DataFrame,
     res: int,

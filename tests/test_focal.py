@@ -859,3 +859,40 @@ def test_morph_gradient_tophat_blackhat(spark):
     assert bh[(0, 0)][3 * res + 4] == 8    # pinhole depth 10-2
     assert all(v >= 0 for v in th[(0, 0)] + th[(4, 0)])
     assert all(v >= 0 for v in bh[(0, 0)] + bh[(4, 0)])
+
+
+def test_focal_rank_generalizes_median_min_max(spark):
+    """q=500 == focal_median exactly; q=0/1000 == presence-masked window
+    min/max (python oracle); a mid-quantile matches the type-1 replay."""
+    rng = random.Random(530)
+    res = 8
+    tiles = _rand_tiles(rng, res, 6)
+    df = _mk_df(spark, tiles).repartition(4)
+    med = _collect(focal.focal_median(df, res, 1))
+    q5 = _collect(focal.focal_rank(df, res, 1, q_e3=500))
+    assert med == q5
+    cells = {
+        (tx * res + i % res, ty * res + i // res): g[i]
+        for (tx, ty), g in tiles.items() for i in range(res * res)
+    }
+
+    def py_rank(q):
+        out = {}
+        for (tx, ty), _g in tiles.items():
+            arr = [0] * (res * res)
+            for py in range(res):
+                for px in range(res):
+                    x, y = tx * res + px, ty * res + py
+                    vals = sorted(
+                        cells[(x + dx, y + dy)]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                        if (x + dx, y + dy) in cells
+                    )
+                    arr[py * res + px] = vals[q * (len(vals) - 1) // 1000]
+            out[(tx, ty)] = arr
+        return out
+
+    for q in (0, 250, 1000):
+        assert _collect(focal.focal_rank(df, res, 1, q_e3=q)) == py_rank(q), q
+    with pytest.raises(ValueError):
+        focal.focal_rank(df, res, 1, q_e3=1001)
