@@ -144,3 +144,24 @@ def stratified_cell_sample(
         .filter(F.col("_rn") <= per_cell)
         .drop("_rn")
     )
+
+
+def spatial_folds(
+    points: DataFrame,
+    cell_size: float,
+    k: int = 5,
+    x_col: str = "x",
+    y_col: str = "y",
+    salt: int = 17,
+) -> DataFrame:
+    """Spatial k-fold assignment: every grid cell — and so every point in
+    it — gets a deterministic fold id floor(md5_unit * k) in [0, k).
+    Block-level cross-validation (leave-one-fold-out keeps each held-out
+    region spatially contiguous at the cell scale); compose with
+    spatial_split's ring logic per fold if buffered training sets are
+    needed. Pure Column algebra, no shuffle."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cx, cy = _cell_cols(x_col, y_col, cell_size)
+    fold = F.floor(_cell_hash_unit(cx, cy, salt) * F.lit(float(k))).cast("long")
+    return points.withColumn("fold", F.least(fold, F.lit(k - 1)))

@@ -121,3 +121,24 @@ def test_stratified_cell_sample(spark):
     assert again == kept
     with pytest.raises(ValueError):
         sampling.stratified_cell_sample(df, 10.0, 0)
+
+
+def test_spatial_folds(spark):
+    rng = random.Random(53)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(500)]
+    out = sampling.spatial_folds(_mk(spark, pts), 10.0, k=4).collect()
+    folds = {r["id"]: r["fold"] for r in out}
+    # replay: fold = floor(md5_unit * k), same cell -> same fold
+    by_cell = {}
+    for i, x, y in pts:
+        c = _cell(x, y, 10.0)
+        h = int(
+            hashlib.md5(f"{c[0]},{c[1]},17".encode()).hexdigest()[:15], 16
+        ) / float(1 << 60)
+        want = min(int(h * 4), 3)
+        assert folds[i] == want, i
+        by_cell.setdefault(c, set()).add(folds[i])
+    assert all(len(s) == 1 for s in by_cell.values())
+    assert set(folds.values()) == {0, 1, 2, 3}
+    with pytest.raises(ValueError):
+        sampling.spatial_folds(_mk(spark, pts), 10.0, k=1)
