@@ -43,7 +43,7 @@ pyramid alignment, datum shifts).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -404,3 +404,111 @@ def sample_at_points_sql(
         SELECT p.pid, COALESCE(h.v, 0)::BIGINT AS val_num
         FROM w_pts p LEFT JOIN w_hits h USING (pid)
     """
+
+
+def elevation_profile(
+    lines: DataFrame,
+    tiles: DataFrame,
+    res: int,
+    spacing: float,
+    den: int = 256,
+    id_col: str = "line_id",
+    pts_col: str = "pts",
+    method: str = "bilinear",
+) -> DataFrame:
+    """Terrain profile along polylines (the 'elevation profile' every route
+    planner draws): place stations along each line at ~`spacing` pixel
+    intervals and read the raster under each with sample_at_points'
+    exact-rational machinery. Lines carry vertices as array<struct<x, y>>
+    in global PIXEL units (doubles); per segment the station count is
+    ceil(len/spacing) (>= 1, so every vertex is a station), stations sit at
+    exact parameter fractions j/n_s and are QUANTIZED to the 1/den pixel
+    lattice (round half up, documented <= 1/(2 den) px placement error —
+    the sampling itself is then exact at the quantized position).
+
+    Returns one row per station: (line_id, station — 0-based along the
+    whole line — dist_e6 — cumulative euclidean distance in e6-floored
+    pixel units, exact int64 prefix sums of per-segment floors — xn, yn,
+    and val_num: the den^2-scaled bilinear numerator / verbatim nearest
+    value). Column algebra + ONE sample_at_points call; segment joints
+    emit once (the closing vertex of segment i is station 0 of segment
+    i+1 only when i+1 doesn't exist)."""
+    if spacing <= 0:
+        raise ValueError("spacing must be > 0")
+    den = int(den)
+    segs = lines.select(
+        F.col(id_col).alias("line_id"),
+        F.posexplode(pts_col).alias("si", "p"),
+    ).select(
+        "line_id", "si",
+        F.col("p.x").alias("x1"), F.col("p.y").alias("y1"),
+        F.lead("p.x").over(
+            Window.partitionBy("line_id").orderBy("si")
+        ).alias("x2"),
+        F.lead("p.y").over(
+            Window.partitionBy("line_id").orderBy("si")
+        ).alias("y2"),
+    ).filter(F.col("x2").isNotNull())
+    seg_len = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    segs = segs.select(
+        "*",
+        F.greatest(
+            F.ceil(seg_len / F.lit(float(spacing))).cast("long"), F.lit(1)
+        ).alias("ns"),
+        F.floor(seg_len * F.lit(1e6)).cast("long").alias("len_e6"),
+    ).withColumn(
+        "off_e6",
+        F.coalesce(
+            F.sum("len_e6").over(
+                Window.partitionBy("line_id").orderBy("si")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "st_off",
+        F.coalesce(
+            F.sum("ns").over(
+                Window.partitionBy("line_id").orderBy("si")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    # stations: j = 0 only on the first segment; 1..ns on every segment
+    st = segs.select(
+        "line_id", "si", "x1", "y1", "x2", "y2", "ns", "len_e6",
+        "off_e6", "st_off",
+        F.explode(
+            F.sequence(
+                F.when(F.col("si") == 0, F.lit(0)).otherwise(F.lit(1))
+                .cast("long"),
+                F.col("ns"),
+            )
+        ).alias("j"),
+    )
+    t = F.col("j").cast("double") / F.col("ns").cast("double")
+    xs = F.col("x1") + (F.col("x2") - F.col("x1")) * t
+    ys = F.col("y1") + (F.col("y2") - F.col("y1")) * t
+    stations = st.select(
+        "line_id",
+        (F.col("st_off") + F.col("j")).alias("station"),
+        (
+            F.col("off_e6")
+            + F.floor(F.col("len_e6").cast("double") * t).cast("long")
+        ).alias("dist_e6"),
+        F.floor(xs * F.lit(float(den)) + F.lit(0.5)).cast("long").alias("xn"),
+        F.floor(ys * F.lit(float(den)) + F.lit(0.5)).cast("long").alias("yn"),
+        F.concat_ws("#", "line_id", F.col("st_off") + F.col("j"))
+        .alias("pid"),
+    )
+    sampled = sample_at_points(
+        stations.select("pid", "xn", "yn"), tiles, res, den=den,
+        method=method,
+    )
+    return stations.join(sampled, "pid").select(
+        "line_id", "station", "dist_e6", "xn", "yn", "val_num"
+    ).orderBy("line_id", "station")

@@ -304,3 +304,58 @@ def test_sample_duckdb_twin(spark):
             den=den, method=method,
         )).fetchall())
         assert got == want, method
+
+
+# ---------------------------------------------------------------------------
+# elevation profile along polylines
+# ---------------------------------------------------------------------------
+def test_elevation_profile_ramp_closed_form(spark):
+    """Raster z = 3*gx (cell centers... lattice nodes): along a horizontal
+    line the bilinear value at station xn/den is EXACTLY 3*xn/den ->
+    val_num = 3*xn*den; station count/spacing and exact cumulative
+    distances verified; segment joints emit once."""
+    from pyspark.sql import functions as F
+
+    from engine import warp
+
+    res = 8
+    counts = [3 * (tx * res + i % res) for tx in (0,) for i in range(res * res)]
+    tiles = spark.createDataFrame(
+        [(tx, ty, [3 * (tx * res + i % res) for i in range(res * res)])
+         for tx in (0, 1) for ty in (0,)],
+        "tx long, ty long, counts array<long>",
+    )
+    _ = counts
+    lines = spark.createDataFrame(
+        [(1, [{"x": 1.0, "y": 2.0}, {"x": 7.0, "y": 2.0},
+              {"x": 7.0, "y": 5.0}])],
+        "line_id long, pts array<struct<x double, y double>>",
+    )
+    out = warp.elevation_profile(
+        lines, tiles, res, spacing=2.0, den=4
+    ).collect()
+    # segment 1: len 6 -> ns 3 (stations j=0..3); segment 2: len 3 -> ns 2
+    # (j=1..2): 6 stations total, stations 0..5
+    assert [r["station"] for r in out] == list(range(6))
+    den = 4
+    for r in out[:4]:  # horizontal part: x = 1 + 2*j, y = 2
+        j = r["station"]
+        assert r["xn"] == (1 + 2 * j) * den and r["yn"] == 2 * den
+        assert r["val_num"] == 3 * r["xn"] * den  # exact ramp bilinear
+    # cumulative distance: 2.0 per station on seg 1, then 1.5 per station
+    assert [r["dist_e6"] for r in out] == [
+        0, 2000000, 4000000, 6000000, 7500000, 9000000
+    ]
+    # vertical part keeps x = 7
+    for r in out[4:]:
+        assert r["xn"] == 7 * den
+    # nearest method returns the verbatim cell value at the rounded node
+    near = warp.elevation_profile(
+        lines, tiles, res, spacing=2.0, den=4, method="nearest"
+    ).collect()
+    for r in near[:4]:
+        assert r["val_num"] == 3 * (r["xn"] // den)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        warp.elevation_profile(lines, tiles, res, spacing=0.0)
