@@ -998,6 +998,13 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ter' derivation pattern extended to second order; the first-
     difference numerators (zt_g, zt_h) and the float curvature layer are
     pytest-pinned (tests/test_terrain.py curvature block).
+    tag='lf' — engine.terrain.landform_classes over the same raster: per
+    pixel (a=gx, b=gy, c=Weiss slope-position class 1..10, d=-1, e=-1) —
+    TPI at radii 1 and 2 (exact e3 floor divisions) + Horn squared-
+    gradient flatness cut by the ALL-integer 10-class decision table, so
+    the classification hash-checks exactly against the INDEPENDENT
+    neighbor-join twin (landform_classes_sql — no integral images, no
+    stencils).
     tag='hor' — engine.terrain.horizon_angles over the same raster, EIGHT
     rows per pixel: (a=gx, b=gy, c=compass direction 0..7 packed with the
     winning step as c=dir, d=num, e=den) — the bounded-radius horizon per
@@ -1294,6 +1301,23 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.zt_f").cast("long").alias("e"),
         )
     )
+    lf = (
+        terrain.landform_classes(
+            tiles_r, res, r_small=1, r_large=2,
+            thresh_small_e3=500, thresh_large_e3=700, flat_num2=1000,
+        )
+        .select("tx", "ty", F.posexplode("landform").alias("pix", "v"))
+        .select(
+            F.lit("lf").alias("tag"),
+            (F.col("tx") * res + F.pmod(F.col("pix"), res))
+            .cast("long").alias("a"),
+            (F.col("ty") * res + F.floor(F.col("pix") / res))
+            .cast("long").alias("b"),
+            F.col("v").cast("long").alias("c"),
+            F.lit(-1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("e"),
+        )
+    )
     _hz16 = [c for i in range(8) for c in (f"h{i}_num", f"h{i}_den")]
     hor = (
         terrain.horizon_angles(tiles_r, res, _VIS_RADIUS)
@@ -1441,7 +1465,7 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stat).unionByName(lisa).unionByName(fil)
         .unionByName(fla).unionByName(stro).unionByName(facc)
         .unionByName(cost).unionByName(gdal).unionByName(curv)
-        .unionByName(hor)
+        .unionByName(hor).unionByName(lf)
     )
 
 
@@ -1893,6 +1917,11 @@ def raster_field_sql() -> str:
                hz.num AS d, hz.den AS e
         FROM (WITH tiles AS ({_hotspot_tiles_cte()})
               SELECT * FROM ({_horizon_sql()}) q) hz
+        UNION ALL
+        SELECT 'lf' AS tag, lw.gx AS a, lw.gy AS b, lw.landform AS c,
+               CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e
+        FROM (WITH tiles AS ({_hotspot_tiles_cte()})
+              SELECT * FROM ({_landform_sql()}) q) lw
     """
 
 
@@ -1946,6 +1975,15 @@ def _flowacc_sql() -> str:
 
     return flow_accumulation_sql(
         f"SELECT gx, gy, dir FROM ({_flats_sql()}) ff"
+    )
+
+
+def _landform_sql() -> str:
+    from engine.terrain import landform_classes_sql
+
+    return landform_classes_sql(
+        "tiles", _HOTSPOT_RES, r_small=1, r_large=2,
+        thresh_small_e3=500, thresh_large_e3=700, flat_num2=1000,
     )
 
 
