@@ -504,3 +504,63 @@ def dissolve_segments(
         (F.col("n_odd") == 0).alias("is_loop"),
     )
     return memb.select(seg_id, "comp"), summary
+
+
+def validate_rings(
+    polys: DataFrame,
+    id_col: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Ring validity check (the self-intersection core of ST_IsValid): a
+    simple ring's segments may meet ONLY at consecutive endpoints — any
+    other contact (a crossing, a touch, a collinear overlap, a vertex
+    landing on a non-adjacent segment) makes the polygon invalid. Rings
+    are array<struct<x, y>> (open form — the closing edge last->first is
+    implied, matching the engine's polygon convention); per polygon the
+    n*(n-1)/2 NON-ADJACENT segment pairs (adjacency wraps around the
+    closing edge) are tested with the exact orientation/on-segment
+    predicate `segments_intersect_expr` — all in-row Column HOF algebra
+    over the exploded pair list, no join at all (a ring's own pair set is
+    bounded by its vertex count; rings big enough to need blocking should
+    go through line_intersection_join on their own segments instead).
+    Returns (id, n_vertices, n_bad_pairs, is_valid); rings with < 3
+    vertices report invalid with n_bad_pairs = -1 (degenerate)."""
+    n = F.size(F.col(ring_col))
+    seg = lambda i: (  # noqa: E731
+        F.element_at(F.col(ring_col), i + 1),
+        F.element_at(F.col(ring_col), F.pmod(i + 1, n) + 1),
+    )
+    idxs = F.sequence(F.lit(0), n - 1)
+    pair_bad = F.flatten(
+        F.transform(
+            idxs,
+            lambda i: F.transform(
+                F.filter(
+                    idxs,
+                    # j > i, non-adjacent: skip j == i+1 and the wrap pair
+                    # (0, n-1)
+                    lambda j: (j > i + 1)
+                    & ~((i == 0) & (j == n - 1)),
+                ),
+                lambda j: F.when(
+                    segments_intersect_expr(
+                        seg(i)[0]["x"], seg(i)[0]["y"],
+                        seg(i)[1]["x"], seg(i)[1]["y"],
+                        seg(j)[0]["x"], seg(j)[0]["y"],
+                        seg(j)[1]["x"], seg(j)[1]["y"],
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+    )
+    n_bad = F.aggregate(
+        pair_bad, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return polys.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_vertices"),
+        F.when(n < 3, F.lit(-1).cast("long")).otherwise(n_bad)
+        .alias("n_bad_pairs"),
+        F.when(n < 3, F.lit(False)).otherwise(n_bad == 0).alias("is_valid"),
+    )

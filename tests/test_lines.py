@@ -322,3 +322,67 @@ def test_dissolve_closed_forms_and_snap(spark):
     with _pt.raises(Exception, match="dissolve_segments"):
         m, s = dissolve_segments(bad)
         m.collect()
+
+
+# ---------------------------------------------------------------------------
+# ring validity (self-intersection core of ST_IsValid)
+# ---------------------------------------------------------------------------
+def test_validate_rings(spark):
+    from engine.lines import validate_rings
+
+    def ring(pts):
+        return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+    rows = [
+        # convex square: valid
+        (1, ring([(0, 0), (4, 0), (4, 4), (0, 4)])),
+        # bowtie (figure-eight): the two diagonals cross -> invalid
+        (2, ring([(0, 0), (4, 4), (4, 0), (0, 4)])),
+        # concave L: valid
+        (3, ring([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])),
+        # spike touching a non-adjacent edge: vertex (2, 0) lies ON the
+        # bottom edge -> invalid
+        (4, ring([(0, 0), (4, 0), (4, 4), (2, 0), (0, 4)])),
+        # degenerate: 2 vertices
+        (5, ring([(0, 0), (1, 1)])),
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x double, y double>>"
+    )
+    got = {r["id"]: r for r in validate_rings(df).collect()}
+    assert got[1]["is_valid"] and got[1]["n_bad_pairs"] == 0
+    assert not got[2]["is_valid"] and got[2]["n_bad_pairs"] >= 1
+    assert got[3]["is_valid"]
+    assert not got[4]["is_valid"]
+    assert not got[5]["is_valid"] and got[5]["n_bad_pairs"] == -1
+    # brute-force python replay of the pair set on the bowtie
+    import itertools
+
+    pts = [(0, 0), (4, 4), (4, 0), (0, 4)]
+    n = len(pts)
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return (v > 0) - (v < 0)
+
+    def on_seg(p, q, r):
+        return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+    def inter(a, b, c, d):
+        o1, o2 = orient(a, b, c), orient(a, b, d)
+        o3, o4 = orient(c, d, a), orient(c, d, b)
+        if o1 != o2 and o3 != o4:
+            return True
+        return ((o1 == 0 and on_seg(a, b, c)) or (o2 == 0 and on_seg(a, b, d))
+                or (o3 == 0 and on_seg(c, d, a)) or (o4 == 0 and on_seg(c, d, b)))
+
+    bad = 0
+    for i, j in itertools.combinations(range(n), 2):
+        if j == i + 1 or (i == 0 and j == n - 1):
+            continue
+        a, b = pts[i], pts[(i + 1) % n]
+        c, d = pts[j], pts[(j + 1) % n]
+        if inter(a, b, c, d):
+            bad += 1
+    assert got[2]["n_bad_pairs"] == bad
