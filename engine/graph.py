@@ -242,3 +242,114 @@ def connected_components_sql(
         SELECT CAST(u AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS cluster_id
         FROM walk GROUP BY u
     """
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 20,
+    d_e3: int = 850,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Deterministic EXACT-INTEGER PageRank — network importance for road/
+    flow graphs (the routing family's centrality companion). The classic
+    iteration recast so every quantity is an int64 and every sum is
+    order-independent (bit-reproducible on any cluster, oracle-replayable
+    in plain Python):
+
+        rank_0(v)   = scale
+        rank_t+1(v) = floor((1000 - d_e3) * S / 1000 / N)
+                      + floor(d_e3 * dangling_t / 1000 / N)
+                      + sum over in-edges u->v of
+                          floor(d_e3 * rank_t(u) / 1000 / deg(u))
+
+    with S = N * scale the initial total mass, dangling_t the summed rank
+    of out-degree-0 nodes (redistributed uniformly, the standard
+    treatment), d_e3 the damping in e3 fixed point. Floor division leaks
+    <= 1 unit per term per round — at scale = 1e12 the drift is
+    O(n_iters * deg) units, documented and reproduced exactly by the twin.
+    On a directed cycle the uniform vector is an EXACT fixpoint
+    (0.85e12 + 0.15e12 = 1e12, no rounding at all — the closed-form
+    test).
+
+    Plan per iteration: ranks JOIN edges on src (one shuffle), hash agg on
+    dst (map-side combined), one 1-row dangling agg broadcast-joined (no
+    driver collect), lineage truncated every 6 rounds via the engine's
+    reliable-checkpoint helper. Fixed n_iters (no convergence probe — the
+    iteration is deterministic, so the round count is part of the
+    contract). Returns (id, rank) with sum(rank) <= S."""
+    if not (1 <= n_iters <= 200):
+        raise ValueError(f"n_iters must be in [1, 200], got {n_iters}")
+    if not (0 < d_e3 < 1000):
+        raise ValueError(f"d_e3 must be in (0, 1000), got {d_e3}")
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    if nodes is None:
+        node_df = (
+            e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .distinct()
+        )
+    else:
+        node_df = nodes.selectExpr(f"CAST({nodes.columns[0]} AS LONG) AS id")
+    node_df = node_df.persist()
+    n = node_df.count()
+    if n == 0:
+        return node_df.select("id", F.lit(0).cast("long").alias("rank"))
+    deg = e.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    base = node_df.join(deg, "id", "left").select(
+        "id", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    ).persist()
+    base.count()
+    s_total = n * int(scale)
+    teleport = ((1000 - d_e3) * s_total // 1000) // n
+    ranks = base.select("id", F.lit(int(scale)).cast("long").alias("rank"))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    for it in range(n_iters):
+        r = ranks.join(base, "id")
+        dangling = r.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang")
+        )
+        dang_share = (
+            (F.lit(d_e3) * F.col("_dang") - F.pmod(
+                F.lit(d_e3) * F.col("_dang"), F.lit(1000 * n)
+            )) / F.lit(1000 * n)
+        ).cast("long")
+        contrib = (
+            r.filter(F.col("deg") > 0)
+            .join(e, r["id"] == e["u"])
+            .select(
+                F.col("v").alias("id"),
+                (
+                    (F.lit(d_e3) * F.col("rank") - F.pmod(
+                        F.lit(d_e3) * F.col("rank"),
+                        F.lit(1000) * F.col("deg"),
+                    )) / (F.lit(1000) * F.col("deg"))
+                ).cast("long").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            node_df.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + dang_share
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+        )
+        if (it + 1) % 6 == 0 and it + 1 < n_iters:
+            ranks = _truncate(ranks)
+    return ranks

@@ -124,3 +124,66 @@ def test_sql_twin_matches(spark, tmp_path):
     assert [x for x in spark_out if x[0] in real] == [
         x for x in duck_out if x[0] in real
     ]
+
+
+# ---------------------------------------------------------------------------
+# exact-integer PageRank
+# ---------------------------------------------------------------------------
+def _py_pagerank(edges, nodes, n_iters, d_e3=850, scale=10**12):
+    deg = {}
+    for u, _v in edges:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(nodes)
+    s_total = n * scale
+    teleport = ((1000 - d_e3) * s_total // 1000) // n
+    rank = {v: scale for v in nodes}
+    for _ in range(n_iters):
+        dang = sum(r for v, r in rank.items() if deg.get(v, 0) == 0)
+        dang_share = (d_e3 * dang) // (1000 * n)
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += (d_e3 * rank[u]) // (1000 * deg[u])
+        rank = {v: teleport + dang_share + incoming[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_exact_python_parity(spark):
+    import random as _r
+
+    from engine.graph import pagerank
+
+    rng = _r.Random(67)
+    nodes = list(range(30))
+    edges = []
+    for _ in range(80):
+        u, v = rng.sample(nodes, 2)
+        edges.append((u, v))
+    # a couple of dangling nodes (no out-edges): 28, 29 never source
+    edges = [(u, v) for u, v in edges if u not in (28, 29)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, n_iters=8, nodes=ndf).collect()
+    }
+    want = _py_pagerank(edges, nodes, 8)
+    assert got == want  # exact integer equality, every node
+
+
+def test_pagerank_cycle_fixpoint_and_hub(spark):
+    from engine.graph import pagerank
+
+    # directed 5-cycle: the uniform vector is an EXACT fixpoint
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    out = {r["id"]: r["rank"] for r in pagerank(df, n_iters=13).collect()}
+    assert all(v == 10**12 for v in out.values())
+    # star: every leaf points at the hub -> hub rank dominates
+    star = [(i, 0) for i in range(1, 8)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    s = {r["id"]: r["rank"] for r in pagerank(sdf, n_iters=10).collect()}
+    assert s[0] > 4 * max(v for k, v in s.items() if k != 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pagerank(df, n_iters=0)
