@@ -3464,6 +3464,44 @@ def part_access() -> None:
 
 
 
+def part_pagerank() -> None:
+    """Exact-integer PageRank at graph scale, local[32]: a 1M-node directed
+    cycle (plus a 10%-density chord set that preserves out-degree
+    regularity is NOT used — the pure cycle keeps the closed form): the
+    uniform e12 vector is an EXACT fixpoint of the integer iteration
+    (0.85e12 + 0.15e12 = 1e12, zero rounding), so after any number of
+    rounds every node must hold exactly 10^12 — the whole 1M-row output is
+    closed-form asserted distributed. 8 iterations; min-of-2 walls."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.graph import pagerank
+
+    spark = _spark("bench-pagerank")
+    n = int(os.environ.get("PAGERANK_BENCH_N", "1000000"))
+    edges = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, n).alias("dst"),
+    ).persist()
+    edges.count()
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        out = pagerank(edges, n_iters=8)
+        agg = out.agg(
+            F.count("*").alias("nodes"),
+            F.sum((F.col("rank") == 10**12).cast("long")).alias("exact"),
+        ).collect()[0]
+        walls.append(round(time.time() - t0, 2))
+        assert agg["nodes"] == n and agg["exact"] == n, agg
+    print(_json.dumps({
+        "nodes": n, "edges": n, "iters": 8, "walls": walls,
+        "node_iters_per_s": round(n * 8 / min(walls)),
+    }))
+
+
+
 def part_fill() -> None:
     """Depression filling at raster scale, local[32]: the 4096x4096 raster
     (16x16 tiles at res=256, 16.8M cells) as a flat plateau at H=10000 with
@@ -3637,4 +3675,5 @@ if __name__ == "__main__":
         "horizon": part_horizon,
         "vision": part_vision,
         "access": part_access,
+        "pagerank": part_pagerank,
     }[sys.argv[1]]()
