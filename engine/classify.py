@@ -62,8 +62,11 @@ def jenks_breaks(
     iteration). Returns the k-1 UPPER-bound values of classes 1..k-1,
     ascending — class(x) = #{b in breaks : x > b}. Degenerate inputs
     (fewer distinct values than k) return the distinct values themselves
-    as breaks. O(k m^2) numpy DP on int64 prefix moments; deterministic
-    (smallest split index on cost ties). max_distinct defaults TIGHTER
+    as breaks. O(k m^2) numpy DP; prefix moments (counts, sums, sums of
+    squares) accumulated in EXACT int64 — guarded so sum(n*v*v) < 2^62,
+    the |v| domain limit — with float64 entering only in the final
+    cost ratio s2 - s1^2/nn (IEEE-deterministic; smallest split index on
+    cost ties). max_distinct defaults TIGHTER
     than value_histogram's (4096, ~67M vectorized flops at k=4) because
     the DP is quadratic in the histogram — requantize coarser rather than
     raising it past ~16k."""
@@ -72,22 +75,34 @@ def jenks_breaks(
     hist = value_histogram(df, col, max_distinct)
     if not hist:
         return []
-    v = np.array([h[0] for h in hist], dtype=np.float64)
-    n = np.array([h[1] for h in hist], dtype=np.float64)
-    m = len(v)
+    vi = [int(x) for x, _ in hist]
+    ni = [int(c) for _, c in hist]
+    m = len(vi)
     if m <= k:
-        return [int(x) for x in v[: max(m - 1, 0)]]
-    # prefix moments (index 0 = empty)
-    cn = np.concatenate([[0.0], np.cumsum(n)])
-    c1 = np.concatenate([[0.0], np.cumsum(n * v)])
-    c2 = np.concatenate([[0.0], np.cumsum(n * v * v)])
+        return vi[: max(m - 1, 0)]
+    # exact-int64 domain guard: the largest prefix moment is sum(n*v^2);
+    # computed in python ints so the check itself cannot overflow
+    tot2 = sum(c * x * x for x, c in zip(vi, ni))
+    if tot2 >= 2**62:
+        raise ValueError(
+            f"jenks_breaks int64 moment guard: sum(n*v^2) = {tot2:.3e} >= "
+            f"2^62 — rescale the fixed-point values (divide by a power of "
+            f"10) before classifying"
+        )
+    v = np.array(vi, dtype=np.int64)
+    n = np.array(ni, dtype=np.int64)
+    # prefix moments (index 0 = empty), EXACT in int64 under the guard
+    cn = np.concatenate([[0], np.cumsum(n)])
+    c1 = np.concatenate([[0], np.cumsum(n * v)])
+    c2 = np.concatenate([[0], np.cumsum(n * v * v)])
 
     def seg_cost(i: np.ndarray, j: int) -> np.ndarray:
         """cost of one class covering histogram slots i..j-1 (vectorized
-        over i): S2 - S1^2 / N."""
-        nn = cn[j] - cn[i]
-        s1 = c1[j] - c1[i]
-        s2 = c2[j] - c2[i]
+        over i): S2 - S1^2 / N — int64 differences are exact; float64
+        enters only here, in the ratio."""
+        nn = (cn[j] - cn[i]).astype(np.float64)
+        s1 = (c1[j] - c1[i]).astype(np.float64)
+        s2 = (c2[j] - c2[i]).astype(np.float64)
         return s2 - s1 * s1 / nn
 
     # dp[c, j] = min cost of splitting slots 0..j-1 into c classes
@@ -95,7 +110,8 @@ def jenks_breaks(
     dp = np.full((k + 1, m + 1), inf)
     arg = np.zeros((k + 1, m + 1), dtype=np.int64)
     idx = np.arange(m + 1)
-    dp[1, 1:] = c2[1:] - c1[1:] * c1[1:] / cn[1:]
+    _c1f = c1[1:].astype(np.float64)
+    dp[1, 1:] = c2[1:].astype(np.float64) - _c1f * _c1f / cn[1:].astype(np.float64)
     for c in range(2, k + 1):
         for j in range(c, m + 1):
             i = idx[c - 1 : j]  # last class starts at slot i

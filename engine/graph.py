@@ -299,6 +299,17 @@ def pagerank(
     n = node_df.count()
     if n == 0:
         return node_df.select("id", F.lit(0).cast("long").alias("rank"))
+    # Overflow guard: total mass S = n*scale only ever shrinks (floors), and
+    # the largest multiplicand anywhere is d_e3 * x with x <= S (a hub
+    # concentrating all mass, or all mass dangling).  Require d_e3 * S < 2^62
+    # so every intermediate product stays a valid int64 with headroom — on
+    # non-ANSI Spark an overflow would WRAP SILENTLY, so this must raise.
+    if d_e3 * n * int(scale) >= 2**62:
+        raise ValueError(
+            f"pagerank int64 contract violated: d_e3*n*scale = "
+            f"{d_e3 * n * int(scale):.3e} >= 2^62; lower `scale` (need "
+            f"scale < {2**62 // (d_e3 * n)}) or shard the graph"
+        )
     deg = e.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
     base = node_df.join(deg, "id", "left").select(
         "id", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
@@ -318,23 +329,22 @@ def pagerank(
         dangling = r.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang")
         )
-        dang_share = (
-            (F.lit(d_e3) * F.col("_dang") - F.pmod(
-                F.lit(d_e3) * F.col("_dang"), F.lit(1000 * n)
-            )) / F.lit(1000 * n)
+        # True int64 floor division via SQL `div` — operands are always
+        # non-negative here so `div` (truncation) IS floor, and unlike the
+        # old (x - pmod(x,m))/m double-divide it stays exact past 2^53
+        # (the guard above bounds the numerator under 2^62).
+        dang_share = F.expr(
+            f"(CAST({d_e3} AS BIGINT) * _dang) div CAST({1000 * n} AS BIGINT)"
         ).cast("long")
         contrib = (
             r.filter(F.col("deg") > 0)
             .join(e, r["id"] == e["u"])
             .select(
                 F.col("v").alias("id"),
-                (
-                    (F.lit(d_e3) * F.col("rank") - F.pmod(
-                        F.lit(d_e3) * F.col("rank"),
-                        F.lit(1000) * F.col("deg"),
-                    )) / (F.lit(1000) * F.col("deg"))
-                ).cast("long").alias("c"),
+                (F.lit(d_e3).cast("long") * F.col("rank")).alias("_num"),
+                (F.lit(1000).cast("long") * F.col("deg")).alias("_den"),
             )
+            .select("id", F.expr("_num div _den").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )

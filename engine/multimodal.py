@@ -937,10 +937,14 @@ def np_harris(
 ) -> list[tuple[int, int, int]]:
     """EXACT-integer Harris corner response + strict local-max extraction.
     Luminance = r + g + b (0..765, integer); Sobel gradients with
-    clamp-to-edge padding (borders read zero gradient, so the frame edge
-    never fires); structure-tensor window sums over the (2w+1)^2 box via
-    integral images; response scaled by k_den so k = 1/k_den needs no
-    float:
+    clamp-to-edge padding (which zeroes only the gradient component
+    PERPENDICULAR to the edge — border pixels can still carry strong
+    responses), so the 1-px frame border is explicitly EXCLUDED from
+    corner extraction: downstream patch consumers (BRIEF, template
+    windows) read a neighborhood around each keypoint and must never be
+    handed an edge pixel. Structure-tensor window sums over the (2w+1)^2
+    box via integral images; response scaled by k_den so k = 1/k_den
+    needs no float:
 
         resp = k_den * (Sxx * Syy - Sxy^2) - (Sxx + Syy)^2    (all int64)
 
@@ -993,6 +997,10 @@ def np_harris(
             if dx == 0 and dy == 0:
                 continue
             is_max &= resp > rsh(dx, dy)
+    # 1-px border excluded: replicate-pad Sobel leaves real (parallel)
+    # gradients at the frame edge, and keypoint consumers sample patches
+    is_max[0, :] = is_max[-1, :] = False
+    is_max[:, 0] = is_max[:, -1] = False
     ys, xs = np.nonzero(is_max)
     found = [(int(x), int(y), int(resp[y, x])) for y, x in zip(ys, xs)]
     found.sort(key=lambda t: (-t[2], t[1], t[0]))

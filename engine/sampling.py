@@ -38,9 +38,16 @@ def _cell_cols(x_col: str, y_col: str, cell_size: float):
 
 
 def _cell_hash_unit(cx, cy, salt: int):
-    """Deterministic uniform [0, 1) from the cell key — the first 15 hex
-    digits of md5 (60 bits, exact in double) over 2^60. Engine-independent
-    and twin-reproducible (DuckDB md5 matches)."""
+    """Deterministic uniform [0, 1] from the cell key — the first 15 hex
+    digits of md5 over 2^60. NOTE the 60-bit integer does NOT fit a double
+    exactly: the decimal->double cast rounds to nearest (53-bit mantissa),
+    and a value in the top half-ulp below 2^60 rounds UP to exactly 2^60,
+    yielding h = 1.0. Behavior stays fully deterministic and downstream
+    consumers use strict `<` / least(fold, k-1) guards that absorb the
+    closed upper end — but any twin MUST replicate this exact pipeline
+    (md5 -> first 15 hex -> decimal -> IEEE round-to-nearest double ->
+    divide by 2^60), not an exact-integer threshold, or boundary cells can
+    diverge. (DuckDB's md5 + CAST chain matches.)"""
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(",", cx, cy, F.lit(salt))), 1, 15

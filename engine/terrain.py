@@ -206,9 +206,13 @@ def surface_products(tiles: DataFrame, res: int) -> DataFrame:
 
 def surface_products_sql(cells_sql: str) -> str:
     """DuckDB twin of surface_products: `cells_sql` emits the dense pixels
-    (gx, gy, z); per pixel one 8-offset neighbor equi-join (absent cells
-    contribute nothing, the presence-mask semantics), then the identical
-    integer aggregates. z is constant per group so MIN(z) reads it back."""
+    (gx, gy, z); per pixel one 8-offset neighbor LEFT join (absent cells
+    contribute nothing, the presence-mask semantics — and, matching the
+    engine, a pixel with ZERO present neighbors is still emitted with
+    tri=0 / tpi_den=0 / rough=0: isolated cells and 1x1 rasters, the
+    landform_classes_sql LEFT JOIN + COUNT(t.z) shape), then the
+    identical integer aggregates. z is constant per group so MIN(z)
+    reads it back."""
     nbrs = ", ".join(
         f"({dx}, {dy})"
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -220,16 +224,18 @@ def surface_products_sql(cells_sql: str) -> str:
         sppairs AS (
           SELECT c.gx, c.gy, c.z, t.z AS zn
           FROM spcells c
-          JOIN spnbr n ON TRUE
-          JOIN spcells t
+          LEFT JOIN spnbr n ON TRUE
+          LEFT JOIN spcells t
             ON t.gx = c.gx + n.dx AND t.gy = c.gy + n.dy
         )
         SELECT gx, gy,
-               CAST(SUM(ABS(z - zn)) AS BIGINT) AS tri,
-               CAST(COUNT(*) * MIN(z) - SUM(zn) AS BIGINT) AS tpi_num,
-               CAST(COUNT(*) AS BIGINT) AS tpi_den,
-               CAST(GREATEST(MAX(zn), MIN(z))
-                    - LEAST(MIN(zn), MIN(z)) AS BIGINT) AS rough
+               CAST(COALESCE(SUM(ABS(z - zn)), 0) AS BIGINT) AS tri,
+               CAST(COUNT(zn) * MIN(z) - COALESCE(SUM(zn), 0) AS BIGINT)
+                 AS tpi_num,
+               CAST(COUNT(zn) AS BIGINT) AS tpi_den,
+               CAST(GREATEST(COALESCE(MAX(zn), MIN(z)), MIN(z))
+                    - LEAST(COALESCE(MIN(zn), MIN(z)), MIN(z)) AS BIGINT)
+                 AS rough
         FROM sppairs
         GROUP BY gx, gy
     """

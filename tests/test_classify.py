@@ -72,6 +72,32 @@ def test_jenks_planted_clusters_and_degenerate(spark):
         )
 
 
+def test_jenks_large_magnitude_exact(spark):
+    """The r4-advice regime: |v| ~ 2^28, where float64 cumsum of n*v^2
+    loses integer precision (v^2 ~ 2^56 > 2^53).  The int64 prefix
+    moments stay exact, so the DP's cost must still equal the exact
+    Fraction brute-force minimum; clustered offsets differ by 1-3 units
+    so a single off-by-one moment flips the optimal split."""
+    rng = random.Random(31)
+    base = 1 << 28
+    values = (
+        [base + rng.randint(0, 3) for _ in range(12)]
+        + [base + 50 + rng.randint(0, 3) for _ in range(12)]
+        + [base + 100 + rng.randint(0, 3) for _ in range(12)]
+    )
+    k = 3
+    got = classify.jenks_breaks(_mk(spark, values), "v", k)
+    distinct = sorted(set(values))
+    best = min(
+        _exact_cost(values, list(c))
+        for c in itertools.combinations(distinct[:-1], k - 1)
+    )
+    assert _exact_cost(values, got) == best
+    # moment-domain guard trips loudly instead of silently degrading
+    with pytest.raises(ValueError, match="moment guard"):
+        classify.jenks_breaks(_mk(spark, [1 << 31, 2 << 31, 3 << 31]), "v", 2)
+
+
 def test_quantile_and_equal_interval(spark):
     values = list(range(1, 13))  # 1..12, N=12
     q = classify.quantile_breaks(_mk(spark, values), "v", 4)

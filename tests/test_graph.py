@@ -187,3 +187,39 @@ def test_pagerank_cycle_fixpoint_and_hub(spark):
 
     with _pt.raises(ValueError):
         pagerank(df, n_iters=0)
+
+
+def test_pagerank_large_scale_exact_past_2_53(spark):
+    """The regime the r4 advice flagged: numerators beyond 2^53, where the
+    old double-divide floor identity could floor off-by-one.  scale=1e15 on
+    a 4-node star makes d_e3*rank reach ~3.4e18 (< 2^62 guard) while the
+    hub rank itself passes 2^53 — exact python-integer replay must match
+    every node bit-for-bit."""
+    from engine.graph import pagerank
+
+    nodes = [0, 1, 2, 3]
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1)]  # star into 0, one back-edge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id long")
+    scale = 10**15
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, n_iters=12, nodes=ndf, scale=scale).collect()
+    }
+    want = _py_pagerank(edges, nodes, 12, scale=scale)
+    # the regime is actually exercised: the div numerator d_e3*rank passes
+    # 2^53 (double floors go off-by-one past rank ~1.06e13; hub is ~1.8e15)
+    assert 850 * got[0] > 2**53
+    assert got == want
+
+
+def test_pagerank_overflow_guard_raises(spark):
+    """d_e3*n*scale >= 2^62 must raise loudly, never wrap silently."""
+    import pytest as _pt
+
+    from engine.graph import pagerank
+
+    df = spark.createDataFrame([(i, (i + 1) % 20) for i in range(20)],
+                               "src long, dst long")
+    with _pt.raises(ValueError, match="int64 contract"):
+        pagerank(df, n_iters=2, scale=2**62 // 850 // 20 + 1)

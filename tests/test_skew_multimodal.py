@@ -649,8 +649,8 @@ def _py_harris(px, r, k_den, thresh):
                         sxy += int(ix[yy, xx]) * int(iy[yy, xx])
             resp[y, x] = k_den * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
     found = []
-    for y in range(h):
-        for x in range(w):
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
             if resp[y, x] <= thresh:
                 continue
             ok = True

@@ -2140,6 +2140,35 @@ def test_surface_products_duckdb_twin(spark):
     assert got == want
 
 
+def test_surface_products_twin_degenerate_isolated(spark):
+    """r4-advice case: pixels with ZERO present neighbors (1x1 raster /
+    isolated res=1 tiles) — the engine emits them with tri=0 / tpi_den=0 /
+    rough=0 and the LEFT-JOIN twin must agree row-for-row (the old inner
+    join dropped them)."""
+    import duckdb
+
+    res = 1
+    # three isolated cells + one adjacent pair (mixed: some rows have 0
+    # neighbors, some 1)
+    tiles = {(0, 0): [7], (5, 5): [9], (-4, 2): [3], (1, 0): [11]}
+    got = _collect_surface(
+        terrain.surface_products(_mk_df(spark, tiles), res), res
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells (gx BIGINT, gy BIGINT, z BIGINT)")
+    for (tx, ty), g in tiles.items():
+        con.execute("INSERT INTO cells VALUES (?, ?, ?)", [tx, ty, g[0]])
+    want = {
+        (gx, gy): tuple(rest)
+        for gx, gy, *rest in con.execute(
+            f"SELECT * FROM ({terrain.surface_products_sql('SELECT gx, gy, z FROM cells')}) q"
+        ).fetchall()
+    }
+    assert got == want
+    assert want[(5, 5)] == (0, 0, 0, 0)  # truly isolated
+    assert want[(0, 0)] == (4, 7 - 11, 1, 4)  # one neighbor at z=11
+
+
 # ---------------------------------------------------------------------------
 # Wetness / stream-power indices (TWI, SPI)
 # ---------------------------------------------------------------------------
