@@ -2900,7 +2900,59 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.*")
-    return v.unionByName(f).unionByName(m).orderBy("metric")
+
+    # (d) LOSSY leg — block-DCT payloads (engine.image_codec.encode_bdct,
+    # pure-numpy JPEG-shaped codec) over smooth deterministic content: the
+    # verify gate's bdct branch (decode -> re-encode at the stream's own
+    # quality -> decode, PSNR>=40) runs in-pipeline, and the fidelity kernel
+    # (engine.synth.lossy_fidelity_batches) additionally checks ORIGINAL vs
+    # decoded — actually lossy (every image differs from its source) while
+    # every PSNR lands in [40, 50) dB. Values golden-pinned like the rest.
+    lossy_src = synth.lossy_images_df(spark, 160)
+    lv = lossy_src.mapInPandas(
+        image_codec.verify_images_batches(), schema=image_codec.VERIFY_SCHEMA
+    )
+    lvd = lv.groupBy().agg(
+        F.count("*").alias("lossy_verify_n_images"),
+        F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias(
+            "lossy_verify_n_pixels_ok"
+        ),
+        F.sum(F.when(F.col("psnr_db") >= 40.0, 1).otherwise(0)).alias(
+            "lossy_verify_n_psnr40"
+        ),
+    )
+    lf = lossy_src.mapInPandas(
+        synth.lossy_fidelity_batches(),
+        schema="image_id string, psnr_e2 long, lossy boolean",
+    )
+    lfd = lf.groupBy().agg(
+        F.sum(F.when(F.col("lossy"), 1).otherwise(0)).alias("lossy_n_lossy"),
+        F.sum(
+            F.when((F.col("psnr_e2") >= 4000) & (F.col("psnr_e2") < 5000), 1)
+            .otherwise(0)
+        ).alias("lossy_n_psnr_40_50"),
+        F.min("psnr_e2").alias("lossy_min_psnr_e2"),
+        F.max("psnr_e2").alias("lossy_max_psnr_e2"),
+    )
+    lo = lvd.crossJoin(lfd)
+    lcols = [
+        "lossy_verify_n_images", "lossy_verify_n_pixels_ok",
+        "lossy_verify_n_psnr40", "lossy_n_lossy", "lossy_n_psnr_40_50",
+        "lossy_min_psnr_e2", "lossy_max_psnr_e2",
+    ]
+    lg = lo.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"), F.col(c).cast("long").alias("value")
+                    )
+                    for c in lcols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return v.unionByName(f).unionByName(m).unionByName(lg).orderBy("metric")
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

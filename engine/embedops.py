@@ -632,6 +632,88 @@ def _nearest_centroids_gemm_udf(cents: np.ndarray, n: int):
     return _nc
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    seed: int = 42,
+    train_rows: int = 131_072,
+    iters: int = 25,
+) -> np.ndarray:
+    """FAISS-style trained coarse quantizer: spherical k-means on a BOUNDED
+    deterministic sample, run driver-side in numpy (the standard IVF
+    training shape — faiss trains on ~100k-1M sampled vectors regardless of
+    corpus size, because quantizer quality saturates long before the corpus
+    does).
+
+    Sample: the first train_rows corpus vectors in cross-engine md5 hash
+    order (the exact discipline ivf_ann_topk's untrained sample uses), one
+    bounded collect under the same ceiling as the GEMM query side
+    (GEMM_MAX_QUERY_ROWS) — 131k x 64 doubles = 67 MB. Init: the first
+    n_centroids sample rows. Each of `iters` fixed passes (deterministic
+    round count, no convergence probe):
+
+      assign:  argmax cosine(x, c), stable tie-break on centroid id —
+               IDENTICAL to _nearest_centroids_gemm_udf's ordering, so the
+               trained quantizer and the serving assignment agree;
+      update:  centroid = mean of assigned rows (cosine is scale-invariant,
+               so the un-normalized mean assigns identically to the
+               spherical-k-means normalized mean);
+      reseed:  empty lists take the currently WORST-covered sample points
+               (lowest max-cosine, ascending, stable) — deterministic, and
+               exactly the points whose region needs a list.
+
+    Returns the (n_centroids, dim) float64 centroid matrix. Training is
+    driver-local BLAS (~8 GFLOP/pass at 131k x 64 x 1024: sub-second), so
+    the cluster never pays per-iteration shuffles; at 100 TB the corpus
+    side still only sees the ONE nearest-centroid assignment pass.
+    Float-sum order inside numpy is fixed for fixed shapes, so the matrix
+    is reproducible for a given (sample, iters) on the same BLAS; the
+    hash-checked oracle twin keeps the untrained (iters=0 sampled)
+    quantizer, same contract as lloyd_iters."""
+    from engine.textops import cross_hash
+
+    if train_rows > GEMM_MAX_QUERY_ROWS:
+        raise ValueError(
+            f"train_rows={train_rows} exceeds the driver collect ceiling "
+            f"({GEMM_MAX_QUERY_ROWS})"
+        )
+    sample_key = cross_hash(
+        F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
+    )
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(sample_key)
+        .limit(train_rows)
+        .collect()
+    )
+    S = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    Sn = S / np.maximum(np.sqrt(np.einsum("ij,ij->i", S, S)), 1e-300)[:, None]
+    if len(S) < n_centroids:
+        raise ValueError(
+            f"train sample ({len(S)}) smaller than n_centroids ({n_centroids})"
+        )
+    C = S[:n_centroids].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-300
+        )[:, None]
+        sims = Sn @ Cn.T
+        assign = np.argmax(sims, axis=1)  # first max = lowest centroid id
+        best = sims[np.arange(len(S)), assign]
+        counts = np.bincount(assign, minlength=n_centroids)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Sn)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        empty = np.flatnonzero(~nonempty)
+        if len(empty):
+            worst = np.argsort(best, kind="stable")[: len(empty)]
+            C[empty] = Sn[worst]
+    return C
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -644,6 +726,9 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     kernel: str = "hof",
     lloyd_iters: int = 0,
+    train_iters: int = 0,
+    train_rows: int = 131_072,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer (centroids sampled from the
     corpus, seeded) buckets every corpus vector by nearest centroid (one pass,
@@ -668,9 +753,19 @@ def ivf_ann_topk(
     double-cast JVM expression — bit-identical to the DuckDB twin at the
     sampled (unrefined) centroids.
 
+    train_iters > 0 swaps in the TRAINED quantizer (train_ivf_centroids:
+    driver-side spherical k-means on a bounded md5-ordered sample of
+    train_rows vectors) — the high-recall operating point: trained lists
+    align with real cluster structure, so recall at a fixed candidate
+    budget rises sharply vs the sampled quantizer (measured in
+    BENCH/BASELINE.md round 5). The DuckDB twin stays valid only at
+    train_iters=0 (same contract as lloyd_iters).
+
     Candidates per query ~ n_probe/n_centroids of the corpus — the IVF twin of
     lsh_ann_topk with a data-adaptive partitioning instead of random hyperplanes.
-    Returns (query_id, corpus_id, rank)."""
+    Returns (query_id, corpus_id, rank). stats_out (a dict, bench/audit
+    hook) receives candidates_total = the exact number of (query, corpus)
+    pairs scanned — one extra count() action; leave None in production."""
     # coarse quantizer: deterministic sample of corpus vectors as centroids.
     # Sample order uses the cross-engine md5 hash (engine.textops.cross_hash) so
     # the identical centroid set is reproducible in the DuckDB oracle
@@ -682,18 +777,28 @@ def ivf_ann_topk(
         import math
 
         n_centroids = max(16, min(4096, int(math.sqrt(corpus.count()))))
-    sample_key = cross_hash(
-        F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
-    )
-    cents = [
-        (i, r[0])
-        for i, r in enumerate(
-            corpus.select(vec_col)
-            .orderBy(sample_key)
-            .limit(n_centroids)
-            .collect()
+    if train_iters > 0:
+        # trained quantizer (spherical k-means on the bounded md5 sample) —
+        # the high-recall operating point; the oracle twin stays pinned to
+        # the untrained sample, same contract as lloyd_iters
+        tm = train_ivf_centroids(
+            corpus, n_centroids, vec_col=vec_col, corpus_id=corpus_id,
+            seed=seed, train_rows=train_rows, iters=train_iters,
         )
-    ]
+        cents = [(i, [float(x) for x in tm[i]]) for i in range(n_centroids)]
+    else:
+        sample_key = cross_hash(
+            F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
+        )
+        cents = [
+            (i, r[0])
+            for i, r in enumerate(
+                corpus.select(vec_col)
+                .orderBy(sample_key)
+                .limit(n_centroids)
+                .collect()
+            )
+        ]
     spark = corpus.sparkSession
 
     def centroid_frame(cent_list):
@@ -760,6 +865,8 @@ def ivf_ann_topk(
     # construction — a dropDuplicates here would shuffle vector-carrying rows
     # for nothing
     cand = q_probes.join(c_assigned, "centroid_id")
+    if stats_out is not None:
+        stats_out["candidates_total"] = cand.count()
     return _rerank(cand, k, kernel, query_id, corpus_id)
 
 

@@ -121,6 +121,104 @@ def images_df(
     return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
+def _smooth_pixels(key: int, h: int, w: int) -> np.ndarray:
+    """Deterministic smooth content for the LOSSY codec leg: per-channel 2-D
+    sinusoids over a random base + sigma=2 noise, rounded half-up. Smooth
+    (energy concentrated in low DCT frequencies) so block-DCT at quality 95
+    lands squarely in the PSNR [40, 50) window — actually lossy, actually
+    passing — unlike images_df's uniform noise, which no transform codec can
+    carry at 40 dB. Spec duplicated numerically in tests/gen_goldens.py."""
+    rng = np.random.default_rng([SEED, 7, int(key)])
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy = rng.uniform(0.5, 3.0, 2)
+    ph = rng.uniform(0, 2 * np.pi, 3)
+    base = rng.uniform(60, 180, 3)
+    amp = rng.uniform(20, 60, 3)
+    px = np.empty((h, w, 3))
+    for c in range(3):
+        px[:, :, c] = (
+            base[c]
+            + amp[c] * np.sin(2 * np.pi * fx * xx / w + ph[c])
+            + 0.5 * amp[c] * np.cos(2 * np.pi * fy * yy / h + ph[c])
+        )
+    px += rng.normal(0, 2.0, (h, w, 3))
+    return np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+
+
+def lossy_images_df(spark: SparkSession, n: int, quality: int = 95) -> DataFrame:
+    """images_df companion carrying LOSSY block-DCT payloads (fmt='bdct',
+    engine.image_codec.encode_bdct) over smooth deterministic content.
+    Sizes cycle {24,40,64} and every 4th image is cropped to an odd shape
+    (w-3, h-5) so the codec's 8-px replicate padding + decode crop is
+    exercised in-pipeline. Same output schema as images_df."""
+    sizes = np.array([24, 40, 64], dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                w = int(sizes[k % 3])
+                h = int(sizes[(k // 3) % 3])
+                if k % 4 == 3:
+                    w -= 3
+                    h -= 5
+                px = _smooth_pixels(k, h, w)
+                rows.append(
+                    (
+                        f"img{k:012d}",
+                        image_codec.encode_bdct(px, quality),
+                        w,
+                        h,
+                        "bdct",
+                        f"smooth field {k}",
+                        k,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "_key"],
+            )
+
+    rng_base = spark.range(0, n, 1, max(1, min(32, n // 64 + 1)))
+    return rng_base.mapInPandas(
+        gen,
+        schema=(
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, _key long"
+        ),
+    )
+
+
+def lossy_fidelity_batches():
+    """mapInPandas kernel over lossy_images_df rows: regenerate the ORIGINAL
+    pixels from _key (deterministic spec), decode the stored bdct payload and
+    report original-vs-decoded PSNR (e2 fixed point) + whether any pixel
+    actually changed. This is the orig-side fidelity check the round-trip
+    verify gate (decode->re-encode->decode) cannot see."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            # zip, not itertuples: namedtuple mangles the _key column name
+            for iid, k, w, h, blob in zip(
+                pdf["image_id"], pdf["_key"], pdf["w"], pdf["h"], pdf["bytes"]
+            ):
+                px = _smooth_pixels(int(k), int(h), int(w))
+                dec = image_codec.decode_bdct(blob)
+                p = image_codec.psnr(px, dec)
+                out.append(
+                    (
+                        iid,
+                        int(np.floor(p * 100.0)) if np.isfinite(p) else -1,
+                        not np.array_equal(px, dec),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "psnr_e2", "lossy"])
+
+    return run
+
+
 def polygons_df(
     spark: SparkSession, p: int = 10, hot_frac: float = 0.1, radius_scale: float = 1.0
 ) -> DataFrame:

@@ -132,8 +132,66 @@ def main() -> None:
             yi = (np.arange(M_THUMB) * int(mh[k]) // M_THUMB).clip(0, int(mh[k]) - 1)
             xi = (np.arange(M_THUMB) * int(mw[k]) // M_THUMB).clip(0, int(mw[k]) - 1)
             pixel_sum += int(px[yi][:, xi].sum(dtype=np.int64))
+    # golden_digests.image_pipeline lossy_* rows — numpy rebuild of the lossy
+    # block-DCT leg (spec: engine.synth.lossy_images_df(n=160, quality=95);
+    # smooth-pixel math duplicated here verbatim from the FIXTURES spec; the
+    # codec itself is the artifact under pin so encode/decode come from
+    # engine.image_codec — same stance the mosaic golden takes on the
+    # lossless codecs).
+    from engine.image_codec import bdct_quality, decode_bdct, encode_bdct
+
+    L_N, L_Q = 160, 95
+    lsizes = np.array([24, 40, 64])
+    l_lossy = l_4050 = 0
+    l_min_e2, l_max_e2 = 1 << 62, -(1 << 62)
+    l_v_pix = l_v_p40 = 0
+    for k in range(L_N):
+        w, h = int(lsizes[k % 3]), int(lsizes[(k // 3) % 3])
+        if k % 4 == 3:
+            w, h = w - 3, h - 5
+        rng = np.random.default_rng([SEED, 7, k])
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        fx, fy = rng.uniform(0.5, 3.0, 2)
+        phs = rng.uniform(0, 2 * np.pi, 3)
+        base = rng.uniform(60, 180, 3)
+        amp = rng.uniform(20, 60, 3)
+        px = np.empty((h, w, 3))
+        for c in range(3):
+            px[:, :, c] = (
+                base[c]
+                + amp[c] * np.sin(2 * np.pi * fx * xx / w + phs[c])
+                + 0.5 * amp[c] * np.cos(2 * np.pi * fy * yy / h + phs[c])
+            )
+        px += rng.normal(0, 2.0, (h, w, 3))
+        px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+        blob = encode_bdct(px, L_Q)
+        dec = decode_bdct(blob)
+        mse = np.mean((px.astype(np.float64) - dec.astype(np.float64)) ** 2)
+        p = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+        e2 = int(np.floor(p * 100.0)) if np.isfinite(p) else -1
+        l_lossy += int(not np.array_equal(px, dec))
+        l_4050 += int(4000 <= e2 < 5000)
+        l_min_e2, l_max_e2 = min(l_min_e2, e2), max(l_max_e2, e2)
+        # verify-gate twin: decode -> re-encode at the stream quality -> decode
+        dec2 = decode_bdct(encode_bdct(dec, bdct_quality(blob)))
+        mse2 = np.mean((dec.astype(np.float64) - dec2.astype(np.float64)) ** 2)
+        p2 = float("inf") if mse2 == 0 else 10.0 * np.log10(255.0**2 / mse2)
+        l_v_pix += int(p2 >= 40.0 or p2 == float("inf"))
+        l_v_p40 += int(p2 >= 40.0)
+
     dig_path = GOLDEN_DIR / "golden_digests.json"
     dig = json.loads(dig_path.read_text())
+    dig["image_pipeline"].update(
+        {
+            "lossy_verify_n_images": L_N,
+            "lossy_verify_n_pixels_ok": l_v_pix,
+            "lossy_verify_n_psnr40": l_v_p40,
+            "lossy_n_lossy": l_lossy,
+            "lossy_n_psnr_40_50": l_4050,
+            "lossy_min_psnr_e2": l_min_e2,
+            "lossy_max_psnr_e2": l_max_e2,
+        }
+    )
     dig["image_pipeline"].update(
         {
             "mosaic_n_tiles": len(by_tile),
