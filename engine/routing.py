@@ -174,6 +174,142 @@ def shortest_paths(
     )
 
 
+def point_to_point(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    directed: bool = False,
+    max_dist: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Single-pair shortest path by BIDIRECTIONAL frontier search (VERDICT r4
+    item 2: round count ≪ hop diameter). A forward frontier grows from
+    `source` and a backward frontier from `target` (over reversed edges) in
+    the SAME frame, tagged dir∈{0,1}, so each round is still one join + one
+    min-agg. After each round the best meeting value
+    mu = min over met nodes of key_f(n) + key_b(n) (packed BIGINT sum: the
+    lexicographic (dist_f+dist_b, hops_f+hops_b) minimum) is folded from the
+    newly-improved labels only — one 1-row agg per round, the same bounded
+    driver action discipline as the empty-frontier probe.
+
+    Exactness: labels discovered in round r+1 are >= the round-r frontier
+    minimum + 1 in packed space (w >= 0, +1 hop), so once
+    min_f(frontier) + min_b(frontier) > mu no undiscovered s-t path — on
+    DIST or on the fewest-hops tie-break, both live in the packed key — can
+    beat mu; the loop stops there, typically ~half the s-t hop count, with
+    each side's explored ball exponentially smaller than the unidirectional
+    wavefront. Labels >= mu are pruned from the candidate stream (they can
+    only lose), which keeps late-round frontiers thin.
+
+    Returns a 1-row DataFrame (source_id=0 for parity with shortest_paths'
+    output shape, node=target, dist, hops) — empty if target is unreachable
+    (or farther than max_dist)."""
+    if max_rounds >= HOPS_BASE:
+        raise ValueError(f"max_rounds must be < {HOPS_BASE}")
+    if max_dist is not None and max_dist >= (1 << 62) // HOPS_BASE:
+        raise ValueError("max_dist too large for exact packed labels")
+    spark = edges.sparkSession
+    e = _prep_edges(edges, src, dst, w, directed)
+    # direction-tagged edge frame: dir=0 walks forward edges, dir=1 reversed
+    e2 = (
+        e.withColumn("dir", F.lit(0))
+        .unionByName(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            ).withColumn("dir", F.lit(1))
+        )
+        .localCheckpoint(eager=True)
+    )
+    settled = spark.createDataFrame(
+        [(0, int(source), 0), (1, int(target), 0)], "dir int, n long, key long"
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    INF = (1 << 62)
+    mu = INF if source != target else 0
+
+    global LAST_ROUNDS
+    LAST_ROUNDS = 0
+    for _ in range(max_rounds):
+        if source == target:
+            break
+        cand = frontier.join(
+            e2, (frontier["n"] == e2["u"]) & (frontier["dir"] == e2["dir"])
+        ).select(
+            frontier["dir"],
+            e2["v"].alias("n"),
+            (F.col("key") + F.col("w") * HOPS_BASE + 1).alias("key"),
+        )
+        cap = mu if mu < INF else None
+        if max_dist is not None:
+            cap = min(
+                cap if cap is not None else INF, (max_dist + 1) * HOPS_BASE
+            )
+        if cap is not None:
+            cand = cand.filter(F.col("key") < F.lit(int(cap)))
+        cand = cand.groupBy("dir", "n").agg(F.min("key").alias("key"))
+        improved = (
+            cand.join(
+                settled.withColumnRenamed("key", "_old"), ["dir", "n"], "left"
+            )
+            .filter(F.col("_old").isNull() | (F.col("key") < F.col("_old")))
+            .select("dir", "n", "key")
+            .localCheckpoint(eager=True)
+        )
+        LAST_ROUNDS += 1
+        # one driver row: per-direction frontier minima + the best NEW meet
+        # (improved labels against the other side's settled set; both
+        # freshly-improved sides meet through the settled union too, since
+        # settled is updated before the next probe round)
+        settled = (
+            settled.unionByName(improved)
+            .groupBy("dir", "n")
+            .agg(F.min("key").alias("key"))
+            .localCheckpoint(eager=True)
+        )
+        other = settled.withColumnRenamed("key", "_ok").withColumn(
+            "dir", F.lit(1) - F.col("dir")
+        )
+        probe = (
+            improved.groupBy("dir").agg(F.min("key").alias("fmin"))
+            .groupBy()
+            .agg(
+                F.min(F.when(F.col("dir") == 0, F.col("fmin"))).alias("f0"),
+                F.min(F.when(F.col("dir") == 1, F.col("fmin"))).alias("f1"),
+            )
+            .crossJoin(
+                improved.join(other, ["dir", "n"])
+                .groupBy()
+                .agg(F.min(F.col("key") + F.col("_ok")).alias("meet"))
+            )
+            .first()
+        )
+        f0 = probe["f0"] if probe["f0"] is not None else INF
+        f1 = probe["f1"] if probe["f1"] is not None else INF
+        if probe["meet"] is not None:
+            mu = min(mu, int(probe["meet"]))
+        frontier = improved
+        if f0 == INF and f1 == INF:
+            break  # both frontiers empty: mu is final (or unreachable)
+        if f0 + f1 > mu:
+            break  # no undiscovered path can beat mu, even on hops
+    else:
+        raise RuntimeError(
+            f"point_to_point: not settled after {max_rounds} rounds; raise "
+            "max_rounds or bound the query with max_dist"
+        )
+    if mu >= INF or (max_dist is not None and mu >= (max_dist + 1) * HOPS_BASE):
+        return spark.createDataFrame(
+            [], "source_id long, node long, dist long, hops long"
+        )
+    return spark.createDataFrame(
+        [(0, int(target), int(mu) >> 20, int(mu) % HOPS_BASE)],
+        "source_id long, node long, dist long, hops long",
+    )
+
+
 def isochrone_cells(
     edges: DataFrame,
     sources: DataFrame,

@@ -214,3 +214,69 @@ def test_closest_facility_tie_breaks_to_smaller_id(spark):
         for r in closest_facility(edges, fac).collect()
     }
     assert got[1] == 3
+
+
+# ---------------------------------------------------------------------------
+# point_to_point (bidirectional) — VERDICT r4 item 2
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed,n,m,directed", [(5, 50, 120, False), (6, 70, 160, True)])
+def test_p2p_matches_dijkstra_and_shortest_paths(spark, seed, n, m, directed):
+    """Exact (dist, hops) parity with the Dijkstra oracle AND with the
+    unidirectional shortest_paths, over several random pairs per graph."""
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 20))
+        for _ in range(m)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    for _ in range(4):
+        s, t = rng.randrange(n), rng.randrange(n)
+        oracle = _dijkstra(edges, [(0, s)], directed=directed)
+        got = routing.point_to_point(e, s, t, directed=directed).collect()
+        if (0, t) in oracle:
+            assert len(got) == 1
+            assert (got[0]["dist"], got[0]["hops"]) == oracle[(0, t)]
+        else:
+            assert got == []
+
+
+def test_p2p_self_and_unreachable(spark):
+    e = spark.createDataFrame([(0, 1, 5), (2, 3, 1)], ["src", "dst", "w"])
+    self_row = routing.point_to_point(e, 1, 1).collect()
+    assert [(r["dist"], r["hops"]) for r in self_row] == [(0, 0)]
+    assert routing.point_to_point(e, 0, 3).collect() == []
+
+
+def test_p2p_halves_rounds_on_chain(spark):
+    """On a 16-hop chain the unidirectional frontier needs 16 rounds to reach
+    the far end; the bidirectional search meets in the middle."""
+    n = 17
+    edges = [(i, i + 1, 3) for i in range(n - 1)]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(0, 0)], ["source_id", "node"])
+    full = routing.shortest_paths(e, s, max_rounds=32)
+    uni_rounds = routing.LAST_ROUNDS
+    got = routing.point_to_point(e, 0, n - 1, max_rounds=32).collect()
+    bi_rounds = routing.LAST_ROUNDS
+    want = {r["node"]: (r["dist"], r["hops"]) for r in full.collect()}[n - 1]
+    assert (got[0]["dist"], got[0]["hops"]) == want == (48, 16)
+    assert bi_rounds <= uni_rounds // 2 + 2, (bi_rounds, uni_rounds)
+
+
+def test_p2p_hops_tiebreak_exact(spark):
+    """Two equal-dist routes, one with fewer hops: the packed-sum meet must
+    keep the lexicographic tie-break exactly (the subtle bidirectional case —
+    the tie can straddle the meeting point)."""
+    # 0-1-2 (3+3=6, 2 hops)  vs  0-3-4-2 (2+2+2=6, 3 hops)
+    edges = [(0, 1, 3), (1, 2, 3), (0, 3, 2), (3, 4, 2), (4, 2, 2)]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = routing.point_to_point(e, 0, 2).collect()
+    assert (got[0]["dist"], got[0]["hops"]) == (6, 2)
+
+
+def test_p2p_max_dist_prunes(spark):
+    edges = [(0, 1, 4), (1, 2, 4)]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    assert routing.point_to_point(e, 0, 2, max_dist=7).collect() == []
+    got = routing.point_to_point(e, 0, 2, max_dist=8).collect()
+    assert (got[0]["dist"], got[0]["hops"]) == (8, 2)

@@ -310,6 +310,59 @@ def part_nprobe() -> None:
     spark.stop()
 
 
+def part_sq8_hirecall() -> None:
+    """The r5 high-recall operating point (VERDICT r4 item 1): IVF-SQ8 on the
+    1M clustered corpus — trained quantizer, spilled lists, int8 code scan,
+    exact rerank. Reports the recall / cost Pareto: pairs_scanned fraction
+    (compressed codes, 64 B each), byte-equivalent fraction of a raw float64
+    scan, and exact-candidate fraction (full-precision evaluations — the
+    <= 1% budget). Index build timed separately from serving (the amortized
+    production shape)."""
+    from pyspark.sql import functions as F
+
+    from engine import embedops
+
+    spark = _spark("bench-ivf-sq8")
+    N = 1_000_000
+    corpus = _clustered_vectors(spark, N).persist()
+    corpus.count()
+    queries = corpus.filter("vec_id < 200").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = embedops.cosine_topk(queries, corpus, k=5, kernel="gemm").persist()
+    exact.count()
+    out = {"part": "sq8_hirecall", "n_corpus": N, "n_queries": 200}
+    t0 = time.time()
+    cents = embedops.train_ivf_centroids(corpus, 4096, iters=15)
+    out["train_wall_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    index = embedops.build_sq8_index(corpus, cents, spill=4).persist()
+    n_entries = index.count()
+    out["index_build_wall_s"] = round(time.time() - t0, 2)
+    out["index_entries"] = n_entries
+    for n_probe in (64, 128, 256):
+        stats: dict = {}
+        t0 = time.time()
+        approx = embedops.ivf_sq8_topk(
+            queries, corpus, k=5, n_probe=n_probe, spill=4, m_rerank=256,
+            cents=cents, index=index, stats_out=stats,
+        ).persist()
+        approx.count()
+        wall = time.time() - t0
+        scanned_frac = stats["pairs_scanned"] / (stats["nq"] * N)
+        exact_frac = stats["candidates_exact"] / (stats["nq"] * N)
+        out[f"n_probe_{n_probe}"] = {
+            "recall": round(embedops.ann_recall(exact, approx), 4),
+            "wall_s": round(wall, 2),
+            "code_scan_frac": round(scanned_frac, 4),
+            "byte_equiv_frac_vs_f64": round(scanned_frac * 64 / 512, 4),
+            "exact_candidate_frac": round(exact_frac, 6),
+        }
+        approx.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
 def part_knn_geo() -> None:
     from pyspark.sql import functions as F
 
@@ -1694,21 +1747,41 @@ def part_contour() -> None:
         "wall_s": round(wall_seg, 2),
         "cells_per_sec": round(n / wall_seg),
     }
-    t0 = time.time()
-    lines = contour_lines(segs)
-    per = lines.groupBy("line_id").agg(F.count("*").alias("m"))
-    lagg = per.agg(
-        F.count("*").alias("lines"),
-        F.min("m").alias("mn"), F.max("m").alias("mx"),
-    ).collect()[0]
-    wall_ln = time.time() - t0
-    assert lagg["lines"] == k_rects, lagg["lines"]
-    assert lagg["mn"] == lagg["mx"] == 4 * w, (lagg["mn"], lagg["mx"])
-    out["lines"] = {
-        "lines": lagg["lines"], "segs_per_line": lagg["mx"],
-        "wall_s": round(wall_ln, 2),
-        "segments_per_sec": round(agg["segs"] / wall_ln),
-    }
+    # A/B: generic CC vs the r5 arc-double-cover pointer doubling (rings),
+    # identical-ring proof = equal xor-digest over every (line_id, segment)
+    # row of both outputs, plus the closed-form ring count/size asserts.
+    digests = {}
+    for method in ("cc", "rings"):
+        t0 = time.time()
+        lines = contour_lines(segs, method=method)
+        row = lines.agg(
+            F.coalesce(
+                F.bit_xor(
+                    F.xxhash64(
+                        "line_id", "bx", "by", "ea", "eb",
+                        "a_ex", "a_ey", "a_horiz", "a_num", "a_den",
+                        "b_ex", "b_ey", "b_horiz", "b_num", "b_den",
+                    )
+                ),
+                F.lit(0),
+            ).alias("dig"),
+            F.count("*").alias("nseg"),
+            F.countDistinct("line_id").alias("lines"),
+        ).collect()[0]
+        wall_ln = time.time() - t0
+        assert row["lines"] == k_rects, (method, row["lines"])
+        assert row["nseg"] == agg["segs"], (method, row["nseg"])
+        digests[method] = row["dig"]
+        out[f"lines_{method}"] = {
+            "lines": row["lines"],
+            "wall_s": round(wall_ln, 2),
+            "segments_per_sec": round(agg["segs"] / wall_ln),
+        }
+    assert digests["cc"] == digests["rings"], digests
+    out["rings_identical"] = True
+    out["rings_speedup"] = round(
+        out["lines_cc"]["wall_s"] / out["lines_rings"]["wall_s"], 2
+    )
     segs.unpersist()
     spark.stop()
     print(_json.dumps(out))
@@ -3666,6 +3739,7 @@ if __name__ == "__main__":
         "ivf": part_ivf,
         "clustered": part_clustered,
         "nprobe": part_nprobe,
+        "sq8_hirecall": part_sq8_hirecall,
         "knn_geo": part_knn_geo,
         "routing": part_routing,
         "nms": part_nms,
