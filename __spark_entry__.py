@@ -3069,15 +3069,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (engine.embedops.ivf_sq8_topk) at its SQL-checkable registry
+    config: sampled md5-ordered centroids (the untrained contract), spill=2
+    list assignment, m_rerank >= all candidates + kernel='hof' so the int8
+    prefilter is a no-op and the output is exactly 'exact rerank over the
+    union of spilled probed lists' — hash-checked against ivf_sq8_cov_sql.
+    The int8 scan + trained quantizer (the high-recall operating point) are
+    gated by pytest invariants and the sq8_hirecall bench instead (the
+    lloyd_iters/train_iters oracle contract)."""
+    import numpy as np
+
+    from engine import embedops, textops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sample_key = textops.cross_hash(
+        F.concat(F.col("vec_id").cast("string"), F.lit(":42")), "md5"
+    )
+    rows = emb.select("embedding").orderBy(sample_key).limit(16).collect()
+    cents = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    out = embedops.ivf_sq8_topk(
+        queries, emb, k=5, n_centroids=16, n_probe=4, spill=2,
+        m_rerank=1 << 30, kernel="hof", cents=cents,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH + IVF approximate-NN in one registry row (merged to free a slot —
-    VERDICT r3 item 6 discipline): union of the two hash-checked method
-    results tagged by a method column. Each half is unchanged from its
-    previously-green standalone row (q_ann_lsh / q_ann_ivf)."""
+    """LSH + IVF + IVF-SQ8 approximate-NN in one registry row (merged to free
+    a slot — VERDICT r3 item 6 discipline): union of the hash-checked method
+    results tagged by a method column. The exact/lsh/ivf halves are unchanged
+    from their previously-green rows; 'sq8' is the r5 spilled-coverage config
+    (q_ann_sq8)."""
     exact = q_cosine_topk(spark, sf_dir).withColumn("method", F.lit("exact"))
     lsh = q_ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
     ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    return exact.unionByName(lsh).unionByName(ivf)
+    sq8 = q_ann_sq8(spark, sf_dir).withColumn("method", F.lit("sq8"))
+    return exact.unionByName(lsh).unionByName(ivf).unionByName(sq8)
 
 
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3605,10 +3640,19 @@ def q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = spark.createDataFrame(
         [(0, 7), (1, 42)], ["source_id", "node"]
     )
-    return routing.shortest_paths(
+    multi = routing.shortest_paths(
         _route_edges(spark, sf_dir), sources,
         max_dist=_ROUTE_MAX_DIST, max_rounds=16,
-    )
+    ).withColumn("tag", F.lit("multi"))
+    # r5 half: single-pair BIDIRECTIONAL search (engine.routing.point_to_point)
+    # on the same graph, 7 -> 42 — the oracle is the same unrolled-relaxation
+    # twin filtered to the target node, so the meet-in-the-middle machinery is
+    # hash-checked against plain relaxation
+    p2p = routing.point_to_point(
+        _route_edges(spark, sf_dir), 7, 42,
+        max_dist=_ROUTE_MAX_DIST, max_rounds=16,
+    ).withColumn("tag", F.lit("p2p"))
+    return multi.unionByName(p2p)
 
 
 def routing_sql() -> str:
@@ -3623,9 +3667,19 @@ def routing_sql() -> str:
         FROM orders
     """
     srcs = "SELECT 0 AS source_id, 7 AS node UNION ALL SELECT 1, 42"
-    return routing.shortest_paths_sql(
+    multi = routing.shortest_paths_sql(
         edges, srcs, rounds=14, max_dist=_ROUTE_MAX_DIST
     )
+    p2p_srcs = "SELECT 0 AS source_id, 7 AS node"
+    p2p = routing.shortest_paths_sql(
+        edges, p2p_srcs, rounds=14, max_dist=_ROUTE_MAX_DIST
+    )
+    return f"""
+        SELECT 'multi' AS tag, source_id, node, dist, hops FROM ({multi})
+        UNION ALL
+        SELECT 'p2p' AS tag, source_id, node, dist, hops FROM ({p2p})
+        WHERE node = 42
+    """
 
 
 _IDW_CELL = 2048.0
@@ -4265,6 +4319,15 @@ def embedops_sql_ann_ivf() -> str:
     return embedops.ivf_ann_topk_sql(
         "embeddings", "vec_id", "embedding", "_id < 10",
         k=5, n_centroids=16, n_probe=4, seed=42,
+    )
+
+
+def embedops_sql_ann_sq8() -> str:
+    from engine import embedops
+
+    return embedops.ivf_sq8_cov_sql(
+        "embeddings", "vec_id", "embedding", "_id < 10",
+        k=5, n_centroids=16, n_probe=4, spill=2, seed=42,
     )
 
 
@@ -5020,6 +5083,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf' AS method, query_id, vec_id, rank
             FROM ({embedops_sql_ann_ivf()})
+            UNION ALL
+            SELECT 'sq8' AS method, query_id, vec_id, rank
+            FROM ({embedops_sql_ann_sq8()})
         """,
         "phash_neardup": phash_neardup_sql(),
         "ann_recall": embedops_sql_ann_recall(),

@@ -1114,9 +1114,16 @@ def ivf_sq8_topk(
             )
 
     local = index.mapInArrow(scan, schema=out_schema)
+    # cross-batch spill dedup: the in-batch pair dedup can't see a vector
+    # whose spill rows straddle an Arrow batch boundary — the same (query,
+    # vector) pair would then hold two shortlist slots and shift ranks
+    # partition-dependently. One dropDuplicates on the slim candidate stream
+    # (same frame the window is about to shuffle anyway); duplicate rows are
+    # bit-identical so any survivor is the right one.
     w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid"))
     shortlist = (
-        local.withColumn("_rn", F.row_number().over(w))
+        local.dropDuplicates(["_qid", "_cid"])
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= m_rerank)
         .select("_qid", "_cid")
     )
@@ -1296,6 +1303,70 @@ def ivf_ann_topk_sql(
                      ORDER BY {cosc} DESC, c.centroid_id) AS rn
             FROM h e CROSS JOIN cents c
           ) WHERE rn = 1
+        ), qprobe AS (
+          SELECT _id AS _qid, centroid_id FROM (
+            SELECT e._id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e._id
+                     ORDER BY {cosc} DESC, c.centroid_id) AS rn
+            FROM h e CROSS JOIN cents c WHERE {query_pred.replace('_id', 'e._id')}
+          ) WHERE rn <= {n_probe}
+        ), cand AS (
+          SELECT DISTINCT q._qid, c._id AS _cid
+          FROM qprobe q JOIN cass c USING (centroid_id)
+        )
+        SELECT CAST(_qid AS BIGINT) AS query_id, CAST(_cid AS BIGINT) AS vec_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT cand._qid, cand._cid,
+                 ROW_NUMBER() OVER (PARTITION BY cand._qid
+                   ORDER BY {cosr} DESC, cand._cid) AS rank
+          FROM cand JOIN h qe ON cand._qid = qe._id
+                    JOIN h ce ON cand._cid = ce._id
+        ) t WHERE rank <= {k}
+    """
+
+
+def ivf_sq8_cov_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    spill: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ivf_sq8_topk at its REGISTRY config: sampled (untrained)
+    centroids, spill-list assignment (rank <= spill), m_rerank >= every
+    candidate and kernel='hof' — the prefilter is then a no-op, so the int8
+    scores never influence the output and the result is exactly 'exact
+    rerank over the union of spilled probed lists', every float of which is
+    the bit-identical sequential-double machinery the other ANN twins use.
+    (The int8 stage itself is ulp-sensitive numpy GEMM and is gated by
+    pytest invariants + the sq8_hirecall bench, not by SQL hashing — the
+    lloyd_iters/train_iters contract.) Assignment/probe ranking here uses
+    cosine ratios whose last-ulp could in principle differ from numpy's
+    normalized GEMM; a flip needs two centroids tied within ~1e-15 of
+    cosine, impossible on the md5-derived fixture."""
+    cosc = cosine_double_sql("e._v", "c.centroid")
+    cosr = cosine_double_sql("qe._v", "ce._v")
+    return f"""
+        WITH h AS MATERIALIZED (
+          SELECT {id_col} AS _id, {vec_col} AS _v,
+                 ('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT
+                   AS _hh
+          FROM {table}
+        ), cents AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY _hh) - 1 AS centroid_id, _v AS centroid
+          FROM (SELECT _hh, _v FROM h ORDER BY _hh LIMIT {n_centroids})
+        ), cass AS MATERIALIZED (
+          SELECT _id, centroid_id FROM (
+            SELECT e._id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e._id
+                     ORDER BY {cosc} DESC, c.centroid_id) AS rn
+            FROM h e CROSS JOIN cents c
+          ) WHERE rn <= {spill}
         ), qprobe AS (
           SELECT _id AS _qid, centroid_id FROM (
             SELECT e._id, c.centroid_id,

@@ -1751,7 +1751,7 @@ def part_contour() -> None:
     # identical-ring proof = equal xor-digest over every (line_id, segment)
     # row of both outputs, plus the closed-form ring count/size asserts.
     digests = {}
-    for method in ("cc", "rings"):
+    for method in ("cc", "rings", "tiles"):
         t0 = time.time()
         lines = contour_lines(segs, method=method)
         row = lines.agg(
@@ -1777,10 +1777,13 @@ def part_contour() -> None:
             "wall_s": round(wall_ln, 2),
             "segments_per_sec": round(agg["segs"] / wall_ln),
         }
-    assert digests["cc"] == digests["rings"], digests
+    assert digests["cc"] == digests["rings"] == digests["tiles"], digests
     out["rings_identical"] = True
     out["rings_speedup"] = round(
         out["lines_cc"]["wall_s"] / out["lines_rings"]["wall_s"], 2
+    )
+    out["tiles_speedup"] = round(
+        out["lines_cc"]["wall_s"] / out["lines_tiles"]["wall_s"], 2
     )
     segs.unpersist()
     spark.stop()
