@@ -1174,6 +1174,30 @@ def part_routing() -> None:
         "oracle_match": True,
     }
     d.unpersist()
+
+    # --- regime 1b (r5): single-pair BIDIRECTIONAL point-to-point on the
+    # same 1M-node graph — the latency shape. Exactness from the driver
+    # Dijkstra already computed above; the claim is round count << the
+    # unidirectional SSSP's (meet-in-the-middle + mu-pruning).
+    p2p_rows = []
+    for tgt in (n // 2, n - 7, 123_457):
+        t2 = time.time()
+        got_p = routing.point_to_point(edges, 0, int(tgt)).collect()
+        wall_p = time.time() - t2
+        want = best.get(int(tgt))
+        assert want is not None and len(got_p) == 1, (tgt, want, got_p)
+        assert (got_p[0]["dist"], got_p[0]["hops"]) == want, (tgt, want, got_p)
+        p2p_rows.append(
+            {"target": int(tgt), "dist": want[0], "hops": want[1],
+             "rounds": routing.LAST_ROUNDS, "wall_s": round(wall_p, 2)}
+        )
+    out["p2p"] = {
+        "pairs": p2p_rows,
+        "uni_rounds": rounds,
+        "max_bi_rounds": max(r["rounds"] for r in p2p_rows),
+        "oracle_match": True,
+    }
+    assert out["p2p"]["max_bi_rounds"] < rounds, out["p2p"]
     edges.unpersist()
 
     # --- regime 2: grid isochrone ---

@@ -624,6 +624,42 @@ def main() -> int:
                 must_not=["CartesianProduct", "BatchEvalPython",
                           "ArrowEvalPython", "FlatMapGroupsInPandas"])
 
+    # IVF-SQ8 serving plan (r5): the code scan must stay a narrow
+    # PythonMapInArrow over the index (no vector shuffle), the shortlist and
+    # query attaches must be BROADCAST joins (never sort-merge — the whole
+    # point is that full vectors move only for the m survivors), and the only
+    # wide ops are the slim shortlist dedup/window.
+    import numpy as np
+
+    from engine.embedops import ivf_sq8_topk
+
+    emb8 = spark.range(0, 4096).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000))
+                       .cast("double") / F.lit(1000.0)) + F.lit(0.001),
+        ).alias("embedding"),
+    )
+    q8 = emb8.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rng8 = np.random.default_rng(3)
+    p = formatted(
+        ivf_sq8_topk(
+            q8, emb8, k=3, n_probe=4, spill=2, m_rerank=16,
+            cents=rng8.random((16, 8)),
+        )
+    )
+    print("\n## IVF-SQ8 (code scan + broadcast rerank)")
+    if args.full:
+        print(p)
+    ok &= check(
+        "ivf_sq8", p,
+        must=["MapInArrow", "BroadcastHashJoin", "Window"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print(f"\nOVERALL: {'OK' if ok else 'ISSUES'}")
     spark.stop()
     return 0 if ok else 1
