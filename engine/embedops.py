@@ -695,16 +695,30 @@ def train_ivf_centroids(
             f"train sample ({len(S)}) smaller than n_centroids ({n_centroids})"
         )
     C = S[:n_centroids].copy()
+    # assignment GEMM in float32: this BLAS runs sgemm ~8-13x faster than
+    # dgemm (measured 41 vs 3-5 GFLOP/s; the f64 loop was the entire 77.7 s
+    # r5 training wall). Training assignment is heuristic — any near-tie an
+    # f32 rounding flips moves a boundary point between two equally-good
+    # lists — while the UPDATE accumulations stay f64; determinism (same
+    # sample + iters -> identical matrix) is unchanged.
+    Sn32 = Sn.astype(np.float32)
     for _ in range(iters):
         Cn = C / np.maximum(
             np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-300
         )[:, None]
-        sims = Sn @ Cn.T
+        sims = Sn32 @ Cn.astype(np.float32).T
         assign = np.argmax(sims, axis=1)  # first max = lowest centroid id
         best = sims[np.arange(len(S)), assign]
         counts = np.bincount(assign, minlength=n_centroids)
-        sums = np.zeros_like(C)
-        np.add.at(sums, assign, Sn)
+        # per-dim bincount beats np.add.at ~10x (add.at is the un-vectorized
+        # ufunc scatter path; it dominated the 77.7 s r5 training wall)
+        sums = np.stack(
+            [
+                np.bincount(assign, weights=Sn[:, d], minlength=n_centroids)
+                for d in range(Sn.shape[1])
+            ],
+            axis=1,
+        )
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
         empty = np.flatnonzero(~nonempty)
@@ -935,9 +949,28 @@ def build_sq8_index(
             )[:, None]
             sims = Xn @ Cn.T
             nb = len(ids)
-            # stable top-spill by (sim desc, centroid_id asc)
+            # top-spill by (sim desc, centroid_id asc): argpartition to the
+            # kk boundary then an exact lexsort of just those kk columns — a
+            # full per-row argsort of all n_centroids was the dominant build
+            # cost (measured 29-133 s at 1M x 4096; this is O(nc + kk log kk)
+            # per row instead of O(nc log nc)). An exact double-cosine TIE
+            # straddling the kk boundary is resolved arbitrarily (but
+            # deterministically) by argpartition rather than by centroid id;
+            # ties WITHIN the selected kk keep the id order (the lexsort).
+            # Distinct centroids with bit-equal cosines never occur on the
+            # md5-derived fixtures (the ivf_sq8_cov_sql ulp note's argument).
             kk = min(spill, Cn.shape[0])
-            assign = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            if kk < Cn.shape[0]:
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(
+                    np.arange(kk), (nb, kk)
+                ).copy()
+            psims = np.take_along_axis(sims, part, axis=1)
+            ordr = np.lexsort(
+                (part, -psims), axis=1
+            )
+            assign = np.take_along_axis(part, ordr, axis=1)
             scale = np.maximum(np.abs(Xn).max(axis=1), 1e-300) / 127.0
             codes = np.clip(
                 np.floor(Xn / scale[:, None] + 0.5), -127, 127
@@ -1046,6 +1079,7 @@ def ivf_sq8_topk(
         inv[int(c)] = fq[bounds[c]:bounds[c + 1]].astype(np.int64)
 
     dim = Q.shape[1]
+    Qh32 = Qh.astype(np.float32)
     out_schema = T.StructType(
         [
             T.StructField("_qid", T.LongType()),
@@ -1073,14 +1107,24 @@ def ivf_sq8_topk(
             raw = np.frombuffer(
                 b"".join(codecol.to_pylist()), dtype=np.int8
             ).reshape(nb, dim)
-            Xq = raw.astype(np.float64) * scale[:, None]
+            # f32 decode: the approx scores only rank a shortlist the exact
+            # stage re-scores in full precision, and sgemm is ~8-13x dgemm
+            # on this BLAS (same rationale as train_ivf_centroids)
+            Xq = raw.astype(np.float32) * scale[:, None].astype(np.float32)
             rrows, rqs, rsims = [], [], []
-            for c in np.unique(cent):
+            # one stable sort by centroid, then contiguous slices per group —
+            # the per-unique `cent == c` mask was O(batch x distinct
+            # centroids) of comparisons and dominated the scan at nc=4096
+            corder = np.argsort(cent, kind="stable")
+            csorted = cent[corder]
+            uniq, gstarts = np.unique(csorted, return_index=True)
+            gends = np.append(gstarts[1:], nb)
+            for c, ga, gb in zip(uniq, gstarts, gends):
                 ql = inv.get(int(c))
                 if ql is None:
                     continue
-                rows = np.flatnonzero(cent == c)
-                S = Xq[rows] @ Qh[ql].T  # (|rows|, |ql|)
+                rows = corder[ga:gb]
+                S = Xq[rows] @ Qh32[ql].T  # (|rows|, |ql|), sgemm
                 rrows.append(np.repeat(rows, len(ql)))
                 rqs.append(np.tile(ql, len(rows)))
                 rsims.append(S.ravel())
@@ -1109,7 +1153,7 @@ def ivf_sq8_topk(
             kp = np.concatenate(keep)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qids[qq[kp]]), pa.array(vid[rr[kp]]),
-                 pa.array(ss[kp])],
+                 pa.array(ss[kp].astype(np.float64))],
                 names=["_qid", "_cid", "_sim"],
             )
 
