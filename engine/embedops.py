@@ -235,6 +235,9 @@ def _gemm_topk_scan(
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    # contiguous Q^T: this BLAS has no fast transposed-B path (a .T view
+    # measured ~9x slower than a contiguous operand at (131k,64)@(64,4096))
+    QT = np.ascontiguousarray(Q.T)
     out_schema = T.StructType(
         [
             T.StructField("_qid", T.LongType()),
@@ -260,7 +263,7 @@ def _gemm_topk_scan(
                 rb.column(rb.schema.get_field_index(corpus_id)), dtype=np.int64
             )
             Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
-            sims = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (batch, |Q|)
+            sims = (C @ QT) / (Cn[:, None] * Qn[None, :])  # (batch, |Q|)
             kk = min(k, sims.shape[0])
             # per-query local top-k within this batch, with the documented
             # (sim desc, corpus_id asc) tiebreak applied LOCALLY too: a bare
@@ -533,6 +536,9 @@ def _rerank_pairs_gemm(
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    # contiguous Q^T: this BLAS has no fast transposed-B path (a .T view
+    # measured ~9x slower than a contiguous operand at (131k,64)@(64,4096))
+    QT = np.ascontiguousarray(Q.T)
     out_schema = T.StructType(
         [
             T.StructField("_qid", T.LongType()),
@@ -618,6 +624,7 @@ def _nearest_centroids_gemm_udf(cents: np.ndarray, n: int):
     broadcast centroid matrix. Stable argsort of -sims breaks exact ties by
     ascending centroid id, matching the HOF window's ordering."""
     Cn = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+    centsT = np.ascontiguousarray(cents.T)  # no fast transposed-B sgemm here
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _nc(v: pd.Series) -> pd.Series:
@@ -625,7 +632,7 @@ def _nearest_centroids_gemm_udf(cents: np.ndarray, n: int):
             return pd.Series([], dtype=object)
         X = _stack(v)
         Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
-        sims = (X @ cents.T) / (Xn[:, None] * Cn[None, :])
+        sims = (X @ centsT) / (Xn[:, None] * Cn[None, :])
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int64)
         return pd.Series(list(order))
 
@@ -682,13 +689,17 @@ def train_ivf_centroids(
     sample_key = cross_hash(
         F.concat(F.col(corpus_id).cast("string"), F.lit(f":{seed}")), "md5"
     )
-    rows = (
+    # Arrow toPandas instead of Row collect: identical rows in identical
+    # order (TakeOrdered + single-partition fetch either way), but the 67 MB
+    # of vectors arrive as Arrow batches, not pickled Rows (the Row path
+    # measured 22.6 s of the 1M-corpus training wall)
+    pdf = (
         corpus.select(vec_col)
         .orderBy(sample_key)
         .limit(train_rows)
-        .collect()
+        .toPandas()
     )
-    S = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    S = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     Sn = S / np.maximum(np.sqrt(np.einsum("ij,ij->i", S, S)), 1e-300)[:, None]
     if len(S) < n_centroids:
         raise ValueError(
@@ -706,7 +717,7 @@ def train_ivf_centroids(
         Cn = C / np.maximum(
             np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-300
         )[:, None]
-        sims = Sn32 @ Cn.astype(np.float32).T
+        sims = Sn32 @ np.ascontiguousarray(Cn.astype(np.float32).T)
         assign = np.argmax(sims, axis=1)  # first max = lowest centroid id
         best = sims[np.arange(len(S)), assign]
         counts = np.bincount(assign, minlength=n_centroids)
@@ -925,6 +936,7 @@ def build_sq8_index(
     Cn = cents / np.maximum(
         np.sqrt(np.einsum("ij,ij->i", cents, cents)), 1e-300
     )[:, None]
+    CnT = np.ascontiguousarray(Cn.T)  # no fast transposed-B gemm on this BLAS
     out_schema = T.StructType(
         [
             T.StructField("centroid_id", T.LongType()),
@@ -947,7 +959,7 @@ def build_sq8_index(
             Xn = X / np.maximum(
                 np.sqrt(np.einsum("ij,ij->i", X, X)), 1e-300
             )[:, None]
-            sims = Xn @ Cn.T
+            sims = Xn @ CnT
             nb = len(ids)
             # top-spill by (sim desc, centroid_id asc): argpartition to the
             # kk boundary then an exact lexsort of just those kk columns — a
@@ -1079,7 +1091,7 @@ def ivf_sq8_topk(
         inv[int(c)] = fq[bounds[c]:bounds[c + 1]].astype(np.int64)
 
     dim = Q.shape[1]
-    Qh32 = Qh.astype(np.float32)
+    Qh32T = np.ascontiguousarray(Qh.astype(np.float32).T)  # (dim, nq) contig
     out_schema = T.StructType(
         [
             T.StructField("_qid", T.LongType()),
@@ -1124,7 +1136,9 @@ def ivf_sq8_topk(
                 if ql is None:
                     continue
                 rows = corder[ga:gb]
-                S = Xq[rows] @ Qh32[ql].T  # (|rows|, |ql|), sgemm
+                # column fancy-index of the contiguous (dim, nq) transpose
+                # yields a contiguous (dim, |ql|) operand — the fast sgemm path
+                S = Xq[rows] @ Qh32T[:, ql]  # (|rows|, |ql|)
                 rrows.append(np.repeat(rows, len(ql)))
                 rqs.append(np.tile(ql, len(rows)))
                 rsims.append(S.ravel())

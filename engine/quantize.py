@@ -193,6 +193,8 @@ def cosine_topk_int8(
     Q32 = Qc.astype(np.float32)
     Qn = np.sqrt(np.einsum("ij,ij->i", Q32, Q32))
     Qn[Qn == 0.0] = 1.0
+    # contiguous Q^T: no fast transposed-B sgemm on this BLAS (~9x penalty)
+    Q32T = np.ascontiguousarray(Q32.T)
     out_schema = T.StructType(
         [
             T.StructField("_qid", T.LongType()),
@@ -211,7 +213,7 @@ def cosine_topk_int8(
             )
             Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             Cn[Cn == 0.0] = 1.0
-            sims = (C @ Q32.T) / (Cn[:, None] * Qn[None, :])
+            sims = (C @ Q32T) / (Cn[:, None] * Qn[None, :])
             kk = min(keep, sims.shape[0])
             # local top-k with the same (sim desc, cid asc) tiebreak the
             # global window applies — see _gemm_topk_scan's tie note
