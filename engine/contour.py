@@ -368,94 +368,18 @@ def _ring_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
 def _tile_components(
     seg: DataFrame, tile_shift: int = 8, max_iters: int = 30
 ) -> DataFrame:
-    """Connected components for contour linking via TILE-LOCAL union-find +
-    a global stitch — the halo discipline (O(perimeter) global rows), and
-    the measured winner of the r5 A/B/C at 4M segments (the arc-doubling
-    variant was correct but 0.88x vs generic CC: its per-round cost never
-    shrinks, while CC's star edges collapse; this one does the bulk of the
-    merging in one Arrow pass).
+    """Contour linking components via engine.graph.tile_local_components
+    (tile-local union-find + global stitch over boundary chains — the
+    measured winner of the r5 A/B/C at 4M segments: 3.08x over the generic
+    CC, while the arc-double-cover doubling variant measured 0.88-0.94x;
+    see BENCH/BASELINE.md). seg carries (u, v) endpoint hashes and the
+    a-endpoint anchor (a_ex, a_ey) as the tile key."""
+    from engine.graph import tile_local_components
 
-    seg must carry (u, v) int64 endpoint hashes and the a-endpoint anchor
-    (a_ex, a_ey). Each segment is assigned to ONE tile (its a-anchor >>
-    tile_shift); per tile, a python union-find over that tile's segments
-    labels every local node with its local component min (applyInPandas —
-    rings are spatially local, so almost every ring resolves here). Nodes
-    whose segments landed in different tiles emit root-root stitch edges;
-    the generic CC runs on THOSE only (boundary-crossing chains, thousands
-    not millions), and the final label joins back through the local roots.
-    Labels equal connected_components' exactly (component min node id).
-
-    Returns (id, comp) for every endpoint node."""
-    from engine.graph import connected_components
-
-    rows = seg.select(
-        "u",
-        "v",
-        F.shiftright(F.col("a_ex").cast("long"), tile_shift).alias("_tx"),
-        F.shiftright(F.col("a_ey").cast("long"), tile_shift).alias("_ty"),
+    return tile_local_components(
+        seg, src="u", dst="v", ax="a_ex", ay="a_ey",
+        tile_shift=tile_shift, max_iters=max_iters,
     )
-
-    def uf(pdf):
-        import numpy as _np
-        import pandas as _pd
-
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["u"], pdf["v"]):
-            a, b = int(a), int(b)
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN so the local root is the local component min
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        nodes = list(parent)
-        roots = [find(n) for n in nodes]
-        return _pd.DataFrame(
-            {"id": _np.asarray(nodes, dtype=_np.int64),
-             "root": _np.asarray(roots, dtype=_np.int64)}
-        )
-
-    local = (
-        rows.groupBy("_tx", "_ty")
-        .applyInPandas(uf, schema="id long, root long")
-        .localCheckpoint(eager=True)
-    )
-    # stitch: a node seen in >1 tile links its local roots; only rows whose
-    # roots actually differ reach the global CC
-    stitch = (
-        local.groupBy("id")
-        .agg(F.min("root").alias("_r0"), F.collect_set("root").alias("_rs"))
-        .select(F.col("_r0").alias("su"), F.explode("_rs").alias("sv"))
-        .filter(F.col("su") != F.col("sv"))
-    )
-    gcc = connected_components(stitch, src="su", dst="sv", max_iters=max_iters)
-    final = (
-        local.join(
-            gcc.withColumnRenamed("id", "_rid"),
-            local["root"] == F.col("_rid"),
-            "left",
-        )
-        .select(
-            local["id"].alias("id"),
-            F.coalesce(F.col("comp"), F.col("root")).alias("comp"),
-        )
-        # a node seen in several tiles carries one row per tile, all with the
-        # same (stitched) comp — collapse to one
-        .groupBy("id")
-        .agg(F.min("comp").alias("comp"))
-    )
-    return final
 
 
 def contour_lines(segments: DataFrame, method: str = "auto") -> DataFrame:

@@ -181,6 +181,148 @@ def connected_components(
     return labels
 
 
+def tile_local_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    ax: str = "ax",
+    ay: str = "ay",
+    tile_shift: int | None = None,
+    max_iters: int = 30,
+    edges_per_tile: int = 4096,
+) -> DataFrame:
+    """Connected components SPECIALIZED to spatially-anchored edge frames —
+    the r5 fast path behind contour ring linking (3.08x over the alternating-
+    star CC at 4M segments) and dissolve_segments' network merge, applicable
+    whenever each edge carries integer anchor coordinates and components are
+    spatially local (rings, road networks, dissolved boundaries).
+
+    The halo discipline applied to labeling: edges shuffle ONCE by their
+    anchor tile (ax, ay >> tile_shift); a python union-find labels each
+    tile's nodes with the local component min inside one Arrow group
+    (applyInPandas); nodes whose edges landed in different tiles emit
+    root-root stitch edges, and the generic CC runs on THOSE only —
+    O(boundary length / tile size) rows, not O(edges). Labels equal
+    connected_components' exactly: comp = the component's minimum node id
+    (the local UF unions by min, the stitch CC minimizes across local
+    roots, and the component's global-min node is necessarily a local
+    root). Self-loop edges label their node a singleton.
+
+    tile_shift=None (the default) sizes tiles FROM THE DATA: one extent
+    agg picks the shift that lands ~edges_per_tile edges per tile on a
+    uniform spread. This matters: with a fixed shift the group population is
+    density-dependent — the r5 dissolve A/B measured 0.49x (slower than
+    generic CC!) at ~1 component per tile (500k near-empty Arrow groups of
+    pure overhead), and 3.08x on the contour corpus where the same shift
+    happened to give ~10k edges per tile. The auto rule reproduces the
+    winning shift on the contour corpus and fixes the dissolve one.
+
+    Returns (id, comp) for every node appearing in edges."""
+    pre = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(ax).cast("long").alias("_ax"),
+        F.col(ay).cast("long").alias("_ay"),
+    )
+    if tile_shift is None:
+        import math
+
+        ext = pre.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("_ax") - F.min("_ax") + 1).alias("_ex"),
+            (F.max("_ay") - F.min("_ay") + 1).alias("_ey"),
+        ).collect()[0]
+        n = max(1, ext["n"] or 0)
+        extent = max(ext["_ex"] or 1, ext["_ey"] or 1, 1)
+        tiles_per_axis = max(1.0, math.sqrt(n / float(edges_per_tile)))
+        tile_shift = min(
+            40, max(0, int(math.ceil(math.log2(max(1.0, extent / tiles_per_axis)))))
+        )
+    e = pre.select(
+        "u",
+        "v",
+        F.shiftright(F.col("_ax"), tile_shift).alias("_tx"),
+        F.shiftright(F.col("_ay"), tile_shift).alias("_ty"),
+    )
+    real = e.filter(F.col("u") != F.col("v"))
+    iso = (
+        e.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("id"))
+        .distinct()
+        # a node with BOTH a self-loop and a real edge must not label twice
+        .join(
+            real.select(F.col("u").alias("id"))
+            .unionByName(real.select(F.col("v").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+    )
+
+    def uf(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["u"], pdf["v"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the local root is the local component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        roots = [find(n) for n in nodes]
+        return _pd.DataFrame(
+            {"id": _np.asarray(nodes, dtype=_np.int64),
+             "root": _np.asarray(roots, dtype=_np.int64)}
+        )
+
+    local = (
+        real.groupBy("_tx", "_ty")
+        .applyInPandas(uf, schema="id long, root long")
+        .localCheckpoint(eager=True)
+    )
+    # stitch: a node seen in >1 tile links its local roots; only rows whose
+    # roots actually differ reach the global CC (transitive merges resolve
+    # there: every chain of shared nodes becomes a path in the root graph)
+    stitch = (
+        local.groupBy("id")
+        .agg(F.min("root").alias("_r0"), F.collect_set("root").alias("_rs"))
+        .select(F.col("_r0").alias("su"), F.explode("_rs").alias("sv"))
+        .filter(F.col("su") != F.col("sv"))
+    )
+    gcc = connected_components(stitch, src="su", dst="sv", max_iters=max_iters)
+    final = (
+        local.join(
+            gcc.withColumnRenamed("id", "_rid"),
+            local["root"] == F.col("_rid"),
+            "left",
+        )
+        .select(
+            local["id"].alias("id"),
+            F.coalesce(F.col("comp"), F.col("root")).alias("comp"),
+        )
+        # a node seen in several tiles carries one row per tile, all with
+        # the same (stitched) comp — collapse to one
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return final.unionByName(iso.withColumn("comp", F.col("id")))
+
+
 def neardup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

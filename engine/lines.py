@@ -401,6 +401,7 @@ def dissolve_segments(
     cls_col: str | None = None,
     scale: float = 1000.0,
     seg_id: str = "seg_id",
+    method: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Polyline network dissolve (the line side of ArcGIS Dissolve / road-
     network preprocessing): segments sharing an endpoint — after snapping
@@ -426,8 +427,14 @@ def dissolve_segments(
     Ordered vertex assembly is deliberately NOT done here: for simple
     paths compose with the pointer-doubling ordering machinery
     (engine.terrain.stream_links is the raster-side template); branching
-    components have no single vertex order."""
-    from engine.graph import connected_components
+    components have no single vertex order.
+
+    method: 'tiles' (the 'auto' default) labels via engine.graph.
+    tile_local_components — the snapped endpoint coordinates ARE the
+    anchors, so the measured contour-linking fast path (3.08x at 4M
+    segments) applies verbatim; 'cc' keeps the generic alternating-star
+    CC. Labels identical either way (component min packed key)."""
+    from engine.graph import connected_components, tile_local_components
 
     off, kbits = 1 << 20, 21
     cls = (
@@ -465,16 +472,29 @@ def dissolve_segments(
         )
 
     edges = base.select(
-        "_sid", "_cls", "_len",
+        "_sid", "_cls", "_len", "qx1", "qy1",
         node(F.col("qx1"), F.col("qy1")).alias("u"),
         node(F.col("qx2"), F.col("qy2")).alias("v"),
     )
-    nodes = edges.select(F.col("u").alias("id")).unionByName(
-        edges.select(F.col("v").alias("id"))
-    ).distinct()
-    comp = connected_components(
-        edges.select("u", "v"), "u", "v", nodes=nodes, id_col="id"
-    )
+    if method not in ("auto", "tiles", "cc"):
+        raise ValueError(f"unknown method {method!r}")
+    if method in ("auto", "tiles"):
+        comp = tile_local_components(
+            edges.select(
+                "u", "v",
+                # anchors: snapped first-endpoint grid coords, shifted
+                # non-negative (shiftright on negatives would scatter tiles)
+                (F.col("qx1") + F.lit(off)).alias("ax"),
+                (F.col("qy1") + F.lit(off)).alias("ay"),
+            ),
+        )
+    else:
+        nodes = edges.select(F.col("u").alias("id")).unionByName(
+            edges.select(F.col("v").alias("id"))
+        ).distinct()
+        comp = connected_components(
+            edges.select("u", "v"), "u", "v", nodes=nodes, id_col="id"
+        )
     memb = edges.join(comp, edges["u"] == comp["id"]).select(
         F.col("_sid").alias(seg_id), F.col("comp").alias("comp"),
         "_cls", "_len",

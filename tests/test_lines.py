@@ -386,3 +386,35 @@ def test_validate_rings(spark):
         if inter(a, b, c, d):
             bad += 1
     assert got[2]["n_bad_pairs"] == bad
+
+
+def test_dissolve_methods_identical(spark):
+    """tile_local_components vs generic CC produce IDENTICAL dissolve labels
+    (component min packed key) — including negative coordinates (anchors are
+    shifted non-negative before the tile shiftright) and cross-tile chains
+    (a long chain spanning many 256-cell tiles exercises the stitch path)."""
+    import random as _r
+
+    from engine.lines import dissolve_segments
+
+    rng = _r.Random(5)
+    segs = []
+    sid = 0
+    # random mini-network around the origin (negative coords included)
+    pts = [(rng.uniform(-10, 10), rng.uniform(-10, 10)) for _ in range(15)]
+    for _ in range(30):
+        a, b = rng.sample(range(15), 2)
+        segs.append((sid, rng.randint(0, 1), *pts[a], *pts[b]))
+        sid += 1
+    # one long chain spanning many tiles (x from 0 to 3.0 at scale=1000 ->
+    # qx 0..3000 -> 12 tiles at shift 8)
+    for i in range(30):
+        segs.append((sid, 0, i * 0.1, 50.0, (i + 1) * 0.1, 50.0))
+        sid += 1
+    df = spark.createDataFrame(
+        segs, "seg_id long, cls long, x1 double, y1 double, x2 double, y2 double"
+    ).repartition(4)
+    m_t, s_t = dissolve_segments(df, cls_col="cls", method="tiles")
+    m_c, s_c = dissolve_segments(df, cls_col="cls", method="cc")
+    assert sorted(map(tuple, m_t.collect())) == sorted(map(tuple, m_c.collect()))
+    assert sorted(map(tuple, s_t.collect())) == sorted(map(tuple, s_c.collect()))

@@ -3195,6 +3195,84 @@ def part_overlay() -> None:
     print(_json.dumps(out))
 
 
+def part_dissolve_net() -> None:
+    """Segment-network dissolve at 4M segments (r5): 500k disjoint square
+    loops of 8 segments each on a sparse lattice — closed form: components
+    == loops, every one is_loop (n_odd 0), n_nodes 8, length_e6 exactly
+    8 * 500_000 per loop (each side 0.5 units). A/B: generic CC vs
+    engine.graph.tile_local_components (the contour-linking fast path reused
+    through dissolve_segments(method=...)), identical-label digest proof."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from engine.lines import dissolve_segments
+
+    spark = _spark("bench-dissolve-net")
+    n_loops = int(os.environ.get("DISSOLVE_BENCH_LOOPS", "500000"))
+    side = int(np.ceil(np.sqrt(n_loops)))
+    base = spark.range(0, n_loops * 8, 1, 64).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") / 8).cast("long").alias("_loop"),
+        F.pmod(F.col("id"), 8).alias("_k"),
+    )
+    # loop corner grid spacing 3.0; the 8 half-unit segments trace the unit
+    # square: corners (0,0)(.5,0)(1,0)(1,.5)(1,1)(.5,1)(0,1)(0,.5)
+    cx = (F.pmod(F.col("_loop"), side) * 3.0)
+    cy = ((F.col("_loop") / side).cast("long") * 3.0)
+    px = F.array(*[F.lit(v) for v in [0.0, 0.5, 1.0, 1.0, 1.0, 0.5, 0.0, 0.0]])
+    py = F.array(*[F.lit(v) for v in [0.0, 0.0, 0.0, 0.5, 1.0, 1.0, 1.0, 0.5]])
+    k1 = (F.pmod(F.col("_k") + 1, 8) + 1).cast("int")
+    k0 = (F.col("_k") + 1).cast("int")
+    segs = base.select(
+        "seg_id",
+        F.lit(0).alias("cls"),
+        (cx + F.element_at(px, k0)).alias("x1"),
+        (cy + F.element_at(py, k0)).alias("y1"),
+        (cx + F.element_at(px, k1)).alias("x2"),
+        (cy + F.element_at(py, k1)).alias("y2"),
+    ).persist()
+    n_segs = segs.count()
+    out = {"part": "dissolve_net", "segments": n_segs, "loops": n_loops}
+    digests = {}
+    for method in ("cc", "tiles"):
+        t0 = time.time()
+        memb, summ = dissolve_segments(
+            segs, cls_col="cls", scale=100.0, method=method
+        )
+        row = summ.agg(
+            F.count("*").alias("comps"),
+            F.sum(F.when(F.col("is_loop"), 1).otherwise(0)).alias("loops"),
+            F.min("n_nodes").alias("mn_nodes"),
+            F.max("n_nodes").alias("mx_nodes"),
+            F.min("length_e6").alias("mn_len"),
+            F.max("length_e6").alias("mx_len"),
+        ).collect()[0]
+        mrow = memb.agg(
+            F.coalesce(F.bit_xor(F.xxhash64("seg_id", "comp")), F.lit(0))
+            .alias("dig"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert row["comps"] == row["loops"] == n_loops, row
+        assert row["mn_nodes"] == row["mx_nodes"] == 8, row
+        assert row["mn_len"] == row["mx_len"] == 8 * 500_000, row
+        assert mrow["n"] == n_segs
+        digests[method] = mrow["dig"]
+        out[f"dissolve_{method}"] = {
+            "wall_s": round(wall, 2),
+            "segments_per_sec": round(n_segs / wall),
+        }
+    assert digests["cc"] == digests["tiles"], digests
+    out["labels_identical"] = True
+    out["tiles_speedup"] = round(
+        out["dissolve_cc"]["wall_s"] / out["dissolve_tiles"]["wall_s"], 2
+    )
+    segs.unpersist()
+    spark.stop()
+    print(_json.dumps(out))
+
+
 def part_dissolve() -> None:
     """Dissolve union area at scale, local[32]: 1M int rects in 1000 groups,
     each group K=1000 side-64 squares at x-stride 1 (a maximally-overlapping
@@ -3731,6 +3809,7 @@ if __name__ == "__main__":
         "rebatch": part_rebatch,
         "pointstats": part_pointstats,
         "dissolve": part_dissolve,
+        "dissolve_net": part_dissolve_net,
         "flowacc": part_flowacc,
         "fill": part_fill,
         "catchcost": part_catchcost,
