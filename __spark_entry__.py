@@ -3635,23 +3635,34 @@ def q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_dist/min_w + 1 = 13). Labels are packed (dist, hops) BIGINT minima,
     so dist AND the fewest-hops tie-break are engine-exact; the oracle is
     the unrolled-relaxation CTE twin (14 rounds >= the 13-round bound)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from engine import routing
 
     sources = spark.createDataFrame(
         [(0, 7), (1, 42)], ["source_id", "node"]
     )
-    multi = routing.shortest_paths(
-        _route_edges(spark, sf_dir), sources,
-        max_dist=_ROUTE_MAX_DIST, max_rounds=16,
-    ).withColumn("tag", F.lit("multi"))
-    # r5 half: single-pair BIDIRECTIONAL search (engine.routing.point_to_point)
-    # on the same graph, 7 -> 42 — the oracle is the same unrolled-relaxation
-    # twin filtered to the target node, so the meet-in-the-middle machinery is
-    # hash-checked against plain relaxation
-    p2p = routing.point_to_point(
-        _route_edges(spark, sf_dir), 7, 42,
-        max_dist=_ROUTE_MAX_DIST, max_rounds=16,
-    ).withColumn("tag", F.lit("p2p"))
+    # r6: the two halves are independent iterative loops whose wall is
+    # driver-action rounds, not compute — run them from concurrent driver
+    # threads so the scheduler interleaves their (tiny) per-round jobs
+    # (guide §2.6; the q_raster_field chain-overlap discipline)
+    with ThreadPoolExecutor(1) as _ex:
+        _multi_fut = _ex.submit(
+            lambda: routing.shortest_paths(
+                _route_edges(spark, sf_dir), sources,
+                max_dist=_ROUTE_MAX_DIST, max_rounds=16,
+            )
+        )
+        # r5 half: single-pair BIDIRECTIONAL search (engine.routing.
+        # point_to_point) on the same graph, 7 -> 42 — the oracle is the same
+        # unrolled-relaxation twin filtered to the target node, so the
+        # meet-in-the-middle machinery is hash-checked against plain
+        # relaxation
+        p2p = routing.point_to_point(
+            _route_edges(spark, sf_dir), 7, 42,
+            max_dist=_ROUTE_MAX_DIST, max_rounds=16,
+        ).withColumn("tag", F.lit("p2p"))
+        multi = _multi_fut.result().withColumn("tag", F.lit("multi"))
     return multi.unionByName(p2p)
 
 

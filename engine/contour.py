@@ -330,8 +330,15 @@ def _ring_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
         )
         return bad == 0
 
-    state = _truncate(state)
+    # r6 round discipline (guide §1/§5): the digest is the round's only
+    # driver action — lineage truncation rides a LAZY localCheckpoint that
+    # the digest job materializes — for small arc sets; large ones keep the
+    # reliable-checkpoint discipline (graph.connected_components rationale)
+    state = state.localCheckpoint(eager=False)
     n_arcs = state.count()
+    small = n_arcs <= 4_000_000
+    if not small:
+        state = _truncate(state)
     cap = min(max_iters, max(2, int(math.ceil(math.log2(max(2, 2 * n_arcs)))) + 1))
     prev = _digest(state)
     done = n_arcs == 0
@@ -343,7 +350,7 @@ def _ring_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
             F.col("lbl").alias("_ll"),
             F.col("jump").alias("_lj"),
         )
-        nxt = _truncate(
+        nxt = (
             state.join(look, state["jump"] == F.col("_la"))
             .select(
                 "aid",
@@ -352,6 +359,7 @@ def _ring_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
                 "p",
             )
         )
+        nxt = nxt.localCheckpoint(eager=False) if small else _truncate(nxt)
         cur = _digest(nxt)
         state = nxt
         if cur == prev and _consistent(state):

@@ -124,12 +124,14 @@ def connected_components(
     Alternates large-star/small-star until the edge set is stable (checked by
     an order-independent digest); at convergence the set is a star forest
     (every non-root points at its component min). Each round: 2 shuffles,
-    lineage truncated via a RELIABLE checkpoint when a dir is configured
-    (engine.session always sets one) — disk blocks, released by the
-    ContextCleaner as rounds retire; localCheckpoint held each round's edge
-    frame DESERIALIZED in executor memory, and at a 56M-edge core graph on
-    the shipped 8g/local[32] heap the stacked rounds OOM'd (measured in the
-    16M-point DBSCAN bench; same failure class and fix as the textops
+    lineage truncated per round. Small graphs (<= 4M edges) ride a LAZY
+    localCheckpoint materialized by the digest job — ONE driver action per
+    round (r6); larger graphs keep the RELIABLE checkpoint when a dir is
+    configured (engine.session always sets one) — disk blocks, released by
+    the ContextCleaner as rounds retire; localCheckpoint held each round's
+    edge frame DESERIALIZED in executor memory, and at a 56M-edge core graph
+    on the shipped 8g/local[32] heap the stacked rounds OOM'd (measured in
+    the 16M-point DBSCAN bench; same failure class and fix as the textops
     inverted-index checkpoint). Plan depth stays O(1) regardless of round
     count either way. Raises RuntimeError if max_iters rounds don't converge
     (worst-case need is ~log^2 of the largest component size; 30 covers any
@@ -140,22 +142,36 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = _truncate(
-        _canonical(
-            edges.select(
-                F.col(src).cast("long").alias("u"),
-                F.col(dst).cast("long").alias("v"),
-            )
+    # r6 round discipline (guide §1/§5): ONE driver action per round. The
+    # digest job materializes a LAZY localCheckpoint of the round's edge
+    # frame when the graph is small (the common registry/bench case), so a
+    # round costs one job instead of three sequential driver latencies
+    # (reliable-checkpoint compute + file-write recompute + digest). Above
+    # _SMALL_EDGES rows the eager reliable checkpoint stays — that is the
+    # documented 56M-edge OOM fix (deserialized localCheckpoint blocks
+    # stacking across rounds on an 8g heap).
+    _SMALL_EDGES = 4_000_000
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
         )
-    )
+    ).localCheckpoint(eager=False)
     global LAST_ROUNDS
     prev = _digest(e)
+    small = prev[0] <= _SMALL_EDGES
+    if not small:
+        # big graph: re-anchor the loop on the reliable-checkpoint path
+        e = _truncate(e)
     converged = prev[0] == 0
     LAST_ROUNDS = 0
     for _ in range(max_iters):
         if converged:
             break
-        e_next = _truncate(_small_star(_large_star(e)))
+        e_next = _small_star(_large_star(e))
+        e_next = (
+            e_next.localCheckpoint(eager=False) if small else _truncate(e_next)
+        )
         cur = _digest(e_next)
         e = e_next
         LAST_ROUNDS += 1
@@ -198,15 +214,19 @@ def tile_local_components(
     spatially local (rings, road networks, dissolved boundaries).
 
     The halo discipline applied to labeling: edges shuffle ONCE by their
-    anchor tile (ax, ay >> tile_shift); a python union-find labels each
-    tile's nodes with the local component min inside one Arrow group
-    (applyInPandas); nodes whose edges landed in different tiles emit
-    root-root stitch edges, and the generic CC runs on THOSE only —
-    O(boundary length / tile size) rows, not O(edges). Labels equal
-    connected_components' exactly: comp = the component's minimum node id
-    (the local UF unions by min, the stitch CC minimizes across local
-    roots, and the component's global-min node is necessarily a local
-    root). Self-loop edges label their node a singleton.
+    anchor tile (ax, ay >> tile_shift); a vectorized numpy hook-and-
+    compress union-find labels each tile's nodes with the local component
+    min inside one Arrow group (applyInPandas); nodes whose edges landed
+    in different tiles emit root-root stitch edges, and the generic CC
+    runs on THOSE only — O(boundary length / tile size) rows, not
+    O(edges). Tiles holding more than 64*edges_per_tile edges split into
+    deterministic hash-salted sub-groups (r6 skew guard: Arrow groups stay
+    bounded on hot-spot corpora; the stitch merges sub-groups exactly as
+    it merges tiles). Labels equal connected_components' exactly: comp =
+    the component's minimum node id (the local UF unions by min, the
+    stitch CC minimizes across local roots, and the component's global-min
+    node is necessarily a local root). Self-loop edges label their node a
+    singleton.
 
     tile_shift=None (the default) sizes tiles FROM THE DATA: one extent
     agg picks the shift that lands ~edges_per_tile edges per tile on a
@@ -263,41 +283,76 @@ def tile_local_components(
         import numpy as _np
         import pandas as _pd
 
-        parent: dict = {}
+        # r6 (VERDICT item 3): vectorized hook-and-compress union-find over
+        # int64 arrays — no per-edge interpreted python. np.unique gives
+        # ids ascending, so index order == id order and union-by-min-index
+        # IS union-by-min-id. Per outer round: one vectorized hook
+        # (np.minimum.at handles duplicate targets unbuffered) + pointer
+        # doubling to full compression; parents only decrease, so the loop
+        # terminates in O(log n) rounds.
+        u = pdf["u"].to_numpy(dtype=_np.int64)
+        v = pdf["v"].to_numpy(dtype=_np.int64)
+        ids, inv = _np.unique(_np.concatenate([u, v]), return_inverse=True)
+        a, b = inv[: len(u)], inv[len(u):]
+        parent = _np.arange(len(ids), dtype=_np.int64)
+        while True:
+            pa, pb = parent[a], parent[b]
+            if _np.array_equal(pa, pb):
+                break
+            hi = _np.maximum(pa, pb)
+            lo = _np.minimum(pa, pb)
+            _np.minimum.at(parent, hi, lo)
+            while True:
+                pp = parent[parent]
+                if _np.array_equal(pp, parent):
+                    break
+                parent = pp
+        return _pd.DataFrame({"id": ids, "root": ids[parent]})
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["u"], pdf["v"]):
-            a, b = int(a), int(b)
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN so the local root is the local component min
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        nodes = list(parent)
-        roots = [find(n) for n in nodes]
-        return _pd.DataFrame(
-            {"id": _np.asarray(nodes, dtype=_np.int64),
-             "root": _np.asarray(roots, dtype=_np.int64)}
-        )
-
-    local = (
+    # r6 (VERDICT item 1): hot-tile skew guard. The auto-sizing assumes a
+    # uniform spread; a real corpus with most edges in one metro tile would
+    # land an unbounded Arrow group on one executor. Tiles holding more than
+    # `hot_cap` edges are SPLIT: their edges get a deterministic hash salt
+    # (pmod(xxhash64(u, v), ceil(n/hot_cap)) — guide §2.5, no rand()) so
+    # every Arrow group stays ~hot_cap-bounded, and the existing stitch
+    # stage merges nodes spanning salted sub-groups exactly as it merges
+    # nodes spanning tiles — the operator's labels never depended on WHICH
+    # edges share a group, only on the stitch restoring transitivity.
+    # The hot-tile list is O(n / hot_cap) rows by construction: a map-side-
+    # combined count agg + a broadcast left join, all inside the plan (no
+    # driver action).
+    hot_cap = 64 * edges_per_tile
+    hot_tiles = (
         real.groupBy("_tx", "_ty")
-        .applyInPandas(uf, schema="id long, root long")
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_cap)
     )
-    # stitch: a node seen in >1 tile links its local roots; only rows whose
-    # roots actually differ reach the global CC (transitive merges resolve
-    # there: every chain of shared nodes becomes a path in the root graph)
+    salted = real.join(F.broadcast(hot_tiles), ["_tx", "_ty"], "left").select(
+        "u",
+        "v",
+        "_tx",
+        "_ty",
+        F.when(
+            F.col("_n").isNotNull(),
+            F.pmod(
+                F.xxhash64("u", "v"),
+                F.ceil(F.col("_n") / F.lit(hot_cap)).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("_salt"),
+    )
+    local = (
+        salted.groupBy("_tx", "_ty", "_salt")
+        .applyInPandas(uf, schema="id long, root long")
+        # lazy: materialized by the stitch CC's first digest job (r6 —
+        # saves one driver action; the truncation still holds afterwards)
+        .localCheckpoint(eager=False)
+    )
+    # stitch: a node seen in >1 tile (or salted sub-group) links its local
+    # roots; only rows whose roots actually differ reach the global CC
+    # (transitive merges resolve there: every chain of shared nodes becomes
+    # a path in the root graph)
     stitch = (
         local.groupBy("id")
         .agg(F.min("root").alias("_r0"), F.collect_set("root").alias("_rs"))

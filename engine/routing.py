@@ -111,19 +111,27 @@ def shortest_paths(
         raise ValueError(f"max_rounds must be < {HOPS_BASE}")
     if max_dist is not None and max_dist >= (1 << 62) // HOPS_BASE:
         raise ValueError("max_dist too large for exact packed labels")
-    e = _prep_edges(edges, src, dst, w, directed)
+    # r6 round discipline (guide §1/§5): lineage is still truncated per
+    # round, but every localCheckpoint is LAZY — the per-round empty-frontier
+    # count is the round's ONLY driver action and materializes both the
+    # improved frontier and (via its join input) the previous round's settled
+    # set; the eager variant cost three sequential driver latencies per round
+    # on frontier-sized (tiny) frames. The negative-weight guard doubles as
+    # the edge-frame materializer the same way.
+    e = _prep_edges(edges, src, dst, w, directed).localCheckpoint(eager=False)
     if check_negative:
-        neg = e.filter(F.col("w") < 0).limit(1).count()
+        neg = e.filter(F.col("w") < 0).count()
         if neg:
             raise ValueError("shortest_paths requires non-negative weights")
-    e = e.localCheckpoint(eager=True)
 
     s = sources.select(
         F.col(source_id).cast("long").alias("sid"),
         F.col(node).cast("long").alias("n"),
     ).distinct()
     # settled: best packed label per (sid, n) found so far
-    settled = s.withColumn("key", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    settled = s.withColumn("key", F.lit(0).cast("long")).localCheckpoint(
+        eager=False
+    )
     frontier = settled
 
     global LAST_ROUNDS
@@ -147,16 +155,16 @@ def shortest_paths(
             )
             .filter(F.col("_old").isNull() | (F.col("key") < F.col("_old")))
             .select("sid", "n", "key")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         LAST_ROUNDS += 1
-        if improved.limit(1).count() == 0:
+        if improved.count() == 0:
             break
         settled = (
             settled.unionByName(improved)
             .groupBy("sid", "n")
             .agg(F.min("key").alias("key"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     else:
@@ -184,6 +192,7 @@ def point_to_point(
     directed: bool = False,
     max_dist: int | None = None,
     max_rounds: int = 64,
+    check_negative: bool = True,
 ) -> DataFrame:
     """Single-pair shortest path by BIDIRECTIONAL frontier search (VERDICT r4
     item 2: round count ≪ hop diameter). A forward frontier grows from
@@ -207,8 +216,11 @@ def point_to_point(
     Returns a 1-row DataFrame (source_id=0 for parity with shortest_paths'
     output shape, node=target, dist, hops) — empty if target is unreachable
     (or farther than max_dist)."""
-    if max_rounds >= HOPS_BASE:
-        raise ValueError(f"max_rounds must be < {HOPS_BASE}")
+    # mu sums TWO packed labels, each carrying up to max_rounds hops, so the
+    # hop field holds up to 2*max_rounds — the guard must keep that sum from
+    # carrying into the dist field (ADVICE r5)
+    if 2 * max_rounds >= HOPS_BASE:
+        raise ValueError(f"max_rounds must be < {HOPS_BASE // 2}")
     if max_dist is not None and max_dist >= (1 << 62) // HOPS_BASE:
         raise ValueError("max_dist too large for exact packed labels")
     spark = edges.sparkSession
@@ -221,11 +233,17 @@ def point_to_point(
                 F.col("v").alias("u"), F.col("u").alias("v"), "w"
             ).withColumn("dir", F.lit(1))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    if check_negative:
+        # same w >= 0 contract as shortest_paths (the mu-pruning and the
+        # frontier-min termination argument both assume it — ADVICE r5);
+        # the count doubles as e2's checkpoint materializer
+        if e2.filter(F.col("w") < 0).count():
+            raise ValueError("point_to_point requires non-negative weights")
     settled = spark.createDataFrame(
         [(0, int(source), 0), (1, int(target), 0)], "dir int, n long, key long"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = settled
     INF = (1 << 62)
     mu = INF if source != target else 0
@@ -256,18 +274,20 @@ def point_to_point(
             )
             .filter(F.col("_old").isNull() | (F.col("key") < F.col("_old")))
             .select("dir", "n", "key")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         LAST_ROUNDS += 1
         # one driver row: per-direction frontier minima + the best NEW meet
         # (improved labels against the other side's settled set; both
         # freshly-improved sides meet through the settled union too, since
-        # settled is updated before the next probe round)
+        # settled is updated before the next probe round). r6: the probe
+        # .first() is the round's ONLY driver action — both localCheckpoints
+        # are lazy and materialize inside the probe job (guide §1/§5).
         settled = (
             settled.unionByName(improved)
             .groupBy("dir", "n")
             .agg(F.min("key").alias("key"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         other = settled.withColumnRenamed("key", "_ok").withColumn(
             "dir", F.lit(1) - F.col("dir")
@@ -305,7 +325,7 @@ def point_to_point(
             [], "source_id long, node long, dist long, hops long"
         )
     return spark.createDataFrame(
-        [(0, int(target), int(mu) >> 20, int(mu) % HOPS_BASE)],
+        [(0, int(target), int(mu) // HOPS_BASE, int(mu) % HOPS_BASE)],
         "source_id long, node long, dist long, hops long",
     )
 

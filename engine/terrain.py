@@ -762,10 +762,18 @@ def basins(
 def _jump_fixpoint(p: DataFrame, max_iters: int, op: str) -> DataFrame:
     """Pointer doubling to fixpoint on a (src, parent) frame whose roots are
     self-loops: parent <- parent's parent per round (one self-equi-join +
-    reliable checkpoint), ceil(log2(path length)) rounds. Convergence is
+    lineage truncation), ceil(log2(path length)) rounds. Convergence is
     detected by an order-independent digest (count + xor of row hashes) —
     doubling is monotone toward the root, so an unchanged (src, parent) set
-    IS the fixpoint (the engine.graph convergence idiom)."""
+    IS the fixpoint (the engine.graph convergence idiom).
+
+    Round discipline (r6, guide §1/§5): the digest collect is the round's
+    ONLY driver action when the state is small — the truncation is a LAZY
+    localCheckpoint materialized by the digest job itself, instead of the
+    eager reliable checkpoint whose compute job + file-write pass + digest
+    cost three sequential driver latencies per round. States above
+    _SMALL_STATE_ROWS keep the reliable-checkpoint discipline (the
+    engine-wide OOM rationale documented in graph.connected_components)."""
 
     def _digest(df: DataFrame):
         row = df.select(
@@ -777,8 +785,9 @@ def _jump_fixpoint(p: DataFrame, max_iters: int, op: str) -> DataFrame:
         return (row["n"], row["h"])
 
     prev = _digest(p)
+    small = prev[0] <= _SMALL_STATE_ROWS
     for _ in range(max_iters):
-        nxt = _truncate_lineage(
+        nxt = (
             p.alias("a")
             .join(
                 p.select(
@@ -787,6 +796,11 @@ def _jump_fixpoint(p: DataFrame, max_iters: int, op: str) -> DataFrame:
                 F.col("a.parent") == F.col("_ps"),
             )
             .select("src", F.col("_pp").alias("parent"))
+        )
+        nxt = (
+            nxt.localCheckpoint(eager=False)
+            if small
+            else _truncate_lineage(nxt)
         )
         cur = _digest(nxt)
         p = nxt
@@ -867,6 +881,16 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+# Iterative-state size gate for the single-action round discipline: states
+# at or under this many rows ride a LAZY localCheckpoint (materialized by
+# the round's digest job — one driver action per round); larger states keep
+# the eager reliable checkpoint (executor-loss survival + the stacked-round
+# memory rationale in graph.connected_components). Tile-raster states are
+# (tx, ty, counts[res^2]) rows, so 65536 tiles at res=64 is ~2 GB spread
+# across executors in MEMORY_AND_DISK — comfortably inside the discipline.
+_SMALL_STATE_ROWS = 65536
 
 
 def _tile_kahn(tgt: np.ndarray, mass: np.ndarray) -> np.ndarray:
@@ -2246,7 +2270,15 @@ def _halo_fixpoint(
     resolve_flats): per round, ONE radius-1 halo exchange + the per-tile
     Arrow kernel `finish`, lineage truncated and convergence detected by
     the order-independent digest (count + xor of row hashes — the
-    _jump_fixpoint idiom). State frame shape is (tx, ty, counts)."""
+    _jump_fixpoint idiom). State frame shape is (tx, ty, counts).
+
+    Round discipline (r6, guide §1/§5): one driver action per round. The
+    truncation is a LAZY localCheckpoint materialized by the digest job
+    itself; the previous eager reliable checkpoint cost a compute job + a
+    file-write recompute pass + the digest job = three sequential driver
+    latencies per round, which dominated wall on small tile states (the
+    registry raster is 8 tiles). States above _SMALL_STATE_ROWS tiles keep
+    the reliable-checkpoint discipline."""
     from engine.focal import _halo_apply
 
     def _digest(df: DataFrame):
@@ -2258,13 +2290,17 @@ def _halo_fixpoint(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    state = _truncate_lineage(init)
+    state = init.localCheckpoint(eager=False)
     prev = _digest(state)
+    small = prev[0] * res * res * 8 <= _SMALL_STATE_ROWS * 64 * 64 * 8
     for _ in range(max_iters):
-        nxt = _truncate_lineage(
-            _halo_apply(state, res, 1, finish).withColumnRenamed(
-                "focal", "counts"
-            )
+        nxt = _halo_apply(state, res, 1, finish).withColumnRenamed(
+            "focal", "counts"
+        )
+        nxt = (
+            nxt.localCheckpoint(eager=False)
+            if small
+            else _truncate_lineage(nxt)
         )
         cur = _digest(nxt)
         state = nxt

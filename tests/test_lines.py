@@ -418,3 +418,28 @@ def test_dissolve_methods_identical(spark):
     m_c, s_c = dissolve_segments(df, cls_col="cls", method="cc")
     assert sorted(map(tuple, m_t.collect())) == sorted(map(tuple, m_c.collect()))
     assert sorted(map(tuple, s_t.collect())) == sorted(map(tuple, s_c.collect()))
+
+
+def test_tile_components_hot_tile_skew(spark):
+    """80%-hot-tile fixture (VERDICT r5 item 1): most edges land in ONE tile,
+    far beyond the per-group cap, so the salted hot-tile split must engage —
+    every Arrow group stays bounded — and labels must still equal the generic
+    CC exactly (the stitch merges salted sub-groups like it merges tiles)."""
+    import random as _r
+
+    from engine.graph import connected_components, tile_local_components
+
+    rng = _r.Random(11)
+    rows = []
+    # hot tile: 2000 edges over 300 nodes, all anchored in one 4x4 tile
+    for _ in range(2000):
+        a, b = rng.sample(range(300), 2)
+        rows.append((a, b, rng.randint(0, 3), rng.randint(0, 3)))
+    # sparse remainder: a few chains elsewhere (cross-tile stitch kept live)
+    for i in range(50):
+        rows.append((1000 + i, 1001 + i, 40 + i * 7, 40 + i * 5))
+    edges = spark.createDataFrame(rows, "u long, v long, ax long, ay long")
+    # edges_per_tile=4 -> hot_cap=256 << 2000: the hot tile must split
+    t = tile_local_components(edges, tile_shift=2, edges_per_tile=4)
+    c = connected_components(edges.select("u", "v"))
+    assert sorted(map(tuple, t.collect())) == sorted(map(tuple, c.collect()))
