@@ -151,6 +151,14 @@ def connected_components(
     # documented 56M-edge OOM fix (deserialized localCheckpoint blocks
     # stacking across rounds on an 8g heap).
     _SMALL_EDGES = 4_000_000
+    # bounded-side driver fast path (the flow_accumulation stage2='driver' /
+    # knn broadcast-short-circuit discipline): a canonical edge set at or
+    # under this many rows is an O(MB) Arrow fetch — one vectorized numpy
+    # hook-and-compress union-find on the driver replaces the whole star-
+    # round loop (each round = a full Spark job; at bench scale the rounds
+    # were pure driver-latency). Labels are identical by construction:
+    # comp = min node id of the component.
+    _DRIVER_EDGES = 1_000_000
     e = _canonical(
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -160,34 +168,66 @@ def connected_components(
     global LAST_ROUNDS
     prev = _digest(e)
     small = prev[0] <= _SMALL_EDGES
-    if not small:
-        # big graph: re-anchor the loop on the reliable-checkpoint path
-        e = _truncate(e)
-    converged = prev[0] == 0
-    LAST_ROUNDS = 0
-    for _ in range(max_iters):
-        if converged:
-            break
-        e_next = _small_star(_large_star(e))
-        e_next = (
-            e_next.localCheckpoint(eager=False) if small else _truncate(e_next)
+    if prev[0] <= _DRIVER_EDGES:
+        import numpy as np
+
+        LAST_ROUNDS = 0
+        pdf = e.toPandas()  # reads the digest-materialized checkpoint
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        a, b = inv[: len(u)], inv[len(u):]
+        parent = np.arange(len(ids), dtype=np.int64)
+        while True:
+            pa, pb = parent[a], parent[b]
+            if np.array_equal(pa, pb):
+                break
+            hi = np.maximum(pa, pb)
+            lo = np.minimum(pa, pb)
+            np.minimum.at(parent, hi, lo)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+        import pandas as pd
+
+        labels = e.sparkSession.createDataFrame(
+            pd.DataFrame({"id": ids, "comp": ids[parent]}),
+            "id long, comp long",
         )
-        cur = _digest(e_next)
-        e = e_next
-        LAST_ROUNDS += 1
-        if cur == prev:
-            converged = True
-        prev = cur
-    if not converged:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iters} rounds"
+    else:
+        if not small:
+            # big graph: re-anchor the loop on the reliable-checkpoint path
+            e = _truncate(e)
+        converged = prev[0] == 0
+        LAST_ROUNDS = 0
+        for _ in range(max_iters):
+            if converged:
+                break
+            e_next = _small_star(_large_star(e))
+            e_next = (
+                e_next.localCheckpoint(eager=False)
+                if small
+                else _truncate(e_next)
+            )
+            cur = _digest(e_next)
+            e = e_next
+            LAST_ROUNDS += 1
+            if cur == prev:
+                converged = True
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iters} rounds"
+            )
+        # star forest -> labels: non-roots from the edges, roots label
+        # themselves
+        non_roots = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+            "comp", F.col("id")
         )
-    # star forest -> labels: non-roots from the edges, roots label themselves
-    non_roots = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
-    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
-    )
-    labels = non_roots.unionByName(roots)
+        labels = non_roots.unionByName(roots)
     if nodes is not None:
         all_nodes = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
         isolated = all_nodes.join(labels.select("id"), "id", "left_anti").withColumn(

@@ -1092,7 +1092,12 @@ def flow_accumulation(
         "ex_m0 array<long>, rt_entry array<long>, rt_term array<long>, "
         "rt_exit array<long>"
     )
-    s1 = _truncate_lineage(flow.mapInPandas(stage1, schema=s1_schema))
+    # lazy truncation: the stage-2 mode probe (edge-count agg) is the
+    # materializing action (r6 single-action discipline); the checkpoint
+    # still caches s1 for the edges/routes fetches below
+    s1 = flow.mapInPandas(stage1, schema=s1_schema).localCheckpoint(
+        eager=False
+    )
 
     edges = s1.select(
         F.explode(F.arrays_zip("ex_src", "ex_dst", "ex_m0")).alias("e")
@@ -2292,6 +2297,8 @@ def _halo_fixpoint(
 
     state = init.localCheckpoint(eager=False)
     prev = _digest(state)
+    if prev[0] * res * res <= _DRIVER_SOLVE_CELLS:
+        return _driver_fixpoint(state, res, finish, max_iters, op)
     small = prev[0] * res * res * 8 <= _SMALL_STATE_ROWS * 64 * 64 * 8
     for _ in range(max_iters):
         nxt = _halo_apply(state, res, 1, finish).withColumnRenamed(
@@ -2310,6 +2317,90 @@ def _halo_fixpoint(
     else:
         raise RuntimeError(f"{op}: no convergence in {max_iters} rounds")
     return state
+
+
+# Driver-solve gate for _halo_fixpoint (the flow_accumulation
+# stage2='driver' / knn broadcast-short-circuit discipline): a raster at or
+# under this many cells is a bounded O(MB) Arrow fetch, and every block-
+# Jacobi round below is a numpy sweep instead of a full Spark job — at the
+# registry's 512-cell raster the distributed rounds were pure driver
+# latency. 4M cells = 32 MB of int64 state.
+_DRIVER_SOLVE_CELLS = 1 << 22
+
+
+def _driver_fixpoint(
+    state: DataFrame, res: int, finish, max_iters: int, op: str
+) -> DataFrame:
+    """Driver-side replay of the EXACT block-Jacobi schedule: the same
+    per-tile `finish` kernel, the same synchronous update (every tile reads
+    the previous round's neighbor strips), the same state-equality
+    convergence test — so the state trajectory, round count and fixpoint
+    are bit-identical to the distributed loop; only the transport differs
+    (one Arrow fetch + numpy slices instead of a halo shuffle per round)."""
+    import pandas as pd
+
+    pdf = state.toPandas()  # reads the digest-materialized checkpoint
+    keys = [(int(t), int(y)) for t, y in zip(pdf["tx"], pdf["ty"])]
+    grids = {
+        k: np.asarray(c, dtype=np.int64).reshape(res, res)
+        for k, c in zip(keys, pdf["counts"])
+    }
+    for _ in range(max_iters):
+        nxt = {}
+        for (tx, ty) in keys:
+            halo = np.zeros((res + 2, res + 2), dtype=np.int64)
+            mask = np.zeros((res + 2, res + 2), dtype=np.int64)
+            halo[1 : res + 1, 1 : res + 1] = grids[(tx, ty)]
+            mask[1 : res + 1, 1 : res + 1] = 1
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    nb = grids.get((tx + dx, ty + dy))
+                    if nb is None:
+                        continue
+                    # rows/cols of the neighbor adjacent to this tile
+                    ys = (
+                        slice(0, 1) if dy == 1
+                        else slice(res - 1, res) if dy == -1
+                        else slice(0, res)
+                    )
+                    xs = (
+                        slice(0, 1) if dx == 1
+                        else slice(res - 1, res) if dx == -1
+                        else slice(0, res)
+                    )
+                    hy = (
+                        slice(res + 1, res + 2) if dy == 1
+                        else slice(0, 1) if dy == -1
+                        else slice(1, res + 1)
+                    )
+                    hx = (
+                        slice(res + 1, res + 2) if dx == 1
+                        else slice(0, 1) if dx == -1
+                        else slice(1, res + 1)
+                    )
+                    halo[hy, hx] = nb[ys, xs]
+                    mask[hy, hx] = 1
+            nxt[(tx, ty)] = np.asarray(
+                finish(halo, mask), dtype=np.int64
+            ).reshape(res, res)
+        if all(np.array_equal(nxt[k], grids[k]) for k in keys):
+            grids = nxt
+            break
+        grids = nxt
+    else:
+        raise RuntimeError(f"{op}: no convergence in {max_iters} rounds")
+    out = pd.DataFrame(
+        {
+            "tx": [k[0] for k in keys],
+            "ty": [k[1] for k in keys],
+            "counts": [grids[k].reshape(-1).tolist() for k in keys],
+        }
+    )
+    return state.sparkSession.createDataFrame(
+        out, "tx long, ty long, counts array<long>"
+    )
 
 
 def fill_depressions(

@@ -3121,3 +3121,47 @@ def test_multidirectional_hillshade(spark):
             assert r["hillshade_md"][pix] == pytest.approx(want, rel=1e-9)
     with pytest.raises(ValueError):
         terrain.multidirectional_hillshade(grads, azimuths_deg=(), weights=())
+
+
+def test_halo_fixpoint_driver_vs_distributed(spark, monkeypatch):
+    """r6: _halo_fixpoint's driver-solve fast path must be bit-identical to
+    the distributed block-Jacobi loop (same kernels, same synchronous
+    schedule) — checked here for fill + flats + strahler + cost on a
+    multi-tile fixture with absent tiles, so the distributed path keeps
+    dedicated coverage now that small rasters default to the driver path."""
+    import random as _r
+
+    res = 8
+    rng = _r.Random(3)
+    rows = []
+    for tx, ty in [(-1, 0), (0, 0), (1, 0), (0, -1), (2, 1)]:  # L-shape + hole
+        rows.append((tx, ty, [rng.randint(0, 9) for _ in range(res * res)]))
+    tiles = spark.createDataFrame(rows, "tx long, ty long, counts array<long>")
+
+    def run_all():
+        filled = terrain.fill_depressions(tiles, res)
+        flats = terrain.resolve_flats(filled, res)
+        st = terrain.strahler_order(flats, res)
+        cost = terrain.cost_surface(
+            tiles.select(
+                "tx", "ty",
+                F.transform("counts", lambda c: c + 1).alias("counts"),
+            ),
+            res,
+            [(0, 0), (10, 5)],
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r[0], r[1], tuple(r[2])) for r in df.collect()
+        )
+        return [
+            key(filled.select("tx", "ty", "filled")),
+            key(flats.select("tx", "ty", "d8_dir")),
+            key(flats.select("tx", "ty", "flat_d")),
+            key(st.select("tx", "ty", "strahler")),
+            key(cost.select("tx", "ty", "cost_dist")),
+        ]
+
+    driver = run_all()
+    monkeypatch.setattr(terrain, "_DRIVER_SOLVE_CELLS", 0)
+    dist = run_all()
+    assert driver == dist
