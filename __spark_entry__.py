@@ -3556,14 +3556,21 @@ def q_knn_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot-freeing discipline): ring-expansion planar kNN tagged 'planar'
     (dist_mm=-1 — its rank is the checked value), haversine ring kNN tagged
     'haversine' with FLOOR-scaled dist_mm. Halves unchanged."""
-    planar = q_knn(spark, sf_dir).select(
-        F.lit("planar").alias("tag"), "query_id", "point_id", "rank",
-        F.lit(-1).cast("long").alias("dist_mm"),
-    )
-    hav = q_knn_haversine(spark, sf_dir).select(
-        F.lit("haversine").alias("tag"), "query_id", "point_id", "rank",
-        "dist_mm",
-    )
+    # r6: the haversine half's ring rounds and the planar half's sizing
+    # counts are independent driver-action sequences — overlap them
+    # (guide §2.6, the q_routing discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as _ex:
+        _hav_fut = _ex.submit(q_knn_haversine, spark, sf_dir)
+        planar = q_knn(spark, sf_dir).select(
+            F.lit("planar").alias("tag"), "query_id", "point_id", "rank",
+            F.lit(-1).cast("long").alias("dist_mm"),
+        )
+        hav = _hav_fut.result().select(
+            F.lit("haversine").alias("tag"), "query_id", "point_id", "rank",
+            "dist_mm",
+        )
     return planar.unionByName(hav)
 
 

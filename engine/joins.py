@@ -767,8 +767,21 @@ def knn_join(
     _persisted = [p]
     results = None
     remaining = q
-    radius = 0
+    # r6: the ring schedule is FIXED (0, 1, 2, ... doubling to max_radius,
+    # then the brute-force residue), so the whole expansion builds lazily —
+    # per-round lazy persists keep each window computed once, and the single
+    # final localCheckpoint materializes everything in ONE job. The old
+    # per-round isEmpty early-exit probes cost one driver action per round;
+    # without them a post-settle round is an empty cached frame flowing
+    # through short-circuit joins — no measurable work at any scale.
+    radii = [0]
+    r_ = 1
     while True:
+        radii.append(r_)
+        if r_ >= max_radius:
+            break
+        r_ *= 2
+    for radius in radii:
         # candidate cells: non-wrapping Chebyshev disk of `radius` around qcell
         qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
         span = F.sequence(F.lit(-radius), F.lit(radius))
@@ -822,6 +835,10 @@ def knn_join(
             )
             .select(query_id)
         )
+        # persist the per-round top-k: the settle probe below and the final
+        # results materialization both read it — without the cache the
+        # candidate window (the round's dominant compute) ran twice (r6)
+        topk = topk.persist()
         settled_rows = topk.join(settled_q, query_id, "left_semi").select(
             query_id, point_id, "rank", "sq_dist"
         )
@@ -829,23 +846,20 @@ def knn_join(
         remaining = remaining.join(settled_q, query_id, "left_anti")
         results = results.persist()
         remaining = remaining.persist()
-        _persisted += [results, remaining]
-        if remaining.isEmpty():
-            break
-        if radius >= max_radius:
-            # brute force the stragglers (exact; bounded residue)
-            bf = remaining.crossJoin(p).withColumn(
-                "sq_dist", _sq_dist(F.col("qx"), F.col("qy"), F.col("px"), F.col("py"))
-            )
-            w = Window.partitionBy(query_id).orderBy("sq_dist", point_id)
-            bf_topk = (
-                bf.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(query_id, point_id, "rank", "sq_dist")
-            )
-            results = results.unionByName(bf_topk)
-            break
-        radius = 1 if radius == 0 else radius * 2
+        _persisted += [topk, results, remaining]
+    # brute force the stragglers (exact; bounded residue — empty when every
+    # query settled inside the rings, in which case the cross join is a
+    # no-op over an empty cached frame)
+    bf = remaining.crossJoin(p).withColumn(
+        "sq_dist", _sq_dist(F.col("qx"), F.col("qy"), F.col("px"), F.col("py"))
+    )
+    w = Window.partitionBy(query_id).orderBy("sq_dist", point_id)
+    bf_topk = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "rank", "sq_dist")
+    )
+    results = results.unionByName(bf_topk)
     # materialize + truncate lineage, then release every intermediate cache
     out = results.localCheckpoint(eager=True)
     for f in _persisted:
@@ -1057,8 +1071,15 @@ def knn_geo_join(
     _persisted = [p]
     results = None
     remaining = q
-    radius = 0
+    # r6: fixed lazy ring schedule + single materialization (see knn_join)
+    radii = [0]
+    r_ = 1
     while True:
+        radii.append(r_)
+        if r_ >= max_radius:
+            break
+        r_ *= 2
+    for radius in radii:
         qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
         span = F.sequence(F.lit(-radius), F.lit(radius))
         disk = F.array_distinct(
@@ -1106,6 +1127,9 @@ def knn_geo_join(
             .filter((F.col("cnt") >= k) & (F.col("kth") <= dist_bound))
             .select(query_id)
         )
+        # persist the per-round top-k (same rationale as knn_join — the
+        # settle probe and the final materialization share the window)
+        topk = topk.persist()
         settled_rows = topk.join(settled_q, query_id, "left_semi").select(
             query_id, point_id, "rank", "dist_m"
         )
@@ -1113,25 +1137,21 @@ def knn_geo_join(
         remaining = remaining.join(settled_q, query_id, "left_anti")
         results = results.persist()
         remaining = remaining.persist()
-        _persisted += [results, remaining]
-        if remaining.isEmpty():
-            break
-        if radius >= max_radius:
-            bf = remaining.crossJoin(p).withColumn(
-                "dist_m",
-                haversine_m(
-                    F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")
-                ),
-            )
-            w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
-            bf_topk = (
-                bf.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(query_id, point_id, "rank", "dist_m")
-            )
-            results = results.unionByName(bf_topk)
-            break
-        radius = 1 if radius == 0 else radius * 2
+        _persisted += [topk, results, remaining]
+    # brute-force residue (empty when every query settled inside the rings)
+    bf = remaining.crossJoin(p).withColumn(
+        "dist_m",
+        haversine_m(
+            F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat")
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+    bf_topk = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "rank", "dist_m")
+    )
+    results = results.unionByName(bf_topk)
     out = results.localCheckpoint(eager=True)
     for f in _persisted:
         f.unpersist()

@@ -85,7 +85,7 @@ def spacetime_cube(
 
 def binned_gi_star(
     counts: DataFrame,
-    n_area: int,
+    n_area: int | None,
     radius: int = 1,
 ) -> DataFrame:
     """Per-bin Gi* over a sparse (bin, gx, gy, n) cube whose study area is
@@ -94,10 +94,12 @@ def binned_gi_star(
     (bin, gx, gy, n, z): one row per area cell per bin, zeros densified —
     z is meaningful (negative) for silent cells, which is what the trend
     test needs. `n_area` must equal the distinct-cell count (the caller
-    usually has it from building the area; kept explicit so the oracle twin
-    can embed the same scalar path). No driver loop: per-bin moments are
-    one groupBy riding a broadcast join."""
-    if n_area < 2:
+    usually has it from building the area; explicit so the oracle twin can
+    embed the same scalar path), or None (r6) to derive it INSIDE the plan
+    as a broadcast 1-row aggregate — zero driver actions, identical double
+    arithmetic (the scalar literal becomes a same-valued column). No
+    driver loop: per-bin moments are one groupBy riding a broadcast join."""
+    if n_area is not None and n_area < 2:
         raise ValueError("study area needs >= 2 cells")
     area = counts.select("gx", "gy").distinct()
     bins = counts.select("bin").distinct()
@@ -135,11 +137,19 @@ def binned_gi_star(
     mo = counts.groupBy("bin").agg(
         F.sum("n").alias("_s"), F.sum(F.col("n") * F.col("n")).alias("_ss")
     )
-    nn = float(n_area)
-    mean = F.col("_s") / F.lit(nn)
-    msq = F.col("_ss") / F.lit(nn)
+    if n_area is not None:
+        nn = F.lit(float(n_area))
+    else:
+        # in-plan scalar: one broadcast 1-row count over the area frame —
+        # same double value the eager count() produced
+        na = area.agg(F.count(F.lit(1)).alias("_na"))
+        mo = mo.crossJoin(F.broadcast(na))
+        nn = F.col("_na").cast("double")
+    mean = F.col("_s") / nn
+    msq = F.col("_ss") / nn
     mo = mo.select(
         "bin",
+        nn.alias("_nn"),
         mean.alias("mean"),
         F.sqrt(F.greatest(msq - mean * mean, F.lit(0.0))).alias("sd"),
     )
@@ -153,12 +163,13 @@ def binned_gi_star(
             "bin", "gx", "gy",
             F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
             F.coalesce(F.col("fs"), F.lit(0).cast("long")).alias("fs"),
-            "w", "mean", "sd",
+            "w", "_nn", "mean", "sd",
         )
     )
     wn = F.col("w")
+    nnc = F.col("_nn")
     denom = F.col("sd") * F.sqrt(
-        (F.lit(nn) * wn - wn * wn) / F.lit(nn - 1.0)
+        (nnc * wn - wn * wn) / (nnc - F.lit(1.0))
     )
     z = F.when(denom > 0.0, (F.col("fs") - F.col("mean") * wn) / denom)
     return dense.select("bin", "gx", "gy", "n", z.alias("z"))
@@ -183,8 +194,11 @@ def emerging_hotspots(
     counts = spacetime_cube(
         events, cell_size, bin_micros, x_col=x_col, y_col=y_col, ts_col=ts_col
     ).persist()
-    n_area = counts.select("gx", "gy").distinct().count()
-    zs = binned_gi_star(counts, n_area, radius=radius)
+    # r6: n_area rides the plan as a broadcast 1-row agg (n_area=None) —
+    # the old eager distinct().count() was one full driver action per call
+    # whose only purpose was baking the same number into the expressions;
+    # the lazy persist above fills on first use inside the one final job.
+    zs = binned_gi_star(counts, None, radius=radius)
     per_cell = zs.groupBy("gx", "gy").agg(
         F.array_sort(
             F.collect_list(F.struct("bin", "z", "n"))

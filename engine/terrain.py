@@ -1127,12 +1127,30 @@ def flow_accumulation(
         # Kahn kernel solves it in one vectorized pass — vs paying one
         # Spark job per tile-crossing in the distributed loop (measured
         # 40+ s of pure round overhead at a 126-crossing worst case).
-        edges_pdf = edges.toPandas()
+        # r6: ONE Arrow fetch of the checkpointed s1 frame (edges + routes
+        # explode in pandas) instead of two separate toPandas jobs.
+        import itertools
+
+        s1_pdf = s1.select(
+            "ex_src", "ex_dst", "ex_m0", "rt_entry", "rt_term", "rt_exit"
+        ).toPandas()
+
+        def _flat(col):
+            return list(itertools.chain.from_iterable(s1_pdf[col]))
+
+        edges_pdf = pd.DataFrame(
+            {"src": _flat("ex_src"), "dst": _flat("ex_dst"),
+             "m0": _flat("ex_m0")}
+        )
         if len(edges_pdf) == 0:
             inflow = spark.createDataFrame([], "entry long, mass long")
         else:
+            routes_pdf = pd.DataFrame(
+                {"entry": _flat("rt_entry"), "term": _flat("rt_term"),
+                 "term_exit": _flat("rt_exit")}
+            )
             inflow = spark.createDataFrame(
-                _stage2_driver(edges_pdf, routes.toPandas())
+                _stage2_driver(edges_pdf, routes_pdf)
             )
     else:
         # distributed delta-push: one tile-crossing per round. Contracted

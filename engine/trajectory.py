@@ -442,7 +442,10 @@ def colocation_pairs(
         F.floor(F.col("ts") / F.lit(int(gap_us))).alias("tb"),
         F.floor(F.col("x") / F.lit(s)).alias("cx"),
         F.floor(F.col("y") / F.lit(s)).alias("cy"),
-    )
+    ).persist()  # r6: four plan branches read f (probes, right, own a+b) —
+    # without the cache the fix derivation (often hash/projection-heavy, as
+    # in the registry query's md5 coords) recomputes per branch; the lazy
+    # persist fills during the job's first branch
     right = f.select(
         F.col("id").alias("id_b"), F.col("ts").alias("ts_b"),
         F.col("x").alias("x_b"), F.col("y").alias("y_b"),

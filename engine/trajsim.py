@@ -192,14 +192,31 @@ def similar_trips(
     if metric not in ("hausdorff", "frechet"):
         raise ValueError(f"metric must be 'hausdorff' or 'frechet', got {metric!r}")
     s = float(cell_size) if cell_size is not None else max(float(threshold), 1e-12)
-    packed = _pack_trips(trips, id_col, seq_col, x_col, y_col).persist()
-    nmax = packed.agg(F.max("n_pts")).collect()[0][0]
-    if nmax is not None and nmax > max_points:
-        packed.unpersist()
-        raise RuntimeError(
-            f"similar_trips: a trip has {nmax} points > max_points="
-            f"{max_points}; split trips or raise the cap"
+    packed = _pack_trips(trips, id_col, seq_col, x_col, y_col)
+    # r6: the max_points guard is WOVEN into the packed frame (the
+    # dissolve_segments raise_error discipline) — any materialization of an
+    # oversized trip fails loudly before quadratic work, and the eager
+    # max("n_pts") driver action the old call-time guard cost is gone; the
+    # lazy persist fills on first use inside the one final job.
+    packed = packed.select(
+        "trip_id", "x0", "y0", "x1", "y1", "pts",
+        F.when(
+            F.col("n_pts") <= F.lit(int(max_points)), F.col("n_pts")
         )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("similar_trips: a trip has "),
+                    F.col("n_pts").cast("string"),
+                    F.lit(
+                        f" points > max_points={int(max_points)}; split "
+                        "trips or raise the cap"
+                    ),
+                )
+            )
+        )
+        .alias("n_pts"),
+    ).persist()
     # blocking: expanded-bbox overlap via shared cells, pair owned by its
     # min shared cell (same dedup-free rule as nms.overlap_pairs). Expand
     # each bbox by threshold/2: two bboxes within `threshold` of each other

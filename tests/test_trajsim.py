@@ -177,7 +177,10 @@ def test_blocking_excludes_far_trips(spark):
 
 
 def test_max_points_guard(spark):
+    """r6: the guard is woven into the plan (raise_error on the packed
+    frame) instead of an eager driver agg, so it fires on materialization —
+    including for an oversized trip that pairs with nothing."""
     rows = [(1, s, float(s), 0.0) for s in range(20)]
     df = spark.createDataFrame(rows, "trip_id long, seq long, x double, y double")
-    with pytest.raises(RuntimeError, match="max_points"):
-        trajsim.similar_trips(df, threshold=1.0, max_points=10)
+    with pytest.raises(Exception, match="max_points"):
+        trajsim.similar_trips(df, threshold=1.0, max_points=10).collect()
