@@ -1081,6 +1081,36 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VIS_N_OBS)
         .select("gx", "gy")
     )
+    # r6: kick the iterative chains off NOW, before the main thread builds
+    # the dozen non-iterative half plans (pure Catalyst work) — their driver
+    # actions interleave with plan construction instead of running after it.
+    # cost needs only the all-ones rect + obs_df; fill -> flats ->
+    # {strahler || flowacc} is its own chain; CC was submitted above.
+    # Results are deterministic regardless of interleaving (every op is a
+    # fixpoint / exact solve on its own input).
+    fullt = spark.createDataFrame(
+        [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
+        "tx long, ty long",
+    )
+    ones_cost = fullt.select(
+        "tx", "ty",
+        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
+    )
+    _iter_pool = ThreadPoolExecutor(2)
+    _cost_fut = _iter_pool.submit(
+        terrain.cost_surface, ones_cost, res, obs_df, 8
+    )
+
+    def _hydro_chain():
+        filled = terrain.fill_depressions(tiles_r, res)
+        flats = terrain.resolve_flats(filled, res)
+        with ThreadPoolExecutor(1) as _ex2:
+            _st_fut = _ex2.submit(terrain.strahler_order, flats, res)
+            acc = terrain.flow_accumulation(flats, res)
+            st = _st_fut.result()
+        return filled, flats, st, acc
+
+    _hydro_fut = _iter_pool.submit(_hydro_chain)
     vis = (
         terrain.viewshed(
             tiles_r, res, obs_df,
@@ -1236,48 +1266,6 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("e"),
         )
     )
-    # The iterative terrain halves are independent chains once their inputs
-    # exist: cost needs only the all-ones rect + obs_df; strahler and
-    # flowacc both read the conditioned frame. Each chain's _halo_fixpoint
-    # loop runs driver-side with a ~0.5 s fixed per-action scheduling
-    # latency on this host, which DOMINATES wall at this sf-independent
-    # 512-px registry raster (per-cell throughput is evidenced by the
-    # 16.8M-cell closed-form benches, not here) — so independent chains
-    # submit their Spark jobs from concurrent driver threads and the
-    # scheduler interleaves them. Results are deterministic regardless of
-    # interleaving (every op is a fixpoint / exact solve on its own input).
-    fullt = spark.createDataFrame(
-        [(tx, ty) for tx in range(-2, 2) for ty in range(-1, 1)],
-        "tx long, ty long",
-    )
-    ones_cost = fullt.select(
-        "tx", "ty",
-        F.array_repeat(F.lit(1).cast("long"), res * res).alias("counts"),
-    )
-    with ThreadPoolExecutor(2) as _ex:
-        _cost_fut = _ex.submit(
-            terrain.cost_surface, ones_cost, res, obs_df, 8
-        )
-        filled_r = terrain.fill_depressions(tiles_r, res)
-        flats_r = terrain.resolve_flats(filled_r, res)
-        with ThreadPoolExecutor(2) as _ex2:
-            _st_fut = _ex2.submit(terrain.strahler_order, flats_r, res)
-            acc_r = terrain.flow_accumulation(flats_r, res)
-            st_r = _st_fut.result()
-        cost_r = _cost_fut.result()
-    comp = _comp_fut.result()
-    _cc_pool.shutdown()
-    d8 = (
-        ed.join(comp, ed["src"] == comp["id"])
-        .select(
-            F.lit("d8").alias("tag"),
-            F.col("gx").alias("a"),
-            F.col("gy").alias("b"),
-            F.col("d8_dir").alias("c"),
-            F.col("d8_key").alias("d"),
-            F.col("comp").alias("e"),
-        )
-    )
     curv = (
         terrain.curvature_numerators(tiles_r, res)
         .select(
@@ -1368,6 +1356,23 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v.tpi_num") * 16 + F.col("v.tpi_den"))
             .cast("long").alias("d"),
             F.col("v.rough").cast("long").alias("e"),
+        )
+    )
+    # join the chains launched right after obs_df above
+    filled_r, flats_r, st_r, acc_r = _hydro_fut.result()
+    cost_r = _cost_fut.result()
+    _iter_pool.shutdown()
+    comp = _comp_fut.result()
+    _cc_pool.shutdown()
+    d8 = (
+        ed.join(comp, ed["src"] == comp["id"])
+        .select(
+            F.lit("d8").alias("tag"),
+            F.col("gx").alias("a"),
+            F.col("gy").alias("b"),
+            F.col("d8_dir").alias("c"),
+            F.col("d8_key").alias("d"),
+            F.col("comp").alias("e"),
         )
     )
     fla = (

@@ -43,6 +43,7 @@ trajectory/network axis.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +55,57 @@ HOPS_BASE = 1 << 20
 
 # diagnostics: rounds the last shortest_paths call ran (read by benches)
 LAST_ROUNDS = 0
+
+# Bounded-side driver fast path (the engine-wide discipline: knn broadcast
+# short-circuit, flow_accumulation stage2='driver', graph.connected_components
+# / terrain._halo_fixpoint r6 driver solves): a deduped edge frame at or
+# under this many rows is an O(MB) Arrow fetch, and each frontier round is a
+# vectorized numpy relaxation instead of a full Spark job — at registry
+# scale the distributed rounds were pure driver latency. The replay below
+# mirrors the distributed loop round for round (same candidate caps, same
+# improved sets, same round counts and error contract), so results are
+# identical by construction; pytest forces the distributed path for
+# dedicated coverage by monkeypatching this to 0.
+DRIVER_EDGES = 1_000_000
+
+
+def _np_frontier_bf(
+    eu, ev, wpack, labels, max_dist: int | None, max_rounds: int, op: str
+):
+    """Exact numpy replay of the distributed frontier Bellman-Ford: per
+    round, relax every edge (equivalent to frontier-only relaxation — a
+    candidate from a non-frontier node was already absorbed the round its
+    tail last improved), apply the same candidate cap, keep strict
+    improvements, stop on an improvement-free round, raise on max_rounds
+    exhausted. labels: (n_sources, n_nodes) int64, INF = absent. Returns
+    (labels, rounds)."""
+    INF = 1 << 62
+    cap = (max_dist + 1) * HOPS_BASE if max_dist is not None else None
+    rounds = 0
+    for _ in range(max_rounds):
+        improved_any = False
+        new = labels.copy()
+        for si in range(labels.shape[0]):
+            cand = labels[si, eu] + wpack
+            if cap is not None:
+                cand = np.where(cand < cap, cand, INF)
+            else:
+                cand = np.where(labels[si, eu] < INF, cand, INF)
+            np.minimum.at(new[si], ev, cand)
+        rounds += 1
+        if np.array_equal(new, labels):
+            improved_any = False
+        else:
+            improved_any = True
+        labels = new
+        if not improved_any:
+            break
+    else:
+        raise RuntimeError(
+            f"{op}: frontier non-empty after {max_rounds} rounds; "
+            "raise max_rounds or bound the query with max_dist"
+        )
+    return labels, rounds
 
 
 def _prep_edges(
@@ -119,22 +171,65 @@ def shortest_paths(
     # on frontier-sized (tiny) frames. The negative-weight guard doubles as
     # the edge-frame materializer the same way.
     e = _prep_edges(edges, src, dst, w, directed).localCheckpoint(eager=False)
-    if check_negative:
-        neg = e.filter(F.col("w") < 0).count()
-        if neg:
-            raise ValueError("shortest_paths requires non-negative weights")
+    # one agg doubles as the checkpoint materializer, the negative-weight
+    # guard AND the driver-path size gate
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.col("w") < 0).cast("long")), F.lit(0)
+        ).alias("neg"),
+    ).collect()[0]
+    if check_negative and stats["neg"]:
+        raise ValueError("shortest_paths requires non-negative weights")
 
     s = sources.select(
         F.col(source_id).cast("long").alias("sid"),
         F.col(node).cast("long").alias("n"),
     ).distinct()
+
+    global LAST_ROUNDS
+    if stats["n"] <= DRIVER_EDGES:
+        spark = edges.sparkSession
+        import pandas as pd
+
+        pdf = e.toPandas()  # reads the agg-materialized checkpoint
+        srows = s.collect()
+        eu_ids = pdf["u"].to_numpy(dtype=np.int64)
+        ev_ids = pdf["v"].to_numpy(dtype=np.int64)
+        ew = pdf["w"].to_numpy(dtype=np.int64)
+        sids = sorted({int(r["sid"]) for r in srows})
+        sidx = {x: i for i, x in enumerate(sids)}
+        src_nodes = np.asarray([int(r["n"]) for r in srows], dtype=np.int64)
+        nodes = np.unique(np.concatenate([eu_ids, ev_ids, src_nodes]))
+        eu = np.searchsorted(nodes, eu_ids)
+        ev = np.searchsorted(nodes, ev_ids)
+        INF = 1 << 62
+        labels = np.full((len(sids), len(nodes)), INF, dtype=np.int64)
+        for r in srows:
+            labels[sidx[int(r["sid"])], int(np.searchsorted(nodes, r["n"]))] = 0
+        labels, LAST_ROUNDS = _np_frontier_bf(
+            eu, ev, ew * HOPS_BASE + 1, labels, max_dist, max_rounds,
+            "shortest_paths",
+        )
+        si, ni = np.nonzero(labels < INF)
+        key = labels[si, ni]
+        out = pd.DataFrame(
+            {
+                "source_id": np.asarray(sids, dtype=np.int64)[si],
+                "node": nodes[ni],
+                "dist": key >> 20,
+                "hops": key % HOPS_BASE,
+            }
+        )
+        return spark.createDataFrame(
+            out, "source_id long, node long, dist long, hops long"
+        )
     # settled: best packed label per (sid, n) found so far
     settled = s.withColumn("key", F.lit(0).cast("long")).localCheckpoint(
         eager=False
     )
     frontier = settled
 
-    global LAST_ROUNDS
     LAST_ROUNDS = 0
     for _ in range(max_rounds):
         cand = (
@@ -235,12 +330,19 @@ def point_to_point(
         )
         .localCheckpoint(eager=False)
     )
-    if check_negative:
-        # same w >= 0 contract as shortest_paths (the mu-pruning and the
-        # frontier-min termination argument both assume it — ADVICE r5);
-        # the count doubles as e2's checkpoint materializer
-        if e2.filter(F.col("w") < 0).count():
-            raise ValueError("point_to_point requires non-negative weights")
+    # one agg: checkpoint materializer + negative guard + driver-path gate
+    stats = e2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.col("w") < 0).cast("long")), F.lit(0)
+        ).alias("neg"),
+    ).collect()[0]
+    if check_negative and stats["neg"]:
+        raise ValueError("point_to_point requires non-negative weights")
+    if stats["n"] <= DRIVER_EDGES:
+        return _p2p_driver(
+            spark, e2, int(source), int(target), max_dist, max_rounds
+        )
     settled = spark.createDataFrame(
         [(0, int(source), 0), (1, int(target), 0)], "dir int, n long, key long"
     ).localCheckpoint(eager=False)
@@ -321,6 +423,94 @@ def point_to_point(
             "max_rounds or bound the query with max_dist"
         )
     if mu >= INF or (max_dist is not None and mu >= (max_dist + 1) * HOPS_BASE):
+        return spark.createDataFrame(
+            [], "source_id long, node long, dist long, hops long"
+        )
+    return spark.createDataFrame(
+        [(0, int(target), int(mu) // HOPS_BASE, int(mu) % HOPS_BASE)],
+        "source_id long, node long, dist long, hops long",
+    )
+
+
+def _p2p_driver(
+    spark, e2: DataFrame, source: int, target: int,
+    max_dist: int | None, max_rounds: int,
+) -> DataFrame:
+    """Exact numpy replay of point_to_point's bidirectional loop for
+    DRIVER_EDGES-gated graphs: the same direction-tagged relaxation, the
+    same per-round candidate cap min(mu, max_dist), the same mu fold from
+    newly-improved labels against the other side's updated settled set, and
+    the same two termination tests — so mu, the round count and the error
+    contract match the distributed loop exactly."""
+    import pandas as pd
+
+    global LAST_ROUNDS
+    pdf = e2.toPandas()  # reads the agg-materialized checkpoint
+    eu_ids = pdf["u"].to_numpy(dtype=np.int64)
+    ev_ids = pdf["v"].to_numpy(dtype=np.int64)
+    wpack = pdf["w"].to_numpy(dtype=np.int64) * HOPS_BASE + 1
+    edir = pdf["dir"].to_numpy(dtype=np.int64)
+    nodes = np.unique(
+        np.concatenate(
+            [eu_ids, ev_ids, np.asarray([source, target], dtype=np.int64)]
+        )
+    )
+    eu = np.searchsorted(nodes, eu_ids)
+    ev = np.searchsorted(nodes, ev_ids)
+    INF = 1 << 62
+    settled = np.full((2, len(nodes)), INF, dtype=np.int64)
+    settled[0, int(np.searchsorted(nodes, source))] = 0
+    settled[1, int(np.searchsorted(nodes, target))] = 0
+    mu = INF if source != target else 0
+    LAST_ROUNDS = 0
+    for _ in range(max_rounds):
+        if source == target:
+            break
+        cap = mu if mu < INF else None
+        if max_dist is not None:
+            cap = min(cap if cap is not None else INF,
+                      (max_dist + 1) * HOPS_BASE)
+        new = settled.copy()
+        for d in (0, 1):
+            m = edir == d
+            cand = settled[d, eu[m]] + wpack[m]
+            if cap is not None:
+                cand = np.where(cand < cap, cand, INF)
+            else:
+                cand = np.where(settled[d, eu[m]] < INF, cand, INF)
+            np.minimum.at(new[d], ev[m], cand)
+        improved = new < settled
+        LAST_ROUNDS += 1
+        settled = new
+        f0 = int(new[0][improved[0]].min()) if improved[0].any() else INF
+        f1 = int(new[1][improved[1]].min()) if improved[1].any() else INF
+        # best NEW meet: improved labels against the other side's UPDATED
+        # settled set (matches the distributed probe, which reads the
+        # post-union settled frame)
+        meet = INF
+        for d in (0, 1):
+            if improved[d].any():
+                idx = np.nonzero(improved[d])[0]
+                other = settled[1 - d, idx]
+                ok = other < INF
+                if ok.any():
+                    meet = min(
+                        meet, int((settled[d, idx[ok]] + other[ok]).min())
+                    )
+        if meet < INF:
+            mu = min(mu, meet)
+        if f0 == INF and f1 == INF:
+            break
+        if f0 + f1 > mu:
+            break
+    else:
+        raise RuntimeError(
+            f"point_to_point: not settled after {max_rounds} rounds; raise "
+            "max_rounds or bound the query with max_dist"
+        )
+    if mu >= INF or (
+        max_dist is not None and mu >= (max_dist + 1) * HOPS_BASE
+    ):
         return spark.createDataFrame(
             [], "source_id long, node long, dist long, hops long"
         )

@@ -280,3 +280,44 @@ def test_p2p_max_dist_prunes(spark):
     assert routing.point_to_point(e, 0, 2, max_dist=7).collect() == []
     got = routing.point_to_point(e, 0, 2, max_dist=8).collect()
     assert (got[0]["dist"], got[0]["hops"]) == (8, 2)
+
+
+def test_driver_vs_distributed_parity(spark, monkeypatch):
+    """r6: the numpy frontier replay (DRIVER_EDGES fast path) must match the
+    distributed loop row for row — dist, hops AND the diagnostic round
+    count — for multi-source, capped, and bidirectional point-to-point."""
+    import random as _r
+
+    rng = _r.Random(9)
+    rows = [
+        (rng.randint(0, 60), rng.randint(0, 60), rng.randint(1, 9))
+        for _ in range(300)
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    sources = spark.createDataFrame([(0, 3), (1, 17)], ["source_id", "node"])
+
+    def run_all():
+        d = sorted(
+            map(
+                tuple,
+                routing.shortest_paths(
+                    edges, sources, max_dist=25, max_rounds=32
+                ).collect(),
+            )
+        )
+        r1 = routing.LAST_ROUNDS
+        p = sorted(
+            map(
+                tuple,
+                routing.point_to_point(
+                    edges, 3, 49, max_dist=200, max_rounds=64
+                ).collect(),
+            )
+        )
+        r2 = routing.LAST_ROUNDS
+        return d, r1, p, r2
+
+    fast = run_all()
+    monkeypatch.setattr(routing, "DRIVER_EDGES", 0)
+    dist = run_all()
+    assert fast == dist
