@@ -1023,8 +1023,11 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — previously each half re-rasterized the document anchors (4 scans)
     tiles_r = _hotspot_tiles(spark, sf_dir).persist()
     # warm the shared cache with ONE action so the concurrent chains below
-    # don't race to materialize it
+    # don't race to materialize it; the Arrow fetch of the (tiny, registry-
+    # fixed 512-px) raster lets every one-shot halo pass over tiles_r run
+    # driver-side with identical output (focal._halo_apply_driver — r6)
     tiles_r.count()
+    tiles_r._halo_driver_pdf = tiles_r.toPandas()
     grads = terrain.terrain_gradients(tiles_r, res)
     ed = terrain.flow_edges(terrain.d8_flow(tiles_r, res), res).persist()
     # the CC loop (iterative, driver actions) overlaps the terrain fixpoint
@@ -1136,6 +1139,23 @@ def q_raster_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)).cast("long"),
         ).alias("counts"),
     )
+    # same threshold mask applied to the collected frame so the radius-6
+    # EDT halo pass rides the driver path too (exact integer compare —
+    # identical values either way)
+    import numpy as _np
+    import pandas as _pd
+
+    _tp = tiles_r._halo_driver_pdf
+    src_tiles._halo_driver_pdf = _pd.DataFrame({
+        "tx": _tp["tx"], "ty": _tp["ty"],
+        "counts": [
+            _np.where(
+                _np.asarray(c, dtype=_np.int64) >= _EDT_MIN_Z,
+                _np.asarray(c, dtype=_np.int64), 0
+            ).tolist()
+            for c in _tp["counts"]
+        ],
+    })
     edt = (
         terrain.distance_transform(
             src_tiles, res, radius=_VIS_RADIUS, allocate=True

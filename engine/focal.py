@@ -158,6 +158,78 @@ def _box_sums(grid: np.ndarray, res: int, r: int) -> np.ndarray:
     return ii[w:, w:] - ii[:-w, w:] - ii[w:, :-w] + ii[:-w, :-w]
 
 
+def _halo_apply_driver(
+    spark, pdf, res: int, r: int, finish, fields=None,
+    pass_key: bool = False,
+) -> DataFrame:
+    """Driver-side twin of _halo_apply for pre-collected small rasters: the
+    same zero-padded (res+2r)^2 halo + presence mask per tile, assembled
+    with numpy slices from the neighbor grids instead of a strip shuffle,
+    and the same `finish` kernel — output rows and schema identical. Used
+    when the caller attaches a pandas frame of (tx, ty, counts) as
+    `df._halo_driver_pdf` (the cover `_pip_used_res` attribute idiom); the
+    distributed path keeps parity coverage in tests/test_terrain.py."""
+    keys = [(int(t), int(y)) for t, y in zip(pdf["tx"], pdf["ty"])]
+    grids = {
+        k: np.asarray(c, dtype=np.int64).reshape(res, res)
+        for k, c in zip(keys, pdf["counts"])
+    }
+    pad = res + 2 * r
+    out_fields = (
+        [("focal", T.ArrayType(T.LongType()))] if fields is None else fields
+    )
+    names = [n for n, _ in out_fields]
+    rows = {"tx": [], "ty": [], **{n: [] for n in names}}
+    for (tx, ty) in keys:
+        halo = np.zeros((pad, pad), dtype=np.int64)
+        mask = np.zeros((pad, pad), dtype=np.int64)
+        halo[r : r + res, r : r + res] = grids[(tx, ty)]
+        mask[r : r + res, r : r + res] = 1
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = grids.get((tx + dx, ty + dy))
+                if nb is None:
+                    continue
+                ys = (
+                    slice(0, r) if dy == 1
+                    else slice(res - r, res) if dy == -1
+                    else slice(0, res)
+                )
+                xs = (
+                    slice(0, r) if dx == 1
+                    else slice(res - r, res) if dx == -1
+                    else slice(0, res)
+                )
+                hy = (
+                    slice(r + res, pad) if dy == 1
+                    else slice(0, r) if dy == -1
+                    else slice(r, r + res)
+                )
+                hx = (
+                    slice(r + res, pad) if dx == 1
+                    else slice(0, r) if dx == -1
+                    else slice(r, r + res)
+                )
+                halo[hy, hx] = nb[ys, xs]
+                mask[hy, hx] = 1
+        result = (
+            finish(halo, mask, (tx, ty)) if pass_key else finish(halo, mask)
+        )
+        if fields is None:
+            result = {"focal": result.tolist()}
+        rows["tx"].append(tx)
+        rows["ty"].append(ty)
+        for n in names:
+            rows[n].append(result[n])
+    schema = T.StructType(
+        [T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType())]
+        + [T.StructField(n, t) for n, t in out_fields]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows), schema)
+
+
 def _halo_apply(
     tiles: DataFrame, res: int, r: int, finish, fields=None,
     pass_key: bool = False,
@@ -175,7 +247,16 @@ def _halo_apply(
     from the input) are dropped, so the output tile set equals the input
     tile set. pass_key=True hands finish the (tx, ty) key as a third
     argument (kernels that need the tile's GLOBAL position, e.g. viewshed
-    locating broadcast observers in patch coordinates)."""
+    locating broadcast observers in patch coordinates).
+
+    r6: a caller that has already collected a small raster can attach the
+    pandas frame as `tiles._halo_driver_pdf`; the whole exchange+kernel
+    then runs driver-side with identical output (see _halo_apply_driver)."""
+    drv = getattr(tiles, "_halo_driver_pdf", None)
+    if drv is not None and r <= res:
+        return _halo_apply_driver(
+            tiles.sparkSession, drv, res, r, finish, fields, pass_key
+        )
     strips = _strip_exprs(res, r)
     contrib = F.array(
         *[

@@ -2416,9 +2416,13 @@ def _driver_fixpoint(
             "counts": [grids[k].reshape(-1).tolist() for k in keys],
         }
     )
-    return state.sparkSession.createDataFrame(
+    res_df = state.sparkSession.createDataFrame(
         out, "tx long, ty long, counts array<long>"
     )
+    # downstream one-shot halo passes (e.g. resolve_flats' assign) can run
+    # driver-side on the already-collected state (focal._halo_apply_driver)
+    res_df._halo_driver_pdf = out
+    return res_df
 
 
 def fill_depressions(

@@ -3165,3 +3165,46 @@ def test_halo_fixpoint_driver_vs_distributed(spark, monkeypatch):
     monkeypatch.setattr(terrain, "_DRIVER_SOLVE_CELLS", 0)
     dist = run_all()
     assert driver == dist
+
+
+def test_halo_apply_driver_parity(spark):
+    """r6: focal._halo_apply with an attached `_halo_driver_pdf` must emit
+    the exact rows of the distributed strip-shuffle path for every one-shot
+    halo consumer shape: r=1 multi-field (gradients), r>1 single-field
+    (tpi), pass_key (viewshed), and the radius-R EDT."""
+    import random as _r
+
+    res = 8
+    rng = _r.Random(7)
+    rows = [
+        (tx, ty, [rng.randint(0, 9) for _ in range(res * res)])
+        for tx, ty in [(0, 0), (1, 0), (0, 1), (2, 2)]
+    ]
+    tiles = spark.createDataFrame(rows, "tx long, ty long, counts array<long>")
+    obs = spark.createDataFrame([(3, 3), (10, 5)], "gx long, gy long")
+
+    def run(df):
+        key = lambda out, cols: sorted(  # noqa: E731
+            (r[0], r[1]) + tuple(tuple(r[c]) for c in cols)
+            for r in out.collect()
+        )
+        return [
+            key(terrain.terrain_gradients(df, res), ["dzdx8", "dzdy8"]),
+            key(terrain.tpi_at(df, res, radius=2), ["tpi_num", "tpi_den"]),
+            key(
+                terrain.viewshed(df, res, obs, radius=5, observer_height=1),
+                ["vis"],
+            ),
+            key(
+                terrain.distance_transform(df, res, radius=5, allocate=True),
+                ["dist2", "alloc"],
+            ),
+            key(terrain.d8_flow(df, res), ["d8_dir", "d8_key"]),
+        ]
+
+    dist = run(tiles)
+    import pandas as pd
+
+    tiles._halo_driver_pdf = tiles.toPandas()
+    drv = run(tiles)
+    assert drv == dist
