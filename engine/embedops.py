@@ -1148,11 +1148,16 @@ def ivf_sq8_topk(
             qq = np.concatenate(rqs)
             ss = np.concatenate(rsims)
             # spill dedup BEFORE the local top-m: same (query, vector) pair
-            # reachable through two probed lists scores identically — unique
-            # on the pair key keeps one
-            key = vid[rr] * np.int64(nq) + qq
-            _, first = np.unique(key, return_index=True)
-            rr, qq, ss = rr[first], qq[first], ss[first]
+            # reachable through two probed lists scores identically — keep
+            # one per ACTUAL pair via lexsort + neighbor-difference (ADVICE
+            # r5: the old multiplicative packed key vid*nq+qq could wrap
+            # int64 for large hashed vec_ids and silently merge two
+            # distinct pairs)
+            ordp = np.lexsort((vid[rr], qq))
+            rr, qq, ss = rr[ordp], qq[ordp], ss[ordp]
+            keep_m = np.ones(len(rr), dtype=bool)
+            keep_m[1:] = (qq[1:] != qq[:-1]) | (vid[rr][1:] != vid[rr][:-1])
+            rr, qq, ss = rr[keep_m], qq[keep_m], ss[keep_m]
             # per-query local top-m by (sim desc, vec_id asc)
             ordr = np.lexsort((vid[rr], -ss, qq))
             qs_sorted = qq[ordr]

@@ -775,12 +775,8 @@ def knn_join(
     # without them a post-settle round is an empty cached frame flowing
     # through short-circuit joins — no measurable work at any scale.
     radii = [0]
-    r_ = 1
-    while True:
-        radii.append(r_)
-        if r_ >= max_radius:
-            break
-        r_ *= 2
+    while radii[-1] < max_radius:
+        radii.append(1 if radii[-1] == 0 else radii[-1] * 2)
     for radius in radii:
         # candidate cells: non-wrapping Chebyshev disk of `radius` around qcell
         qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
@@ -1073,12 +1069,8 @@ def knn_geo_join(
     remaining = q
     # r6: fixed lazy ring schedule + single materialization (see knn_join)
     radii = [0]
-    r_ = 1
-    while True:
-        radii.append(r_)
-        if r_ >= max_radius:
-            break
-        r_ *= 2
+    while radii[-1] < max_radius:
+        radii.append(1 if radii[-1] == 0 else radii[-1] * 2)
     for radius in radii:
         qix, qiy = cells.grid_ix(F.col("qcell")), cells.grid_iy(F.col("qcell"))
         span = F.sequence(F.lit(-radius), F.lit(radius))
