@@ -227,7 +227,13 @@ def _halo_apply_driver(
         [T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType())]
         + [T.StructField(n, t) for n, t in out_fields]
     )
-    return spark.createDataFrame(pd.DataFrame(rows), schema)
+    out_pdf = pd.DataFrame(rows)
+    out = spark.createDataFrame(out_pdf, schema)
+    # generic driver-composition hook: downstream operators that can run
+    # their own kernels on an already-collected frame (e.g.
+    # flow_accumulation's stage 1) read this (r6)
+    out._driver_pdf = out_pdf
+    return out
 
 
 def _halo_apply(

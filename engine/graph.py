@@ -166,13 +166,17 @@ def connected_components(
         )
     ).localCheckpoint(eager=False)
     global LAST_ROUNDS
+    # gate on the digest count, then fetch from the digest-materialized
+    # checkpoint (two clean jobs — a limit(N+1) probe was A/B-measured
+    # SLOWER: CollectLimit's incremental partition scaling runs several
+    # sub-jobs when the limit exceeds the row count)
     prev = _digest(e)
     small = prev[0] <= _SMALL_EDGES
     if prev[0] <= _DRIVER_EDGES:
         import numpy as np
 
         LAST_ROUNDS = 0
-        pdf = e.toPandas()  # reads the digest-materialized checkpoint
+        pdf = e.toPandas()
         u = pdf["u"].to_numpy(dtype=np.int64)
         v = pdf["v"].to_numpy(dtype=np.int64)
         ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)

@@ -1038,12 +1038,20 @@ def flow_accumulation(
 
     spark = flow.sparkSession
     cols = ["tx", "ty", "d8_dir"] + ([weight_col] if weight_col else [])
+    # r6: a flow frame produced by the driver halo path (resolve_flats on a
+    # sub-threshold raster) carries its pandas twin — stage 1 then runs the
+    # SAME kernel directly on it (zero Spark actions) and stage 2 solves on
+    # the driver; stage 3 stays in the returned plan either way
+    _drv_pdf = getattr(flow, "_driver_pdf", None)
     flow = flow.select(*cols).persist()
 
     def base_mass(pdf, i):
         if weight_col is None:
             return np.ones(res * res, dtype=np.int64)
         return np.asarray(pdf[weight_col].iloc[i], dtype=np.int64)
+
+    def _finish(inflow):
+        return _flowacc_finish(spark, flow, inflow, res, base_mass)
 
     def stage1(batches):
         for pdf in batches:
@@ -1092,6 +1100,47 @@ def flow_accumulation(
         "ex_m0 array<long>, rt_entry array<long>, rt_term array<long>, "
         "rt_exit array<long>"
     )
+    if (
+        _drv_pdf is not None
+        and stage2 in ("auto", "driver")
+        and (weight_col is None or weight_col in _drv_pdf.columns)
+    ):
+        import itertools
+
+        s1_batches = list(stage1([_drv_pdf[cols]]))
+        s1_pdf = (
+            pd.concat(s1_batches, ignore_index=True)
+            if s1_batches
+            else pd.DataFrame(
+                {c: [] for c in (
+                    "tx", "ty", "ex_src", "ex_dst", "ex_m0",
+                    "rt_entry", "rt_term", "rt_exit",
+                )}
+            )
+        )
+
+        def _flatd(col):
+            return list(itertools.chain.from_iterable(s1_pdf[col]))
+
+        edges_pdf = pd.DataFrame(
+            {"src": _flatd("ex_src"), "dst": _flatd("ex_dst"),
+             "m0": _flatd("ex_m0")}
+        )
+        if len(edges_pdf) <= stage2_driver_max:
+            if len(edges_pdf) == 0:
+                inflow = spark.createDataFrame([], "entry long, mass long")
+            else:
+                routes_pdf = pd.DataFrame(
+                    {"entry": _flatd("rt_entry"), "term": _flatd("rt_term"),
+                     "term_exit": _flatd("rt_exit")}
+                )
+                inflow = spark.createDataFrame(
+                    _stage2_driver(edges_pdf, routes_pdf)
+                )
+            return _finish(inflow)
+        # contracted forest larger than the driver gate (cannot happen for
+        # attribute-gated rasters, but stay safe): fall through distributed
+
     # lazy truncation: the stage-2 mode probe (edge-count agg) is the
     # materializing action (r6 single-action discipline); the checkpoint
     # still caches s1 for the edges/routes fetches below
@@ -1203,7 +1252,16 @@ def flow_accumulation(
         )
         for r in rounds:
             r.unpersist()
-    # unpack entries back to (tx, ty, pix) and group the per-tile seed list
+    return _finish(inflow)
+
+
+def _flowacc_finish(spark, flow, inflow, res, base_mass):
+    """Shared stage-3 tail of flow_accumulation: unpack the entry inflow
+    to per-tile seed lists and run the second per-tile Kahn pass (one
+    mapInPandas in the RETURNED plan — identical for the driver and
+    distributed stage-1/2 paths)."""
+    import pandas as pd
+
     gx = F.shiftright(F.col("entry"), 32) - F.lit(_FLOW_OFF)
     gy = F.col("entry").bitwiseAND(F.lit((1 << 32) - 1)) - F.lit(_FLOW_OFF)
     seeds = (
@@ -2314,9 +2372,15 @@ def _halo_fixpoint(
         return (row["n"], row["h"])
 
     state = init.localCheckpoint(eager=False)
+    # gate on the digest count, then fetch from the digest-materialized
+    # checkpoint (a limit-probe variant was A/B-measured slower —
+    # CollectLimit's incremental scaling runs several sub-jobs when the
+    # limit exceeds the row count)
     prev = _digest(state)
     if prev[0] * res * res <= _DRIVER_SOLVE_CELLS:
-        return _driver_fixpoint(state, res, finish, max_iters, op)
+        return _driver_fixpoint(
+            state.sparkSession, state.toPandas(), res, finish, max_iters, op
+        )
     small = prev[0] * res * res * 8 <= _SMALL_STATE_ROWS * 64 * 64 * 8
     for _ in range(max_iters):
         nxt = _halo_apply(state, res, 1, finish).withColumnRenamed(
@@ -2347,7 +2411,7 @@ _DRIVER_SOLVE_CELLS = 1 << 22
 
 
 def _driver_fixpoint(
-    state: DataFrame, res: int, finish, max_iters: int, op: str
+    spark, pdf, res: int, finish, max_iters: int, op: str
 ) -> DataFrame:
     """Driver-side replay of the EXACT block-Jacobi schedule: the same
     per-tile `finish` kernel, the same synchronous update (every tile reads
@@ -2357,7 +2421,6 @@ def _driver_fixpoint(
     (one Arrow fetch + numpy slices instead of a halo shuffle per round)."""
     import pandas as pd
 
-    pdf = state.toPandas()  # reads the digest-materialized checkpoint
     keys = [(int(t), int(y)) for t, y in zip(pdf["tx"], pdf["ty"])]
     grids = {
         k: np.asarray(c, dtype=np.int64).reshape(res, res)
@@ -2416,7 +2479,7 @@ def _driver_fixpoint(
             "counts": [grids[k].reshape(-1).tolist() for k in keys],
         }
     )
-    res_df = state.sparkSession.createDataFrame(
+    res_df = spark.createDataFrame(
         out, "tx long, ty long, counts array<long>"
     )
     # downstream one-shot halo passes (e.g. resolve_flats' assign) can run

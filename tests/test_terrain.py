@@ -3142,6 +3142,7 @@ def test_halo_fixpoint_driver_vs_distributed(spark, monkeypatch):
         filled = terrain.fill_depressions(tiles, res)
         flats = terrain.resolve_flats(filled, res)
         st = terrain.strahler_order(flats, res)
+        acc = terrain.flow_accumulation(flats, res)
         cost = terrain.cost_surface(
             tiles.select(
                 "tx", "ty",
@@ -3158,6 +3159,7 @@ def test_halo_fixpoint_driver_vs_distributed(spark, monkeypatch):
             key(flats.select("tx", "ty", "d8_dir")),
             key(flats.select("tx", "ty", "flat_d")),
             key(st.select("tx", "ty", "strahler")),
+            key(acc.select("tx", "ty", "acc")),
             key(cost.select("tx", "ty", "cost_dist")),
         ]
 
