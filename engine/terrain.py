@@ -681,7 +681,50 @@ def flow_edges(flow: DataFrame, res: int) -> DataFrame:
     """d8_flow frame -> (gx, gy, d8_dir, src, dst): one row per pixel with
     cell ids packed as src = gx * 2^32 + gy on SHIFTED coords (gx+2^20,
     gy+2^20 — keeps ids positive for tile coords within +-2^20); dst is
-    null for sinks."""
+    null for sinks.
+
+    r6: a flow frame carrying its collected pandas twin (_driver_pdf, set
+    by the driver halo path) derives the edge frame in numpy — the same
+    explode/offset/pack integer math — and returns it as a local relation
+    (parity pinned in tests/test_terrain.py)."""
+    drv = getattr(flow, "_driver_pdf", None)
+    if drv is not None:
+        import pandas as pd
+
+        offs = np.asarray(_D8_OFFSETS, dtype=np.int64)
+        gxs, gys, dirs, keys = [], [], [], []
+        for tx, ty, dd, kk in zip(
+            drv["tx"], drv["ty"], drv["d8_dir"], drv["d8_key"]
+        ):
+            d = np.asarray(dd, dtype=np.int64)
+            k = np.asarray(kk, dtype=np.int64)
+            pix = np.arange(res * res, dtype=np.int64)
+            gxs.append(int(tx) * res + pix % res)
+            gys.append(int(ty) * res + pix // res)
+            dirs.append(d)
+            keys.append(k)
+        gx = np.concatenate(gxs) if gxs else np.empty(0, dtype=np.int64)
+        gy = np.concatenate(gys) if gys else np.empty(0, dtype=np.int64)
+        d8 = np.concatenate(dirs) if dirs else np.empty(0, dtype=np.int64)
+        dk = np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
+        off_i = np.int64(1 << 20)
+        pack_np = lambda x, y: (x + off_i) * np.int64(1 << 32) + (y + off_i)  # noqa: E731
+        di = np.clip(d8, 0, 7)
+        dst = pack_np(gx + offs[di, 0], gy + offs[di, 1])
+        out = pd.DataFrame(
+            {
+                "gx": gx, "gy": gy, "d8_dir": d8, "d8_key": dk,
+                "src": pack_np(gx, gy),
+                "dst": pd.array(
+                    np.where(d8 >= 0, dst, 0), dtype="Int64"
+                ),
+            }
+        )
+        out.loc[d8 < 0, "dst"] = pd.NA
+        return flow.sparkSession.createDataFrame(
+            out,
+            "gx long, gy long, d8_dir long, d8_key long, src long, dst long",
+        )
     cells = flow.select(
         "tx", "ty",
         F.posexplode(F.arrays_zip("d8_dir", "d8_key")).alias("pix", "g"),

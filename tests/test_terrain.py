@@ -3202,6 +3202,11 @@ def test_halo_apply_driver_parity(spark):
                 ["dist2", "alloc"],
             ),
             key(terrain.d8_flow(df, res), ["d8_dir", "d8_key"]),
+            sorted(
+                tuple(r) for r in terrain.flow_edges(
+                    terrain.d8_flow(df, res), res
+                ).collect()
+            ),
         ]
 
     dist = run(tiles)
