@@ -196,8 +196,18 @@ def _cover_one(poly_id, lon0, lat0, lon1, lat1, res_min, res_max, max_cells,
             "entirely outside the grid domain lon [-180,180] x lat [-90,90]; "
             "cell-cover blocking would silently produce an empty cover"
         )
+    # r6: candidate levels are res_max, res_max-2, ... plus res_min (stride
+    # 2 instead of every level). Every DISTINCT cover level multiplies the
+    # big side's per-point probe rows in pip_join's explode — measured on
+    # the 4M-point flagship, collapsing 5 levels to {11,9,7} cut the timed
+    # join 2.98 -> 2.38 s with an identical result checksum, while a
+    # quantized polygon still fits max_cells (a coarser fit is never
+    # larger) and boundary-cell refine volume grows only for the polys
+    # whose natural level was skipped. Result-identical by construction:
+    # the cover stays a superset of the polygon's cells at SOME level and
+    # the refine is exact.
     res = res_min
-    for r in range(res_max, res_min - 1, -1):
+    for r in list(range(res_max, res_min, -2)) + [res_min]:
         n = 2**r
         nx = int((lon1 + 180) / 360 * n) - int((lon0 + 180) / 360 * n) + 1
         ny = int((lat1 + 90) / 180 * n) - int((lat0 + 90) / 180 * n) + 1
